@@ -1,0 +1,573 @@
+"""Relational query surface — the consumption layer the reference's
+Parquet+catalog output is designed to enable (``README.md:64-66,76-82``),
+plus DataFrame re-expressions of every planner-shaped operator from
+SURVEY.md §2.1, exercised on the driver's TPC-H-ish corpus.
+
+Design rules (enforced by the paired tests, see
+``tests/test_plans_explain.py``):
+
+- declarative DataFrame/SQL only — every expression stays JVM-side in
+  whole-stage codegen; no Python UDFs;
+- dimension joins broadcast (``F.broadcast``/AQE), fact-fact joins
+  shuffle on their keys;
+- filters and projections sit directly on the parquet scan so Catalyst
+  pushes them down (``PushedFilters`` / pruned ``ReadSchema``);
+- every float aggregate is ``round()``-ed identically in the Spark and
+  oracle forms so the driver's value hash is FP-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load_table
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytics (the star-schema consumption queries — SURVEY.md §1.5)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter + 8-agg groupBy (hash aggregate with
+    map-side partial agg; the scan reads only the 7 needed columns)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                      AS sum_qty,
+       round(sum(l_extendedprice), 2)                                 AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)              AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                      AS avg_qty,
+       round(avg(l_extendedprice), 4)                                 AS avg_price,
+       round(avg(l_discount), 4)                                      AS avg_disc,
+       count(*)                                                       AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + group + deterministic top-10."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q03 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 6-table star join → revenue per nation (TPC-H Q5 shape;
+    the CNPJ analog is fact ⋈ all dimension tables, SURVEY.md §7.2).
+
+    Dimensions (region, nation, supplier, customer) broadcast; the
+    lineitem⋈orders fact join shuffles on the order key only."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+ORACLE_Q05 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure pushed-down filter + single agg — the scan
+    should read 4 columns and push all three predicates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+ORACLE_Q06 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Planner-shaped operators (SURVEY.md §2.1 S-ops) on the TPC-H corpus
+# ---------------------------------------------------------------------------
+
+
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S9 membership semi-join (``check_update.py:61-62``):
+    customers that have ≥1 order, without duplicating customer rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 anti-join (new-table detection, ``check_update.py:34``):
+    customers with no orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def group_collect_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 grouped collect_list + max (``check_update.py:67-70``): per
+    customer, the sorted key list and latest order date as YYYYMMDD int
+    — the reference's work-plan shape (file list + max ref_date)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("o_orderkey").cast("string"))), ","
+        ).alias("order_keys"),
+        F.max(F.date_format("o_orderdate", "yyyyMMdd").cast("int")).alias("max_ref_date"),
+    )
+
+
+ORACLE_GROUP_COLLECT = """
+SELECT o_custkey,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys,
+       max(CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER)) AS max_ref_date
+FROM orders GROUP BY o_custkey
+"""
+
+
+def explode_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 manifest unnest (``check_update.py:81-89``): group → collect →
+    explode, broadcasting the group-level max date onto every row."""
+    orders = load_table(spark, sf_dir, "orders")
+    grouped = orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("keys"),
+        F.max(F.date_format("o_orderdate", "yyyyMMdd").cast("int")).alias("max_ref_date"),
+    )
+    return grouped.select(
+        "o_custkey", F.explode("keys").alias("o_orderkey"), "max_ref_date"
+    )
+
+
+ORACLE_EXPLODE = """
+WITH g AS (
+  SELECT o_custkey,
+         list(o_orderkey ORDER BY o_orderkey) AS keys,
+         max(CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER)) AS max_ref_date
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, unnest(keys) AS o_orderkey, max_ref_date FROM g
+"""
+
+
+def window_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot-per-key window (S14's idiomatic form, SURVEY.md
+    §2.2): row_number over (partition by key order by date desc) = 1."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+    )
+
+
+ORACLE_WINDOW_LATEST = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def freshness_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+S14+S15 freshness gate with *intended* true-max semantics
+    (``download_test/lambda_function.py:6-10``; ``README.md:222``):
+    per key, max snapshot date as YYYYMMDD int and the stale flag."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.max(F.date_format("o_orderdate", "yyyyMMdd").cast("int")).alias("last_ref_date"))
+        .withColumn("should_update", F.col("last_ref_date") < F.lit(20000101))
+    )
+
+
+ORACLE_FRESHNESS = """
+SELECT o_custkey,
+       max(CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER)) AS last_ref_date,
+       max(CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER)) < 20000101 AS should_update
+FROM orders GROUP BY o_custkey
+"""
+
+
+def string_normalize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 filename→key normalization (``check_update.py:55-60``) applied
+    to part names: pre-dot/space token, lowercased, non-letters stripped."""
+    part = load_table(spark, sf_dir, "part")
+    key = F.regexp_replace(
+        F.lower(F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))), "[^a-z]", ""
+    )
+    return part.groupBy(key.alias("name_key")).agg(F.count("*").alias("n_parts"))
+
+
+ORACLE_STRING_NORMALIZE = """
+SELECT regexp_replace(lower(split_part(p_name, ' ', 1)), '[^a-z]', '', 'g') AS name_key,
+       count(*) AS n_parts
+FROM part GROUP BY 1
+"""
+
+
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (SURVEY.md §2.2): nations with customers but no
+    suppliers (EXCEPT) unioned with nations having both (INTERSECT),
+    tagged — exercises intersect/except/union distinct semantics."""
+    cust_n = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_n = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust_n.intersect(supp_n).withColumn("tag", F.lit("both"))
+    only_cust = cust_n.subtract(supp_n).withColumn("tag", F.lit("customers_only"))
+    return both.union(only_cust)
+
+
+ORACLE_SET_OPS = """
+SELECT nationkey, 'both' AS tag
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customers_only' AS tag
+FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier))
+"""
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S27 JSONPath projection as a data-plane op
+    (``state_machine.asl:50-53``): pull ``$.k`` out of the JSON props."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").alias("k_value"),
+    )
+
+
+ORACLE_JSON = """
+SELECT event_id, event_type, json_extract_string(props, '$.k') AS k_value
+FROM events
+"""
+
+
+def date_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 date encoding + time bucketing: hourly rollup of the events
+    stream table (the batch form of the streaming windowed agg)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour_bucket"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+ORACLE_DATE_BUCKET = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def case_route_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 Choice-state routing as a data-plane CASE
+    (``state_machine.asl:32-42``): bucket orders by size class."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+    )
+    return orders.groupBy("o_orderstatus", bucket.alias("size_class")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+ORACLE_CASE = """
+SELECT o_orderstatus,
+       CASE WHEN o_totalprice >= 300000 THEN 'large'
+            WHEN o_totalprice >= 100000 THEN 'medium'
+            ELSE 'small' END AS size_class,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (free capability on the reference's agg shape,
+    SURVEY.md §2.2): per (returnflag, linestatus) + subtotals + total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (SURVEY.md §2.2 sorts/top-k): 3 biggest orders
+    per customer via window rank with deterministic tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+ORACLE_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 partition-value listing analog: DISTINCT over a low-cardinality
+    column (`SHOW PARTITIONS` ≡ distinct of the partition column)."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+ORACLE_DISTINCT = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def having_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 HAVING (drop-empty-groups generalized, ``check_update.py:80``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+ORACLE_HAVING = """
+SELECT o_custkey, count(*) AS n_orders FROM orders
+GROUP BY o_custkey HAVING count(*) >= 5
+"""
+
+
+def pivot_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (SURVEY.md §2.2 free capability): linestatus columns out of
+    rows; explicit value list keeps the plan single-pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min starts a new session) via lag window
+    + conditional cumsum — the batch twin of streaming
+    ``session_window`` (SURVEY.md §2.2 streaming notes)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        events.withColumn("new_s", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH x AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts - lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+FROM x GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_shipping_priority": q03_shipping_priority,
+    "q05_revenue_by_nation": q05_revenue_by_nation,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "semi_join_customers_with_orders": semi_join_customers_with_orders,
+    "anti_join_customers_without_orders": anti_join_customers_without_orders,
+    "group_collect_manifest": group_collect_manifest,
+    "explode_manifest": explode_manifest,
+    "window_latest_order": window_latest_order,
+    "freshness_plan": freshness_plan,
+    "string_normalize_keys": string_normalize_keys,
+    "set_ops_nations": set_ops_nations,
+    "json_extract_events": json_extract_events,
+    "date_bucket_events": date_bucket_events,
+    "case_route_orders": case_route_orders,
+    "rollup_lineitem": rollup_lineitem,
+    "topk_orders_per_customer": topk_orders_per_customer,
+    "distinct_segments": distinct_segments,
+    "having_active_customers": having_active_customers,
+    "pivot_quantity": pivot_quantity,
+    "sessionize_events": sessionize_events,
+}
+
+ORACLES = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q03_shipping_priority": ORACLE_Q03,
+    "q05_revenue_by_nation": ORACLE_Q05,
+    "q06_forecast_revenue": ORACLE_Q06,
+    "semi_join_customers_with_orders": ORACLE_SEMI,
+    "anti_join_customers_without_orders": ORACLE_ANTI,
+    "group_collect_manifest": ORACLE_GROUP_COLLECT,
+    "explode_manifest": ORACLE_EXPLODE,
+    "window_latest_order": ORACLE_WINDOW_LATEST,
+    "freshness_plan": ORACLE_FRESHNESS,
+    "string_normalize_keys": ORACLE_STRING_NORMALIZE,
+    "set_ops_nations": ORACLE_SET_OPS,
+    "json_extract_events": ORACLE_JSON,
+    "date_bucket_events": ORACLE_DATE_BUCKET,
+    "case_route_orders": ORACLE_CASE,
+    "rollup_lineitem": ORACLE_ROLLUP,
+    "topk_orders_per_customer": ORACLE_TOPK,
+    "distinct_segments": ORACLE_DISTINCT,
+    "having_active_customers": ORACLE_HAVING,
+    "pivot_quantity": ORACLE_PIVOT,
+    "sessionize_events": ORACLE_SESSIONIZE,
+}

