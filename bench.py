@@ -1,0 +1,68 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Headline set: the flagship star join + the scan/agg/window/dedup/ANN
+representatives — one per operator family, so a regression in any
+family moves the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_revenue_by_nation",
+    "q06_forecast_revenue",
+    "group_collect_manifest",
+    "window_latest_order",
+    "sessionize_events",
+    "dedup_exact_docs",
+    "minhash_lsh_pairs_docs",
+    "ann_cosine_topk",
+    "text_quality_docs",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from aws_etl_dados_publicos_cnpj_spark.session import build_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = build_session("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+
+    qs = entrymod.queries()
+    # warm the JVM + parquet footers with the cheapest query once
+    qs["q06_forecast_revenue"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        rows = qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 3)
+        assert rows is not None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

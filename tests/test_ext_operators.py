@@ -1,0 +1,118 @@
+"""Unit tests for the [EXT] operator semantics on tiny hand-built
+frames (the oracle tests cover the corpus-level behavior)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_etl_dados_publicos_cnpj_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from aws_etl_dados_publicos_cnpj_spark.operators.similarity import (
+    ann_bruteforce_topk,
+    cosine,
+    embedding_near_dup_pairs,
+)
+from aws_etl_dados_publicos_cnpj_spark.operators.text import fingerprint, lang_id, text_quality
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, key string"
+    )
+    out = {r.key: (r.keep_doc_id, r.n_copies) for r in dedup_exact(df, ["key"], "doc_id").collect()}
+    assert out == {"a": (1, 2), "b": (3, 1)}
+
+
+def test_shingles_and_jaccard_identical_docs(spark):
+    df = _docs(spark, [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w4"), (3, "x y z q")])
+    sh = shingles(df)
+    pairs = jaccard_pairs(sh, threshold=0.8).collect()
+    assert [(p.doc_a, p.doc_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_shingles_short_doc(spark):
+    df = _docs(spark, [(1, "only two")])
+    assert [r.shingle for r in shingles(df).collect()] == ["only two"]
+
+
+def test_minhash_identical_signatures(spark):
+    df = _docs(spark, [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w4")])
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(shingles(df)).collect()}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 96
+
+
+def test_lsh_finds_identical_pair(spark):
+    df = _docs(spark, [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w4"), (3, "a b c d")])
+    cands = lsh_candidate_pairs(minhash_signatures(shingles(df))).collect()
+    assert (1, 2) in {(r.doc_a, r.doc_b) for r in cands}
+    out = minhash_lsh_dedup(df, threshold=0.8).collect()
+    assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zz yy xx qq")])
+    sigs = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_cosine_orthogonal_and_identical(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, [1.0, 0.0], [0.0, 1.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    out = {r.id: r.sim for r in df.select("id", F.round(cosine(F.col("a"), F.col("b")), 6).alias("sim")).collect()}
+    assert out == {1: 1.0, 2: 0.0}
+
+
+def test_ann_topk_exact_neighbor(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    probes = emb.filter(F.col("vec_id") == 0)
+    out = ann_bruteforce_topk(emb, probes, k=2).collect()
+    assert [r.neighbor_id for r in out] == [1, 2]
+    assert out[0].rk == 1
+
+
+def test_embedding_near_dup_blocked(spark):
+    emb = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (1, 0, [1.0, 0.001]), (2, 1, [1.0, 0.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    pairs = embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    # (0,2) same vector but different label block → excluded
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+
+
+def test_text_quality_simple(spark):
+    df = _docs(spark, [(1, "aa bb aa")])
+    r = text_quality(df).collect()[0]
+    assert (r.n_words, r.n_distinct_words, r.len_chars) == (3, 2, 8)
+    assert r.type_token_ratio == 0.6667
+
+
+def test_lang_id_heuristic(spark):
+    df = _docs(spark, [(1, "the cat and the dog is here"), (2, "el que la y en"), (3, "zzz qqq")])
+    out = {r.doc_id: r.predicted_lang for r in lang_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = _docs(spark, [(1, "ab"), (2, "ba")])
+    out = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    assert out[1] != out[2]
+    assert out[1] == (97 * 131 + 98) % 1_000_000_007

@@ -1,0 +1,73 @@
+"""Streaming: availableNow drain must equal the batch rollup; the
+stateful running-total operator must accumulate across batches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_dados_publicos_cnpj_spark.operators import load_table
+from aws_etl_dados_publicos_cnpj_spark.streaming.stateful import running_totals
+from aws_etl_dados_publicos_cnpj_spark.streaming.windows import (
+    EVENTS_SCHEMA,
+    hourly_event_rollup,
+    run_available_now,
+    streaming_hourly_rollup,
+)
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Re-land events as micros-timestamp parquet (the raw corpus is
+    TIMESTAMP(NANOS), which the streaming file source can't read)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_SMALL, "events").coalesce(2).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_streaming_equals_batch(spark, events_dir):
+    events = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    batch = {
+        (r.hour_bucket, r.event_type): (r.n_events, r.sum_value)
+        for r in hourly_event_rollup(events).collect()
+    }
+    agg = streaming_hourly_rollup(spark, events_dir)
+    run_available_now(agg, "t_stream_hourly")
+    stream = {
+        (r.hour_bucket, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM t_stream_hourly").collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
+
+
+def test_stateful_running_totals(spark, events_dir):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(events_dir)
+    q = (
+        running_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_running")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per key must equal the batch totals
+    got = {
+        r.event_type: (r.total_events, r.total_value)
+        for r in spark.sql(
+            "SELECT event_type, max_by(total_events, total_events) AS total_events,"
+            " max_by(total_value, total_events) AS total_value"
+            " FROM t_running GROUP BY event_type"
+        ).collect()
+    }
+    events = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    want = {
+        r.event_type: (r.n, r.s)
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert got == want
