@@ -524,6 +524,102 @@ FROM x GROUP BY user_id
 """
 
 
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer dimension join (full join surface, SURVEY.md §2.2):
+    every customer with their order count, zero-filled."""
+    cust = load_table(spark, sf_dir, "customer")
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        cust.join(counts, cust.c_custkey == counts.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_LEFT_JOIN = """
+SELECT c_custkey, c_name, coalesce(cnt, 0) AS n_orders
+FROM customer LEFT JOIN (
+  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+"""
+
+
+def distinct_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (SURVEY.md §2.2 aggregations row): distinct
+    customers and priority classes per order status."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+ORACLE_DISTINCT_AGG = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all 4 grouping-set combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point (SURVEY.md §0: the consumption layer the
+    reference defers to Athena): same engine, ``spark.sql`` surface.
+    Registers the corpus as temp views and runs declarative SQL."""
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM v_lineitem l
+        JOIN v_orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN v_region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY n.n_name
+        """
+    )
+
+
+ORACLE_SQL_API = """
+SELECT n_name AS nation, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -546,6 +642,10 @@ QUERIES = {
     "having_active_customers": having_active_customers,
     "pivot_quantity": pivot_quantity,
     "sessionize_events": sessionize_events,
+    "left_join_order_counts": left_join_order_counts,
+    "distinct_agg_orders": distinct_agg_orders,
+    "cube_order_stats": cube_order_stats,
+    "sql_api_revenue": sql_api_revenue,
 }
 
 ORACLES = {
@@ -570,4 +670,8 @@ ORACLES = {
     "having_active_customers": ORACLE_HAVING,
     "pivot_quantity": ORACLE_PIVOT,
     "sessionize_events": ORACLE_SESSIONIZE,
+    "left_join_order_counts": ORACLE_LEFT_JOIN,
+    "distinct_agg_orders": ORACLE_DISTINCT_AGG,
+    "cube_order_stats": ORACLE_CUBE,
+    "sql_api_revenue": ORACLE_SQL_API,
 }

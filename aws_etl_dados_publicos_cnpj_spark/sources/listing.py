@@ -12,6 +12,7 @@ the parsed-row DataFrame, so tests inject rows directly
 from __future__ import annotations
 
 from dataclasses import dataclass
+from html.parser import HTMLParser
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -45,6 +46,50 @@ def listing_df(spark: SparkSession, rows: list[ListingRow] | list[tuple]) -> Dat
     return spark.createDataFrame(data, LISTING_SCHEMA)
 
 
+class _IndexTableParser(HTMLParser):
+    """Minimal stdlib parser for Apache-style index pages: per ``<tr>``,
+    collect the icon ``<img src>``, the ``<a href>`` + link text, and
+    the ``<td>`` cell texts."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.rows: list[dict] = []
+        self._row: dict | None = None
+        self._in_td = False
+        self._in_a = False
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = dict(attrs)
+        if tag == "tr":
+            self._row = {"img": "", "href": None, "text": "", "cells": []}
+        elif self._row is not None:
+            if tag == "img":
+                self._row["img"] = a.get("src", "") or ""
+            elif tag == "a":
+                self._row["href"] = a.get("href", "")
+                self._in_a = True
+            elif tag == "td":
+                self._in_td = True
+                self._row["cells"].append("")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "tr" and self._row is not None:
+            self.rows.append(self._row)
+            self._row = None
+        elif tag == "td":
+            self._in_td = False
+        elif tag == "a":
+            self._in_a = False
+
+    def handle_data(self, data: str) -> None:
+        if self._row is None:
+            return
+        if self._in_a:
+            self._row["text"] += data
+        if self._in_td and self._row["cells"]:
+            self._row["cells"][-1] += data
+
+
 def parse_listing_html(html: str) -> list[ListingRow]:
     """Parse an Apache-style index page into listing rows.
 
@@ -54,29 +99,21 @@ def parse_listing_html(html: str) -> list[ListingRow]:
     header/nav chrome (``check_update.py:46``) — that slice is applied
     here as part of parsing (it is an artifact of the HTML table, not of
     the data), while the folder/name/date logic stays in the DataFrame
-    planner.
+    planner. Uses the stdlib HTML parser (bs4 is an optional extra,
+    not required).
     """
-    try:
-        from bs4 import BeautifulSoup  # type: ignore
-    except ImportError as exc:  # pragma: no cover - bs4 is present in CI
-        raise RuntimeError("beautifulsoup4 required for HTML listing parse") from exc
-
-    soup = BeautifulSoup(html, "html.parser")
-    rows = soup.find_all("tr")[3:-1]
+    parser = _IndexTableParser()
+    parser.feed(html)
     out: list[ListingRow] = []
-    for tr in rows:
-        img = tr.find("img")
-        link = tr.find("a")
-        cells = tr.find_all("td")
-        if link is None or len(cells) < 3:
+    for row in parser.rows[3:-1]:
+        if row["href"] is None or len(row["cells"]) < 3:
             continue
-        icon_src = (img.get("src", "") if img else "") or ""
         out.append(
             ListingRow(
-                file_name=link.text.strip(),
-                href=link.get("href", ""),
-                last_modified=cells[2].text.strip() if len(cells) > 2 else "",
-                is_folder="folder" in icon_src,
+                file_name=row["text"].strip(),
+                href=row["href"],
+                last_modified=row["cells"][2].strip(),
+                is_folder="folder" in row["img"],
             )
         )
     return out
