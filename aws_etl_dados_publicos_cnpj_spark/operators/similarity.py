@@ -55,14 +55,19 @@ def ann_bruteforce_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    )
+    ).withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).cast("array<double>").alias("pvec"),
-    )
+    ).withColumn("pnorm", F.sqrt(_dot(F.col("pvec"), F.col("pvec"))))
+    # norms are computed once per row before the join; the per-pair work
+    # is a single dot product
     scored = (
         c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn("sim", F.round(cosine(F.col("pvec"), F.col("cvec")), 4))
+        .withColumn(
+            "sim",
+            F.round(_dot(F.col("pvec"), F.col("cvec")) / (F.col("pnorm") * F.col("cnorm")), 4),
+        )
         .select("probe_id", "neighbor_id", "sim")
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -135,13 +140,13 @@ def embedding_near_dup_pairs(
     base = embeddings.select(
         F.col(id_col), F.col(block_col).alias("block"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    a = base.select(F.col(id_col).alias("id_a"), "block", F.col("v").alias("va"))
-    b = base.select(F.col(id_col).alias("id_b"), "block", F.col("v").alias("vb"))
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = base.select(F.col(id_col).alias("id_a"), "block", F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col(id_col).alias("id_b"), "block", F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     return (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn("sim", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
