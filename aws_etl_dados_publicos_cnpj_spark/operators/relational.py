@@ -620,6 +620,68 @@ GROUP BY n_name
 """
 
 
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — matches ANSI
+    ``quantile_cont``) per order status."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+ORACLE_PERCENTILE = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS p50_price,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def date_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic (SURVEY.md §2.2 date fns — the capability the
+    reference's YYYYMMDD-int encoding forgoes): day diffs and month
+    truncation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+            "age_days"
+        ),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("order_month"),
+    )
+
+
+ORACLE_DATE_ARITH = """
+SELECT o_orderkey,
+       datediff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS age_days,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month
+FROM orders
+"""
+
+
+def above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (decorrelated to a window): orders
+    priced above their customer's average."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+ORACLE_ABOVE_AVG = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+                      WHERE i.o_custkey = o.o_custkey)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -646,6 +708,9 @@ QUERIES = {
     "distinct_agg_orders": distinct_agg_orders,
     "cube_order_stats": cube_order_stats,
     "sql_api_revenue": sql_api_revenue,
+    "percentile_prices": percentile_prices,
+    "date_arithmetic_orders": date_arithmetic_orders,
+    "above_customer_avg_orders": above_customer_avg_orders,
 }
 
 ORACLES = {
@@ -674,4 +739,7 @@ ORACLES = {
     "distinct_agg_orders": ORACLE_DISTINCT_AGG,
     "cube_order_stats": ORACLE_CUBE,
     "sql_api_revenue": ORACLE_SQL_API,
+    "percentile_prices": ORACLE_PERCENTILE,
+    "date_arithmetic_orders": ORACLE_DATE_ARITH,
+    "above_customer_avg_orders": ORACLE_ABOVE_AVG,
 }

@@ -67,6 +67,23 @@ def register_table(
     spark.sql(f"MSCK REPAIR TABLE {database}.{name}")
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str,
+    buckets: int = 32,
+    sort_by: str | None = None,
+) -> None:
+    """Bucketed managed table: pre-shuffles once at write so every later
+    join/agg on ``key`` is co-located — no Exchange in the plan
+    (SURVEY.md §7.4 / guide's bucketing row; the pattern for fact-fact
+    joins repeated across a 100 TB warehouse's workload)."""
+    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.format("parquet").saveAsTable(name)
+
+
 def list_partitions(spark: SparkSession, name: str, database: str = "default") -> list[str]:
     """``SHOW PARTITIONS`` → list of ``ref_date`` values (S13,
     ``state_machine.asl:43-55``)."""

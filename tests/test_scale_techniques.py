@@ -1,0 +1,65 @@
+"""Scale techniques: salted join equivalence, bucketed-join shuffle
+elimination, partition pruning visibility."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_etl_dados_publicos_cnpj_spark.operators import load_table
+from aws_etl_dados_publicos_cnpj_spark.operators.skew import salted_join
+from aws_etl_dados_publicos_cnpj_spark.sources.sink import write_bucketed
+
+from conftest import SF_SMALL
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    orders = orders.withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = li.join(orders, "l_orderkey").groupBy().agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).collect()[0]
+    salted = salted_join(li, orders, "l_orderkey", buckets=4).groupBy().agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).collect()[0]
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    small = spark.createDataFrame([(1, "dim")], "k long, d string")
+    out = {r.k: r.d for r in salted_join(big, small, "k", how="left").collect()}
+    assert out == {1: "dim", 2: None}
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "b_lineitem", "l_orderkey", buckets=8)
+    write_bucketed(orders, "b_orders", "o_orderkey", buckets=8)
+    a = spark.table("b_lineitem")
+    b = spark.table("b_orders")
+    joined = a.join(
+        b.hint("merge"), a.l_orderkey == b.o_orderkey
+    )  # force sort-merge so broadcast doesn't mask bucketing
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and it still returns the right rows
+    n = joined.count()
+    plain = load_table(spark, SF_SMALL, "lineitem").join(
+        load_table(spark, SF_SMALL, "orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).count()
+    assert n == plain
+    spark.sql("DROP TABLE b_lineitem")
+    spark.sql("DROP TABLE b_orders")
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    root = str(tmp_path / "pt")
+    df = spark.range(100).withColumn("ref_date", F.when(F.col("id") < 50, "20230101").otherwise("20230201"))
+    df.write.partitionBy("ref_date").parquet(root)
+    scan = spark.read.parquet(root).filter(F.col("ref_date") == "20230201")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert scan.count() == 50
