@@ -1,0 +1,99 @@
+"""Property-based checks (hypothesis): the as-of join against pandas'
+merge_asof reference implementation, Jaccard invariants, and the
+fingerprint's modular-arithmetic correctness vs pure Python."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aws_etl_dados_publicos_cnpj_spark.operators.dedup import jaccard_pairs, shingles
+from aws_etl_dados_publicos_cnpj_spark.operators.temporal import asof_join
+from aws_etl_dados_publicos_cnpj_spark.operators.text import (
+    FINGERPRINT_BASE,
+    FINGERPRINT_MOD,
+    fingerprint,
+)
+
+BASE_TS = datetime(2024, 1, 1)
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)), min_size=1, max_size=12
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 100)),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    # strictly-increasing unique ts per side via cumulative offsets
+    lrows = [
+        (i, k, BASE_TS + timedelta(minutes=off + i * 1e-3))
+        for i, (k, off) in enumerate(left)
+    ]
+    rrows = [
+        (k, BASE_TS + timedelta(minutes=off + i * 1e-3 + 0.5), float(v))
+        for i, (k, off, v) in enumerate(right)
+    ]
+    ldf = spark.createDataFrame(lrows, "id long, k long, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "k long, ts timestamp, v double")
+    got = {
+        r.id: r.asof_v
+        for r in asof_join(ldf, rdf, on="ts", by="k", right_cols=["v"]).collect()
+    }
+
+    lpd = pd.DataFrame(lrows, columns=["id", "k", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["k", "ts", "v"]).sort_values("ts")
+    merged = pd.merge_asof(
+        lpd, rpd, on="ts", by="k", direction="backward", allow_exact_matches=False
+    )
+    want = {
+        int(r.id): (None if pd.isna(r.v) else float(r.v)) for r in merged.itertuples()
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=40).map(
+            lambda s: " ".join(s.split()) or "a"
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_jaccard_bounds_and_identity(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), texts[0])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = jaccard_pairs(shingles(df), threshold=0.0).collect()
+    for p in pairs:
+        assert 0.0 <= p.jaccard <= 1.0
+        assert p.doc_a < p.doc_b
+    # the planted exact copy scores 1.0 with its original
+    copies = [p for p in pairs if (p.doc_a, p.doc_b) == (0, len(texts))]
+    assert copies and copies[0].jaccard == 1.0
+
+
+@settings(**_SETTINGS)
+@given(text=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=60))
+def test_fingerprint_matches_pure_python(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = fingerprint(df).collect()[0].fingerprint
+    want = 0
+    for ch in text:
+        want = (want * FINGERPRINT_BASE + ord(ch)) % FINGERPRINT_MOD
+    assert got == want
