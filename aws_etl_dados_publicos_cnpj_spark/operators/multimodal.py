@@ -75,6 +75,50 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(_batches, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, thumb binary, thumb_w int, thumb_h int"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_byte int"
+
+
+def resize_media(df: DataFrame, width: int = 8, height: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """Thumbnail/resize stage. STUB decode: the deterministic fake
+    "thumbnail" is the first width×height payload bytes (a real
+    implementation calls the codec inside the same batch fn). The
+    Spark-side contract — binary in, binary out, partition-preserving,
+    no shuffle — is the real thing."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "thumb": pdf["payload"].map(lambda b: bytes(b[:n])),
+                    "thumb_w": width,
+                    "thumb_h": height,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(_batches, RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 50, id_col: str = "doc_id") -> DataFrame:
+    """Frame-sampling stage (video analog): emit every Nth payload byte
+    as a "frame" row — a 1→N batch output through mapInPandas, the shape
+    a real frame extractor uses. Deterministic, so SQL-verifiable."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, vals = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                for frame_idx, pos in enumerate(range(0, len(payload), every_n)):
+                    ids.append(doc_id)
+                    idxs.append(frame_idx)
+                    vals.append(payload[pos])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_byte": vals})
+
+    return df.select(id_col, "payload").mapInPandas(_batches, FRAME_SCHEMA)
+
+
 # --- driver-contract query forms -------------------------------------------
 
 
@@ -111,12 +155,29 @@ FROM documents
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-50th-byte frame sampling through mapInPandas (1→N rows)."""
+    docs = attach_payload(load_table(spark, sf_dir, "documents"))
+    return sample_frames(docs, every_n=50)
+
+
+ORACLE_FRAMES = """
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       ascii(text[i * 50 + 1]) AS frame_byte
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(0, CAST(floor((length(text) - 1) / 50) AS BIGINT))) AS i)
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES = {
     "multimodal_meta": ORACLE_META,
     "multimodal_features": ORACLE_FEATURES,
+    "multimodal_frame_sample": ORACLE_FRAMES,
 }

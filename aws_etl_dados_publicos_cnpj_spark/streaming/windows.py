@@ -69,6 +69,25 @@ def streaming_hourly_rollup(
     )
 
 
+def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows (dynamic gap-based windows) per user — works in
+    both batch and streaming; the streaming form adds a watermark
+    upstream. Equivalent to the lag+cumsum sessionization in
+    operators/relational.py (``sessionize_events``)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+
+
+def streaming_session_counts(
+    spark: SparkSession, source_dir: str, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    stream = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(source_dir)
+    return session_window_counts(stream.withWatermark("ts", watermark), gap)
+
+
 def run_available_now(agg: DataFrame, query_name: str) -> None:
     """Drain all available input through the streaming query into an
     in-memory sink (Trigger.AvailableNow ≡ the reference's scheduled

@@ -43,6 +43,43 @@ def test_streaming_equals_batch(spark, events_dir):
     assert len(batch) > 0
 
 
+def test_session_window_streaming_equals_batch(spark, events_dir):
+    from aws_etl_dados_publicos_cnpj_spark.streaming.windows import (
+        session_window_counts,
+        streaming_session_counts,
+    )
+
+    events = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    batch = {
+        (r.user_id, r.session_start): r.n_events
+        for r in session_window_counts(events).collect()
+    }
+    q = (
+        streaming_session_counts(spark, events_dir)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    }
+    assert stream == batch and len(batch) > 0
+    # session count per user agrees with the lag+cumsum batch form
+    from aws_etl_dados_publicos_cnpj_spark.operators.relational import sessionize_events
+
+    per_user = {}
+    for (uid, _), _n in batch.items():
+        per_user[uid] = per_user.get(uid, 0) + 1
+    lag_form = {
+        r.user_id: r.n_sessions for r in sessionize_events(spark, SF_SMALL).collect()
+    }
+    assert per_user == lag_form
+
+
 def test_stateful_running_totals(spark, events_dir):
     stream = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(events_dir)
     q = (
