@@ -67,6 +67,22 @@ def register_table(
     spark.sql(f"MSCK REPAIR TABLE {database}.{name}")
 
 
+def analyze_table(
+    spark: SparkSession, name: str, columns: list[str] | None = None, database: str = "default"
+) -> dict[str, str]:
+    """Collect table + column statistics for Catalyst's cost-based
+    optimizer — the engine's form of the crawler-collected
+    recordCount/sizeKey/averageRecordSize stats
+    (``lambdas/check_update/check_update.py:133-144``). Returns the
+    recorded statistics line for inspection."""
+    spark.sql(f"ANALYZE TABLE {database}.{name} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {database}.{name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {database}.{name}").collect()
+    return {r.col_name: r.data_type for r in rows if r.col_name == "Statistics"}
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,
