@@ -682,6 +682,41 @@ WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
 """
 
 
+def math_funcs_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface (beyond the reference's int compares):
+    ln / sqrt / pow / abs over prices — IEEE-identical across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.round(F.log(F.col("o_totalprice")), 4).alias("ln_price"),
+        F.round(F.sqrt(F.col("o_totalprice")), 4).alias("sqrt_price"),
+        F.round(F.pow(F.col("o_totalprice") / 1000.0, 2.0), 4).alias("ksq_price"),
+        F.abs(F.col("o_totalprice") - 200000).cast("double").alias("abs_diff"),
+    )
+
+
+ORACLE_MATH = """
+SELECT o_orderkey,
+       round(ln(o_totalprice), 4) AS ln_price,
+       round(sqrt(o_totalprice), 4) AS sqrt_price,
+       round(pow(o_totalprice / 1000.0, 2.0), 4) AS ksq_price,
+       CAST(abs(o_totalprice - 200000) AS DOUBLE) AS abs_diff
+FROM orders
+"""
+
+
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregation surface (HLL distinct + quantile sketch)
+    — rows-only check: sketch internals differ across engines by
+    design; exact twins are `distinct_agg_orders`/`percentile_prices`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -711,6 +746,8 @@ QUERIES = {
     "percentile_prices": percentile_prices,
     "date_arithmetic_orders": date_arithmetic_orders,
     "above_customer_avg_orders": above_customer_avg_orders,
+    "math_funcs_prices": math_funcs_prices,
+    "approx_aggregates": approx_aggregates,
 }
 
 ORACLES = {
@@ -742,4 +779,5 @@ ORACLES = {
     "percentile_prices": ORACLE_PERCENTILE,
     "date_arithmetic_orders": ORACLE_DATE_ARITH,
     "above_customer_avg_orders": ORACLE_ABOVE_AVG,
+    "math_funcs_prices": ORACLE_MATH,
 }
