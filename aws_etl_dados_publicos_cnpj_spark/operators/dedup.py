@@ -38,6 +38,15 @@ SHINGLE_SIZE = 3
 SIMHASH_BITS = 62
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition before heavy per-row work. A small table read from
+    one parquet file scans as ONE partition, serializing the
+    shingle/hash stage on a single core; on a real multi-file table the
+    scan already splits and this is a cheap no-op-ish rebalance."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def dedup_exact(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
     """Exact dedup via hash-groupBy: one surviving (min id) row pointer
     per key group + the duplicate count."""
@@ -160,7 +169,7 @@ def minhash_lsh_dedup(
     shuffle (see ``minhash_signatures``); candidates via the band-bucket
     equi-join; exact Jaccard via ``array_intersect`` on just the
     candidate pairs — never on the full pair space."""
-    base = df.select(F.col(id_col), shingle_array(text_col).alias("sh_set")).cache()
+    base = spread(df).select(F.col(id_col), shingle_array(text_col).alias("sh_set")).cache()
     sh = base.select(id_col, F.explode("sh_set").alias("shingle"))
     sigs = minhash_signatures(sh, id_col)
     candidates = lsh_candidate_pairs(sigs, id_col)
@@ -180,6 +189,7 @@ def minhash_lsh_dedup(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash signature: per word w, h = xxhash64(w); bit b of the
     signature is 1 iff sum over words of sign(bit b of h) > 0."""
+    df = spread(df)
     wordrows = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).withColumn("h", F.xxhash64("w"))
@@ -261,7 +271,7 @@ WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 4) >= 0.8
 
 
 def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return jaccard_pairs(shingles(docs), threshold=0.8)
 
 
