@@ -67,6 +67,52 @@ def register_table(
     spark.sql(f"MSCK REPAIR TABLE {database}.{name}")
 
 
+def compact_partition(
+    spark: SparkSession,
+    table_root: str,
+    ref_date: str,
+    target_files: int = 1,
+) -> int:
+    """Rewrite one snapshot partition into ``target_files`` parquet
+    files. Small-file compaction is the maintenance op a weekly
+    incremental sink needs at scale (thousands of per-task files →
+    bounded, scan-efficient objects). Uses an overwrite of just the one
+    partition directory. Returns the row count rewritten."""
+    part_path = f"{table_root}/{PARTITION_COLUMN}={ref_date}"
+    df = spark.read.parquet(part_path)
+    n = df.count()
+    compacted = df.repartition(target_files)
+    tmp_path = f"{table_root}/.compact_tmp_{ref_date}"
+    compacted.write.mode("overwrite").parquet(tmp_path)
+    # swap via filesystem rename (atomic on HDFS/local; object stores
+    # would use a manifest commit instead)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(table_root).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jvm_path(part_path), True)
+    fs.rename(jvm_path(tmp_path), jvm_path(part_path))
+    return n
+
+
+def write_clustered(
+    df: DataFrame,
+    table_root: str,
+    ref_date: str | int,
+    cluster_by: list[str],
+    files_per_partition: int = 8,
+) -> None:
+    """Range-cluster a snapshot on ``cluster_by`` before writing:
+    repartitionByRange + sortWithinPartitions gives every parquet file
+    a narrow min/max band on the cluster keys, so row-group statistics
+    prune point/range scans (the Z-order-lite that plain parquet
+    supports)."""
+    out = (
+        df.repartitionByRange(files_per_partition, *cluster_by)
+        .sortWithinPartitions(*cluster_by)
+        .withColumn(PARTITION_COLUMN, F.lit(str(ref_date)))
+    )
+    out.write.mode("overwrite").partitionBy(PARTITION_COLUMN).parquet(table_root)
+
+
 def analyze_table(
     spark: SparkSession, name: str, columns: list[str] | None = None, database: str = "default"
 ) -> dict[str, str]:

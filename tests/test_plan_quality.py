@@ -1,0 +1,62 @@
+"""Plan-quality regression guards: the physical plans we tuned for must
+stay tuned (broadcast strategy, pushdown, pruning, no cartesian
+products). These assert on `.explain` output, the same way the plans
+were originally audited."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from aws_etl_dados_publicos_cnpj_spark.operators import relational
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(autouse=True)
+def _full_metadata(spark):
+    # plan toString truncates PushedFilters/ReadSchema at 100 chars
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    yield
+    spark.conf.set("spark.sql.maxMetadataStringLength", old)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q05_star_join_all_broadcast(spark):
+    plan = _plan(relational.q05_revenue_by_nation(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q06_filters_pushed_and_columns_pruned(spark):
+    plan = _plan(relational.q06_forecast_revenue(spark, SF_SMALL))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q01_scan_prunes_to_agg_columns(spark):
+    plan = _plan(relational.q01_pricing_summary(spark, SF_SMALL))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert {"l_returnflag", "l_linestatus", "l_quantity"} <= cols
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q03_shipping_priority", "semi_join_customers_with_orders", "left_join_order_counts"],
+)
+def test_no_cartesian_products_anywhere(spark, name):
+    plan = _plan(relational.QUERIES[name](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
