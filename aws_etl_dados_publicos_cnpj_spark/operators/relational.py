@@ -717,6 +717,31 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame variant: cumulative (rows-unbounded-preceding)
+    revenue per customer in order-date order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+ORACLE_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -748,6 +773,7 @@ QUERIES = {
     "above_customer_avg_orders": above_customer_avg_orders,
     "math_funcs_prices": math_funcs_prices,
     "approx_aggregates": approx_aggregates,
+    "running_revenue_per_customer": running_revenue_per_customer,
 }
 
 ORACLES = {
@@ -780,4 +806,5 @@ ORACLES = {
     "date_arithmetic_orders": ORACLE_DATE_ARITH,
     "above_customer_avg_orders": ORACLE_ABOVE_AVG,
     "math_funcs_prices": ORACLE_MATH,
+    "running_revenue_per_customer": ORACLE_RUNNING,
 }

@@ -152,6 +152,83 @@ def embedding_near_dup_pairs(
     )
 
 
+def ann_ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe_cells: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    corpus vector to a cell; each probe searches only its
+    ``n_probe_cells`` nearest cells.
+
+    Scale shape: training samples the corpus (KMeans on a fraction),
+    cell assignment is one map-side pass (persisted at scale, like the
+    LSH buckets), and the search join hits ~n_probe/n_cells of the
+    corpus. Deterministic for fixed seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("features", array_to_vector("cvec"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    assigned = model.transform(train).select(
+        "neighbor_id", "cvec", F.col("prediction").alias("cell")
+    ).withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
+
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    def _nearest_cells(vec_col_: Column) -> Column:
+        # distances to each center, pick the n_probe_cells smallest
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec_col_,
+                            F.array(*[F.lit(float(x)) for x in center]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, center in enumerate(centers)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n_probe_cells).getField("cell")
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("pvec"),
+    ).withColumn("pnorm", F.sqrt(_dot(F.col("pvec"), F.col("pvec"))))
+    p = p.withColumn("cell", F.explode(_nearest_cells(F.col("pvec"))))
+
+    scored = (
+        assigned.join(F.broadcast(p), "cell")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn(
+            "sim",
+            F.round(_dot(F.col("pvec"), F.col("cvec")) / (F.col("pnorm") * F.col("cnorm")), 4),
+        )
+        .select("probe_id", "neighbor_id", "sim")
+        .distinct()
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "sim", "rk")
+    )
+
+
 # --- driver-contract query forms -------------------------------------------
 
 
@@ -202,10 +279,18 @@ def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, probes, k=5, planes=6)
 
 
+def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (rows-only check: approximate recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ann_ivf_topk(emb, probes, k=5)
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
     "ann_lsh_topk": ann_lsh_topk_query,
+    "ann_ivf_topk": ann_ivf_topk_query,
 }
 
 ORACLES = {

@@ -99,6 +99,38 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(id_col, fp.alias("fingerprint"))
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """TF-IDF per (doc, term) from first principles — explode → tf per
+    doc/term, df per term, idf = ln(N/df) — then the top-k terms per
+    document (deterministic tie-break on the term).
+
+    Pure DataFrame ops: two hash aggregations + one broadcast join of
+    the (small) per-term document frequencies; at 100 TB the term-DF
+    table is the only global state and it reduces map-side."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(doc_freq), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(id_col, "term", "tfidf", "rk")
+    )
+
+
 # --- driver-contract query forms -------------------------------------------
 
 
@@ -163,8 +195,32 @@ FROM documents
 """
 
 
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_TFIDF = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id, tf.term,
+         round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df.df), 4) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term
+)
+SELECT doc_id, term, tfidf, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored)
+WHERE rk <= 3
+"""
+
+
 QUERIES = {
     "text_quality_docs": text_quality_docs,
+    "tfidf_top_terms_docs": tfidf_top_terms_docs,
     "lang_id_docs": lang_id_docs,
     "token_count_docs": token_count_docs,
     "fingerprint_docs": fingerprint_docs,
@@ -172,6 +228,7 @@ QUERIES = {
 
 ORACLES = {
     "text_quality_docs": ORACLE_TEXT_QUALITY,
+    "tfidf_top_terms_docs": ORACLE_TFIDF,
     "lang_id_docs": ORACLE_LANG_ID,
     "token_count_docs": ORACLE_TOKEN_COUNT,
     "fingerprint_docs": ORACLE_FINGERPRINT,
