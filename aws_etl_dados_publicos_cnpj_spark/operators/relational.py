@@ -742,6 +742,71 @@ FROM orders
 """
 
 
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): by status, by
+    priority, and grand total — with grouping markers."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n_orders
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): quantity/price/discount as metric rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    )
+
+
+ORACLE_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+"""
+
+
+def pattern_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern predicates: LIKE, prefix match, and regexp."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_type").like("%BRUSHED%")
+        | F.col("p_brand").startswith("Brand#1")
+        | F.col("p_name").rlike("^[a-e].*s$")
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+ORACLE_PATTERN = """
+SELECT p_partkey, p_name, p_brand, p_type
+FROM part
+WHERE p_type LIKE '%BRUSHED%'
+   OR p_brand LIKE 'Brand#1%'
+   OR regexp_matches(p_name, '^[a-e].*s$')
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -774,6 +839,9 @@ QUERIES = {
     "math_funcs_prices": math_funcs_prices,
     "approx_aggregates": approx_aggregates,
     "running_revenue_per_customer": running_revenue_per_customer,
+    "grouping_sets_orders": grouping_sets_orders,
+    "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+    "pattern_filter_parts": pattern_filter_parts,
 }
 
 ORACLES = {
@@ -807,4 +875,7 @@ ORACLES = {
     "above_customer_avg_orders": ORACLE_ABOVE_AVG,
     "math_funcs_prices": ORACLE_MATH,
     "running_revenue_per_customer": ORACLE_RUNNING,
+    "grouping_sets_orders": ORACLE_GROUPING_SETS,
+    "unpivot_lineitem_metrics": ORACLE_UNPIVOT,
+    "pattern_filter_parts": ORACLE_PATTERN,
 }
