@@ -21,6 +21,12 @@ def load_table(spark, sf_dir: str, name: str):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # The driver invokes queries() with its own SparkSession; pin the
+    # runtime confs the query semantics depend on (the engine's own
+    # build_session also sets them, so this is a no-op there):
+    # UTC so date_format/strftime agree with the UTC-naive oracle,
+    # nanosAsLong so the events table's TIMESTAMP(NANOS) parquet reads.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
