@@ -38,13 +38,25 @@ CNPJ_CSV_OPTIONS = {
 }
 
 
-def read_cnpj_csv(spark: SparkSession, paths: list[str] | str, table: str) -> DataFrame:
+def read_cnpj_csv(
+    spark: SparkSession,
+    paths: list[str] | str,
+    table: str,
+    quarantine_col: str | None = None,
+) -> DataFrame:
     """Read one CNPJ table's CSV file(s) into a typed DataFrame.
 
     Column names are assigned positionally from the frozen schema
     (``fetch_data.py:18-46`` applied at ``:71``); the column count is
     asserted so a silent source-layout drift fails loudly instead of
     misnaming columns (SURVEY.md §7.4).
+
+    With ``quarantine_col`` set, rows PERMISSIVE couldn't fully parse
+    carry their raw text in that column (null for clean rows) — the
+    caller splits them into a quarantine sink instead of silently
+    landing nulls at 100 TB. (Spark refuses plans that read ONLY the
+    corrupt column from the scan — ``.cache()`` the frame before
+    splitting good/quarantined.)
     """
     if table not in RAW_SCHEMAS:
         raise KeyError(f"unknown CNPJ table {table!r}; expected one of {sorted(RAW_SCHEMAS)}")
@@ -52,11 +64,23 @@ def read_cnpj_csv(spark: SparkSession, paths: list[str] | str, table: str) -> Da
     if isinstance(paths, str):
         paths = [paths]
 
-    df = spark.read.options(**CNPJ_CSV_OPTIONS).schema(raw_schema).csv(paths)
+    options = dict(CNPJ_CSV_OPTIONS)
+    if quarantine_col:
+        import copy
+
+        from pyspark.sql import types as T
+
+        raw_schema = T.StructType(
+            list(copy.deepcopy(RAW_SCHEMAS[table]).fields)
+            + [T.StructField(quarantine_col, T.StringType(), True)]
+        )
+        options["columnNameOfCorruptRecord"] = quarantine_col
+
+    df = spark.read.options(**options).schema(raw_schema).csv(paths)
 
     # Assert layout: a drifted source (extra/missing columns) shows up as
     # an all-null trailing column or non-null overflow; cheap sample check.
-    expected = len(raw_schema.fields)
+    expected = len(RAW_SCHEMAS[table].fields) + (1 if quarantine_col else 0)
     actual = len(df.columns)
     if actual != expected:
         raise ValueError(f"{table}: expected {expected} columns, read {actual}")
