@@ -88,6 +88,42 @@ def test_jaccard_bounds_and_identity(spark, texts):
     assert copies and copies[0].jaccard == 1.0
 
 
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 10_000))
+def test_minhash_lsh_equals_exact_jaccard(spark, seed):
+    """On corpora with planted near-duplicates, LSH candidate generation
+    + exact verification returns exactly the exact-Jaccard pair set
+    (the claim behind pairing minhash_lsh_pairs_docs with the
+    exact-Jaccard oracle)."""
+    import random
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import minhash_lsh_dedup
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(20):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(40))))
+    # plant near-dups: copy with exactly one word substituted
+    # (jaccard ≈ 0.85 → LSH miss probability ≈ 2e-8 at 24×4 banding;
+    # at the 0.8 production threshold LSH must equal exact)
+    for j in range(8):
+        base_id = rng.randrange(20)
+        words = docs[base_id][1].split()
+        words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((100 + j, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        (p.doc_a, p.doc_b, p.jaccard)
+        for p in jaccard_pairs(shingles(df), threshold=0.8).collect()
+    }
+    lsh = {
+        (p.doc_a, p.doc_b, p.jaccard)
+        for p in minhash_lsh_dedup(df, threshold=0.8).collect()
+    }
+    assert lsh == exact
+
+
 @settings(**_SETTINGS)
 @given(text=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=60))
 def test_fingerprint_matches_pure_python(spark, text):

@@ -80,6 +80,39 @@ def test_session_window_streaming_equals_batch(spark, events_dir):
     assert per_user == lag_form
 
 
+def test_stream_static_enrichment(spark, events_dir):
+    from aws_etl_dados_publicos_cnpj_spark.streaming.windows import streaming_enriched_events
+
+    cust = load_table(spark, SF_SMALL, "customer").select("c_custkey", "c_mktsegment")
+    q = (
+        streaming_enriched_events(spark, events_dir, cust)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM t_enriched")
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert out.count() == n_events  # left join keeps every event
+    # joined segment values match a batch join
+    events = load_table(spark, SF_SMALL, "events")
+    batch = (
+        events.join(cust, events.user_id == cust.c_custkey, "left")
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    want = {r.c_mktsegment: r["count"] for r in batch.collect()}
+    got = {
+        r.c_mktsegment: r.n
+        for r in spark.sql(
+            "SELECT c_mktsegment, count(*) AS n FROM t_enriched GROUP BY c_mktsegment"
+        ).collect()
+    }
+    assert got == want
+
+
 def test_stateful_running_totals(spark, events_dir):
     stream = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(events_dir)
     q = (
