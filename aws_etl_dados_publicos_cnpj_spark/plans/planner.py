@@ -59,6 +59,55 @@ class CatalogState:
         return spark.createDataFrame(rows, CATALOG_SCHEMA)
 
 
+def _planned_tables(
+    spark: SparkSession,
+    listing: DataFrame,
+    catalog: CatalogState | DataFrame,
+    requested_tables: list[str] | None,
+    base_url: str,
+) -> DataFrame:
+    """Shared planner core: per-table row with
+    ``(table_name, files, n_files, ref_date, exists, latest_partition,
+    should_update)``."""
+    catalog_df = catalog.to_df(spark) if isinstance(catalog, CatalogState) else catalog
+    requested = [t for t in (requested_tables or ALLOWED_TABLE_NAMES) if t in ALLOWED_TABLE_NAMES]
+
+    files = (
+        listing.filter(~F.col("is_folder"))  # S3
+        .withColumn("table_name", normalize_table_key("file_name"))  # S4
+        .filter(F.col("table_name").isin(requested))  # S5
+        .withColumn("url", F.concat(F.lit(base_url), F.col("href")))  # S6
+        .withColumn("file_ref_date", yyyymmdd_int("last_modified"))  # S7
+    )
+
+    grouped = files.groupBy("table_name").agg(  # S8
+        F.collect_list("url").alias("files"),
+        F.count("*").alias("n_files"),
+        F.max("file_ref_date").alias("ref_date"),
+    )
+    # S10: guard mirrors the reference (empty groups can't occur post-groupBy)
+    grouped = grouped.filter(F.size("files") > 0)
+
+    # S9 + S14: existence and true-max freshness from the catalog side.
+    catalog_max = catalog_df.select(
+        "table_name",
+        F.aggregate(
+            F.col("partition_values"),
+            F.lit(None).cast("int"),
+            lambda acc, pv: F.greatest(acc, pv.cast("int")),
+        ).alias("latest_partition"),
+    )
+
+    return (
+        grouped.join(F.broadcast(catalog_max), "table_name", "left")
+        .withColumn("exists", F.col("latest_partition").isNotNull())
+        .withColumn(  # S15: new table OR stale table → ingest
+            "should_update",
+            (~F.col("exists")) | (F.col("ref_date") > F.col("latest_partition")),
+        )
+    )
+
+
 def plan_updates(
     spark: SparkSession,
     listing: DataFrame,
@@ -73,44 +122,8 @@ def plan_updates(
     tables appear (fresh tables are the Succeed-no-op branch,
     ``state_machine.asl:90-92``).
     """
-    catalog_df = catalog.to_df(spark) if isinstance(catalog, CatalogState) else catalog
-
-    requested = [t for t in (requested_tables or ALLOWED_TABLE_NAMES) if t in ALLOWED_TABLE_NAMES]
-
-    files = (
-        listing.filter(~F.col("is_folder"))  # S3
-        .withColumn("table_name", normalize_table_key("file_name"))  # S4
-        .filter(F.col("table_name").isin(requested))  # S5
-        .withColumn("url", F.concat(F.lit(base_url), F.col("href")))  # S6
-        .withColumn("file_ref_date", yyyymmdd_int("last_modified"))  # S7
-    )
-
-    grouped = files.groupBy("table_name").agg(  # S8
-        F.collect_list("url").alias("files"),
-        F.max("file_ref_date").alias("ref_date"),
-    )
-    grouped = grouped.filter(F.size("files") > 0)  # S10 (explicit; empty groups can't occur post-groupBy but guard mirrors the reference)
-
-    # S9 + S14: existence and true-max freshness from the catalog side.
-    catalog_max = catalog_df.select(
-        "table_name",
-        F.aggregate(
-            F.col("partition_values"),
-            F.lit(None).cast("int"),
-            lambda acc, pv: F.greatest(acc, pv.cast("int")),
-        ).alias("latest_partition"),
-    )
-
-    planned = (
-        grouped.join(F.broadcast(catalog_max), "table_name", "left")
-        .withColumn("exists", F.col("latest_partition").isNotNull())
-        .withColumn(  # S15: new table OR stale table → ingest
-            "should_update",
-            (~F.col("exists")) | (F.col("ref_date") > F.col("latest_partition")),
-        )
-    )
-
-    manifest = (
+    planned = _planned_tables(spark, listing, catalog, requested_tables, base_url)
+    return (
         planned.filter(F.col("should_update"))
         .select(  # S11: unnest file list, broadcast group attrs onto each row
             F.explode("files").alias("url"),
@@ -118,7 +131,6 @@ def plan_updates(
             F.col("ref_date").cast("string").alias("date"),
         )
     )
-    return manifest
 
 
 def plan_status(
@@ -132,32 +144,6 @@ def plan_status(
     ``(table_name, n_files, ref_date, exists, latest_partition,
     should_update)`` — the planner's Choice-state routing made
     inspectable (``state_machine.asl:32-42,79-89``)."""
-    catalog_df = catalog.to_df(spark) if isinstance(catalog, CatalogState) else catalog
-    requested = [t for t in (requested_tables or ALLOWED_TABLE_NAMES) if t in ALLOWED_TABLE_NAMES]
-
-    files = (
-        listing.filter(~F.col("is_folder"))
-        .withColumn("table_name", normalize_table_key("file_name"))
-        .filter(F.col("table_name").isin(requested))
-        .withColumn("url", F.concat(F.lit(base_url), F.col("href")))
-        .withColumn("file_ref_date", yyyymmdd_int("last_modified"))
-    )
-    grouped = files.groupBy("table_name").agg(
-        F.count("*").alias("n_files"), F.max("file_ref_date").alias("ref_date")
-    )
-    catalog_max = catalog_df.select(
-        "table_name",
-        F.aggregate(
-            F.col("partition_values"),
-            F.lit(None).cast("int"),
-            lambda acc, pv: F.greatest(acc, pv.cast("int")),
-        ).alias("latest_partition"),
-    )
-    return (
-        grouped.join(F.broadcast(catalog_max), "table_name", "left")
-        .withColumn("exists", F.col("latest_partition").isNotNull())
-        .withColumn(
-            "should_update",
-            (~F.col("exists")) | (F.col("ref_date") > F.col("latest_partition")),
-        )
+    return _planned_tables(spark, listing, catalog, requested_tables, base_url).select(
+        "table_name", "n_files", "ref_date", "latest_partition", "exists", "should_update"
     )
