@@ -29,17 +29,26 @@ def normalize_table_key(name: Column | str) -> Column:
 
 def yyyymmdd_int(ts_text: Column | str) -> Column:
     """``'2023-05-06 10:22'`` → ``20230506`` (int) — first 10 chars,
-    ``-`` stripped, cast int (``check_update.py:65``)."""
+    ``-`` stripped, cast int (``check_update.py:65``).
+
+    ``try_cast``: under ANSI mode (Spark 4 default) a plain cast of one
+    malformed listing cell would kill the whole job; malformed dates
+    become null instead (the planner treats a null freshness comparison
+    as not-stale — no evidence, no re-ingest)."""
     col = F.col(ts_text) if isinstance(ts_text, str) else ts_text
-    return F.regexp_replace(F.substring(col, 1, 10), "-", "").cast("int")
+    return F.regexp_replace(F.substring(col, 1, 10), "-", "").try_cast("int")
 
 
 def decimal_comma_to_double(col: Column | str) -> Column:
     """Brazilian ``1234,56`` → 1234.56 double (pyarrow
     ``ConvertOptions(decimal_point=',')``, ``fetch_data.py:73``; Spark CSV
-    has no equivalent option, so the cast lives here — SURVEY.md §7.4)."""
+    has no equivalent option, so the cast lives here — SURVEY.md §7.4).
+
+    ``try_cast``: malformed money cells become null rather than failing
+    the job under ANSI mode — matching the source's PERMISSIVE posture
+    (pair with the quarantine column to capture the raw rows)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c, ",", ".").cast("double")
+    return F.regexp_replace(c, ",", ".").try_cast("double")
 
 
 def json_get(doc: Column | str, path: str) -> Column:

@@ -94,16 +94,19 @@ def _planned_tables(
         F.aggregate(
             F.col("partition_values"),
             F.lit(None).cast("int"),
-            lambda acc, pv: F.greatest(acc, pv.cast("int")),
+            lambda acc, pv: F.greatest(acc, pv.try_cast("int")),
         ).alias("latest_partition"),
     )
 
     return (
         grouped.join(F.broadcast(catalog_max), "table_name", "left")
         .withColumn("exists", F.col("latest_partition").isNotNull())
-        .withColumn(  # S15: new table OR stale table → ingest
+        .withColumn(  # S15: new table OR stale table → ingest; a null
+            # comparison (malformed site date on an existing table) is
+            # explicitly NOT stale — no evidence, no re-ingest
             "should_update",
-            (~F.col("exists")) | (F.col("ref_date") > F.col("latest_partition")),
+            (~F.col("exists"))
+            | F.coalesce(F.col("ref_date") > F.col("latest_partition"), F.lit(False)),
         )
     )
 
