@@ -29,6 +29,11 @@ def salted_join(
     across ``buckets`` partitions per key. Result equals
     ``big.join(small, key, how)`` (column order: big's then small's
     non-key columns)."""
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, got {how!r}: "
+            "right/full joins against the replicated side would duplicate unmatched small rows"
+        )
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(buckets))
     )

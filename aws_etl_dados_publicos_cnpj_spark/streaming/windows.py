@@ -88,6 +88,17 @@ def streaming_session_counts(
     return session_window_counts(stream.withWatermark("ts", watermark), gap)
 
 
+def streaming_dedup_events(
+    spark: SparkSession, source_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup on event_id — the streaming twin of the
+    batch dedup family: state holds only ids within the watermark, so
+    replayed/duplicated input (at-least-once sources) collapses to
+    exactly-once output with bounded state."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(source_dir)
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def streaming_enriched_events(
     spark: SparkSession, source_dir: str, dim: DataFrame, dim_key: str = "c_custkey"
 ) -> DataFrame:

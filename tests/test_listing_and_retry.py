@@ -49,3 +49,16 @@ def test_retry_exhausts():
 
     with pytest.raises(OSError):
         retry(always_fails, attempts=2, interval_s=0.0, sleep=lambda _: None)
+
+
+def test_acquisition_failure_surfaces(spark, tmp_path):
+    """A dead manifest URL must fail the run loudly after retries, not
+    land a partial snapshot silently."""
+    from aws_etl_dados_publicos_cnpj_spark.sources.acquisition import acquire_manifest
+
+    manifest = spark.createDataFrame(
+        [(f"file://{tmp_path}/does_not_exist.zip", "municipios", "20230506")],
+        "url string, table_name string, date string",
+    )
+    with pytest.raises(Exception):
+        acquire_manifest(manifest, str(tmp_path / "scratch"))

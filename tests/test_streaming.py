@@ -113,6 +113,33 @@ def test_stream_static_enrichment(spark, events_dir):
     assert got == want
 
 
+def test_streaming_dedup_collapses_replayed_input(spark, events_dir, tmp_path):
+    import shutil
+    import glob
+    import os
+
+    from aws_etl_dados_publicos_cnpj_spark.streaming.windows import streaming_dedup_events
+
+    dup_dir = str(tmp_path / "dup_events")
+    os.makedirs(dup_dir)
+    # replay the same files twice (at-least-once delivery simulation)
+    for i, f in enumerate(glob.glob(f"{events_dir}/*.parquet")):
+        shutil.copy(f, f"{dup_dir}/a{i}.parquet")
+        shutil.copy(f, f"{dup_dir}/b{i}.parquet")
+    q = (
+        streaming_dedup_events(spark, dup_dir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_unique = load_table(spark, SF_SMALL, "events").count()
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM t_dedup").collect()[0]
+    assert got.n == n_unique == got.d
+
+
 def test_stateful_running_totals(spark, events_dir):
     stream = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(events_dir)
     q = (
