@@ -807,6 +807,47 @@ WHERE p_type LIKE '%BRUSHED%'
 """
 
 
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance + min/max spread."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("std_price"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+        F.round(F.max("o_totalprice") - F.min("o_totalprice"), 2).alias("price_range"),
+    )
+
+
+ORACLE_STATS = """
+SELECT o_orderstatus,
+       round(stddev_samp(o_totalprice), 2) AS std_price,
+       round(var_samp(o_totalprice), 2) AS var_price,
+       round(max(o_totalprice) - min(o_totalprice), 2) AS price_range
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation windows: each order with the customer's previous and
+    next order keys in date order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+ORACLE_LAG_LEAD = """
+SELECT o_custkey, o_orderkey,
+       lag(o_orderkey)  OVER w AS prev_orderkey,
+       lead(o_orderkey) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -842,6 +883,8 @@ QUERIES = {
     "grouping_sets_orders": grouping_sets_orders,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
     "pattern_filter_parts": pattern_filter_parts,
+    "stats_aggregates": stats_aggregates,
+    "lag_lead_orders": lag_lead_orders,
 }
 
 ORACLES = {
@@ -878,4 +921,6 @@ ORACLES = {
     "grouping_sets_orders": ORACLE_GROUPING_SETS,
     "unpivot_lineitem_metrics": ORACLE_UNPIVOT,
     "pattern_filter_parts": ORACLE_PATTERN,
+    "stats_aggregates": ORACLE_STATS,
+    "lag_lead_orders": ORACLE_LAG_LEAD,
 }

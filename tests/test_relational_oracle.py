@@ -40,5 +40,5 @@ def test_entry_smoke(spark):
 
 def test_registry_shape():
     assert set(ALL_ORACLES) <= set(ALL_QUERIES)
-    assert len(ALL_QUERIES) >= 51
-    assert len(ALL_ORACLES) >= 46
+    assert len(ALL_QUERIES) >= 53
+    assert len(ALL_ORACLES) >= 48
