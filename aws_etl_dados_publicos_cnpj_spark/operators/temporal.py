@@ -68,6 +68,46 @@ def asof_join(
     return out.filter(F.col("_side") == 0).drop("_side", *[f"_r_{c}" for c in right_cols])
 
 
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    window_s: int,
+    count_col: str = "n_in_range",
+) -> DataFrame:
+    """For each left row, count right rows with the same ``by`` key and
+    ``|left.on - right.on| <= window_s`` (timestamps).
+
+    Bucketed implementation: both sides bucket to ``floor(epoch/w)``;
+    the left probes its own and both neighbor buckets, so the join is a
+    plain equi-join on (key, bucket) followed by the exact range filter
+    — never a per-key cross join. At 100 TB the bucket width trades
+    probe fan-out (3×) against bucket selectivity, same as any interval
+    index."""
+    lb = F.floor(F.unix_timestamp(F.col(on)) / window_s)
+    rb = F.floor(F.unix_timestamp(F.col(on)) / window_s)
+    l = left.select(
+        F.col(by).alias("_k"),
+        F.col(on).alias("_lts"),
+        F.explode(F.array(lb - 1, lb, lb + 1)).alias("_b"),
+        *[c for c in left.columns],
+    )
+    r = right.select(
+        F.col(by).alias("_k"), F.col(on).alias("_rts"), rb.alias("_b")
+    )
+    in_range = (
+        F.abs(F.unix_timestamp(F.col("_lts")) - F.unix_timestamp(F.col("_rts")))
+        <= window_s
+    )
+    joined = l.join(r, ["_k", "_b"]).filter(in_range)
+    group_cols = [c for c in left.columns]
+    counts = joined.groupBy(*group_cols).agg(F.count("*").alias(count_col))
+    return left.join(counts, group_cols, "left").withColumn(
+        count_col, F.coalesce(F.col(count_col), F.lit(0))
+    )
+
+
 # --- driver-contract query form --------------------------------------------
 
 
@@ -106,5 +146,36 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
-QUERIES = {"asof_last_click_before_error": asof_last_click_before_error}
-ORACLES = {"asof_last_click_before_error": ORACLE_ASOF}
+def range_join_clicks_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error event, how many clicks the same user made within
+    ±30 minutes."""
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = range_join_count(
+        errors, clicks, on="ts", by="user_id", window_s=1800, count_col="n_nearby_clicks"
+    )
+    return out.select("event_id", "user_id", "n_nearby_clicks")
+
+
+ORACLE_RANGE_JOIN = """
+SELECT e.event_id, e.user_id,
+       count(c.ts) AS n_nearby_clicks
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND abs(floor(epoch(e.ts)) - floor(epoch(c.ts))) <= 1800
+GROUP BY e.event_id, e.user_id
+"""
+
+
+QUERIES = {
+    "asof_last_click_before_error": asof_last_click_before_error,
+    "range_join_clicks_near_errors": range_join_clicks_near_errors,
+}
+ORACLES = {
+    "asof_last_click_before_error": ORACLE_ASOF,
+    "range_join_clicks_near_errors": ORACLE_RANGE_JOIN,
+}
