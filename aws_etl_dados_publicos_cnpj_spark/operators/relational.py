@@ -848,6 +848,27 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def corr_and_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate correlation + FILTER-style conditional aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2
+        ).alias("discounted_revenue"),
+    )
+
+
+ORACLE_CORR = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       count(*) FILTER (l_discount > 0.05) AS n_discounted,
+       round(sum(l_extendedprice) FILTER (l_discount > 0.05), 2) AS discounted_revenue
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_shipping_priority": q03_shipping_priority,
@@ -885,6 +906,7 @@ QUERIES = {
     "pattern_filter_parts": pattern_filter_parts,
     "stats_aggregates": stats_aggregates,
     "lag_lead_orders": lag_lead_orders,
+    "corr_and_filtered_aggs": corr_and_filtered_aggs,
 }
 
 ORACLES = {
@@ -923,4 +945,5 @@ ORACLES = {
     "pattern_filter_parts": ORACLE_PATTERN,
     "stats_aggregates": ORACLE_STATS,
     "lag_lead_orders": ORACLE_LAG_LEAD,
+    "corr_and_filtered_aggs": ORACLE_CORR,
 }

@@ -40,5 +40,5 @@ def test_entry_smoke(spark):
 
 def test_registry_shape():
     assert set(ALL_ORACLES) <= set(ALL_QUERIES)
-    assert len(ALL_QUERIES) >= 53
-    assert len(ALL_ORACLES) >= 48
+    assert len(ALL_QUERIES) >= 55
+    assert len(ALL_ORACLES) >= 51
