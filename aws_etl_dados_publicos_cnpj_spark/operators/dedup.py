@@ -16,9 +16,10 @@ Scale design (the 100 TB story):
   equals the exact operator's with near-certainty while scaling
   linearly in corpus size (band-bucket skew is handled by AQE skew
   splitting; a hot bucket can additionally be salted by prefix).
-- **SimHash**: 62-bit signed-projection signature per doc; Hamming
-  bucketing gives another near-dup family. Signature computation is a
-  single explode + groupBy (one shuffle).
+- **SimHash**: 60-bit signed-projection signature per doc (md5-derived
+  word hashes, integer bit-packing); near-pairs via 4-block pigeonhole
+  Hamming search with exact recall at distance ≤ 3. Signature
+  computation is a single explode + groupBy (one shuffle).
 
 Everything is built from JVM-side expressions (xxhash64, higher-order
 array functions) — no Python UDFs.
@@ -35,7 +36,7 @@ NUM_MINHASH = 96
 LSH_BANDS = 24
 LSH_ROWS = 4  # NUM_MINHASH = LSH_BANDS * LSH_ROWS
 SHINGLE_SIZE = 3
-SIMHASH_BITS = 62
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed long exactly
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -186,13 +187,26 @@ def minhash_lsh_dedup(
     )
 
 
+def word_hash60(w: Column) -> Column:
+    """60-bit word hash: the top 15 hex chars of md5, as a LongType.
+    md5 is a codegen'd JVM expression AND bit-exact reproducible in the
+    DuckDB oracle (`CAST('0x' || substr(md5(w),1,15) AS BIGINT)`), so
+    SimHash signatures are hash-checkable end to end."""
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """SimHash signature: per word w, h = xxhash64(w); bit b of the
-    signature is 1 iff sum over words of sign(bit b of h) > 0."""
+    """SimHash signature: per word w, h = 60-bit md5 hash; bit b of the
+    signature is 1 iff sum over words of sign(bit b of h) > 0.
+
+    The signature is packed with INTEGER ops only — `shiftleft` +
+    `bitwiseOR` into a LongType — never floating-point `pow`, which
+    silently rounds away low bits above 2^53. One explode + one
+    partial-agg shuffle carrying 60 small ints per doc."""
     df = spread(df)
     wordrows = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", word_hash60(F.col("w")))
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -202,28 +216,66 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     sums = wordrows.groupBy(id_col).agg(*bit_aggs)
     sig: Column = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
-        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(2).cast("long") ** b).otherwise(0)
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
     return sums.select(id_col, sig.alias("simhash"))
 
 
 def simhash_near_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ `max_hamming`,
-    blocked on the top 16 bits (docs differing there are not compared —
-    the standard multi-probe block; at scale use 4 rotated blocks)."""
+    """Near-dup pairs by SimHash Hamming distance ≤ `max_hamming` via
+    pigeonhole block search: the 60-bit signature splits into
+    `max_hamming + 1` contiguous blocks; a pair with ≤ max_hamming
+    differing bits must agree on at least one whole block, so joining
+    on (block_id, block_value) has EXACT recall at any threshold —
+    never an all-pairs compare. At the default max_hamming=3 that is 4
+    blocks of 15 bits (2^15-value join key space per block id).
+
+    Scale shape: one (blocks)× explode + one equi-join (AQE splits hot
+    buckets) + exact Hamming on candidates only."""
+    nblocks = min(max_hamming + 1, SIMHASH_BITS)
+    base_w, extra = divmod(SIMHASH_BITS, nblocks)
+    bounds = []  # (start_bit, width) per block — widths differ by ≤1
+    start = 0
+    for i in range(nblocks):
+        w = base_w + (1 if i < extra else 0)
+        bounds.append((start, w))
+        start += w
     sigs = simhash(df, text_col, id_col)
-    block = F.shiftright(F.col("simhash"), SIMHASH_BITS - 16)
-    blocked = sigs.withColumn("block", block)
-    a = blocked.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "block")
-    b = blocked.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "block")
+    blocked = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftright(F.col("simhash"), s)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("bv"),
+                    )
+                    for i, (s, w) in enumerate(bounds)
+                ]
+            )
+        ).alias("blk"),
+    ).select(id_col, "simhash", F.col("blk.bi").alias("bi"), F.col("blk.bv").alias("bv"))
+    a = blocked.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "bi", "bv"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "bi", "bv"
+    )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        a.join(b, "block")
+        a.join(b, ["bi", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", ham)
+        .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -283,9 +335,42 @@ def minhash_lsh_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (rows-only check: the hash mixes xxhash64
-    which DuckDB cannot reproduce)."""
+    """SimHash signatures — hash-checked: the md5-derived word hash is
+    bit-exact reproducible in DuckDB."""
     return simhash(load_table(spark, sf_dir, "documents"))
+
+
+# The md5-based 60-bit signature, reproduced sign-sum-for-sign-sum in SQL.
+_ORACLE_SIMHASH_SIG = """
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM words),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) bb
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+ORACLE_SIMHASH = _ORACLE_SIMHASH_SIG + "SELECT doc_id, simhash FROM sig"
+
+# Brute-force all-pairs Hamming — a STRONGER oracle than mirroring the
+# blocked plan: it also proves the 4-block pigeonhole recall claim.
+ORACLE_SIMHASH_PAIRS = _ORACLE_SIMHASH_SIG + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def simhash_near_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
 QUERIES = {
@@ -293,10 +378,13 @@ QUERIES = {
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
     "simhash_docs": simhash_docs,
+    "simhash_near_pairs_docs": simhash_near_pairs_docs,
 }
 
 ORACLES = {
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_pairs_docs": _ORACLE_EXACT_JACCARD,
     "minhash_lsh_pairs_docs": _ORACLE_EXACT_JACCARD,
+    "simhash_docs": ORACLE_SIMHASH,
+    "simhash_near_pairs_docs": ORACLE_SIMHASH_PAIRS,
 }

@@ -501,12 +501,18 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window`` (SURVEY.md §2.2 streaming notes)."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # Gap in integer MICROseconds (not truncated whole seconds) so the
+    # 1800 s boundary classifies identically to the oracle's epoch_us.
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     return (
         events.withColumn("new_s", new_session)
         .groupBy("user_id")
-        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+        .agg(
+            F.sum("new_s").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
     )
 
 
@@ -514,12 +520,12 @@ ORACLE_SESSIONIZE = """
 WITH x AS (
   SELECT user_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts - lag(ts) OVER w) > 1800
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM x GROUP BY user_id
 """
 

@@ -61,11 +61,76 @@ def test_lsh_finds_identical_pair(spark):
     assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
 
 
+def _simhash_ref(text: str) -> int:
+    """Independent Python reference of the 60-bit md5 SimHash."""
+    import hashlib
+
+    sums = [0] * 60
+    for w in text.split(" "):
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        for b in range(60):
+            sums[b] += 1 if (h >> b) & 1 else -1
+    return sum(1 << b for b in range(60) if sums[b] > 0)
+
+
+_NEAR_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (2, "the quick brown fox jumps over the lazy cat near the old river bank today"),
+    (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+    (4, "completely different words about cooking pasta with tomato sauce and basil leaves"),
+]
+
+
+def test_simhash_matches_python_reference(spark):
+    df = _docs(spark, _NEAR_DOCS)
+    sigs = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    for doc_id, text in _NEAR_DOCS:
+        assert sigs[doc_id] == _simhash_ref(text)
+    # LongType, packed with integer ops — full 60-bit range, no 2^53 rounding
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+
+
 def test_simhash_identical_docs_equal(spark):
     df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zz yy xx qq")])
     sigs = {r.doc_id: r.simhash for r in simhash(df).collect()}
     assert sigs[1] == sigs[2]
     assert sigs[1] != sigs[3]
+
+
+def test_simhash_near_pairs_planted_near_dup(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import simhash_near_pairs
+
+    expected_ham = bin(_simhash_ref(_NEAR_DOCS[0][1]) ^ _simhash_ref(_NEAR_DOCS[1][1])).count("1")
+    assert 0 < expected_ham <= 10  # one-word substitution: close but not identical
+    df = _docs(spark, _NEAR_DOCS)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_pairs(df, max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == expected_ham
+
+
+def test_simhash_near_pairs_equals_bruteforce(spark):
+    """4-block pigeonhole recall is EXACT at max_hamming<=3: the blocked
+    search must return the same pairs as all-pairs brute force."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import simhash_near_pairs
+
+    common = " ".join(f"word{j}" for j in range(40))
+    # i%4 picks one of 4 variants: exact dups (hamming 0) and long docs
+    # with a single substituted word (small hamming) both occur.
+    rows = [(i, f"{common} tail{i % 4}") for i in range(12)] + [
+        (100 + i, f"w{i % 3} x{i % 5} unrelated doc {i} about topic{i}") for i in range(12)
+    ]
+    sigs = {i: _simhash_ref(t) for i, t in rows}
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_pairs(_docs(spark, rows), max_hamming=3).collect()
+    }
+    assert got == brute
+    assert brute  # the corpus genuinely contains near-dup pairs
 
 
 def test_cosine_orthogonal_and_identical(spark):
