@@ -1,27 +1,43 @@
 """[EXT] Similarity search over embedding columns (BASELINE.json north
 star; SURVEY.md §2.3).
 
-- ``cosine``: JVM-side zip_with/aggregate dot product — sequential left
-  fold, so the float result is bit-deterministic (and matches DuckDB's
-  ``list_cosine_similarity`` loop for the oracle).
-- ``ann_bruteforce_topk``: broadcast the (small) probe set against the
-  full corpus — a map-side-only plan: no shuffle except the final
-  per-probe top-k window. The exact baseline.
-- ``ann_lsh_topk``: the scale path — random-hyperplane (sign) LSH:
-  16-bit deterministic bucket codes, probes join only their bucket.
-  At 100 TB the bucket join replaces the N×M cross product; recall is
-  tunable via code width / multi-probe.
+Scoring backends — two, by design:
+
+- **vectorized (default)**: Arrow-batched numpy. Spark 4 higher-order
+  functions are interpreted (not codegen'd, ~30× slower — measured for
+  MinHash, commit 9f59134), so the per-pair dot products here go
+  through ``pandas_udf`` / ``mapInPandas`` where a whole Arrow batch is
+  one BLAS call. This is the 100 TB hot path.
+- **hof**: the JVM ``zip_with``/``aggregate`` sequential left fold —
+  bit-deterministic and matching DuckDB's ``list_cosine_similarity``
+  loop, kept as the oracle twin and for environments without Arrow.
+
+Operators:
+
+- ``ann_bruteforce_topk``: exact top-k. Vectorized form is a
+  ``mapInPandas`` GEMM: the (small) probe matrix ships to every task
+  once; each corpus Arrow batch is scored with ONE matrix multiply and
+  emits only its per-batch top-k per probe — so the corpus crosses
+  Arrow once, never per-probe, and the shuffle after the scan is
+  (batches × probes × k) rows, independent of corpus size.
+- ``ann_lsh_topk``: the sub-linear path — random-hyperplane (sign)
+  LSH: bucket codes packed with integer shiftleft/OR (LongType at any
+  width), probes join only their bucket.
+- ``ann_ivf_topk``: KMeans coarse quantizer; probes search only their
+  nearest cells.
 - ``embedding_near_dup_pairs``: blocked all-pairs cosine (block =
-  ``label`` here; at scale the block key is an LSH bucket) — the
-  embedding-cosine near-dup family for dedup.
+  ``label`` here; at scale the block key is an LSH bucket).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from . import load_table
 
@@ -38,20 +54,37 @@ def _dot(a: Column, b: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns (cast float
-    arrays with ``.cast('array<double>')`` first)."""
+    arrays with ``.cast('array<double>')`` first) — the deterministic
+    JVM/HOF form (oracle twin; see module docstring)."""
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
-def ann_bruteforce_topk(
-    corpus: DataFrame,
-    probes: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _round_half_away(x: np.ndarray, digits: int = 4) -> np.ndarray:
+    """Round half away from zero — matching Spark's HALF_UP ``F.round``
+    and DuckDB's ``round`` (numpy's own ``round`` is half-to-even)."""
+    scale = 10.0**digits
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+# DataType object (not DDL string): a string return type would need an
+# active SparkSession to parse at import time.
+@pandas_udf(DoubleType())
+def pairwise_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized cosine over pair-shaped rows, rounded to 4
+    decimals: one numpy einsum per Arrow batch instead of one
+    interpreted HOF evaluation per row."""
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    return pd.Series(_round_half_away(num / den))
+
+
+def _bruteforce_topk_hof(
+    corpus: DataFrame, probes: DataFrame, k: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per probe. The probe side is
-    broadcast, so the scan of the (huge) corpus never shuffles; only the
-    tiny (probes × k) result does, in the ranking window."""
+    """HOF oracle twin of ``ann_bruteforce_topk`` — broadcast
+    nested-loop join + per-pair JVM dot product."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
@@ -78,17 +111,97 @@ def ann_bruteforce_topk(
     )
 
 
+def ann_bruteforce_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    backend: str = "vectorized",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per probe.
+
+    Vectorized backend (default): the probe set is collected to a small
+    numpy matrix (bounded by definition — it is the query side) and
+    shipped inside the ``mapInPandas`` closure; every corpus Arrow
+    batch is scored with ONE ``C @ P.T`` matrix multiply and emits only
+    its local top-k rows per probe. Exactness is preserved because
+    global top-k is a monotone selection over batch-local top-k (same
+    (sim DESC, neighbor ASC) order both levels). The corpus is read
+    map-only — no shuffle of corpus rows, no per-probe Arrow transfer —
+    and the final window ranks (batches × probes × k) rows regardless
+    of corpus size.
+
+    ``backend='hof'`` keeps the deterministic JVM fold (oracle twin).
+    """
+    if backend == "hof":
+        return _bruteforce_topk_hof(corpus, probes, k, id_col, vec_col)
+
+    probe_pd = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("pvec"),
+    ).toPandas()
+    pids = probe_pd["probe_id"].to_numpy()
+    P = np.stack(probe_pd["pvec"].to_numpy()) if len(probe_pd) else np.zeros((0, 1))
+    pnorm = np.linalg.norm(P, axis=1) if len(probe_pd) else np.zeros(0)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(pids):
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            C = np.stack(pdf["cvec"].to_numpy())
+            cnorm = np.linalg.norm(C, axis=1)
+            sims = _round_half_away(C @ P.T / np.outer(cnorm, pnorm))
+            out_p, out_n, out_s = [], [], []
+            for j, pid in enumerate(pids):
+                col = sims[:, j]
+                mask = ids != pid
+                cand_ids, cand_sims = ids[mask], col[mask]
+                # batch-local (sim DESC, neighbor_id ASC) top-k
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_p.append(np.full(len(order), pid))
+                out_n.append(cand_ids[order])
+                out_s.append(cand_sims[order])
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.concatenate(out_p),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    scored = c.mapInPandas(score_batches, "probe_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "sim", "rk")
+    )
+
+
 def _hyperplanes(dim: int = EMBED_DIM, planes: int = LSH_PLANES, seed: int = LSH_SEED) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(planes, dim).tolist()
 
 
 def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket code: bit p = 1 iff dot(vec, plane_p) > 0."""
+    """Sign-LSH bucket code: bit p = 1 iff dot(vec, plane_p) > 0.
+    Packed with integer shiftleft/bitwiseOR so the code stays LongType
+    (exact) at any plane count — floating-point ``pow`` would silently
+    round bits away above 2^53."""
     code: Column = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(float(x)) for x in plane])
-        code = code + F.when(_dot(vec_col, plane_col) > 0, F.lit(2).cast("long") ** p).otherwise(0)
+        code = code.bitwiseOR(
+            F.when(
+                _dot(vec_col, plane_col) > 0, F.shiftleft(F.lit(1).cast("long"), p)
+            ).otherwise(F.lit(0).cast("long"))
+        )
     return code
 
 
@@ -116,7 +229,7 @@ def ann_lsh_topk(
     scored = (
         c.join(F.broadcast(p), "bucket")
         .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn("sim", F.round(cosine(F.col("pvec"), F.col("cvec")), 4))
+        .withColumn("sim", pairwise_cosine(F.col("pvec"), F.col("cvec")))
         .select("probe_id", "neighbor_id", "sim")
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -140,13 +253,13 @@ def embedding_near_dup_pairs(
     base = embeddings.select(
         F.col(id_col), F.col(block_col).alias("block"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    a = base.select(F.col(id_col).alias("id_a"), "block", F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = base.select(F.col(id_col).alias("id_b"), "block", F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    )
+    a = base.select(F.col(id_col).alias("id_a"), "block", F.col("v").alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), "block", F.col("v").alias("vb"))
     return (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4))
+        .withColumn("sim", pairwise_cosine(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -180,7 +293,7 @@ def ann_ivf_topk(
     model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
     assigned = model.transform(train).select(
         "neighbor_id", "cvec", F.col("prediction").alias("cell")
-    ).withColumn("cnorm", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))))
+    )
 
     centers = [c.tolist() for c in model.clusterCenters()]
 
@@ -208,16 +321,12 @@ def ann_ivf_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).cast("array<double>").alias("pvec"),
-    ).withColumn("pnorm", F.sqrt(_dot(F.col("pvec"), F.col("pvec"))))
-    p = p.withColumn("cell", F.explode(_nearest_cells(F.col("pvec"))))
+    ).withColumn("cell", F.explode(_nearest_cells(F.col("pvec"))))
 
     scored = (
         assigned.join(F.broadcast(p), "cell")
         .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn(
-            "sim",
-            F.round(_dot(F.col("pvec"), F.col("cvec")) / (F.col("pnorm") * F.col("cnorm")), 4),
-        )
+        .withColumn("sim", pairwise_cosine(F.col("pvec"), F.col("cvec")))
         .select("probe_id", "neighbor_id", "sim")
         .distinct()
     )

@@ -26,8 +26,12 @@ HEADLINE = [
     "sessionize_events",
     "dedup_exact_docs",
     "minhash_lsh_pairs_docs",
+    "simhash_near_pairs_docs",
     "ann_cosine_topk",
     "text_quality_docs",
+    "asof_last_click_before_error",
+    "range_join_clicks_near_errors",
+    "multimodal_features",
 ]
 
 

@@ -153,6 +153,22 @@ def test_ann_topk_exact_neighbor(spark):
     assert out[0].rk == 1
 
 
+def test_ann_vectorized_equals_hof_backend(spark):
+    """The mapInPandas GEMM path must return exactly what the
+    deterministic JVM/HOF twin returns (same rounding, same ties)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    vec = sorted(
+        tuple(r) for r in ann_bruteforce_topk(emb, probes, k=5).collect()
+    )
+    hof = sorted(
+        tuple(r) for r in ann_bruteforce_topk(emb, probes, k=5, backend="hof").collect()
+    )
+    assert vec == hof and len(vec) == 25
+
+
 def test_embedding_near_dup_blocked(spark):
     emb = spark.createDataFrame(
         [(0, 0, [1.0, 0.0]), (1, 0, [1.0, 0.001]), (2, 1, [1.0, 0.0])],
