@@ -109,19 +109,28 @@ def tfidf_top_terms(
     doc/term, df per term, idf = ln(N/df) — then the top-k terms per
     document (deterministic tie-break on the term).
 
-    Pure DataFrame ops: two hash aggregations + one broadcast join of
-    the (small) per-term document frequencies; at 100 TB the term-DF
-    table is the only global state and it reduces map-side."""
+    Pure DataFrame ops, SINGLE corpus scan: ``tf`` is the one
+    materialization point (``persist``, spill-to-disk default) and the
+    document count N is an in-plan 1-row aggregate over it — NOT a
+    driver-side ``df.count()`` pre-pass, which at 100 TB would be a
+    second full corpus read. Everything downstream of the scan (doc
+    frequency, N, scoring) reads the cached tf (plan-asserted in
+    tests/test_plan_quality.py)."""
     from pyspark.sql import Window
 
-    n_docs = df.count()
     terms = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
-    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
     doc_freq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(doc_freq), "term").withColumn(
-        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4)
+    n_docs_df = tf.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .join(F.broadcast(n_docs_df))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return (

@@ -60,3 +60,20 @@ def test_no_cartesian_products_anywhere(spark, name):
     plan = _plan(relational.QUERIES[name](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_single_corpus_scan(spark):
+    """tfidf must not pre-count the corpus with a driver action or a
+    second scan: tf is the one materialization point, and the document
+    count N, the doc-frequency table, and the scoring join all read the
+    cache — every branch of the plan sits above InMemoryTableScan, so
+    the parquet scan of documents runs exactly once."""
+    from aws_etl_dados_publicos_cnpj_spark.operators import text
+
+    df = text.tfidf_top_terms_docs(spark, SF_SMALL)
+    plan = _plan(df)
+    # 3 consumers of the cached tf: scoring join, doc_freq, n_docs
+    assert plan.count("InMemoryTableScan") == 3, plan
+    assert "CartesianProduct" not in plan
+    # and it still computes the right thing end to end
+    assert df.count() > 0
