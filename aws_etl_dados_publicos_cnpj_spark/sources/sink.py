@@ -84,12 +84,19 @@ def compact_partition(
     compacted = df.repartition(target_files)
     tmp_path = f"{table_root}/.compact_tmp_{ref_date}"
     compacted.write.mode("overwrite").parquet(tmp_path)
-    # swap via filesystem rename (atomic on HDFS/local; object stores
-    # would use a manifest commit instead)
+    # crash-safe swap via filesystem renames (atomic on HDFS/local;
+    # object stores would use a manifest commit instead): move the live
+    # partition ASIDE first, install the compacted copy, then delete
+    # the aside — every intermediate state retains one full copy, so a
+    # crash mid-swap never loses the partition (recover by renaming
+    # .compact_old_<date> back).
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(table_root).getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jvm_path(part_path), True)
+    old_path = f"{table_root}/.compact_old_{ref_date}"
+    fs.delete(jvm_path(old_path), True)  # leftover aside from a prior crash
+    fs.rename(jvm_path(part_path), jvm_path(old_path))
     fs.rename(jvm_path(tmp_path), jvm_path(part_path))
+    fs.delete(jvm_path(old_path), True)
     return n
 
 

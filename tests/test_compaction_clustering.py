@@ -29,6 +29,23 @@ def test_compact_partition_reduces_files_keeps_rows(spark, tmp_path):
     assert back.agg(F.sum("codigo")).collect()[0][0] == sum(range(10_000))
 
 
+def test_compact_partition_recovers_from_stale_aside(spark, tmp_path):
+    """The crash-safe swap leaves a .compact_old aside dir if a prior
+    run died mid-swap; the next compaction must clear it and still
+    produce the right data, with no aside left behind."""
+    root = str(tmp_path / "t")
+    df = spark.range(1_000).withColumnRenamed("id", "codigo")
+    write_snapshot(df, root, "20230506", target_partitions=4)
+    stale = f"{root}/.compact_old_20230506"
+    os.makedirs(stale)
+    with open(f"{stale}/junk.txt", "w") as fh:
+        fh.write("leftover from a crashed swap")
+    n = compact_partition(spark, root, "20230506", target_files=1)
+    assert n == 1_000
+    assert not os.path.exists(stale)
+    assert spark.read.parquet(root).count() == 1_000
+
+
 def test_write_clustered_narrow_file_ranges(spark, tmp_path):
     root = str(tmp_path / "c")
     df = spark.range(10_000).withColumnRenamed("id", "codigo")

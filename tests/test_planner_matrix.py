@@ -82,3 +82,27 @@ def test_requested_subset_limits_plan(spark):
         spark, listing, CATALOG, requested_tables=["socios", "not_a_real_table"]
     ).collect()
     assert {r.table_name for r in manifest} == {"socios"}
+
+
+def test_planner_scales_to_10k_file_listing(spark):
+    """The planner's no-driver-bottleneck claim (planner.py module
+    docstring), exercised: a 10^4-file listing built distributedly
+    (spark.range, never a Python list), planned end to end. The plan
+    must contain no Python evaluation node — pure JVM DataFrame ops —
+    and the only collect is the bounded per-table status."""
+    from pyspark.sql import functions as F
+
+    n = 10_000
+    listing = spark.range(n).select(
+        F.concat(F.lit("Empresas"), F.col("id"), F.lit(".zip")).alias("file_name"),
+        F.concat(F.lit("Empresas"), F.col("id"), F.lit(".zip")).alias("href"),
+        F.lit("2023-05-06 10:00").alias("last_modified"),
+        F.lit(False).alias("is_folder"),
+    )
+    manifest = plan_updates(spark, listing, CatalogState({}), base_url=BASE)
+    plan = manifest._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert manifest.count() == n
+    status = plan_status(spark, listing, CatalogState({})).collect()
+    assert len(status) == 1  # bounded: one row per table, not per file
+    assert status[0].n_files == n and status[0].should_update

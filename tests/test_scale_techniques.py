@@ -32,6 +32,53 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert out == {1: "dim", 2: None}
 
 
+def test_salted_join_balances_planted_hot_key(spark):
+    """SCALE.md's skew claim, measured: with a 90%-hot key, the salted
+    join's fullest shuffle partition must hold several times fewer rows
+    than the unsalted join's (AQE and broadcast disabled so the raw
+    hash-partitioning skew is what's observed)."""
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        hot = F.when(F.pmod(F.col("id"), 10) < 9, F.lit(0)).otherwise(
+            F.pmod(F.col("id"), 1000)
+        )
+        big = spark.range(100_000).select(
+            hot.cast("long").alias("k"), F.col("id").alias("v")
+        )
+        small = spark.range(1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("d")
+        )
+
+        def max_partition_rows(joined):
+            sizes = (
+                joined.select(F.spark_partition_id().alias("pid"))
+                .groupBy("pid")
+                .count()
+                .collect()
+            )
+            return max(r["count"] for r in sizes)
+
+        plain_max = max_partition_rows(big.join(small, "k"))
+        # buckets ≈ shuffle partitions: fewer salt values than partitions
+        # leaves hash collisions (several salts per partition) visible as
+        # residual imbalance
+        salted_max = max_partition_rows(salted_join(big, small, "k", buckets=32))
+        assert plain_max >= 90_000  # the hot key lands in one partition
+        assert salted_max * 4 < plain_max  # hot key spread across salts
+    finally:
+        for key, val in saved.items():
+            spark.conf.set(key, val)
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
     orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
