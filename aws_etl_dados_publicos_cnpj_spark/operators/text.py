@@ -2,16 +2,22 @@
 pipelines (BASELINE.json north star; no reference citation by
 definition — SURVEY.md §2.3).
 
-All ops are pure JVM-side expressions (split / higher-order array
-functions / regex) — no Python in the hot path, so they pipeline inside
-whole-stage codegen over a 100 TB `documents` scan with zero shuffle
-(per-row transforms) or a single hash-agg shuffle (corpus stats).
+All ops are JVM-side expressions (split / regex / codegen'd scalar
+fns) except the rolling-hash fingerprint, whose hot path is an
+Arrow-vectorized pandas_udf (Spark 4 interprets higher-order array
+functions, so the char-level fold is kept only as the deterministic
+oracle twin). Per-row transforms shuffle nothing; corpus stats are a
+single hash-agg shuffle.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
 
 from . import load_table
 
@@ -86,17 +92,57 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Deterministic rolling (polynomial) hash of the full text, mod a
-    large prime — an order-sensitive document fingerprint usable as a
-    cheap exact-dup key."""
-    codes = F.transform(F.split(F.col(text_col), ""), lambda ch: F.ascii(ch).cast("long"))
-    fp = F.aggregate(
+def _fingerprint_hof() -> Column:
+    """JVM higher-order-function form of the rolling hash — the
+    deterministic oracle twin (interpreted, so not the hot path)."""
+    codes = F.transform(F.split(F.col("__fp_text"), ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
         codes,
         F.lit(0).cast("long"),
         lambda acc, x: (acc * FINGERPRINT_BASE + x) % FINGERPRINT_MOD,
     )
-    return df.select(id_col, fp.alias("fingerprint"))
+
+
+@pandas_udf(LongType())
+def _fingerprint_vec(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized rolling hash: iterate char POSITIONS (≤ max doc
+    length) with numpy ops across the whole batch, instead of one
+    interpreted HOF step per character per row. Integer math is exact
+    (acc < 2^30, acc*131+code < 2^38 « int64), so results are
+    bit-identical to the HOF/DuckDB forms."""
+    arrs = [
+        np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in texts
+    ]
+    n = len(arrs)
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    maxlen = int(lens.max()) if n else 0
+    mat = np.zeros((n, maxlen), dtype=np.int64)
+    for i, a in enumerate(arrs):
+        mat[i, : len(a)] = a
+    acc = np.zeros(n, dtype=np.int64)
+    for j in range(maxlen):
+        live = lens > j
+        acc[live] = (acc[live] * FINGERPRINT_BASE + mat[live, j]) % FINGERPRINT_MOD
+    return pd.Series(acc)
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backend: str = "vectorized",
+) -> DataFrame:
+    """Deterministic rolling (polynomial) hash of the full text, mod a
+    large prime — an order-sensitive document fingerprint usable as a
+    cheap exact-dup key. Both backends produce identical values
+    (integer math throughout); ``vectorized`` is the hot path,
+    ``hof`` the JVM expression twin."""
+    if backend == "hof":
+        return df.select(
+            id_col,
+            F.col(text_col).alias("__fp_text"),
+        ).select(id_col, _fingerprint_hof().alias("fingerprint"))
+    return df.select(id_col, _fingerprint_vec(F.col(text_col)).alias("fingerprint"))
 
 
 def tfidf_top_terms(

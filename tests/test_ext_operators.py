@@ -197,3 +197,33 @@ def test_fingerprint_order_sensitive(spark):
     out = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
     assert out[1] != out[2]
     assert out[1] == (97 * 131 + 98) % 1_000_000_007
+
+
+def test_fingerprint_vectorized_equals_hof(spark):
+    """Integer math throughout — the Arrow batch backend must be
+    bit-identical to the JVM fold on real corpus text."""
+    from aws_etl_dados_publicos_cnpj_spark.operators import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    vec = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    hof = {r.doc_id: r.fingerprint for r in fingerprint(docs, backend="hof").collect()}
+    assert vec == hof and len(vec) == 500
+
+
+def test_lsh_bucket_vec_matches_python_reference(spark):
+    import numpy as np
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.similarity import lsh_bucket_vec
+
+    planes = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    vecs = [(0, [2.0, 3.0]), (1, [-1.0, 4.0]), (2, [-5.0, -6.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+    got = {
+        r.vec_id: r.b
+        for r in df.select("vec_id", lsh_bucket_vec(planes)(F.col("v")).alias("b")).collect()
+    }
+    expect = {
+        i: sum(1 << p for p, pl in enumerate(planes) if np.dot(v, pl) > 0)
+        for i, v in vecs
+    }
+    assert got == expect  # {0: 0b111, 1: 0b110, 2: 0b000}
