@@ -281,6 +281,43 @@ def simhash_near_pairs(
     )
 
 
+def edit_distance_near_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    max_dist: int = 5,
+) -> DataFrame:
+    """Near-dup pairs by Levenshtein distance ≤ `max_dist` on a key
+    column (title / normalized prefix — edit distance on full 100 TB
+    payloads is the wrong tool; keys are how it is used at scale).
+
+    Length-band blocking with EXACT recall: strings within edit
+    distance d differ in length by ≤ d, so with block width
+    ``max_dist+1`` a true pair's blocks differ by at most 1 — one side
+    probes its own and both adjacent blocks, and only those candidates
+    pay the O(len²) distance. Never all-pairs."""
+    w = max_dist + 1
+    base = df.select(
+        F.col(id_col), F.col(key_col).alias("k"),
+        F.floor(F.length(key_col) / w).alias("blk"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("k").alias("k_a"),
+        F.explode(
+            F.array(F.col("blk") - 1, F.col("blk"), F.col("blk") + 1)
+        ).alias("blk"),
+    )
+    b = base.select(F.col(id_col).alias("id_b"), F.col("k").alias("k_b"), "blk")
+    dist = F.levenshtein(F.col("k_a"), F.col("k_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .distinct()
+    )
+
+
 # --- driver-contract query forms -------------------------------------------
 
 
@@ -375,12 +412,30 @@ def simhash_near_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def edit_distance_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup on the first-40-char key; brute-force
+    all-pairs oracle also proves the length-band blocking recall."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.withColumn("key40", F.substring("text", 1, 40))
+    return edit_distance_near_pairs(keyed, "key40", max_dist=12)
+
+
+ORACLE_EDIT_DISTANCE = """
+WITH k AS (SELECT doc_id, substr(text, 1, 40) AS key40 FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.key40, b.key40) AS edit_dist
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.key40, b.key40) <= 12
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
     "simhash_docs": simhash_docs,
     "simhash_near_pairs_docs": simhash_near_pairs_docs,
+    "edit_distance_pairs_docs": edit_distance_pairs_docs,
 }
 
 ORACLES = {
@@ -389,4 +444,5 @@ ORACLES = {
     "minhash_lsh_pairs_docs": _ORACLE_EXACT_JACCARD,
     "simhash_docs": ORACLE_SIMHASH,
     "simhash_near_pairs_docs": ORACLE_SIMHASH_PAIRS,
+    "edit_distance_pairs_docs": ORACLE_EDIT_DISTANCE,
 }

@@ -832,6 +832,31 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def ntile_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (SURVEY.md §2.2 windows row): account-
+    balance quartiles, percent_rank, and cume_dist per market segment —
+    the ranking-family functions not covered by row_number/lag/lead."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+ORACLE_NTILE = """
+SELECT c_mktsegment, c_custkey,
+       ntile(4) OVER w AS balance_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
 def lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Navigation windows: each order with the customer's previous and
     next order keys in date order."""
@@ -912,6 +937,7 @@ QUERIES = {
     "pattern_filter_parts": pattern_filter_parts,
     "stats_aggregates": stats_aggregates,
     "lag_lead_orders": lag_lead_orders,
+    "ntile_rank_customers": ntile_rank_customers,
     "corr_and_filtered_aggs": corr_and_filtered_aggs,
 }
 
@@ -951,5 +977,6 @@ ORACLES = {
     "pattern_filter_parts": ORACLE_PATTERN,
     "stats_aggregates": ORACLE_STATS,
     "lag_lead_orders": ORACLE_LAG_LEAD,
+    "ntile_rank_customers": ORACLE_NTILE,
     "corr_and_filtered_aggs": ORACLE_CORR,
 }

@@ -153,6 +153,42 @@ def test_ann_topk_exact_neighbor(spark):
     assert out[0].rk == 1
 
 
+def test_edit_distance_near_pairs_blocking_exact(spark):
+    """Length-band blocking must not lose pairs whose lengths straddle
+    a block boundary; result equals brute-force Levenshtein."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import edit_distance_near_pairs
+
+    rows = [
+        (1, "abcdef"),        # len 6  (block 1 at w=6)
+        (2, "abcdefg"),       # len 7, dist 1 to doc 1 — adjacent block
+        (3, "abcdxf"),        # len 6, dist 1 to doc 1
+        (4, "zzzzzzzzzzzzz"), # far from everything
+        (5, "abcde"),         # len 5, dist 1 to doc 1, block 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in edit_distance_near_pairs(df, "key", max_dist=5).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    brute = {
+        (a, b): lev(ka, kb)
+        for (a, ka), (b, kb) in itertools.combinations(rows, 2)
+        if lev(ka, kb) <= 5
+    }
+    assert got == brute
+    assert (1, 2) in got and (1, 5) in got  # cross-block pairs found
+
+
 def test_ann_vectorized_equals_hof_backend(spark):
     """The mapInPandas GEMM path must return exactly what the
     deterministic JVM/HOF twin returns (same rounding, same ties)."""
