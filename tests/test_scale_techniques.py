@@ -102,6 +102,29 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     spark.sql("DROP TABLE b_orders")
 
 
+def test_ivf_persisted_index_prunes_and_matches(spark, tmp_path):
+    """The persisted IVF index: search results equal the in-plan
+    ann_ivf_topk (same quantizer seed), and the assignments scan is
+    partition-pruned to the probed cells only."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.similarity import (
+        ann_ivf_search,
+        ann_ivf_topk,
+        build_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_cells=8)
+    got = ann_ivf_search(spark, idx, probes, k=5, n_probe_cells=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan
+    inplan = ann_ivf_topk(emb, probes, k=5, n_cells=8, n_probe_cells=2)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in inplan.collect()
+    )
+
+
 def test_partition_pruning_in_plan(spark, tmp_path):
     root = str(tmp_path / "pt")
     df = spark.range(100).withColumn("ref_date", F.when(F.col("id") < 50, "20230101").otherwise("20230201"))
