@@ -283,40 +283,104 @@ def simhash_near_pairs(
     )
 
 
+def _seg_start(i: int, k: int, lcol: str) -> str:
+    """0-based start of even-partition segment i of a length-`lcol`
+    string split into k segments (first l%k segments get the extra
+    char)."""
+    return f"({i} * ({lcol} div {k}) + least({i}, {lcol} % {k}))"
+
+
+def _seg_len(i: int, k: int, lcol: str) -> str:
+    return f"(({lcol} div {k}) + (CASE WHEN {i} < {lcol} % {k} THEN 1 ELSE 0 END))"
+
+
 def edit_distance_near_pairs(
     df: DataFrame,
     key_col: str,
     id_col: str = "doc_id",
-    max_dist: int = 5,
+    max_dist: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by Levenshtein distance ≤ `max_dist` on a key
     column (title / normalized prefix — edit distance on full 100 TB
     payloads is the wrong tool; keys are how it is used at scale).
 
-    Length-band blocking with EXACT recall: strings within edit
-    distance d differ in length by ≤ d, so with block width
-    ``max_dist+1`` a true pair's blocks differ by at most 1 — one side
-    probes its own and both adjacent blocks, and only those candidates
-    pay the O(len²) distance. Never all-pairs."""
-    w = max_dist + 1
+    Segment-filter (PassJoin-style, Li et al., VLDB'12 — public
+    algorithm) with EXACT recall: split each indexed key into
+    ``max_dist+1`` even segments; a pair within edit distance d has at
+    least one segment untouched by any edit, so that segment appears
+    VERBATIM in the other string, shifted by at most d positions (each
+    indel shifts alignment by 1). The probe side therefore enumerates,
+    for every candidate index length l2 ∈ [l-d, l+d], the substrings
+    at the segment's position ±d — a constant ~(d+1)(2d+1)² substring
+    keys per row — and candidates join on (index_len, segment_idx,
+    segment_text). Only candidates pay the O(len²) verify.
+
+    Unlike naive length-band blocking, this stays sub-quadratic when
+    every key has the SAME length (the common case for fixed-width
+    prefixes), because the block key carries segment CONTENT, not just
+    length. Never all-pairs."""
+    d = max_dist
+    k = d + 1
     base = df.select(
-        F.col(id_col), F.col(key_col).alias("k"),
-        F.floor(F.length(key_col) / w).alias("blk"),
+        F.col(id_col), F.col(key_col).alias("k"), F.length(key_col).alias("l")
     )
-    a = base.select(
-        F.col(id_col).alias("id_a"), F.col("k").alias("k_a"),
-        F.explode(
-            F.array(F.col("blk") - 1, F.col("blk"), F.col("blk") + 1)
-        ).alias("blk"),
+
+    idx_structs = ", ".join(
+        f"struct({i} AS i, substring(k, {_seg_start(i, k, 'l')} + 1, "
+        f"{_seg_len(i, k, 'l')}) AS seg)"
+        for i in range(k)
     )
-    b = base.select(F.col(id_col).alias("id_b"), F.col("k").alias("k_b"), "blk")
+    idx = (
+        base.select(
+            F.col(id_col).alias("id_b"),
+            F.col("k").alias("k_b"),
+            F.col("l").alias("l_b"),
+            F.expr(f"explode(array({idx_structs}))").alias("s"),
+        )
+        .select("id_b", "k_b", "l_b", F.col("s.i").alias("i"), F.col("s.seg").alias("seg"))
+        .filter(F.length("seg") > 0)
+    )
+
+    # One compact nested sequence/transform expression instead of
+    # (d+1)(2d+1)² unrolled structs — the unrolled form OOMs codegen
+    # above d≈4 while this stays O(1) plan size at any threshold.
+    st = f"(i * ((l + e) div {k}) + least(i, (l + e) % {k}))"
+    ln = f"(((l + e) div {k}) + (CASE WHEN i < (l + e) % {k} THEN 1 ELSE 0 END))"
+    probe_expr = f"""
+    explode(flatten(flatten(
+      transform(sequence(-{d}, {d}), e ->
+        transform(sequence(0, {d}), i ->
+          transform(sequence(-{d}, {d}), sh ->
+            struct(
+              l + e AS l2,
+              i AS i,
+              CASE WHEN l + e >= 1 AND {ln} > 0
+                    AND {st} + sh >= 0
+                    AND {st} + sh + {ln} <= l
+              THEN substring(k, {st} + sh + 1, {ln})
+              ELSE NULL END AS seg)))))))
+    """
+    probe = (
+        base.select(
+            F.col(id_col).alias("id_a"),
+            F.col("k").alias("k_a"),
+            F.expr(probe_expr).alias("s"),
+        )
+        .select("id_a", "k_a", F.col("s.l2").alias("l2"), F.col("s.i").alias("i"), F.col("s.seg").alias("seg"))
+        .filter(F.col("seg").isNotNull())
+        .distinct()
+    )
+
+    cand = (
+        probe.join(idx, (probe.l2 == idx.l_b) & (probe.i == idx.i) & (probe.seg == idx.seg))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "k_a", "k_b")
+        .distinct()
+    )
     dist = F.levenshtein(F.col("k_a"), F.col("k_b"))
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dist.alias("edit_dist"))
-        .filter(F.col("edit_dist") <= max_dist)
-        .distinct()
+        cand.select("id_a", "id_b", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= d)
     )
 
 
@@ -416,10 +480,10 @@ def simhash_near_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def edit_distance_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup on the first-40-char key; brute-force
-    all-pairs oracle also proves the length-band blocking recall."""
+    all-pairs oracle also proves the segment-filter recall."""
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.withColumn("key40", F.substring("text", 1, 40))
-    return edit_distance_near_pairs(keyed, "key40", max_dist=12)
+    return edit_distance_near_pairs(keyed, "key40", max_dist=3)
 
 
 ORACLE_EDIT_DISTANCE = """
@@ -427,7 +491,7 @@ WITH k AS (SELECT doc_id, substr(text, 1, 40) AS key40 FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        levenshtein(a.key40, b.key40) AS edit_dist
 FROM k a JOIN k b ON a.doc_id < b.doc_id
-WHERE levenshtein(a.key40, b.key40) <= 12
+WHERE levenshtein(a.key40, b.key40) <= 3
 """
 
 

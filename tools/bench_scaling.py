@@ -1,0 +1,58 @@
+"""Corpus-scaling measurements for the dedup/ANN families: replicate
+the sf0.1 documents table in-plan (doc_id-offset unions — no disk
+writes) and time each operator at 1x/4x/16x to observe the growth
+curve recorded in SCALE.md.
+
+Usage: python tools/bench_scaling.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def replicated(docs, times: int):
+    docs = docs.select("doc_id", "text")
+    out = docs
+    n = 1_000_000
+    for i in range(1, times):
+        out = out.unionAll(
+            docs.select((F.col("doc_id") + i * n).alias("doc_id"), "text")
+        )
+    return out
+
+
+def main() -> None:
+    from aws_etl_dados_publicos_cnpj_spark.operators import dedup, load_table, text
+    from aws_etl_dados_publicos_cnpj_spark.session import build_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = build_session("scaling", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    docs = load_table(spark, sf_dir, "documents")
+
+    ops = {
+        "minhash_lsh": lambda d: dedup.minhash_lsh_dedup(d, threshold=0.8),
+        "simhash_pairs": lambda d: dedup.simhash_near_pairs(d, max_hamming=3),
+        "edit_distance_pairs": lambda d: dedup.edit_distance_near_pairs(
+            d.withColumn("key40", F.substring("text", 1, 40)), "key40", max_dist=12
+        ),
+        "fingerprint": lambda d: text.fingerprint(d),
+    }
+    for name, fn in ops.items():
+        row = []
+        for times in (1, 4, 16):
+            d = replicated(docs, times)
+            fn(d).count()  # warm codegen/JIT for this plan shape
+            start = time.perf_counter()
+            n_out = fn(d).count()
+            row.append((times, round(time.perf_counter() - start, 2), n_out))
+        print(name, " ".join(f"{t}x={s}s(out={n})" for t, s, n in row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
