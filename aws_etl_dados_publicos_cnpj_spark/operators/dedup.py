@@ -318,7 +318,13 @@ def edit_distance_near_pairs(
     Unlike naive length-band blocking, this stays sub-quadratic when
     every key has the SAME length (the common case for fixed-width
     prefixes), because the block key carries segment CONTENT, not just
-    length. Never all-pairs."""
+    length. Never all-pairs.
+
+    Degenerate case: keys SHORTER than max_dist+1 chars have empty
+    segments, so the pigeonhole argument needs the index side to have
+    ≥ d+1 chars. Pairs involving a < d+1-char key are matched through
+    a separate short pool (keys of length < 2d+1 — a bounded, cheap
+    population at any realistic threshold) with direct verification."""
     d = max_dist
     k = d + 1
     base = df.select(
@@ -371,12 +377,44 @@ def edit_distance_near_pairs(
         .distinct()
     )
 
-    cand = (
+    # Pigeonhole guarantees a verbatim segment only for the orientation
+    # whose INDEX side has >= d+1 chars, so normalize (least, greatest)
+    # rather than filter id_a < id_b — the surviving orientation may
+    # have them in either order.
+    main_cand = (
         probe.join(idx, (probe.l2 == idx.l_b) & (probe.i == idx.i) & (probe.seg == idx.seg))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "k_a", "k_b")
-        .distinct()
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("l_b") >= k)  # short index keys go through the short pool
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("k_a")).otherwise(F.col("k_b")).alias("k_a"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("k_b")).otherwise(F.col("k_a")).alias("k_b"),
+        )
     )
+    # Short pool: any pair touching a key of length < d+1 chars. Both
+    # partners have length < 2d+1 (length difference bounds), so the
+    # pool is a bounded micro-population verified directly.
+    short = base.filter(F.col("l") < k).select(
+        F.col(id_col).alias("id_a"), F.col("k").alias("k_a"), F.col("l").alias("l_a")
+    )
+    shortish = base.filter(F.col("l") < k + d).select(
+        F.col(id_col).alias("id_b"), F.col("k").alias("k_b"), F.col("l").alias("l_b")
+    )
+    short_cand = (
+        short.join(
+            shortish,
+            (short.id_a != shortish.id_b)
+            & (F.abs(short.l_a - shortish.l_b) <= d),
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("k_a")).otherwise(F.col("k_b")).alias("k_a"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("k_b")).otherwise(F.col("k_a")).alias("k_b"),
+        )
+    )
+    cand = main_cand.unionAll(short_cand).distinct()
     dist = F.levenshtein(F.col("k_a"), F.col("k_b"))
     return (
         cand.select("id_a", "id_b", dist.alias("edit_dist"))

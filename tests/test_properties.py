@@ -124,6 +124,43 @@ def test_minhash_lsh_equals_exact_jaccard(spark, seed):
     assert lsh == exact
 
 
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(
+    strings=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=14), min_size=2, max_size=10, unique=True
+    ),
+    d=st.integers(1, 3),
+)
+def test_edit_distance_segment_filter_equals_bruteforce(spark, strings, d):
+    """PassJoin recall property: on arbitrary small-alphabet strings
+    (high collision density, varied lengths) the segment-filtered join
+    must return exactly the brute-force Levenshtein ≤ d pair set."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import edit_distance_near_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    rows = list(enumerate(strings))
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in edit_distance_near_pairs(df, "key", max_dist=d).collect()
+    }
+    brute = {
+        (a, b): lev(sa, sb)
+        for a, sa in rows
+        for b, sb in rows
+        if a < b and lev(sa, sb) <= d
+    }
+    assert got == brute
+
+
 @settings(**_SETTINGS)
 @given(text=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=60))
 def test_fingerprint_matches_pure_python(spark, text):
