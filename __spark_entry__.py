@@ -21,7 +21,7 @@ def _registries():
     from aws_etl_dados_publicos_cnpj_spark.operators import relational
 
     modules = [relational]
-    for mod_name in ("dedup", "similarity", "text", "multimodal", "temporal"):
+    for mod_name in ("dedup", "similarity", "text", "multimodal", "temporal", "corpus"):
         try:
             mod = __import__(
                 f"aws_etl_dados_publicos_cnpj_spark.operators.{mod_name}",

@@ -1,0 +1,130 @@
+"""[EXT] Corpus-management operators for training-data pipelines
+(BASELINE.json north star; SURVEY.md §2.3): accounting, deterministic
+stratified sampling, and reproducible train/val/test splits.
+
+Sampling and splitting key off a CONTENT hash (md5, the engine's
+DuckDB-reproducible 60-bit word-hash trick — see ``dedup.word_hash60``)
+rather than ``rand()``: re-runs, retries, and engine swaps all select
+the same rows, which is what makes a 100 TB data mix auditable. Both
+are pure map-side filters — zero shuffle; the accounting rollup is one
+partial-agg shuffle on (lang, source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load_table
+from .dedup import word_hash60
+
+# Per-language keep-rates (percent): the classic pretraining rebalance —
+# downsample the dominant language, keep the tail.
+SAMPLE_RATES = {"en": 50, "de": 80, "es": 80, "fr": 80, "zh": 30}
+DEFAULT_RATE = 100
+
+
+def content_bucket(text_col: str = "text", buckets: int = 100):
+    """Deterministic [0, buckets) bucket from the md5 content hash."""
+    return F.pmod(word_hash60(F.col(text_col)), F.lit(buckets))
+
+
+def corpus_stats(df: DataFrame) -> DataFrame:
+    """Corpus accounting per (lang, source): document count, characters,
+    whitespace tokens, and mean document length."""
+    toks = F.size(F.split(F.col("text"), " "))
+    return (
+        df.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(toks).alias("total_tokens"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        )
+    )
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, int] | None = None) -> DataFrame:
+    """Keep a per-language fraction of documents, selected by content
+    hash: doc survives iff bucket(text) < rate[lang]. Deterministic and
+    engine-reproducible — the same corpus always yields the same
+    sample."""
+    rates = rates or SAMPLE_RATES
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return df.withColumn("__b", content_bucket()).filter(F.col("__b") < rate).drop("__b")
+
+
+def train_val_test_split(df: DataFrame, val_pct: int = 10, test_pct: int = 10) -> DataFrame:
+    """Assign each document to train/val/test by content-hash bucket —
+    reproducible splits with no shuffle and no stored split table."""
+    b = content_bucket()
+    split = (
+        F.when(b < 100 - val_pct - test_pct, "train")
+        .when(b < 100 - test_pct, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)
+
+
+# --- driver-contract query forms -------------------------------------------
+
+
+def corpus_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_CORPUS_STATS = """
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(length(text)) AS total_chars,
+       sum(len(string_split(text, ' '))) AS total_tokens,
+       round(avg(length(text)), 4) AS avg_chars
+FROM documents GROUP BY lang, source
+"""
+
+# The md5 content bucket, reproduced in SQL (same 15-hex-char trick as
+# the SimHash oracle).
+_BUCKET_SQL = "CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100"
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = stratified_sample(load_table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang", "source")
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_BUCKET_SQL} < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80
+                                 WHEN 'es' THEN 80 WHEN 'fr' THEN 80
+                                 WHEN 'zh' THEN 30 ELSE 100 END)
+"""
+
+
+def train_val_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = train_val_test_split(load_table(spark, sf_dir, "documents"))
+    return out.select("doc_id", "split")
+
+
+ORACLE_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+            WHEN {_BUCKET_SQL} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+QUERIES = {
+    "corpus_stats_by_lang_source": corpus_stats_by_lang_source,
+    "stratified_sample_docs": stratified_sample_docs,
+    "train_val_test_split_docs": train_val_test_split_docs,
+}
+
+ORACLES = {
+    "corpus_stats_by_lang_source": ORACLE_CORPUS_STATS,
+    "stratified_sample_docs": ORACLE_STRATIFIED_SAMPLE,
+    "train_val_test_split_docs": ORACLE_SPLIT,
+}
