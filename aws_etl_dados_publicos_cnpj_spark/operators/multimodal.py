@@ -390,12 +390,12 @@ ORACLE_WAV_DECODE = """
 SELECT doc_id,
        true AS ok,
        length(text) AS n_frames,
-       round(sqrt(list_aggregate(list_transform(generate_series(1, length(text)),
+       coalesce(round(sqrt(list_aggregate(list_transform(generate_series(1, length(text)),
                                                 i -> CAST(ascii(text[i]) AS DOUBLE)
                                                      * ascii(text[i])), 'sum')
-                  / length(text)), 4) AS rms,
-       CAST(list_aggregate(list_transform(generate_series(1, length(text)),
-                                          i -> ascii(text[i])), 'max') AS DOUBLE) AS peak
+                  / length(text)), 4), 0.0) AS rms,
+       coalesce(CAST(list_aggregate(list_transform(generate_series(1, length(text)),
+                                          i -> ascii(text[i])), 'max') AS DOUBLE), 0.0) AS peak
 FROM documents
 """
 
