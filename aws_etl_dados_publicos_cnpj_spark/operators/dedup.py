@@ -136,16 +136,20 @@ def lsh_candidate_pairs(
 
     One explode (docs × bands) + one equi-join on (band, band_hash) —
     the join key space is large, so buckets stay small and the shuffle
-    is balanced; no cross join."""
+    is balanced; no cross join. Band structs are unrolled statically
+    (codegen'd slice+hash) rather than built with an interpreted
+    ``transform`` lambda."""
     banded = signatures.select(
         F.col(id_col),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
@@ -347,33 +351,48 @@ def edit_distance_near_pairs(
         .filter(F.length("seg") > 0)
     )
 
-    # One compact nested sequence/transform expression instead of
-    # (d+1)(2d+1)² unrolled structs — the unrolled form OOMs codegen
-    # above d≈4 while this stays O(1) plan size at any threshold.
-    st = f"(i * ((l + e) div {k}) + least(i, (l + e) % {k}))"
-    ln = f"(((l + e) div {k}) + (CASE WHEN i < (l + e) % {k} THEN 1 ELSE 0 END))"
-    probe_expr = f"""
-    explode(flatten(flatten(
-      transform(sequence(-{d}, {d}), e ->
-        transform(sequence(0, {d}), i ->
-          transform(sequence(-{d}, {d}), sh ->
-            struct(
-              l + e AS l2,
-              i AS i,
-              CASE WHEN l + e >= 1 AND {ln} > 0
-                    AND {st} + sh >= 0
-                    AND {st} + sh + {ln} <= l
-              THEN substring(k, {st} + sh + 1, {ln})
-              ELSE NULL END AS seg)))))))
-    """
+    # Probe enumeration as a chain of tiny sequence-explodes with a
+    # LENGTH FILTER between them: candidate index lengths l2 = l+e are
+    # semi-joined against the lengths that actually EXIST in the corpus
+    # (broadcast — bounded by max key width) before the (i, sh) fan-out
+    # and the substring work. For fixed-width keys this kills 2d/(2d+1)
+    # of the enumeration immediately, and the substring extraction is
+    # plain codegen'd column arithmetic, not an interpreted lambda.
+    # (A single (d+1)(2d+1)² unrolled-struct expression was tried and
+    # OOMs codegen above d≈4.)
+    lengths = base.select(F.col("l").alias("l2")).distinct()
     probe = (
         base.select(
             F.col(id_col).alias("id_a"),
             F.col("k").alias("k_a"),
-            F.expr(probe_expr).alias("s"),
+            "l",
+            F.explode(F.sequence(F.lit(-d), F.lit(d))).alias("e"),
         )
-        .select("id_a", "k_a", F.col("s.l2").alias("l2"), F.col("s.i").alias("i"), F.col("s.seg").alias("seg"))
-        .filter(F.col("seg").isNotNull())
+        .withColumn("l2", F.col("l") + F.col("e"))
+        .join(F.broadcast(lengths), "l2")
+        .select(
+            "id_a", "k_a", "l", "l2",
+            F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i"),
+        )
+        .select(
+            "id_a", "k_a", "l", "l2", "i",
+            F.explode(F.sequence(F.lit(-d), F.lit(d))).alias("sh"),
+        )
+        .withColumn("st", F.expr(f"i * (l2 div {k}) + least(i, l2 % {k})"))
+        .withColumn(
+            "ln", F.expr(f"(l2 div {k}) + (CASE WHEN i < l2 % {k} THEN 1 ELSE 0 END)")
+        )
+        .withColumn("pos", F.col("st") + F.col("sh"))
+        .filter(
+            (F.col("l2") >= 1)
+            & (F.col("ln") > 0)
+            & (F.col("pos") >= 0)
+            & (F.col("pos") + F.col("ln") <= F.col("l"))
+        )
+        .select(
+            "id_a", "k_a", "l2", "i",
+            F.expr("substring(k_a, pos + 1, ln)").alias("seg"),
+        )
         .distinct()
     )
 

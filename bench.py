@@ -27,11 +27,14 @@ HEADLINE = [
     "dedup_exact_docs",
     "minhash_lsh_pairs_docs",
     "simhash_near_pairs_docs",
+    "edit_distance_pairs_docs",
     "ann_cosine_topk",
     "text_quality_docs",
+    "stratified_sample_docs",
     "asof_last_click_before_error",
     "range_join_clicks_near_errors",
     "multimodal_features",
+    "multimodal_wav_decode",
 ]
 
 

@@ -62,6 +62,25 @@ def test_no_cartesian_products_anywhere(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_sampling_and_split_are_map_only(spark):
+    """Deterministic sampling/splitting must stay shuffle-free: a pure
+    scan→filter/project plan (the content-hash filter pushes no
+    Exchange into the pipeline)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators import corpus
+
+    for fn in (corpus.stratified_sample_docs, corpus.train_val_test_split_docs):
+        plan = _plan(fn(spark, SF_SMALL))
+        assert "Exchange" not in plan, plan
+        assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_no_cartesian(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators import dedup
+
+    plan = _plan(dedup.edit_distance_pairs_docs(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+
+
 def test_tfidf_single_corpus_scan(spark):
     """tfidf must not pre-count the corpus with a driver action or a
     second scan: tf is the one materialization point, and the document
