@@ -273,12 +273,81 @@ WHERE rk <= 3
 """
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-vs-ground-truth confusion counts: the model-eval query
+    a labeled corpus supports (documents carries a true ``lang``
+    column). Pure aggregation over the lang-ID projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = lang_id(docs).select("doc_id", "predicted_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_LANG_CONFUSION = """
+WITH pred AS (
+  SELECT doc_id, lang AS true_lang,
+         len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','in','is'))) AS en_hits,
+         len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','que','y','en','los'))) AS es_hits,
+         len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS de_hits
+  FROM documents
+)
+SELECT true_lang,
+       CASE WHEN en_hits > es_hits AND en_hits > de_hits THEN 'en'
+            WHEN es_hits > en_hits AND es_hits > de_hits THEN 'es'
+            WHEN de_hits > en_hits AND de_hits > es_hits THEN 'de'
+            ELSE 'und' END AS predicted_lang,
+       count(*) AS n
+FROM pred GROUP BY 1, 2
+"""
+
+
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained cleaning pipeline — the composition a real corpus pass
+    runs: quality metrics → keep docs above length / diversity floors →
+    per-language survivor stats. All one declarative plan (Catalyst
+    fuses the stages; one scan, one agg shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text_quality(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    kept = q.filter(
+        (F.col("n_words") >= 30) & (F.col("type_token_ratio") >= 0.5)
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("avg_word_len"), 4).alias("mean_word_len"),
+        F.sum("n_words").alias("total_words"),
+    )
+
+
+ORACLE_QUALITY_FILTER = """
+WITH q AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_words,
+         round(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum')
+               * 1.0 / len(string_split(text, ' ')), 4) AS avg_word_len,
+         round(len(list_distinct(string_split(text, ' ')))
+               * 1.0 / len(string_split(text, ' ')), 4) AS type_token_ratio
+  FROM documents
+)
+SELECT lang, count(*) AS n_kept,
+       round(avg(avg_word_len), 4) AS mean_word_len,
+       sum(n_words) AS total_words
+FROM q WHERE n_words >= 30 AND type_token_ratio >= 0.5
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "text_quality_docs": text_quality_docs,
     "tfidf_top_terms_docs": tfidf_top_terms_docs,
     "lang_id_docs": lang_id_docs,
     "token_count_docs": token_count_docs,
     "fingerprint_docs": fingerprint_docs,
+    "lang_id_confusion": lang_id_confusion,
+    "quality_filter_pipeline": quality_filter_pipeline,
 }
 
 ORACLES = {
@@ -287,4 +356,6 @@ ORACLES = {
     "lang_id_docs": ORACLE_LANG_ID,
     "token_count_docs": ORACLE_TOKEN_COUNT,
     "fingerprint_docs": ORACLE_FINGERPRINT,
+    "lang_id_confusion": ORACLE_LANG_CONFUSION,
+    "quality_filter_pipeline": ORACLE_QUALITY_FILTER,
 }
