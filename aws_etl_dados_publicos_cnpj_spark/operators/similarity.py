@@ -488,14 +488,50 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only check: approximate recall — the
-    bucket restriction is not SQL-reproducible bit-for-bit)."""
+    """LSH-bucketed ANN — hash-checked: the hyperplanes are literal
+    constants (seeded), so the oracle reproduces the exact bucketing
+    (sign of float dot products) and the bucket-restricted top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     # 6 planes → 64 buckets: sized so sf0.01's 500 vectors give each
     # probe a non-trivial candidate set; at scale widen the code and
     # multi-probe instead.
     return ann_lsh_topk(emb, probes, k=5, planes=6)
+
+
+def _oracle_ann_lsh() -> str:
+    """DuckDB twin of ``ann_lsh_topk_query``: identical plane literals
+    (full-precision repr round-trips to the same float64), identical
+    sign-bucketing, cosine, and ranking."""
+    planes = _hyperplanes(planes=6)
+    values = ",\n    ".join(
+        f"({p}, [{', '.join(repr(float(x)) for x in plane)}]::DOUBLE[])"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH planes(p, pvecp) AS (VALUES
+    {values}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+codes AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e, pvecp) > 0
+                       THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM v, planes GROUP BY vec_id
+),
+p AS (SELECT v.vec_id AS probe_id, e AS pv, bucket
+      FROM v JOIN codes USING (vec_id) WHERE vec_id < 10),
+c AS (SELECT v.vec_id AS neighbor_id, e AS cv, bucket
+      FROM v JOIN codes USING (vec_id)),
+s AS (SELECT probe_id, neighbor_id,
+             round(list_cosine_similarity(pv, cv), 4) AS sim
+      FROM p JOIN c USING (bucket) WHERE neighbor_id <> probe_id)
+SELECT probe_id, neighbor_id, sim, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rk
+      FROM s)
+WHERE rk <= 5
+"""
 
 
 def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,4 +551,5 @@ QUERIES = {
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN,
     "embedding_near_dup": ORACLE_NEAR_DUP,
+    "ann_lsh_topk": _oracle_ann_lsh(),
 }
