@@ -140,6 +140,62 @@ def test_streaming_dedup_collapses_replayed_input(spark, events_dir, tmp_path):
     assert got.n == n_unique == got.d
 
 
+def test_streaming_corpus_ops_equal_batch(spark, tmp_path):
+    """The EXT corpus operators are stateless map-side plans, so they
+    run UNCHANGED on a stream: draining documents through readStream +
+    stratified_sample / train_val_test_split must select exactly the
+    batch result (content-hash determinism extends to streams)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.corpus import (
+        stratified_sample,
+        train_val_test_split,
+    )
+
+    docs_dir = str(tmp_path / "docs_stream")
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    docs.coalesce(2).write.mode("overwrite").parquet(docs_dir)
+    schema = "doc_id long, text string, lang string, source string"
+
+    batch_sample = sorted(
+        r.doc_id for r in stratified_sample(spark.read.schema(schema).parquet(docs_dir)).collect()
+    )
+    stream = spark.readStream.schema(schema).format("parquet").load(docs_dir)
+    q = (
+        stratified_sample(stream)
+        .select("doc_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_sample")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_sample = sorted(
+        r.doc_id for r in spark.sql("SELECT * FROM t_stream_sample").collect()
+    )
+    assert stream_sample == batch_sample and len(batch_sample) > 0
+
+    batch_split = {
+        r.doc_id: r.split
+        for r in train_val_test_split(spark.read.schema(schema).parquet(docs_dir)).collect()
+    }
+    q2 = (
+        train_val_test_split(stream)
+        .select("doc_id", "split")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_split")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    stream_split = {
+        r.doc_id: r.split for r in spark.sql("SELECT * FROM t_stream_split").collect()
+    }
+    assert stream_split == batch_split
+
+
 def test_stateful_running_totals(spark, events_dir):
     stream = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(events_dir)
     q = (
