@@ -230,11 +230,17 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = LSH_PLANES,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: probe and corpus vectors are bucketed by a
-    16-bit sign-LSH code; candidates come only from the probe's bucket.
+    sign-LSH code; candidates come only from the probe's bucket(s).
     The corpus-side bucket computation is a map-only pass that would be
-    precomputed/persisted at scale (write-once, reuse per query)."""
+    precomputed/persisted at scale (write-once, reuse per query).
+
+    ``multi_probe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's code (flip each plane bit) — the
+    standard recall knob that multiplies only the PROBE side by
+    planes+1, never touching the corpus layout."""
     hp = _hyperplanes(planes=planes)
     bucket_fn = lsh_bucket_vec(hp)  # same fn both sides: self-consistent signs
     c = corpus.select(
@@ -245,6 +251,11 @@ def ann_lsh_topk(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).cast("array<double>").alias("pvec"),
     ).withColumn("bucket", bucket_fn(F.col("pvec")))
+    if multi_probe:
+        variants = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(planes)
+        ]
+        p = p.withColumn("bucket", F.explode(F.array(*variants)))
     scored = (
         c.join(F.broadcast(p), "bucket")
         .filter(F.col("neighbor_id") != F.col("probe_id"))
@@ -499,15 +510,33 @@ def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, probes, k=5, planes=6)
 
 
-def _oracle_ann_lsh() -> str:
-    """DuckDB twin of ``ann_lsh_topk_query``: identical plane literals
+def ann_lsh_multiprobe_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (probe + its planes Hamming-1 bucket
+    variants) — hash-checked like the single-probe form."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ann_lsh_topk(emb, probes, k=5, planes=6, multi_probe=1)
+
+
+def _oracle_ann_lsh(multi_probe: bool = False) -> str:
+    """DuckDB twin of the LSH queries: identical plane literals
     (full-precision repr round-trips to the same float64), identical
-    sign-bucketing, cosine, and ranking."""
+    sign-bucketing, probing, cosine, and ranking."""
     planes = _hyperplanes(planes=6)
     values = ",\n    ".join(
         f"({p}, [{', '.join(repr(float(x)) for x in plane)}]::DOUBLE[])"
         for p, plane in enumerate(planes)
     )
+    probe_cte = (
+        "SELECT v.vec_id AS probe_id, e AS pv, bucket\n"
+        "      FROM v JOIN codes USING (vec_id) WHERE vec_id < 10"
+    )
+    if multi_probe:
+        flips = ", ".join(str(x) for x in [0] + [1 << b for b in range(6)])
+        probe_cte = (
+            f"SELECT probe_id, pv, xor(bucket, flip) AS bucket\n"
+            f"      FROM ({probe_cte}) p0, (SELECT unnest([{flips}]) AS flip)"
+        )
     return f"""
 WITH planes(p, pvecp) AS (VALUES
     {values}
@@ -519,8 +548,7 @@ codes AS (
                        THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
   FROM v, planes GROUP BY vec_id
 ),
-p AS (SELECT v.vec_id AS probe_id, e AS pv, bucket
-      FROM v JOIN codes USING (vec_id) WHERE vec_id < 10),
+p AS ({probe_cte}),
 c AS (SELECT v.vec_id AS neighbor_id, e AS cv, bucket
       FROM v JOIN codes USING (vec_id)),
 s AS (SELECT probe_id, neighbor_id,
@@ -545,6 +573,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
     "ann_lsh_topk": ann_lsh_topk_query,
+    "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk_query,
     "ann_ivf_topk": ann_ivf_topk_query,
 }
 
@@ -552,4 +581,5 @@ ORACLES = {
     "ann_cosine_topk": ORACLE_ANN,
     "embedding_near_dup": ORACLE_NEAR_DUP,
     "ann_lsh_topk": _oracle_ann_lsh(),
+    "ann_lsh_multiprobe_topk": _oracle_ann_lsh(multi_probe=True),
 }

@@ -205,6 +205,31 @@ def test_ann_vectorized_equals_hof_backend(spark):
     assert vec == hof and len(vec) == 25
 
 
+def test_lsh_multiprobe_improves_recall(spark):
+    """Hamming-1 multi-probe must dominate single-probe: every
+    single-probe hit is retained and recall vs exact top-k rises (or
+    at minimum stays equal, with more candidates examined)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators import load_table
+    from aws_etl_dados_publicos_cnpj_spark.operators.similarity import ann_lsh_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(emb, probes, k=5).collect()
+    }
+    single = {
+        (r.probe_id, r.neighbor_id)
+        for r in ann_lsh_topk(emb, probes, k=5, planes=6).collect()
+    }
+    multi = {
+        (r.probe_id, r.neighbor_id)
+        for r in ann_lsh_topk(emb, probes, k=5, planes=6, multi_probe=1).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)
+
+
 def test_embedding_near_dup_blocked(spark):
     emb = spark.createDataFrame(
         [(0, 0, [1.0, 0.0]), (1, 0, [1.0, 0.001]), (2, 1, [1.0, 0.0])],
