@@ -552,8 +552,47 @@ WHERE levenshtein(a.key40, b.key40) <= 3
 """
 
 
+def hybrid_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite near-dup: MinHash-LSH text candidates (j ≥ 0.8, miss
+    prob ≈3e-6) verified AND scored against the documents' embedding
+    vectors — the two-modality agreement check a production dedup pass
+    runs before dropping data. Candidate-only cosine: the N×N
+    embedding space is never touched."""
+    from .similarity import pairwise_cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = minhash_lsh_dedup(docs, threshold=0.8)
+    ea = emb.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    return (
+        cand.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .withColumn("cos_sim", pairwise_cosine(F.col("va"), F.col("vb")))
+        .select("doc_a", "doc_b", "jaccard", "cos_sim")
+    )
+
+
+ORACLE_HYBRID = f"""
+WITH jac AS ({_ORACLE_EXACT_JACCARD})
+SELECT jac.doc_a, jac.doc_b, jac.jaccard,
+       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
+FROM jac
+JOIN embeddings ea ON jac.doc_a = ea.vec_id
+JOIN embeddings eb ON jac.doc_b = eb.vec_id
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
+    "hybrid_near_dup_docs": hybrid_near_dup_docs,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
     "simhash_docs": simhash_docs,
@@ -563,6 +602,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
+    "hybrid_near_dup_docs": ORACLE_HYBRID,
     "ngram_jaccard_pairs_docs": _ORACLE_EXACT_JACCARD,
     "minhash_lsh_pairs_docs": _ORACLE_EXACT_JACCARD,
     "simhash_docs": ORACLE_SIMHASH,
