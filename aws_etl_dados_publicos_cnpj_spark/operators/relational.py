@@ -501,11 +501,16 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window`` (SURVEY.md §2.2 streaming notes)."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # Gap in integer MICROseconds (not truncated whole seconds) so the
-    # 1800 s boundary classifies identically to the oracle's epoch_us.
-    us = F.unix_micros(F.col("ts"))
-    gap = us - F.lag(us).over(w)
-    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    # ts is TIMESTAMP_NTZ under a default session (parquet NANOS infers
+    # NTZ in Spark 4.1) but TIMESTAMP under older confs; timestamp
+    # subtraction yields a day-time interval for BOTH types, so the
+    # 1800 s boundary classifies identically to the oracle's epoch_us
+    # at full microsecond precision. unix_micros would reject NTZ.
+    prev_ts = F.lag("ts").over(w)
+    gap = F.col("ts") - prev_ts
+    new_session = F.when(
+        prev_ts.isNull() | (gap > F.expr("INTERVAL '1800' SECOND")), 1
+    ).otherwise(0)
     return (
         events.withColumn("new_s", new_session)
         .groupBy("user_id")

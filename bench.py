@@ -50,29 +50,34 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         # cold pass: includes whole-stage-codegen compilation (recorded
-        # separately); timed pass measures steady-state execution
-        start = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        cold[name] = round(time.perf_counter() - start, 3)
-        start = time.perf_counter()
-        rows = qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - start, 3)
-        assert rows is not None
+        # separately); timed pass measures steady-state execution.
+        # Per-query isolation: one failing query records an error line
+        # instead of zeroing the whole benchmark.
+        try:
+            start = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            cold[name] = round(time.perf_counter() - start, 3)
+            start = time.perf_counter()
+            rows = qs[name](spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - start, 3)
+            assert rows is not None
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total": round(sum(cold.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -3,7 +3,11 @@
 the same scale factor, compare row count, column names, and
 order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` runs against a default-conf SparkSession (no UTC pin, no
+Arrow/AQE tuning, adversarial non-UTC driver timezone) — the driver's
+harness builds its own session, so every query must survive one.
 """
 
 from __future__ import annotations
@@ -56,10 +60,25 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from aws_etl_dados_publicos_cnpj_spark.session import build_session
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
-    spark = build_session("oracle-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-vanilla")
+            .master("local[8]")
+            # adversarial: a DST timezone, so any query that silently
+            # depends on build_session's UTC pin fails here first
+            .config("spark.driver.extraJavaOptions", "-Duser.timezone=America/Sao_Paulo")
+            .config("spark.sql.session.timeZone", "America/Sao_Paulo")
+            .getOrCreate()
+        )
+    else:
+        spark = build_session("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
