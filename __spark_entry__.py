@@ -40,6 +40,9 @@ _DRIVER_PRIORITY = [
     "corpus_stats_by_lang_source",
     "stratified_sample_docs",
     "train_val_test_split_docs",
+    "decontaminate_train_docs",
+    "repetition_ratio_docs",
+    "pack_sequences_docs",
     # -- family representatives (keep inside the checked window) --
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -71,10 +74,7 @@ _DRIVER_PRIORITY = [
     "rollup_lineitem",
     "cube_order_stats",
     "grouping_sets_orders",
-    "pivot_quantity",
-    "unpivot_lineitem_metrics",
     "sql_api_revenue",
-    "json_extract_events",
 ]
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import load_table
-from .dedup import word_hash60
+from .dedup import shingles, word_hash60
 
 # Per-language keep-rates (percent): the classic pretraining rebalance —
 # downsample the dominant language, keep the tail.
@@ -54,6 +54,71 @@ def stratified_sample(df: DataFrame, rates: dict[str, int] | None = None) -> Dat
     for lang, r in sorted(rates.items()):
         rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
     return df.withColumn("__b", content_bucket()).filter(F.col("__b") < rate).drop("__b")
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares at least one word ``n``-gram with any benchmark document
+    (the standard eval-leakage guard before pretraining).
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (MBs vs 100 TB), so its DISTINCT shingle set is **broadcast** and
+    the corpus side is a map-side hash join — the training corpus is
+    scanned once and never shuffled; only the per-doc hit counts
+    (bounded by flagged docs) aggregate.
+
+    Output: (id_col, n_hit_shingles) for contaminated docs only.
+    """
+    t_sh = shingles(train, text_col, id_col, n)
+    b_sh = shingles(benchmark, text_col, id_col, n).select("shingle").distinct()
+    return (
+        t_sh.join(F.broadcast(b_sh), "shingle")
+        # shingle_array is distinct per doc, so count(*) == distinct hits
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_shingles"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    groups: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for training batches: concatenate documents in a
+    deterministic order and chunk the stream into ``budget``-token
+    sequences; a document's ``seq_id`` is the chunk holding its first
+    token (GPT-style boundary-agnostic concat packing).
+
+    Scale shape: a single global cumsum window would serialize the
+    corpus through one task, so packing runs inside ``groups``
+    independent content-hash groups — each window sorts only
+    corpus/groups rows, and parallelism scales with ``groups`` (set it
+    to a multiple of the cluster's task slots at 100 TB). Ordering is
+    (pack_group, doc_id): reruns and engine swaps produce identical
+    packs.
+    """
+    from pyspark.sql import Window
+
+    toks = F.greatest(F.size(F.split(F.col(text_col), " ")), F.lit(1))
+    w = Window.partitionBy("pack_group").orderBy(id_col)
+    out = (
+        df.withColumn("pack_group", F.pmod(word_hash60(F.col(text_col)), F.lit(groups)))
+        .withColumn("n_tokens", toks.cast("long"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        # first-token offset DIV budget — integer arithmetic end to end
+        .withColumn(
+            "seq_id", F.expr(f"(cum_tokens - n_tokens) DIV {budget}").cast("long")
+        )
+    )
+    return out.select(id_col, "pack_group", "n_tokens", "seq_id")
 
 
 def train_val_test_split(df: DataFrame, val_pct: int = 10, test_pct: int = 10) -> DataFrame:
@@ -108,6 +173,65 @@ def train_val_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminate the content-hash train split against the test
+    split (the held-out 10% standing in for an eval benchmark)."""
+    docs = train_val_test_split(load_table(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("split") == "train")
+    benchmark = docs.filter(F.col("split") == "test")
+    return decontaminate(train, benchmark)
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH split AS (
+  SELECT doc_id, text, {_BUCKET_SQL} AS b FROM documents
+),
+tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM split WHERE b < 80),
+bw AS (SELECT string_split(text, ' ') AS w FROM split WHERE b >= 90),
+tsh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) >= 5 THEN array_to_string(w[i.i:i.i+4], ' ')
+              ELSE array_to_string(w, ' ') END AS shingle
+  FROM tw, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i
+  ) i
+),
+bsh AS (
+  SELECT DISTINCT
+         CASE WHEN len(w) >= 5 THEN array_to_string(w[i.i:i.i+4], ' ')
+              ELSE array_to_string(w, ' ') END AS shingle
+  FROM bw, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i
+  ) i
+)
+SELECT doc_id, count(*) AS n_hit_shingles
+FROM tsh JOIN bsh USING (shingle)
+GROUP BY doc_id
+"""
+
+
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 64 AS pack_group,
+         greatest(len(string_split(text, ' ')), 1) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, pack_group, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT doc_id, pack_group, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id
+FROM c
+"""
+
+
 ORACLE_SPLIT = f"""
 SELECT doc_id,
        CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
@@ -121,10 +245,14 @@ QUERIES = {
     "corpus_stats_by_lang_source": corpus_stats_by_lang_source,
     "stratified_sample_docs": stratified_sample_docs,
     "train_val_test_split_docs": train_val_test_split_docs,
+    "decontaminate_train_docs": decontaminate_train_docs,
+    "pack_sequences_docs": pack_sequences_docs,
 }
 
 ORACLES = {
     "corpus_stats_by_lang_source": ORACLE_CORPUS_STATS,
     "stratified_sample_docs": ORACLE_STRATIFIED_SAMPLE,
     "train_val_test_split_docs": ORACLE_SPLIT,
+    "decontaminate_train_docs": ORACLE_DECONTAMINATE,
+    "pack_sequences_docs": ORACLE_PACK,
 }

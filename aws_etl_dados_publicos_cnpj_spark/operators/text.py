@@ -305,6 +305,73 @@ FROM pred GROUP BY 1, 2
 """
 
 
+def repetition_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    duplicate word bigrams and the dominance of the single most-frequent
+    word (Rae et al. 2021's repeated-n-gram quality filters).
+
+    Scale shape: the bigram ratio is a pure per-row expression on the
+    scan (no shuffle); word dominance needs the per-word counts, so it
+    explodes words into a partial-agg shuffle keyed on (doc, word) —
+    map-side combine keeps the shuffle at distinct-words volume — and
+    joins the two per-doc tables on the id (both already tiny: two
+    doubles per doc)."""
+    w = words_col(text_col)
+    n_words = F.size(w)
+    bi = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    per_row = df.select(
+        F.col(id_col),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(bi)) / F.size(bi), 4
+        ).alias("dup_bigram_ratio"),
+    )
+    dominance = (
+        df.select(F.col(id_col), F.explode(w).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("c") / F.sum("c"), 4).alias("top_word_ratio"))
+    )
+    return per_row.join(dominance, id_col)
+
+
+def repetition_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_ratio(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_REPETITION = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bi AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2
+              THEN [array_to_string(w[i:i+1], ' ') FOR i IN generate_series(1, len(w) - 1)]
+              ELSE [array_to_string(w, ' ')] END AS bigrams
+  FROM words
+),
+br AS (
+  SELECT doc_id,
+         round(1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams), 4) AS dup_bigram_ratio
+  FROM bi
+),
+wc AS (
+  SELECT doc_id, u.word, count(*) AS c
+  FROM words, LATERAL (SELECT unnest(w) AS word) u
+  GROUP BY 1, 2
+),
+tr AS (
+  SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_word_ratio
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id, dup_bigram_ratio, top_word_ratio FROM br JOIN tr USING (doc_id)
+"""
+
+
 def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained cleaning pipeline — the composition a real corpus pass
     runs: quality metrics → keep docs above length / diversity floors →
@@ -348,9 +415,11 @@ QUERIES = {
     "fingerprint_docs": fingerprint_docs,
     "lang_id_confusion": lang_id_confusion,
     "quality_filter_pipeline": quality_filter_pipeline,
+    "repetition_ratio_docs": repetition_ratio_docs,
 }
 
 ORACLES = {
+    "repetition_ratio_docs": ORACLE_REPETITION,
     "text_quality_docs": ORACLE_TEXT_QUALITY,
     "tfidf_top_terms_docs": ORACLE_TFIDF,
     "lang_id_docs": ORACLE_LANG_ID,

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from aws_etl_dados_publicos_cnpj_spark.operators import load_table
 from aws_etl_dados_publicos_cnpj_spark.operators.corpus import (
     corpus_stats,
+    decontaminate,
+    pack_sequences,
     stratified_sample,
     train_val_test_split,
 )
@@ -52,3 +54,72 @@ def test_train_val_test_split_partitions_everything(spark):
     first = {r.doc_id: r.split for r in out.collect()}
     again = {r.doc_id: r.split for r in train_val_test_split(docs).collect()}
     assert first == again
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated training text about spark engines here"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        # shares the 5-gram "quick brown fox jumps over" with doc 1
+        [(100, "a quick brown fox jumps over a fence")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_hit_shingles for r in decontaminate(train, bench).collect()}
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out and 3 not in out
+
+
+def test_decontaminate_short_doc_whole_text_shingle(spark):
+    # docs under n words fall back to the whole text as one shingle
+    train = spark.createDataFrame([(1, "tiny doc")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    out = decontaminate(train, bench).collect()
+    assert len(out) == 1 and out[0].n_hit_shingles == 1
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    a = pack_sequences(docs, budget=64, groups=8)
+    rows = a.collect()
+    assert sorted(tuple(r) for r in rows) == sorted(
+        tuple(r) for r in pack_sequences(docs, budget=64, groups=8).collect()
+    )
+    # within each group, seq ids are the chunk index of the doc's first
+    # token under concat-then-chunk semantics: recompute serially
+    by_group: dict[int, list] = {}
+    for r in rows:
+        by_group.setdefault(r.pack_group, []).append(r)
+    for grp in by_group.values():
+        grp.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in grp:
+            assert r.seq_id == cum // 64
+            cum += r.n_tokens
+    # packing is dense: total sequences ~ total tokens / budget, never
+    # one-doc-per-sequence sparse
+    n_seqs = a.select("pack_group", "seq_id").distinct().count()
+    total_tokens = a.agg(F.sum("n_tokens")).collect()[0][0]
+    assert n_seqs <= total_tokens // 64 + 8  # ≤ one partial chunk per group
+
+
+def test_repetition_ratio_planted(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),   # one bigram repeated 4x
+            (2, "all words here are unique"),  # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_ratio(df).collect()}
+    assert out[1].dup_bigram_ratio == 0.75   # 4 bigrams, 1 distinct
+    assert out[1].top_word_ratio == 1.0
+    assert out[2].dup_bigram_ratio == 0.0
+    assert out[2].top_word_ratio == 0.2

@@ -96,3 +96,26 @@ def test_tfidf_single_corpus_scan(spark):
     assert "CartesianProduct" not in plan
     # and it still computes the right thing end to end
     assert df.count() > 0
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The corpus side must never shuffle: benchmark shingles broadcast,
+    corpus scan → map-side join → one partial-agg exchange."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.corpus import (
+        decontaminate_train_docs,
+    )
+
+    plan = _plan(decontaminate_train_docs(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing is one hash exchange on pack_group feeding the window —
+    no joins, no extra sorts beyond the per-group window sort."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.corpus import pack_sequences_docs
+
+    plan = _plan(pack_sequences_docs(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
