@@ -43,6 +43,8 @@ _DRIVER_PRIORITY = [
     "decontaminate_train_docs",
     "repetition_ratio_docs",
     "pack_sequences_docs",
+    "redact_pii_docs",
+    "quantize_embeddings_int8",
     # -- family representatives (keep inside the checked window) --
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -54,6 +56,7 @@ _DRIVER_PRIORITY = [
     "minhash_lsh_pairs_docs",
     "simhash_docs",
     "simhash_near_pairs_docs",
+    "near_dup_clusters_docs",
     "hybrid_near_dup_docs",
     "edit_distance_pairs_docs",
     "ann_cosine_topk",
@@ -72,9 +75,6 @@ _DRIVER_PRIORITY = [
     "freshness_plan",
     "case_route_orders",
     "rollup_lineitem",
-    "cube_order_stats",
-    "grouping_sets_orders",
-    "sql_api_revenue",
 ]
 
 

@@ -590,8 +590,110 @@ JOIN embeddings eb ON jac.doc_b = eb.vec_id
 """
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph: every vertex
+    gets the MIN vertex id of its component as ``cluster_id`` — the
+    step that turns near-dup PAIRS into duplicate CLUSTERS (keep one
+    canonical doc per cluster, drop the rest).
+
+    Iterative min-label propagation with pointer jumping (label := its
+    label's label each round), so convergence is O(log diameter) rounds
+    rather than O(diameter) — the classic Spark CC shape (cf. Kiveris
+    et al., "Connected Components in MapReduce", SOCC'14). Scale notes:
+    the label table holds only vertices that appear in a pair (tiny vs
+    the corpus); each round is two key-joins on it; the per-round
+    convergence action reads ONE scalar (sum of labels, monotonically
+    non-increasing — equal sums ⇒ fixpoint), not the table.
+    """
+    edges = pairs.select(F.col(a_col).alias("v"), F.col(b_col).alias("u")).union(
+        pairs.select(F.col(b_col).alias("v"), F.col(a_col).alias("u"))
+    )
+    labels = edges.select("v").distinct().withColumn("lab", F.col("v")).cache()
+    prev_sum = None
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(
+                labels.select(F.col("v").alias("u"), F.col("lab").alias("ulab")), "u"
+            )
+            .groupBy("v")
+            .agg(F.min("ulab").alias("nlab"))
+        )
+        stepped = labels.join(nmin, "v", "left").select(
+            "v", F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab")
+        )
+        jump = stepped.select(F.col("v").alias("lab"), F.col("lab").alias("plab"))
+        new_labels = (
+            stepped.join(jump, "lab")
+            .select("v", F.col("plab").alias("lab"))
+            .cache()
+        )
+        new_sum = new_labels.agg(F.sum("lab")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(F.col("v"), F.col("lab").alias("cluster_id"))
+
+
+def near_dup_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.8
+) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pairs → connected components
+    → (doc, cluster, canonical?) keep-list for every doc in a dup
+    cluster."""
+    pairs = minhash_lsh_dedup(df, text_col, id_col, threshold)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("v").alias(id_col),
+        "cluster_id",
+        # int flag (not boolean) for engine-neutral value hashing
+        (F.col("v") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
+def near_dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_clusters(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_cc(iters: int = 10) -> str:
+    """Unrolled neighbor-min propagation (no pointer jumping): exact CC
+    when every component's diameter ≤ ``iters`` — guaranteed for the
+    driver corpus where dup clusters are small planted groups. The
+    Spark side iterates to a true fixpoint, so results agree."""
+    # every l{i} is referenced twice by l{i+1}; DuckDB inlines plain
+    # CTEs, which would re-evaluate the whole chain 2^iters times —
+    # MATERIALIZED pins each round to one evaluation
+    sql = f"WITH jac AS MATERIALIZED ({_ORACLE_EXACT_JACCARD}),\n"
+    sql += (
+        "e AS MATERIALIZED (SELECT doc_a AS v, doc_b AS u FROM jac "
+        "UNION ALL SELECT doc_b AS v, doc_a AS u FROM jac),\n"
+    )
+    sql += "l0 AS MATERIALIZED (SELECT DISTINCT v, v AS lab FROM e),\n"
+    for i in range(1, iters + 1):
+        sql += (
+            f"l{i} AS MATERIALIZED ("
+            f"SELECT l.v, least(l.lab, coalesce(min(n.lab), l.lab)) AS lab "
+            f"FROM l{i - 1} l LEFT JOIN e ON l.v = e.v "
+            f"LEFT JOIN l{i - 1} n ON e.u = n.v "
+            f"GROUP BY l.v, l.lab),\n"
+        )
+    sql = sql.rstrip(",\n") + "\n"
+    sql += (
+        f"SELECT v AS doc_id, lab AS cluster_id, "
+        f"CAST(v = lab AS INTEGER) AS is_canonical FROM l{iters}"
+    )
+    return sql
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
+    "near_dup_clusters_docs": near_dup_clusters_docs,
     "hybrid_near_dup_docs": hybrid_near_dup_docs,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
     "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
@@ -602,6 +704,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
+    "near_dup_clusters_docs": _oracle_cc(),
     "hybrid_near_dup_docs": ORACLE_HYBRID,
     "ngram_jaccard_pairs_docs": _ORACLE_EXACT_JACCARD,
     "minhash_lsh_pairs_docs": _ORACLE_EXACT_JACCARD,

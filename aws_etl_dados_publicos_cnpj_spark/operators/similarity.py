@@ -37,7 +37,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, LongType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from . import load_table
 
@@ -204,6 +211,82 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
             ).otherwise(F.lit(0).cast("long"))
         )
     return code
+
+
+_QUANT_SCHEMA = StructType(
+    [
+        StructField("scale", DoubleType()),
+        StructField("qvec", ArrayType(IntegerType())),
+    ]
+)
+
+
+@pandas_udf(_QUANT_SCHEMA)
+def _quantize_vec(vecs: pd.Series) -> pd.DataFrame:
+    """Arrow-vectorized symmetric int8 codes: one numpy pass per batch.
+    Round half-away matches Spark's HALF_UP and DuckDB's round, so the
+    vectorized path is bit-identical to the HOF/oracle twin."""
+    A = np.stack(vecs.to_numpy()).astype(np.float64)
+    scale = np.abs(A).max(axis=1) / 127.0
+    safe = np.where(scale == 0.0, 1.0, scale)
+    q = _round_half_away(A / safe[:, None], 0).astype(np.int32)
+    return pd.DataFrame({"scale": scale, "qvec": [r.tolist() for r in q]})
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    backend: str = "vec",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v| / 127``,
+    ``q_i = round(v_i / scale)`` ∈ [-127, 127] (the bound holds without
+    clipping since ``|v_i| ≤ max|v|``); zero vectors get scale 0 and
+    all-zero codes.
+
+    This is the storage/shuffle reducer for 100 TB embedding corpora:
+    int8 codes are 8× smaller than float64 on the wire, so ANN candidate
+    generation reads codes and only the exact re-rank touches the float
+    originals. ``backend='vec'`` (default) is one numpy pass per Arrow
+    batch; ``backend='hof'`` is the deterministic JVM-expression twin
+    the DuckDB oracle mirrors (both proven bit-identical in tests).
+
+    Output: (id_col, scale, qvec array<int>).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    if backend == "hof":
+        maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        staged = df.select(F.col(id_col), v.alias("__v"), (maxabs / F.lit(127)).alias("scale"))
+        q = F.when(
+            F.col("scale") == F.lit(0.0),
+            F.transform(F.col("__v"), lambda x: F.lit(0)),
+        ).otherwise(
+            F.transform(
+                F.col("__v"),
+                lambda x: F.round(x / F.col("scale"), 0).cast("int"),
+            )
+        )
+        return staged.select(id_col, "scale", q.alias("qvec"))
+    out = df.select(F.col(id_col), _quantize_vec(v).alias("__q"))
+    return out.select(id_col, F.col("__q.scale").alias("scale"), F.col("__q.qvec").alias("qvec"))
+
+
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+ORACLE_QUANTIZE = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127 AS scale
+  FROM embeddings
+)
+SELECT vec_id, scale,
+       CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER))
+       END AS qvec
+FROM m
+"""
 
 
 def lsh_bucket_vec(planes: list[list[float]]):
@@ -570,6 +653,7 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "quantize_embeddings_int8": quantize_embeddings_int8,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
     "ann_lsh_topk": ann_lsh_topk_query,
@@ -578,6 +662,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quantize_embeddings_int8": ORACLE_QUANTIZE,
     "ann_cosine_topk": ORACLE_ANN,
     "embedding_near_dup": ORACLE_NEAR_DUP,
     "ann_lsh_topk": _oracle_ann_lsh(),

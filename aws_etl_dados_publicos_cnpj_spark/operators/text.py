@@ -305,6 +305,51 @@ FROM pred GROUP BY 1, 2
 """
 
 
+# PII patterns shared with the oracle: kept to the Java∩RE2 regex
+# dialect subset so Spark and DuckDB match identically.
+PII_PATTERNS = [
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", "[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}", "<PHONE>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII redaction pass: replace emails / phone numbers / IPv4
+    addresses with typed placeholder tokens and count the hits per
+    category — the standard pre-training privacy scrub.
+
+    Pure per-row ``regexp_replace``/``regexp_count`` expressions on the
+    scan (JVM codegen, no shuffle, no UDF): at 100 TB this pipelines
+    with whatever else reads the corpus. Counts are taken on the
+    ORIGINAL text (not the partially-redacted chain) so category totals
+    are replacement-order independent."""
+    clean = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}"))
+        clean = F.regexp_replace(clean, pat, token)
+    return df.select(F.col(id_col), clean.alias("clean_text"), *counts)
+
+
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return redact_pii(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_REDACT = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}', '<PHONE>', 'g'),
+         '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS clean_text,
+       len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}')) AS n_phone,
+       len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ip
+FROM documents
+"""
+
+
 def repetition_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals per document: the fraction of
     duplicate word bigrams and the dominance of the single most-frequent
@@ -416,10 +461,12 @@ QUERIES = {
     "lang_id_confusion": lang_id_confusion,
     "quality_filter_pipeline": quality_filter_pipeline,
     "repetition_ratio_docs": repetition_ratio_docs,
+    "redact_pii_docs": redact_pii_docs,
 }
 
 ORACLES = {
     "repetition_ratio_docs": ORACLE_REPETITION,
+    "redact_pii_docs": ORACLE_REDACT,
     "text_quality_docs": ORACLE_TEXT_QUALITY,
     "tfidf_top_terms_docs": ORACLE_TFIDF,
     "lang_id_docs": ORACLE_LANG_ID,

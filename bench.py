@@ -31,6 +31,11 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality_docs",
     "stratified_sample_docs",
+    "decontaminate_train_docs",
+    "repetition_ratio_docs",
+    "pack_sequences_docs",
+    "redact_pii_docs",
+    "quantize_embeddings_int8",
     "asof_last_click_before_error",
     "range_join_clicks_near_errors",
     "multimodal_features",

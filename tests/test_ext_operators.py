@@ -21,6 +21,8 @@ from aws_etl_dados_publicos_cnpj_spark.operators.similarity import (
 )
 from aws_etl_dados_publicos_cnpj_spark.operators.text import fingerprint, lang_id, text_quality
 
+from conftest import SF_SMALL
+
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
@@ -288,3 +290,83 @@ def test_lsh_bucket_vec_matches_python_reference(spark):
         for i, v in vecs
     }
     assert got == expect  # {0: 0b111, 1: 0b110, 2: 0b000}
+
+
+def test_redact_pii_planted(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at john.doe@example.com or call 555-123-4567 now"),
+            (2, "server at 192.168.1.100 is down"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].clean_text == "mail me at <EMAIL> or call <PHONE> now"
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ip) == (1, 1, 0)
+    assert out[2].clean_text == "server at <IP> is down"
+    assert out[2].n_ip == 1
+    assert out[3].clean_text == "nothing sensitive here"
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ip) == (0, 0, 0)
+
+
+def test_quantize_backends_bit_identical_and_bounded(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators import load_table
+    from aws_etl_dados_publicos_cnpj_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    vec = sorted(tuple(r) for r in quantize_embeddings(emb).collect())
+    hof = sorted(tuple(r) for r in quantize_embeddings(emb, backend="hof").collect())
+    assert vec == hof
+    for _, scale, q in vec:
+        assert scale >= 0
+        assert all(-127 <= x <= 127 for x in q)
+
+
+def test_quantize_zero_vector_and_roundtrip(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -0.5, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert out[0].scale == 0.0 and out[0].qvec == [0, 0, 0]
+    # dequantized values reconstruct within half a quantization step
+    s = out[1].scale
+    deq = [x * s for x in out[1].qvec]
+    for got, want in zip(deq, [1.0, -0.5, 0.25]):
+        assert abs(got - want) <= s / 2 + 1e-12
+
+
+def test_connected_components_chain_and_clusters(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import connected_components
+
+    # a 6-vertex chain (diameter 5) plus a separate 2-cycle pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    out = {r.v: r.cluster_id for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+
+def test_near_dup_clusters_canonical_per_cluster(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import near_dup_clusters
+    from aws_etl_dados_publicos_cnpj_spark.operators import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    rows = near_dup_clusters(docs).collect()
+    assert rows, "planted near-dups should produce clusters"
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        canon = [m for m in members if m.is_canonical == 1]
+        assert len(canon) == 1 and canon[0].doc_id == cid == min(m.doc_id for m in members)
