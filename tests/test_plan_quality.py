@@ -119,3 +119,24 @@ def test_pack_sequences_single_shuffle(spark):
     plan = _plan(pack_sequences_docs(spark, SF_SMALL))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+@pytest.mark.parametrize(
+    "mod,name,want_cols",
+    [
+        ("text", "redact_pii_docs", {"doc_id", "text"}),
+        ("similarity", "quantize_embeddings_int8", {"vec_id", "embedding"}),
+        ("corpus", "pack_sequences_docs", {"doc_id", "text"}),
+    ],
+)
+def test_new_ops_prune_scan_columns(spark, mod, name, want_cols):
+    """Map-shaped pipeline ops must read only the columns they use —
+    at 100 TB an unpruned documents/embeddings scan dominates cost."""
+    import importlib
+
+    m = importlib.import_module(f"aws_etl_dados_publicos_cnpj_spark.operators.{mod}")
+    plan = _plan(m.QUERIES[name](spark, SF_SMALL))
+    got = set()
+    for match in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        got |= {c.split(":")[0] for c in match.group(1).split(",") if c}
+    assert got == want_cols, plan[:2000]

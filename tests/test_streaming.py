@@ -224,3 +224,61 @@ def test_stateful_running_totals(spark, events_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_redaction_and_quantization_equal_batch(spark, tmp_path):
+    """PII redaction and int8 quantization are stateless map passes, so
+    the same plan runs on readStream unchanged — the streaming-ingest
+    shape of a cleaning/embedding pipeline."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    from aws_etl_dados_publicos_cnpj_spark.operators.text import redact_pii
+
+    docs_dir = str(tmp_path / "docs_redact_stream")
+    spark.createDataFrame(
+        [
+            (1, "ping admin@host.org at 10.0.0.1"),
+            (2, "plain text"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(docs_dir)
+    schema = "doc_id long, text string"
+    batch = sorted(
+        tuple(r) for r in redact_pii(spark.read.schema(schema).parquet(docs_dir)).collect()
+    )
+    stream = spark.readStream.schema(schema).format("parquet").load(docs_dir)
+    q = (
+        redact_pii(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_redact")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM t_stream_redact").collect())
+    assert got == batch and batch[0][1] == "ping <EMAIL> at <IP>"
+
+    emb_dir = str(tmp_path / "emb_quant_stream")
+    load_table(spark, SF_SMALL, "embeddings").limit(50).write.mode("overwrite").parquet(emb_dir)
+    eschema = "vec_id long, embedding array<float>, label int"
+    ebatch = sorted(
+        (r.vec_id, r.scale, tuple(r.qvec))
+        for r in quantize_embeddings(spark.read.schema(eschema).parquet(emb_dir)).collect()
+    )
+    estream = spark.readStream.schema(eschema).format("parquet").load(emb_dir)
+    q2 = (
+        quantize_embeddings(estream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_quant")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    egot = sorted(
+        (r.vec_id, r.scale, tuple(r.qvec))
+        for r in spark.sql("SELECT * FROM t_stream_quant").collect()
+    )
+    assert egot == ebatch and len(egot) == 50
