@@ -363,11 +363,13 @@ def repetition_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     doubles per doc)."""
     w = words_col(text_col)
     n_words = F.size(w)
+    # zip_with of the word array against its shift-by-one — see
+    # dedup.shingle_array for why this beats transform(sequence, slice)
+    m = F.greatest(n_words - 1, F.lit(1))
     bi = F.when(
         n_words >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n_words - 1),
-            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        F.zip_with(
+            F.slice(w, 1, m), F.slice(w, 2, m), lambda a, b: F.concat(a, F.lit(" "), b)
         ),
     ).otherwise(F.array(F.concat_ws(" ", w)))
     per_row = df.select(
