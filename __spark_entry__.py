@@ -45,6 +45,8 @@ _DRIVER_PRIORITY = [
     "pack_sequences_docs",
     "redact_pii_docs",
     "quantize_embeddings_int8",
+    "shuffle_order_docs",
+    "domain_mix_docs",
     # -- family representatives (keep inside the checked window) --
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -73,8 +75,6 @@ _DRIVER_PRIORITY = [
     "window_latest_order",
     "topk_orders_per_customer",
     "freshness_plan",
-    "case_route_orders",
-    "rollup_lineitem",
 ]
 
 

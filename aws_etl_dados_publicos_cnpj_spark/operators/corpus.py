@@ -121,6 +121,83 @@ def pack_sequences(
     return out.select(id_col, "pack_group", "n_tokens", "seq_id")
 
 
+# Per-language replication factors for domain mixing: upsample the
+# under-represented tail, keep the head at one epoch.
+MIX_WEIGHTS = {"zh": 3, "fr": 2, "de": 2}
+DEFAULT_WEIGHT = 1
+
+
+def shuffle_order(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    partitions: int = 32,
+) -> DataFrame:
+    """Deterministic global training order: rank documents by a seeded
+    content hash — the corpus-shuffle step before sequence packing, but
+    reproducible across reruns and engines (no ``rand()``).
+
+    A bare ``row_number() OVER (ORDER BY …)`` would drag the corpus
+    through ONE task, so the global rank is two-phase: range-partition
+    on the hash (distributed sort, Spark samples split points), rank
+    within each partition, then add the broadcast cumulative offset of
+    the preceding partitions. The rank is a pure function of
+    (hash, id) order, so it's identical whatever boundaries the range
+    sampler picks."""
+    from pyspark.sql import Window
+
+    h = word_hash60(F.concat(F.lit(str(seed) + ":"), F.col(text_col)))
+    ranked = (
+        df.withColumn("__h", h)
+        .repartitionByRange(partitions, "__h", id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("__pid").orderBy("__h", id_col)
+            ),
+        )
+    )
+    offsets = (
+        ranked.groupBy("__pid")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .select(id_col, (F.col("__rk") + F.col("__off")).alias("shuffle_rank"))
+    )
+
+
+def domain_mix(df: DataFrame, weights: dict[str, int] | None = None) -> DataFrame:
+    """Weighted domain mixing: replicate each document ``weight(lang)``
+    times, tagging copies with an epoch index — the classic pretraining
+    mix shaping (e.g. 3 epochs of the low-resource tail, 1 of the head).
+
+    Pure map-side ``explode(sequence(...))`` on the scan: zero shuffle,
+    output volume = Σ weights — the replication happens where the data
+    lives, never through the driver."""
+    weights = weights or MIX_WEIGHTS
+    wcol = F.lit(DEFAULT_WEIGHT)
+    for lang, k in sorted(weights.items()):
+        wcol = F.when(F.col("lang") == lang, F.lit(k)).otherwise(wcol)
+    return df.select(
+        "doc_id", "lang", F.explode(F.sequence(F.lit(1), wcol)).alias("epoch_copy")
+    )
+
+
 def train_val_test_split(df: DataFrame, val_pct: int = 10, test_pct: int = 10) -> DataFrame:
     """Assign each document to train/val/test by content-hash bucket —
     reproducible splits with no shuffle and no stored split table."""
@@ -171,6 +248,32 @@ WHERE {_BUCKET_SQL} < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80
 def train_val_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = train_val_test_split(load_table(spark, sf_dir, "documents"))
     return out.select("doc_id", "split")
+
+
+def shuffle_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shuffle_order(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_SHUFFLE_ORDER = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY CAST('0x' || substr(md5('7:' || text), 1, 15) AS BIGINT), doc_id
+       ) AS shuffle_rank
+FROM documents
+"""
+
+
+def domain_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_mix(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_DOMAIN_MIX = """
+SELECT doc_id, lang, u.epoch_copy
+FROM documents, LATERAL (
+  SELECT unnest(generate_series(1,
+    CASE lang WHEN 'de' THEN 2 WHEN 'fr' THEN 2 WHEN 'zh' THEN 3 ELSE 1 END)) AS epoch_copy
+) u
+"""
 
 
 def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,9 +350,13 @@ QUERIES = {
     "train_val_test_split_docs": train_val_test_split_docs,
     "decontaminate_train_docs": decontaminate_train_docs,
     "pack_sequences_docs": pack_sequences_docs,
+    "shuffle_order_docs": shuffle_order_docs,
+    "domain_mix_docs": domain_mix_docs,
 }
 
 ORACLES = {
+    "shuffle_order_docs": ORACLE_SHUFFLE_ORDER,
+    "domain_mix_docs": ORACLE_DOMAIN_MIX,
     "corpus_stats_by_lang_source": ORACLE_CORPUS_STATS,
     "stratified_sample_docs": ORACLE_STRATIFIED_SAMPLE,
     "train_val_test_split_docs": ORACLE_SPLIT,

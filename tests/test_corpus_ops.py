@@ -123,3 +123,33 @@ def test_repetition_ratio_planted(spark):
     assert out[1].top_word_ratio == 1.0
     assert out[2].dup_bigram_ratio == 0.0
     assert out[2].top_word_ratio == 0.2
+
+
+def test_shuffle_order_is_a_permutation_and_deterministic(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators.corpus import shuffle_order
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    a = {r.doc_id: r.shuffle_rank for r in shuffle_order(docs).collect()}
+    b = {r.doc_id: r.shuffle_rank for r in shuffle_order(docs, partitions=5).collect()}
+    n = docs.count()
+    assert sorted(a.values()) == list(range(1, n + 1))  # contiguous global ranks
+    assert a == b  # rank independent of partition count (pure hash order)
+    # a different seed reshuffles
+    c = {r.doc_id: r.shuffle_rank for r in shuffle_order(docs, seed=8).collect()}
+    assert c != a
+
+
+def test_domain_mix_replicates_by_weight(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators.corpus import domain_mix
+
+    df = spark.createDataFrame(
+        [(1, "t", "en"), (2, "t", "zh"), (3, "t", "de")],
+        "doc_id long, text string, lang string",
+    )
+    rows = domain_mix(df).collect()
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch_copy)
+    assert sorted(per_doc[1]) == [1]
+    assert sorted(per_doc[2]) == [1, 2, 3]
+    assert sorted(per_doc[3]) == [1, 2]
