@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = [
     "quantize_embeddings_int8",
     "shuffle_order_docs",
     "domain_mix_docs",
+    "unigram_logprob_docs",
     # -- family representatives (keep inside the checked window) --
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -71,7 +72,6 @@ _DRIVER_PRIORITY = [
     "anti_join_customers_without_orders",
     "left_join_order_counts",
     "group_collect_manifest",
-    "explode_manifest",
     "window_latest_order",
     "topk_orders_per_customer",
     "freshness_plan",

@@ -616,8 +616,13 @@ def connected_components(
     convergence action reads ONE scalar (sum of labels, monotonically
     non-increasing — equal sums ⇒ fixpoint), not the table.
     """
-    edges = pairs.select(F.col(a_col).alias("v"), F.col(b_col).alias("u")).union(
-        pairs.select(F.col(b_col).alias("v"), F.col(a_col).alias("u"))
+    # cache the edge list: every propagation round joins against it, and
+    # without pinning it each round's action would re-execute the whole
+    # upstream pair pipeline (MinHash+LSH) from the scan
+    edges = (
+        pairs.select(F.col(a_col).alias("v"), F.col(b_col).alias("u"))
+        .union(pairs.select(F.col(b_col).alias("v"), F.col(a_col).alias("u")))
+        .cache()
     )
     labels = edges.select("v").distinct().withColumn("lab", F.col("v")).cache()
     prev_sum = None

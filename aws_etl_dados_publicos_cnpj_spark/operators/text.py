@@ -419,6 +419,58 @@ SELECT doc_id, dup_bigram_ratio, top_word_ratio FROM br JOIN tr USING (doc_id)
 """
 
 
+def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-LM quality score (CCNet-style, unigram order): mean
+    negative log-probability of a document's words under the corpus's
+    own add-one-smoothed unigram model. High scores = improbable word
+    salad; low = fluent-for-this-corpus.
+
+    Two partial-agg shuffles and a broadcast: (1) word counts over the
+    exploded corpus (network carries distinct words), (2) the 1-row
+    total/vocab aggregate joined in broadcast, then per-doc mean over
+    the same exploded rows — the model table is vocabulary-sized, so at
+    100 TB it broadcasts while the corpus streams map-side."""
+    words = df.select(F.col(id_col), F.explode(words_col(text_col)).alias("word"))
+    vocab = words.groupBy("word").agg(F.count("*").alias("wc"))
+    totals = vocab.agg(
+        F.sum("wc").alias("n_tokens"), F.count("*").alias("n_vocab")
+    )
+    model = vocab.join(F.broadcast(totals)).select(
+        "word",
+        (-F.log((F.col("wc") + 1) / (F.col("n_tokens") + F.col("n_vocab")))).alias("nll"),
+    )
+    # no broadcast hint on the model: a web-scale vocabulary can exceed
+    # executor memory — AQE broadcasts when it fits, shuffle-joins on
+    # the word key when it doesn't
+    return (
+        words.join(model, "word")
+        .groupBy(id_col)
+        .agg(F.round(F.avg("nll"), 4).alias("mean_nll"), F.count("*").alias("n_words"))
+    )
+
+
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_UNIGRAM = """
+WITH words AS (
+  SELECT doc_id, u.word
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(w) AS word) u
+),
+vocab AS (SELECT word, count(*) AS wc FROM words GROUP BY word),
+totals AS (SELECT sum(wc) AS n_tokens, count(*) AS n_vocab FROM vocab),
+model AS (
+  SELECT word, -ln((wc + 1) * 1.0 / (n_tokens + n_vocab)) AS nll
+  FROM vocab, totals
+)
+SELECT doc_id, round(avg(nll), 4) AS mean_nll, count(*) AS n_words
+FROM words JOIN model USING (word)
+GROUP BY doc_id
+"""
+
+
 def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained cleaning pipeline — the composition a real corpus pass
     runs: quality metrics → keep docs above length / diversity floors →
@@ -464,9 +516,11 @@ QUERIES = {
     "quality_filter_pipeline": quality_filter_pipeline,
     "repetition_ratio_docs": repetition_ratio_docs,
     "redact_pii_docs": redact_pii_docs,
+    "unigram_logprob_docs": unigram_logprob_docs,
 }
 
 ORACLES = {
+    "unigram_logprob_docs": ORACLE_UNIGRAM,
     "repetition_ratio_docs": ORACLE_REPETITION,
     "redact_pii_docs": ORACLE_REDACT,
     "text_quality_docs": ORACLE_TEXT_QUALITY,

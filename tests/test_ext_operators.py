@@ -370,3 +370,18 @@ def test_near_dup_clusters_canonical_per_cluster(spark):
     for cid, members in by_cluster.items():
         canon = [m for m in members if m.is_canonical == 1]
         assert len(canon) == 1 and canon[0].doc_id == cid == min(m.doc_id for m in members)
+
+
+def test_unigram_logprob_scores_rare_words_higher(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the"),        # only common words
+            (2, "the zyx the qwv"),        # half rare words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert out[1].mean_nll < out[2].mean_nll
+    assert out[1].n_words == 4 and out[2].n_words == 4

@@ -3,7 +3,7 @@ the sf0.1 documents table in-plan (doc_id-offset unions — no disk
 writes) and time each operator at 1x/4x/16x to observe the growth
 curve recorded in SCALE.md.
 
-Usage: python tools/bench_scaling.py [sf_dir]
+Usage: python tools/bench_scaling.py [sf_dir] [op ...]
 """
 
 from __future__ import annotations
@@ -32,20 +32,41 @@ def main() -> None:
     from aws_etl_dados_publicos_cnpj_spark.session import build_session
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])
     spark = build_session("scaling", extra_conf={"spark.ui.showConsoleProgress": "false"})
     docs = load_table(spark, sf_dir, "documents")
 
+    from aws_etl_dados_publicos_cnpj_spark.operators import corpus
+
+    # replication clones every doc, so pair-emitting ops produce
+    # quadratic OUTPUT per clone group at high factors — the
+    # cluster/pair ops measure 1x/4x (growth curve is visible there);
+    # map/agg-shaped ops go to 16x
     ops = {
-        "minhash_lsh": lambda d: dedup.minhash_lsh_dedup(d, threshold=0.8),
-        "simhash_pairs": lambda d: dedup.simhash_near_pairs(d, max_hamming=3),
-        "edit_distance_pairs": lambda d: dedup.edit_distance_near_pairs(
-            d.withColumn("key40", F.substring("text", 1, 40)), "key40", max_dist=12
+        "minhash_lsh": ((1, 4, 16), lambda d: dedup.minhash_lsh_dedup(d, threshold=0.8)),
+        "simhash_pairs": ((1, 4, 16), lambda d: dedup.simhash_near_pairs(d, max_hamming=3)),
+        "edit_distance_pairs": (
+            (1, 4),
+            lambda d: dedup.edit_distance_near_pairs(
+                d.withColumn("key40", F.substring("text", 1, 40)), "key40", max_dist=12
+            ),
         ),
-        "fingerprint": lambda d: text.fingerprint(d),
+        "fingerprint": ((1, 4, 16), lambda d: text.fingerprint(d)),
+        "near_dup_clusters": ((1, 4), lambda d: dedup.near_dup_clusters(d)),
+        "decontaminate": (
+            (1, 4, 16),
+            lambda d: corpus.decontaminate(
+                d, d.filter(F.pmod(dedup.word_hash60(F.col("text")), F.lit(100)) >= 97)
+            ),
+        ),
+        "repetition_ratio": ((1, 4, 16), lambda d: text.repetition_ratio(d)),
+        "shuffle_order": ((1, 4, 16), lambda d: corpus.shuffle_order(d)),
     }
-    for name, fn in ops.items():
+    for name, (scales, fn) in ops.items():
+        if only and name not in only:
+            continue
         row = []
-        for times in (1, 4, 16):
+        for times in scales:
             d = replicated(docs, times)
             fn(d).count()  # warm codegen/JIT for this plan shape
             start = time.perf_counter()
