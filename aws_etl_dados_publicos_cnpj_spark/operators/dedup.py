@@ -199,6 +199,84 @@ def minhash_lsh_dedup(
     )
 
 
+def minhash_signature_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Persistable (id, sig, sh_set) signature table for INCREMENTAL
+    dedup: compute once per ingest batch, store next to the corpus, and
+    future batches dedup against it without re-shingling history."""
+    base = df.select(F.col(id_col), shingle_array(text_col).alias("sh_set"))
+    sh = base.select(id_col, F.explode("sh_set").alias("shingle"))
+    return minhash_signatures(sh, id_col).join(base, id_col)
+
+
+def minhash_lsh_dedup_incremental(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Incremental near-dedup: find pairs BETWEEN a new ingest batch and
+    the existing corpus, plus pairs WITHIN the batch — without ever
+    re-banding old×old (history was already deduped when it landed).
+
+    This is the weekly-refresh shape at 100 TB: the corpus side only
+    streams its (persisted) signature table through the band join, the
+    new side is typically small, and the candidate space is
+    new×(corpus+new), never corpus×corpus. Inputs are
+    ``minhash_signature_table`` outputs; the same band-bucket equi-join
+    and candidate-only exact verify as the batch path, so results equal
+    the full recompute restricted to pairs touching the new batch
+    (property-tested)."""
+
+    def banded(sigs):
+        return sigs.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.slice(F.col("sig"), b * rows + 1, rows)
+                            ).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    new_b = banded(new_sigs)
+    all_b = banded(corpus_sigs).union(new_b)
+    cand = (
+        new_b.select(F.col(id_col).alias("doc_a"), "band", "bh")
+        .join(all_b.select(F.col(id_col).alias("doc_b"), "band", "bh"), ["band", "bh"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = corpus_sigs.select(id_col, "sh_set").union(
+        new_sigs.select(id_col, "sh_set")
+    )
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def word_hash60(w: Column) -> Column:
     """60-bit word hash: the top 15 hex chars of md5, as a LongType.
     md5 is a codegen'd JVM expression AND bit-exact reproducible in the

@@ -385,3 +385,29 @@ def test_unigram_logprob_scores_rare_words_higher(spark):
     out = {r.doc_id: r for r in unigram_logprob(df).collect()}
     assert out[1].mean_nll < out[2].mean_nll
     assert out[1].n_words == 4 and out[2].n_words == 4
+
+
+def test_incremental_minhash_equals_full_recompute(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators import load_table
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        minhash_lsh_dedup_incremental,
+        minhash_signature_table,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    full = minhash_lsh_dedup(docs).collect()
+    assert full, "corpus has planted near-dups"
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    want = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in full
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    )
+    inc = minhash_lsh_dedup_incremental(
+        minhash_signature_table(new), minhash_signature_table(old)
+    )
+    got = sorted((r.doc_a, r.doc_b, r.jaccard) for r in inc.collect())
+    assert got == want
