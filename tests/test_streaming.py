@@ -282,3 +282,40 @@ def test_streaming_redaction_and_quantization_equal_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_stream_quant").collect()
     )
     assert egot == ebatch and len(egot) == 50
+
+
+def test_streaming_incremental_dedup_matches_full_batch(spark, tmp_path):
+    """Docs arrive as a stream (one file per micro-batch); the
+    accumulated pair table must equal the full-corpus batch dedup —
+    every near-dup pair is found exactly when its later doc arrives."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import minhash_lsh_dedup
+    from aws_etl_dados_publicos_cnpj_spark.streaming.incremental_dedup import (
+        start_streaming_dedup,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    stream_dir = str(tmp_path / "docs_arriving")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(stream_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    sig_store = str(tmp_path / "sig_store")
+    out = str(tmp_path / "pairs_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stream_dir)
+    )
+    q = start_streaming_dedup(spark, stream, sig_store, out, ckpt)
+    q.awaitTermination()
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard) for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.doc_a, r.doc_b, r.jaccard) for r in minhash_lsh_dedup(docs).collect()
+    )
+    assert got == want and len(got) > 0
+    # signature store holds every doc exactly once
+    assert spark.read.parquet(sig_store).count() == docs.count()
