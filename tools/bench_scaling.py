@@ -45,10 +45,13 @@ def main() -> None:
     ops = {
         "minhash_lsh": ((1, 4, 16), lambda d: dedup.minhash_lsh_dedup(d, threshold=0.8)),
         "simhash_pairs": ((1, 4, 16), lambda d: dedup.simhash_near_pairs(d, max_hamming=3)),
+        # max_dist=4 on a 40-char key: the realistic near-dup regime.
+        # Looser thresholds (>=12) collapse the PassJoin segment filter
+        # toward all-pairs by construction — not a useful scaling probe.
         "edit_distance_pairs": (
             (1, 4),
             lambda d: dedup.edit_distance_near_pairs(
-                d.withColumn("key40", F.substring("text", 1, 40)), "key40", max_dist=12
+                d.withColumn("key40", F.substring("text", 1, 40)), "key40", max_dist=4
             ),
         ),
         "fingerprint": ((1, 4, 16), lambda d: text.fingerprint(d)),
