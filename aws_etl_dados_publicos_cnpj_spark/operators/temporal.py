@@ -68,6 +68,60 @@ def asof_join(
     return out.filter(F.col("_side") == 0).drop("_side", *[f"_r_{c}" for c in right_cols])
 
 
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """``applyInPandas`` twin of :func:`asof_join` — cogroup by key,
+    ``pd.merge_asof`` per group (one Arrow batch each side).
+
+    Same contract, different physical shape: the union-window form is
+    the default (stays JVM-side, one co-partitioned sort), but when the
+    right side is orders of magnitude denser than the left (e.g. one
+    query timestamp vs millions of ticks per key), sorting the union
+    makes every left row pay for the right side's volume; here each
+    group is two already-small Arrow frames and merge_asof is a linear
+    scan. Equality with the default path is pinned in
+    tests/test_temporal.py."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_fields = list(left.schema.fields) + [
+        T.StructField(f"asof_{c}", right.schema[c].dataType, True) for c in right_cols
+    ]
+    out_schema = T.StructType(out_fields)
+    left_cols = list(left.columns)
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = l.sort_values(on, kind="mergesort")
+        if r.empty:
+            for c in right_cols:
+                l[f"asof_{c}"] = None
+            return l[left_cols + [f"asof_{c}" for c in right_cols]]
+        r = r[[on] + right_cols].rename(
+            columns={c: f"asof_{c}" for c in right_cols}
+        ).sort_values(on, kind="mergesort")
+        out = pd.merge_asof(
+            l, r, on=on, allow_exact_matches=not strict, direction="backward"
+        )
+        for c in right_cols:
+            col = out[f"asof_{c}"]
+            # NaN-padded numerics must reach Arrow as nullable objects,
+            # not float-upcast columns
+            out[f"asof_{c}"] = col.astype(object).where(col.notna(), None)
+        return out[left_cols + [f"asof_{c}" for c in right_cols]]
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(lambda _key, l, r: merge(l, r), out_schema)
+    )
+
+
 def range_join_count(
     left: DataFrame,
     right: DataFrame,

@@ -4,7 +4,11 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from aws_etl_dados_publicos_cnpj_spark.operators.temporal import asof_join
+
+from conftest import SF_SMALL
 
 
 def _ts(s):
@@ -49,3 +53,27 @@ def test_asof_respects_key_partitions(spark):
     )
     out = asof_join(left, right, on="ts", by="k", right_cols=["v"]).collect()
     assert out[0].asof_v is None
+
+
+def test_asof_pandas_fallback_equals_union_window_form(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators import load_table
+    from aws_etl_dados_publicos_cnpj_spark.operators.temporal import (
+        asof_join,
+        asof_join_pandas,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    errors = events.filter(F.col("event_type") == "error")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value"), F.col("ts").alias("click_ts")
+    )
+    kw = dict(on="ts", by="user_id", right_cols=["click_value", "click_ts"])
+    for strict in (True, False):
+        a = sorted(
+            tuple(r) for r in asof_join(errors, clicks, strict=strict, **kw).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in asof_join_pandas(errors, clicks, strict=strict, **kw).collect()
+        )
+        assert a == b and len(a) > 0
