@@ -158,6 +158,13 @@ def shuffle_order(
                 Window.partitionBy("__pid").orderBy("__h", id_col)
             ),
         )
+        # pin ONE materialization: the offsets aggregate and the final
+        # join must see identical range-partition boundaries and
+        # spark_partition_id values. Without this that only holds via
+        # Spark's ReuseExchange rule — if reuse misses, offsets from a
+        # differently-sampled partitioning silently corrupt the ranks.
+        # localCheckpoint (not cache) so storage is freed on GC.
+        .localCheckpoint(eager=False)
     )
     offsets = (
         ranked.groupBy("__pid")
@@ -220,8 +227,8 @@ def corpus_stats_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CORPUS_STATS = """
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(length(text)) AS total_chars,
-       sum(len(string_split(text, ' '))) AS total_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        round(avg(length(text)), 4) AS avg_chars
 FROM documents GROUP BY lang, source
 """

@@ -182,7 +182,15 @@ def minhash_lsh_dedup(
     shuffle (see ``minhash_signatures``); candidates via the band-bucket
     equi-join; exact Jaccard via ``array_intersect`` on just the
     candidate pairs — never on the full pair space."""
-    base = spread(df).select(F.col(id_col), shingle_array(text_col).alias("sh_set")).cache()
+    # localCheckpoint (lazy), not cache(): same compute-once sharing across
+    # the sigs/sa/sb branches, but storage is released by the ContextCleaner
+    # when the result DF is dropped — CacheManager entries would pin
+    # per-call storage for the life of a long driver session (50+ queries)
+    base = (
+        spread(df)
+        .select(F.col(id_col), shingle_array(text_col).alias("sh_set"))
+        .localCheckpoint(eager=False)
+    )
     sh = base.select(id_col, F.explode("sh_set").alias("shingle"))
     sigs = minhash_signatures(sh, id_col)
     candidates = lsh_candidate_pairs(sigs, id_col)
@@ -727,7 +735,15 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels.select(F.col("v"), F.col("lab").alias("cluster_id"))
+    # materialize the converged labels OUTSIDE the loop caches, then drop
+    # them — without this every call leaks a pinned edge list + label
+    # table into a long-lived driver session
+    result = labels.select(F.col("v"), F.col("lab").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    labels.unpersist()
+    edges.unpersist()
+    return result
 
 
 def near_dup_clusters(

@@ -272,7 +272,12 @@ def quantize_embeddings(
 
 
 def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    """Driver query form: the library API returns ``qvec array<int>``, but
+    the driver's pandas canonicalizer sorts rows and cannot hash list
+    cells (CORRECTNESS_r03: ``TypeError: unhashable type: 'list'``), so
+    the query projects the array to a deterministic CSV string."""
+    out = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return out.select("vec_id", "scale", F.concat_ws(",", "qvec").alias("qvec_csv"))
 
 
 ORACLE_QUANTIZE = """
@@ -282,9 +287,10 @@ WITH m AS (
   FROM embeddings
 )
 SELECT vec_id, scale,
-       CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
-            ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER))
-       END AS qvec
+       CASE WHEN scale = 0 THEN array_to_string(list_transform(embedding, x -> 0), ',')
+            ELSE array_to_string(list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER)), ',')
+       END AS qvec_csv
 FROM m
 """
 
@@ -378,6 +384,32 @@ def embedding_near_dup_pairs(
     )
 
 
+def _nearest_cells_expr(vec: Column, centers: list[list[float]], n: int) -> Column:
+    """JVM expression for the ``n`` nearest center cells of ``vec`` by
+    squared L2 (ties → lower cell id, via struct array_sort): the
+    coarse-quantizer assignment as a codegen'd map-side expression —
+    no shuffle, no UDF, and exactly reproducible in oracle SQL when the
+    centers are literals."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in center]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, center in enumerate(centers)
+        ]
+    )
+    return F.slice(F.array_sort(dists), 1, n).getField("cell")
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -387,6 +419,7 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centers: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
     corpus vector to a cell; each probe searches only its
@@ -395,46 +428,41 @@ def ann_ivf_topk(
     Scale shape: training samples the corpus (KMeans on a fraction),
     cell assignment is one map-side pass (persisted at scale, like the
     LSH buckets), and the search join hits ~n_probe/n_cells of the
-    corpus. Deterministic for fixed seed."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    corpus. Deterministic for fixed seed.
 
-    train = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn("features", array_to_vector("cvec"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
-    assigned = model.transform(train).select(
-        "neighbor_id", "cvec", F.col("prediction").alias("cell")
-    )
-
-    centers = [c.tolist() for c in model.clusterCenters()]
-
-    def _nearest_cells(vec_col_: Column) -> Column:
-        # distances to each center, pick the n_probe_cells smallest
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            vec_col_,
-                            F.array(*[F.lit(float(x)) for x in center]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, center in enumerate(centers)
-            ]
+    ``centers`` pins the quantizer (a list of center vectors, e.g. a
+    persisted index's centers table): no training runs, corpus rows are
+    assigned to their argmin-L2 cell with JVM expressions, and the whole
+    query becomes a pure function of its literals — the hash-checkable
+    driver form."""
+    if centers is not None:
+        train = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
         )
-        return F.slice(F.array_sort(dists), 1, n_probe_cells).getField("cell")
+        assigned = train.withColumn(
+            "cell", F.element_at(_nearest_cells_expr(F.col("cvec"), centers, 1), 1)
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        ).withColumn("features", array_to_vector("cvec"))
+        model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+        assigned = model.transform(train).select(
+            "neighbor_id", "cvec", F.col("prediction").alias("cell")
+        )
+        centers = [c.tolist() for c in model.clusterCenters()]
 
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).cast("array<double>").alias("pvec"),
-    ).withColumn("cell", F.explode(_nearest_cells(F.col("pvec"))))
+    ).withColumn(
+        "cell", F.explode(_nearest_cells_expr(F.col("pvec"), centers, n_probe_cells))
+    )
 
     scored = (
         assigned.join(F.broadcast(p), "cell")
@@ -646,10 +674,62 @@ WHERE rk <= 5
 
 
 def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (rows-only check: approximate recall)."""
+    """IVF ANN over a FROZEN coarse quantizer — hash-checked: the
+    seed-42 KMeans centers are pinned literals (``_ivf_centers.py``), so
+    the oracle reproduces cell assignment (argmin L2), probing (2
+    nearest cells) and the cell-restricted top-k exactly. This is the
+    persisted-index *search* path (``ann_ivf_search``); training stays
+    covered by ``ann_ivf_topk(centers=None)`` unit tests."""
+    from ._ivf_centers import IVF_PINNED_CENTERS
+
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
-    return ann_ivf_topk(emb, probes, k=5)
+    return ann_ivf_topk(emb, probes, k=5, centers=IVF_PINNED_CENTERS)
+
+
+def _oracle_ann_ivf() -> str:
+    """DuckDB twin of ``ann_ivf_topk_query``: identical center literals,
+    argmin-L2 assignment with the same (distance, cell) tie-break,
+    2-nearest-cell probing, cosine re-rank, bucket-restricted top-k."""
+    from ._ivf_centers import IVF_PINNED_CENTERS
+
+    values = ",\n    ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(IVF_PINNED_CENTERS)
+    )
+    return f"""
+WITH centers(cell, cvecc) AS (VALUES
+    {values}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+d AS (SELECT vec_id, cell, list_distance(e, cvecc) AS dist FROM v, centers),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d) WHERE rn = 1
+),
+pcells AS (
+  SELECT vec_id AS probe_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d WHERE vec_id < 10) WHERE rn <= 2
+),
+s AS (
+  SELECT DISTINCT pc.probe_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(pe.e, ce.e), 4) AS sim
+  FROM pcells pc
+  JOIN assign a USING (cell)
+  JOIN v pe ON pe.vec_id = pc.probe_id
+  JOIN v ce ON ce.vec_id = a.vec_id
+  WHERE a.vec_id <> pc.probe_id
+)
+SELECT probe_id, neighbor_id, sim, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rk
+      FROM s)
+WHERE rk <= 5
+"""
 
 
 QUERIES = {
@@ -667,4 +747,5 @@ ORACLES = {
     "embedding_near_dup": ORACLE_NEAR_DUP,
     "ann_lsh_topk": _oracle_ann_lsh(),
     "ann_lsh_multiprobe_topk": _oracle_ann_lsh(multi_probe=True),
+    "ann_ivf_topk": _oracle_ann_ivf(),
 }

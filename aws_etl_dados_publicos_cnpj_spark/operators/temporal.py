@@ -96,17 +96,32 @@ def asof_join_pandas(
     out_schema = T.StructType(out_fields)
     left_cols = list(left.columns)
 
+    # Alias every non-key right column to a unique name BEFORE the
+    # cogroup: when a right column shares its attribute id with a left
+    # column (both sides unaliased from one scan — e.g. events.ts on
+    # both), Catalyst's cogroup column pruning assigns the needed
+    # attribute to the left child and silently DROPS it from the right
+    # frame, and merge() dies on the missing column. Fresh aliases give
+    # the right child its own attribute ids, which the pruner keeps.
+    r_on = "__asof_r_on"
+    rprep = right.select(
+        F.col(by),
+        F.col(on).alias(r_on),
+        *[F.col(c).alias(f"__asof_r_{c}") for c in right_cols],
+    )
+
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         l = l.sort_values(on, kind="mergesort")
         if r.empty:
             for c in right_cols:
                 l[f"asof_{c}"] = None
             return l[left_cols + [f"asof_{c}" for c in right_cols]]
-        r = r[[on] + right_cols].rename(
-            columns={c: f"asof_{c}" for c in right_cols}
-        ).sort_values(on, kind="mergesort")
+        r = r[[r_on] + [f"__asof_r_{c}" for c in right_cols]].rename(
+            columns={f"__asof_r_{c}": f"asof_{c}" for c in right_cols}
+        ).sort_values(r_on, kind="mergesort")
         out = pd.merge_asof(
-            l, r, on=on, allow_exact_matches=not strict, direction="backward"
+            l, r, left_on=on, right_on=r_on,
+            allow_exact_matches=not strict, direction="backward",
         )
         for c in right_cols:
             col = out[f"asof_{c}"]
@@ -117,7 +132,7 @@ def asof_join_pandas(
 
     return (
         left.groupBy(by)
-        .cogroup(right.groupBy(by))
+        .cogroup(rprep.groupBy(by))
         .applyInPandas(lambda _key, l, r: merge(l, r), out_schema)
     )
 
@@ -165,15 +180,13 @@ def range_join_count(
 # --- driver-contract query form --------------------------------------------
 
 
-def asof_last_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """For each error event, the user's most recent strictly-earlier
-    click (inner form to match DuckDB's ASOF JOIN semantics)."""
+def _asof_click_query(spark: SparkSession, sf_dir: str, join_fn) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     errors = events.filter(F.col("event_type") == "error")
     clicks = events.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("value").alias("click_value"), F.col("ts").alias("click_ts")
     )
-    joined = asof_join(
+    joined = join_fn(
         errors, clicks.select("user_id", "ts", "click_value", "click_ts"),
         on="ts", by="user_id", right_cols=["click_value", "click_ts"], strict=True,
     )
@@ -187,6 +200,20 @@ def asof_last_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("asof_click_value", 2).alias("click_value"),
         )
     )
+
+
+def asof_last_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error event, the user's most recent strictly-earlier
+    click (inner form to match DuckDB's ASOF JOIN semantics)."""
+    return _asof_click_query(spark, sf_dir, asof_join)
+
+
+def asof_last_click_before_error_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same as-of query through the ``applyInPandas``/``merge_asof``
+    backend — registered as its own oracled query so the cogrouped Arrow
+    path gets driver-style (vanilla-session) coverage, not just the
+    equality unit test (VERDICT r3 #7)."""
+    return _asof_click_query(spark, sf_dir, asof_join_pandas)
 
 
 ORACLE_ASOF = """
@@ -227,9 +254,11 @@ GROUP BY e.event_id, e.user_id
 
 QUERIES = {
     "asof_last_click_before_error": asof_last_click_before_error,
+    "asof_last_click_before_error_pandas": asof_last_click_before_error_pandas,
     "range_join_clicks_near_errors": range_join_clicks_near_errors,
 }
 ORACLES = {
     "asof_last_click_before_error": ORACLE_ASOF,
+    "asof_last_click_before_error_pandas": ORACLE_ASOF,
     "range_join_clicks_near_errors": ORACLE_RANGE_JOIN,
 }

@@ -500,7 +500,7 @@ WITH q AS (
 )
 SELECT lang, count(*) AS n_kept,
        round(avg(avg_word_len), 4) AS mean_word_len,
-       sum(n_words) AS total_words
+       CAST(sum(n_words) AS BIGINT) AS total_words
 FROM q WHERE n_words >= 30 AND type_token_ratio >= 0.5
 GROUP BY lang
 """

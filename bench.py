@@ -40,7 +40,30 @@ HEADLINE = [
     "range_join_clicks_near_errors",
     "multimodal_features",
     "multimodal_wav_decode",
+    # round-3 operator families (VERDICT r3 #6)
+    "near_dup_clusters_docs",
+    "shuffle_order_docs",
+    "unigram_logprob_docs",
+    "incremental_dedup_refresh",
 ]
+
+
+def _incremental_dedup_refresh(spark, sf_dir):
+    """Bench-only wrapper (two-input op, so not a driver query): weekly
+    refresh shape — dedup the odd-id half of `documents` (the "new
+    batch") against the even-id half's persisted-style signature table."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_dados_publicos_cnpj_spark.operators import load_table
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import (
+        minhash_lsh_dedup_incremental,
+        minhash_signature_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = minhash_signature_table(docs.filter(F.col("doc_id") % 2 == 0))
+    new = minhash_signature_table(docs.filter(F.col("doc_id") % 2 == 1))
+    return minhash_lsh_dedup_incremental(new, old)
 
 
 def main() -> None:
@@ -51,12 +74,18 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = build_session("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
 
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    qs["incremental_dedup_refresh"] = _incremental_dedup_refresh
+
+    # SPARK_GRAFT_BENCH_ONLY="q01_...,q05_..." restricts the run — for
+    # isolating per-query timings from whole-session pressure.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         # cold pass: includes whole-stage-codegen compilation (recorded
         # separately); timed pass measures steady-state execution.
         # Per-query isolation: one failing query records an error line

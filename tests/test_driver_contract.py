@@ -26,5 +26,6 @@ def test_every_oracle_has_a_query():
     orphans = [n for n in oracles if n not in qs]
     assert orphans == []
     # rows-only queries are the declared exceptions, not accidents
+    # (ann_ivf_topk left this list in round 4: pinned-centers oracle)
     no_oracle = sorted(n for n in qs if n not in oracles)
-    assert no_oracle == ["ann_ivf_topk", "approx_aggregates"]
+    assert no_oracle == ["approx_aggregates"]

@@ -21,15 +21,14 @@ ALL_ORACLES = entrymod.oracle_sql()
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_query_matches_oracle(name, spark, duck):
     sdf = ALL_QUERIES[name](spark, SF_SMALL)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_pdf = sdf.toPandas()
     if name not in ALL_ORACLES:
-        assert spark_cols, f"{name}: no columns"
+        assert list(spark_pdf.columns), f"{name}: no columns"
         return
-    res = duck.execute(ALL_ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
-    problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+    # .df() so DuckDB type promotions (HUGEINT sums → float64) survive
+    # into dtypes and fail the full-repr compare, like the driver
+    duck_pdf = duck.execute(ALL_ORACLES[name]).df()
+    problems = compare(name, spark_pdf, duck_pdf)
     assert not problems, f"{name}: {problems}"
 
 

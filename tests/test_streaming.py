@@ -319,3 +319,36 @@ def test_streaming_incremental_dedup_matches_full_batch(spark, tmp_path):
     assert got == want and len(got) > 0
     # signature store holds every doc exactly once
     assert spark.read.parquet(sig_store).count() == docs.count()
+
+
+def test_streaming_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """Checkpoint recovery replays a foreachBatch invocation with the
+    same batch_id: the pair table and the signature store must be
+    byte-identical to the single-run state (mode('append') would
+    duplicate rows in both on every replay — ADVICE r3)."""
+    from aws_etl_dados_publicos_cnpj_spark.streaming.incremental_dedup import (
+        process_dedup_batch,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").limit(200)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    sig_store = str(tmp_path / "sig_store")
+    out = str(tmp_path / "pairs_out")
+
+    process_dedup_batch(b0, 0, sig_store, out)
+    process_dedup_batch(b1, 1, sig_store, out)
+    pairs_once = sorted(
+        (r.doc_a, r.doc_b, r.jaccard) for r in spark.read.parquet(out).collect()
+    )
+    sigs_once = spark.read.parquet(sig_store).count()
+    assert len(pairs_once) > 0
+
+    # crash-replay of the last batch (and a double replay, for good measure)
+    process_dedup_batch(b1, 1, sig_store, out)
+    process_dedup_batch(b1, 1, sig_store, out)
+    pairs_replayed = sorted(
+        (r.doc_a, r.doc_b, r.jaccard) for r in spark.read.parquet(out).collect()
+    )
+    assert pairs_replayed == pairs_once
+    assert spark.read.parquet(sig_store).count() == sigs_once

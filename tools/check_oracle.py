@@ -23,30 +23,48 @@ TABLES = [
 ]
 
 
-def _norm(v):
+def _canon(pdf):
+    """Driver-identical canonicalization (CORRECTNESS_r03 traceback):
+    sort columns by name, then ``sort_values`` over ALL columns — this is
+    the step that raises ``TypeError: unhashable type: 'list'`` on any
+    array-typed output column, so the mirror must do it too."""
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+
+
+def _cell(v) -> str:
+    """Full-precision cell repr — NO rounding. A float that differs below
+    1e-6 must fail here exactly as it fails the driver's value hash."""
+    if hasattr(v, "item"):  # numpy scalar → python scalar
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}"
-    if isinstance(v, bool):
-        return str(bool(v))
-    if isinstance(v, list):
-        return "[" + ",".join(_norm(x) for x in v) + "]"
-    return str(v)
+        return repr(v)
+    return repr(v)
 
 
-def compare(name, spark_rows, spark_cols, duck_rows, duck_cols) -> list[str]:
+def compare(name, spark_pdf, duck_pdf) -> list[str]:
     problems = []
-    if sorted(spark_cols) != sorted(duck_cols):
-        problems.append(f"schema: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(
+            f"schema: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+        )
         return problems
-    if len(spark_rows) != len(duck_rows):
-        problems.append(f"rowcount: spark={len(spark_rows)} duck={len(duck_rows)}")
-    order = sorted(spark_cols)
-    s_idx = [spark_cols.index(c) for c in order]
-    d_idx = [duck_cols.index(c) for c in order]
-    s_set = sorted("|".join(_norm(r[i]) for i in s_idx) for r in spark_rows)
-    d_set = sorted("|".join(_norm(r[i]) for i in d_idx) for r in duck_rows)
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    try:
+        s = _canon(spark_pdf)
+    except Exception as exc:  # noqa: BLE001 — the driver would record `err`
+        problems.append(f"spark canon error (driver `err` row): {type(exc).__name__}: {exc}")
+        return problems
+    try:
+        d = _canon(duck_pdf)
+    except Exception as exc:  # noqa: BLE001
+        problems.append(f"oracle canon error (driver `err` row): {type(exc).__name__}: {exc}")
+        return problems
+    s_set = ["|".join(_cell(v) for v in row) for row in s.itertuples(index=False)]
+    d_set = ["|".join(_cell(v) for v in row) for row in d.itertuples(index=False)]
     if s_set != d_set:
         diff_s = [r for r in s_set if r not in set(d_set)][:3]
         diff_d = [r for r in d_set if r not in set(s_set)][:3]
@@ -90,29 +108,29 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            spark_cols = sdf.columns
-            spark_rows = [tuple(r) for r in sdf.collect()]
+            spark_pdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL {name}: spark error {type(exc).__name__}: {exc}")
             continue
         if name not in os_:
-            print(f"ok?  {name}: rows-only ({len(spark_rows)} rows, no oracle)")
+            print(f"ok?  {name}: rows-only ({len(spark_pdf)} rows, no oracle)")
             continue
         try:
-            res = con.execute(os_[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            # .df() (not fetchall) so DuckDB type promotions survive into
+            # pandas dtypes — an uncast HUGEINT sum() arrives as float64
+            # and fails the full-repr compare, exactly like the driver.
+            duck_pdf = con.execute(os_[name]).df()
         except Exception as exc:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL {name}: duckdb error {type(exc).__name__}: {exc}")
             continue
-        problems = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        problems = compare(name, spark_pdf, duck_pdf)
         if problems:
             failed.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
-            print(f"PASS {name} ({len(spark_rows)} rows)")
+            print(f"PASS {name} ({len(spark_pdf)} rows)")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0
 
