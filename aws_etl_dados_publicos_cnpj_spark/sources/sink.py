@@ -72,16 +72,28 @@ def compact_partition(
     table_root: str,
     ref_date: str,
     target_files: int = 1,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Rewrite one snapshot partition into ``target_files`` parquet
     files. Small-file compaction is the maintenance op a weekly
     incremental sink needs at scale (thousands of per-task files →
     bounded, scan-efficient objects). Uses an overwrite of just the one
-    partition directory. Returns the row count rewritten."""
+    partition directory. Returns the row count rewritten.
+
+    ``cluster_by`` keeps (or establishes) range clustering through the
+    rewrite — plain round-robin repartition would destroy the narrow
+    per-file min/max bands a ``write_clustered`` snapshot relies on for
+    row-group pruning, so clustered tables must compact with the same
+    keys."""
     part_path = f"{table_root}/{PARTITION_COLUMN}={ref_date}"
     df = spark.read.parquet(part_path)
     n = df.count()
-    compacted = df.repartition(target_files)
+    if cluster_by:
+        compacted = df.repartitionByRange(target_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        compacted = df.repartition(target_files)
     tmp_path = f"{table_root}/.compact_tmp_{ref_date}"
     compacted.write.mode("overwrite").parquet(tmp_path)
     # crash-safe swap via filesystem renames (atomic on HDFS/local;

@@ -110,3 +110,89 @@ def test_estabelecimentos_30_cols(spark, tmp_path):
     df = read_cnpj_csv(spark, [str(p)], "estabelecimentos")
     assert len(df.columns) == 30
     assert df.count() == 1
+
+
+def test_warehouse_maintenance_multi_snapshot(spark, fixture_zips):
+    """Sink maintenance at warehouse shape (VERDICT r3 #8): a table with
+    pipeline-landed snapshots plus a clustered bulk snapshot, where
+    compaction (a) preserves the row-group pruning bands through the
+    aside-rename swap and (b) leaves sibling snapshots untouched."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from aws_etl_dados_publicos_cnpj_spark.sources.sink import (
+        compact_partition,
+        register_table,
+        write_clustered,
+    )
+
+    wh = str(fixture_zips / "warehouse")
+    scratch = str(fixture_zips / "scratch")
+    # snapshot 1 via the full pipeline
+    run_pipeline(spark, _listing(spark, fixture_zips), CatalogState({}), wh, scratch)
+    # snapshot 2: same files re-published a month later
+    rows2 = [
+        ListingRow("Empresas0.zip", f"file://{fixture_zips}/Empresas0.zip", "2023-06-10 09:00", False),
+        ListingRow("Municipios.zip", f"file://{fixture_zips}/Municipios.zip", "2023-06-10 09:00", False),
+    ]
+    run_pipeline(
+        spark,
+        listing_df(spark, rows2),
+        CatalogState({"empresas": ["20230506"], "municipios": ["20230506"]}),
+        wh,
+        scratch,
+    )
+    root = os.path.join(wh, "empresas")
+    # snapshot 3: a bulk clustered snapshot of the same schema
+    bulk = (
+        spark.range(10_000)
+        .select(
+            F.col("id").cast("long").alias("cnpj_raiz"),
+            F.concat(F.lit("EMPRESA "), F.col("id")).alias("raz_soc"),
+            F.lit(2046).cast("int").alias("nat_jur"),
+            F.lit(10).cast("int").alias("qual_resp"),
+            (F.col("id") * 1.5).alias("cap_soc"),
+            F.lit(3).cast("int").alias("porte"),
+            F.lit(None).cast("string").alias("ente_fed"),
+        )
+    )
+    write_clustered(bulk, root, "20230715", cluster_by=["cnpj_raiz"], files_per_partition=8)
+    register_table(spark, "empresas", root)
+    assert list_partitions(spark, "empresas") == ["20230506", "20230610", "20230715"]
+
+    # compact 8 clustered files → 2, keeping the clustering
+    n = compact_partition(spark, root, "20230715", target_files=2, cluster_by=["cnpj_raiz"])
+    assert n == 10_000
+    files = sorted(glob.glob(f"{root}/ref_date=20230715/*.parquet"))
+    assert len(files) == 2
+    # row-group pruning bands survive the swap: per-file cnpj_raiz
+    # [min,max] ranges are disjoint
+    bands = []
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("cnpj_raiz")
+        mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+        bands.append((min(mins), max(maxs)))
+    bands.sort()
+    assert bands[0][1] < bands[1][0]
+
+    # catalog still serves every snapshot; siblings untouched
+    per_part = {
+        r.ref_date: r.n
+        for r in spark.sql(
+            "SELECT ref_date, count(*) AS n FROM default.empresas GROUP BY ref_date"
+        ).collect()
+    }
+    assert per_part == {"20230506": 3, "20230610": 3, "20230715": 10_000}
+    # partition pruning reaches the scan for a snapshot point query
+    plan = (
+        spark.sql(
+            "SELECT * FROM default.empresas WHERE ref_date = '20230715' AND cnpj_raiz = 42"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "20230715" in plan
