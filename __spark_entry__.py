@@ -64,13 +64,16 @@ _DRIVER_PRIORITY = [
     "minhash_lsh_pairs_docs",
     "near_dup_clusters_docs",
     "hybrid_near_dup_docs",
-    # -- (e) family representatives --
-    "q01_pricing_summary",
+    # -- (e) NEW round-4 queries (no driver row yet) --
+    "asof_last_click_before_error_pandas",
+    "semantic_dedup_embeddings",
+    "frequent_ngrams_docs",
+    "quality_classifier_docs",
+    "quality_buckets_docs",
+    # -- (f) family representatives --
     "q03_shipping_priority",
     "q05_revenue_by_nation",
-    "q06_forecast_revenue",
     "sessionize_events",
-    "dedup_exact_docs",
     "ngram_jaccard_pairs_docs",
     "simhash_near_pairs_docs",
     "edit_distance_pairs_docs",
@@ -79,9 +82,7 @@ _DRIVER_PRIORITY = [
     "embedding_near_dup",
     "asof_last_click_before_error",
     "range_join_clicks_near_errors",
-    "text_quality_docs",
     "decontaminate_train_docs",
-    "multimodal_meta",
 ]
 
 

@@ -673,6 +673,97 @@ WHERE rk <= 5
 """
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    centers: list[list[float]],
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest
+    coarse-quantizer cell, compute pairwise cosine ONLY within each
+    cell, and keep one representative per semantic-duplicate group.
+
+    Representative rule: a vector is dropped iff a LOWER-id vector in
+    its cell matches it at ≥ ``threshold`` (the paper keeps the example
+    farthest from the centroid; min-id is the deterministic,
+    oracle-checkable equivalent for a frozen quantizer). Output:
+    (id, cell, keep ∈ {0,1}).
+
+    Scale shape: identical to the IVF search path — cell assignment is a
+    map-side codegen expression, the quadratic cosine work is blocked
+    per cell (cells ≈ √N sized in practice), and nothing ever shuffles
+    the full N×N pair space."""
+    base = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("cell", F.element_at(_nearest_cells_expr(F.col("v"), centers, 1), 1))
+    a = base.select(F.col(id_col).alias("id_a"), "cell", F.col("v").alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), "cell", F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", pairwise_cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        base.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.when(F.col("__dropped").isNull(), 1).otherwise(0).alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query form over the pinned seed-42 quantizer (hash-checked
+    like ``ann_ivf_topk``)."""
+    from ._ivf_centers import IVF_PINNED_CENTERS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, IVF_PINNED_CENTERS, threshold=0.7)
+
+
+def _oracle_semantic_dedup() -> str:
+    """DuckDB twin of ``semantic_dedup_embeddings``: same pinned-center
+    assignment, same within-cell pairwise cosine at 4 decimals, same
+    min-id keep rule."""
+    from ._ivf_centers import IVF_PINNED_CENTERS
+
+    values = ",\n    ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(IVF_PINNED_CENTERS)
+    )
+    return f"""
+WITH centers(cell, cvecc) AS (VALUES
+    {values}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+d AS (SELECT vec_id, cell, list_distance(e, cvecc) AS dist FROM v, centers),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d) WHERE rn = 1
+),
+base AS (SELECT a.vec_id, a.cell, v.e FROM assign a JOIN v USING (vec_id)),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM base a JOIN base b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.7
+)
+SELECT b.vec_id, b.cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM base b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+"""
+
+
 def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a FROZEN coarse quantizer — hash-checked: the
     seed-42 KMeans centers are pinned literals (``_ivf_centers.py``), so
@@ -739,6 +830,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk_query,
     "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk_query,
     "ann_ivf_topk": ann_ivf_topk_query,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
 }
 
 ORACLES = {
@@ -748,4 +840,5 @@ ORACLES = {
     "ann_lsh_topk": _oracle_ann_lsh(),
     "ann_lsh_multiprobe_topk": _oracle_ann_lsh(multi_probe=True),
     "ann_ivf_topk": _oracle_ann_ivf(),
+    "semantic_dedup_embeddings": _oracle_semantic_dedup(),
 }

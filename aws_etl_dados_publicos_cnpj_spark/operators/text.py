@@ -20,6 +20,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
 from . import load_table
+from .dedup import word_hash60
 
 # Small stopword lists for the language-ID heuristic. Deterministic and
 # mirrored verbatim in the oracle SQL.
@@ -471,6 +472,193 @@ GROUP BY doc_id
 """
 
 
+def frequent_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide boilerplate detection: the top-k word n-grams by
+    DOCUMENT frequency (each doc counts an n-gram once) — the standard
+    first pass for finding navigation chrome / license headers / cookie
+    banners to strip before training.
+
+    Scale shape: n-grams are built with zip_with over shifted array
+    slices (map-side, codegen), the (doc, ngram) distinct + count is one
+    partial-agg shuffle at distinct-ngram volume, and the global top-k
+    is ``orderBy().limit()`` — Spark's TakeOrdered, a per-partition
+    partial top-k + single merge, never a full sort."""
+    from pyspark.sql import Window
+
+    w = words_col(text_col)
+    m = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
+    ng = F.slice(w, 1, m)
+    for i in range(1, n):
+        ng = F.zip_with(
+            ng, F.slice(w, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    per_doc = df.select(F.col(id_col), F.explode(ng).alias("ngram")).distinct()
+    counts = per_doc.groupBy("ngram").agg(F.count("*").alias("n_docs"))
+    top = counts.orderBy(F.desc("n_docs"), F.asc("ngram")).limit(top_k)
+    rank_w = Window.orderBy(F.desc("n_docs"), F.asc("ngram"))
+    return top.withColumn("rank", F.row_number().over(rank_w))
+
+
+def frequent_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frequent_ngrams(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_FREQUENT_NGRAMS = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ng AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS ngram
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) i
+  WHERE len(w) >= 3
+),
+c AS (SELECT ngram, count(*) AS n_docs FROM ng GROUP BY ngram)
+SELECT ngram, n_docs, rank FROM (
+  SELECT ngram, n_docs,
+         row_number() OVER (ORDER BY n_docs DESC, ngram ASC) AS rank
+  FROM c)
+WHERE rank <= 20
+"""
+
+
+# Hashed-feature linear quality classifier: fastText-style bag-of-words
+# scoring with a FROZEN weight table, deterministic on both engines. The
+# weights are a pinned pseudo-random table (Knuth multiplicative hash of
+# the feature index, 3 decimals so the literals round-trip exactly).
+QC_DIM = 32
+QC_WEIGHTS = [
+    round((((j + 1) * 2654435761) % 1000) / 1000.0 - 0.5, 3) for j in range(QC_DIM)
+]
+
+
+def quality_classifier(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Linear quality classifier over hashed bag-of-words features
+    (fastText-shaped: Joulin et al. 2016): each word hashes to one of
+    ``QC_DIM`` buckets, the document's raw score is the mean bucket
+    weight, and the probability is the logistic of that mean. The weight
+    table here is the pinned demo model; a trained model drops in as a
+    different literal array (or a broadcast table at vocabulary scale).
+
+    Scale shape: one explode + partial-agg shuffle keyed on the doc id;
+    the weight lookup is a codegen'd ``element_at`` on a literal array —
+    no UDF, no model file I/O on the hot path. The label thresholds the
+    4-decimal ROUNDED probability so an exactly-neutral document (raw
+    sum ≈ ±1e-17 across engines) classifies identically everywhere."""
+    words = df.select(F.col(id_col), F.explode(words_col(text_col)).alias("word"))
+    h = (word_hash60(F.col("word")) % QC_DIM).cast("int")
+    warr = F.array(*[F.lit(x) for x in QC_WEIGHTS])
+    agg = (
+        words.select(F.col(id_col), F.element_at(warr, h + 1).alias("wt"))
+        .groupBy(id_col)
+        .agg(F.avg("wt").alias("raw"), F.count("*").alias("n_words"))
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("raw"))), 4)
+    return agg.select(
+        id_col,
+        score.alias("score"),
+        (score > 0.5).cast("int").alias("label"),
+        "n_words",
+    )
+
+
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_classifier(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_quality_classifier() -> str:
+    weight_rows = ",\n    ".join(
+        f"({j}, {w!r})" for j, w in enumerate(QC_WEIGHTS)
+    )
+    return f"""
+WITH weights(j, wt) AS (VALUES
+    {weight_rows}
+),
+words AS (
+  SELECT doc_id, u.word
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(w) AS word) u
+),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % {QC_DIM} AS j
+  FROM words
+),
+s AS (
+  SELECT doc_id, avg(wt) AS raw, count(*) AS n_words
+  FROM h JOIN weights USING (j) GROUP BY doc_id
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-raw)), 4) AS score,
+       CASE WHEN round(1.0 / (1.0 + exp(-raw)), 4) > 0.5 THEN 1 ELSE 0 END AS label,
+       n_words
+FROM s
+"""
+
+
+def quality_buckets(
+    df: DataFrame, n_buckets: int = 10, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perplexity-bucket assignment (CCNet's head/middle/tail
+    generalized to deciles): score documents with the corpus-LM unigram
+    NLL, compute exact corpus quantile boundaries, and tag every doc
+    with its bucket (1 = most fluent). Downstream mixes then sample per
+    bucket instead of hard-filtering.
+
+    Scale shape: the boundaries are ONE 1-row aggregate (exact
+    interpolated percentile) broadcast back; bucket assignment is a
+    map-side array comparison — no global sort, no ntile window dragging
+    the corpus through a single task."""
+    scored = unigram_logprob(df, text_col, id_col)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = scored.agg(
+        F.percentile("mean_nll", F.array(*[F.lit(p) for p in probs])).alias("bs")
+    )
+    return scored.join(F.broadcast(bounds)).select(
+        id_col,
+        "mean_nll",
+        (F.size(F.filter(F.col("bs"), lambda b: F.col("mean_nll") > b)) + 1).alias(
+            "bucket"
+        ),
+    )
+
+
+def quality_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_buckets(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_QUALITY_BUCKETS = """
+WITH words AS (
+  SELECT doc_id, u.word
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(w) AS word) u
+),
+vocab AS (SELECT word, count(*) AS wc FROM words GROUP BY word),
+totals AS (SELECT sum(wc) AS n_tokens, count(*) AS n_vocab FROM vocab),
+model AS (
+  SELECT word, -ln((wc + 1) * 1.0 / (n_tokens + n_vocab)) AS nll
+  FROM vocab, totals
+),
+scored AS (
+  SELECT doc_id, round(avg(nll), 4) AS mean_nll
+  FROM words JOIN model USING (word)
+  GROUP BY doc_id
+),
+bounds AS (
+  SELECT quantile_cont(mean_nll, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+  FROM scored
+)
+SELECT doc_id, mean_nll,
+       len(list_filter(bs, b -> mean_nll > b)) + 1 AS bucket
+FROM scored, bounds
+"""
+
+
 def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained cleaning pipeline — the composition a real corpus pass
     runs: quality metrics → keep docs above length / diversity floors →
@@ -517,6 +705,9 @@ QUERIES = {
     "repetition_ratio_docs": repetition_ratio_docs,
     "redact_pii_docs": redact_pii_docs,
     "unigram_logprob_docs": unigram_logprob_docs,
+    "frequent_ngrams_docs": frequent_ngrams_docs,
+    "quality_classifier_docs": quality_classifier_docs,
+    "quality_buckets_docs": quality_buckets_docs,
 }
 
 ORACLES = {
@@ -530,4 +721,7 @@ ORACLES = {
     "fingerprint_docs": ORACLE_FINGERPRINT,
     "lang_id_confusion": ORACLE_LANG_CONFUSION,
     "quality_filter_pipeline": ORACLE_QUALITY_FILTER,
+    "frequent_ngrams_docs": ORACLE_FREQUENT_NGRAMS,
+    "quality_classifier_docs": _oracle_quality_classifier(),
+    "quality_buckets_docs": ORACLE_QUALITY_BUCKETS,
 }

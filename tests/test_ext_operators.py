@@ -433,3 +433,78 @@ def test_connected_components_local_and_distributed_paths_agree(spark):
     }
     assert local == dist
     assert (4, 1) in local and (12, 10) in local and (40, 30) in local
+
+
+def test_semantic_dedup_keeps_one_per_duplicate_group(spark):
+    """Identical vectors land in one cell and all but the min id are
+    dropped; distinct vectors survive."""
+    from aws_etl_dados_publicos_cnpj_spark.operators._ivf_centers import (
+        IVF_PINNED_CENTERS,
+    )
+    from aws_etl_dados_publicos_cnpj_spark.operators.similarity import semantic_dedup
+
+    dim = len(IVF_PINNED_CENTERS[0])
+    v1 = [1.0] + [0.0] * (dim - 1)
+    v2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [(1, v1), (2, v1), (3, v1), (10, v2), (11, [-x for x in v2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.keep for r in semantic_dedup(df, IVF_PINNED_CENTERS).collect()}
+    # exact duplicates of id 1 dropped; opposite-direction vector kept
+    assert out[1] == 1 and out[2] == 0 and out[3] == 0
+    assert out[10] == 1 and out[11] == 1
+
+
+def test_frequent_ngrams_doc_frequency_semantics(spark):
+    """An n-gram repeated INSIDE one doc counts once; the top n-gram is
+    the one spanning the most documents, rank ties break on the string."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.text import frequent_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "accept all cookies to continue accept all cookies"),
+            (2, "please accept all cookies now"),
+            (3, "accept all cookies"),
+            (4, "unrelated text entirely here"),
+            (5, "no"),  # shorter than n: contributes nothing
+        ],
+        "doc_id long, text string",
+    )
+    out = frequent_ngrams(docs, n=3, top_k=5).collect()
+    assert out[0].ngram == "accept all cookies" and out[0].n_docs == 3
+    assert out[0].rank == 1
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+
+
+def test_quality_classifier_deterministic_and_consistent(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators.text import quality_classifier
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "zzz yyy")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in quality_classifier(docs).collect()}
+    # bag-of-words: word order must not change the score
+    assert rows[1].score == rows[2].score
+    for r in rows.values():
+        assert 0.0 <= r.score <= 1.0
+        assert r.label == (1 if r.score > 0.5 else 0)
+
+
+def test_quality_buckets_partition_the_corpus(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators import load_table
+    from aws_etl_dados_publicos_cnpj_spark.operators.text import quality_buckets
+
+    from conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = quality_buckets(docs).collect()
+    assert len(out) == docs.count()
+    buckets = {r.bucket for r in out}
+    assert buckets <= set(range(1, 11)) and len(buckets) >= 8
+    # monotone: every doc in bucket b has mean_nll <= every doc in b+2
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.mean_nll)
+    bs = sorted(by_bucket)
+    for lo, hi in zip(bs, bs[2:]):
+        assert max(by_bucket[lo]) <= min(by_bucket[hi])
