@@ -70,19 +70,21 @@ _DRIVER_PRIORITY = [
     "frequent_ngrams_docs",
     "quality_classifier_docs",
     "quality_buckets_docs",
-    # -- (f) family representatives --
+    # -- (f) NEW round-4 batch 2: TPC-H depth + behavioral analytics --
+    "q04_order_priority",
+    "q07_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    "funnel_events",
+    "retention_cohorts_events",
+    "volume_anomaly_events",
+    # -- (g) family representatives (one per big family; the rest of the
+    # families' queries are r3-green and sit in the registry tail) --
     "q03_shipping_priority",
-    "q05_revenue_by_nation",
     "sessionize_events",
-    "ngram_jaccard_pairs_docs",
     "simhash_near_pairs_docs",
-    "edit_distance_pairs_docs",
     "ann_cosine_topk",
-    "ann_lsh_topk",
-    "embedding_near_dup",
-    "asof_last_click_before_error",
-    "range_join_clicks_near_errors",
-    "decontaminate_train_docs",
 ]
 
 
@@ -90,7 +92,9 @@ def _registries():
     from aws_etl_dados_publicos_cnpj_spark.operators import relational
 
     modules = [relational]
-    for mod_name in ("dedup", "similarity", "text", "multimodal", "temporal", "corpus"):
+    for mod_name in (
+        "dedup", "similarity", "text", "multimodal", "temporal", "corpus", "behavioral"
+    ):
         try:
             mod = __import__(
                 f"aws_etl_dados_publicos_cnpj_spark.operators.{mod_name}",

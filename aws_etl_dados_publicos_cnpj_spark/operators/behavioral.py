@@ -1,0 +1,187 @@
+"""Behavioral / product analytics over the event stream — funnel
+conversion, retention cohorts, and volume-anomaly scoring.
+
+The reference's consumption story is "analysts query the partitioned
+parquet" (``README.md:64-66``); its `events`-shaped analog in the driver
+corpus is the clickstream table, and these are the three queries every
+clickstream consumer runs first. All three are pure DataFrame
+compositions (no UDFs) with DuckDB oracles.
+
+Scale shapes:
+
+- funnel: three per-user conditional-min aggregates on the SAME key —
+  after the first shuffle the stream stays hash-partitioned by
+  ``user_id``, so stages 2-3 reuse the partitioning (AQE/exchange
+  reuse); the final stage counts are three scalar aggregates unioned.
+- retention: one distinct-activity shuffle + one first-seen aggregate,
+  joined on ``user_id`` (both sides already partitioned by it), then a
+  low-cardinality (cohort, offset) count.
+- anomaly: pre-aggregate to (type, hour) — tiny — then window stats
+  over event_type partitions of that AGGREGATE, never over raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load_table
+
+FUNNEL_STAGES = ["signup", "click", "purchase"]
+
+
+def funnel(events: DataFrame, stages: list[str] | None = None) -> DataFrame:
+    """Ordered-funnel conversion: a user reaches stage *k* iff they have
+    an event of type ``stages[k]`` strictly AFTER their stage *k-1*
+    entry time. Returns one row per stage with the surviving user count.
+
+    Each stage is a per-user conditional ``min(ts)`` joined back on
+    ``user_id``; Spark co-partitions every stage on the same key so only
+    the first aggregate pays a full shuffle of the events table.
+    """
+    stages = stages or FUNNEL_STAGES
+    reached = (
+        events.filter(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("entered_at"))
+    )
+    out = [reached.agg(
+        F.lit(stages[0]).alias("stage"),
+        F.lit(1).alias("stage_ord"),
+        F.count("*").alias("users"),
+    )]
+    for ord_, stage in enumerate(stages[1:], start=2):
+        nxt = events.filter(F.col("event_type") == stage).select("user_id", "ts")
+        reached = (
+            nxt.join(reached, "user_id")
+            .filter(F.col("ts") > F.col("entered_at"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("entered_at"))
+        )
+        out.append(reached.agg(
+            F.lit(stage).alias("stage"),
+            F.lit(ord_).alias("stage_ord"),
+            F.count("*").alias("users"),
+        ))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Classic N-day retention: cohort = a user's first active date;
+    for each (cohort, day-offset) count the distinct users active that
+    day. Both the first-seen aggregate and the distinct-activity set
+    hash-partition on ``user_id``, so the join between them is
+    co-partitioned; the final (cohort, offset) aggregate is tiny."""
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    activity = events.select("user_id", F.to_date("ts").alias("active_date")).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff("active_date", "cohort_date").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
+def volume_anomaly(events: DataFrame, round_to: int = 4) -> DataFrame:
+    """Per-type hourly volume z-scores: aggregate to (event_type, hour)
+    counts, then score each hour against its type's mean/stddev with a
+    window over the pre-aggregated (small) frame. The raw table is
+    touched exactly once."""
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type")
+    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.stddev_samp(
+        "n_events"
+    ).over(w)
+    return hourly.withColumn("z_score", F.round(z, round_to))
+
+
+# --- driver-contract query forms -------------------------------------------
+
+
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS entered_at FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS entered_at
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.entered_at
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS entered_at
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.entered_at
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'signup' AS stage, 1 AS stage_ord, count(*) AS users FROM s1
+UNION ALL
+SELECT 'click', 2, count(*) FROM s2
+UNION ALL
+SELECT 'purchase', 3, count(*) FROM s3
+"""
+
+
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cohort_date as ISO string in the query form only: DuckDB DATE
+    # arrives in pandas as Timestamp, Spark's as date — same value,
+    # different repr, so the driver hash needs a common projection.
+    return retention_cohorts(load_table(spark, sf_dir, "events")).withColumn(
+        "cohort_date", F.date_format("cohort_date", "yyyy-MM-dd")
+    )
+
+
+ORACLE_RETENTION = """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+)
+SELECT strftime(cohort_date, '%Y-%m-%d') AS cohort_date,
+       CAST(datediff('day', cohort_date, active_date) AS INT) AS day_offset,
+       count(*) AS active_users
+FROM activity JOIN first_seen USING (user_id)
+GROUP BY cohort_date, day_offset
+"""
+
+
+def volume_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return volume_anomaly(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_ANOMALY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events
+  FROM events GROUP BY event_type, hour
+)
+SELECT event_type, hour, n_events,
+       round((n_events - avg(n_events) OVER (PARTITION BY event_type))
+             / stddev_samp(n_events) OVER (PARTITION BY event_type), 4) AS z_score
+FROM hourly
+"""
+
+
+QUERIES = {
+    "funnel_events": funnel_events,
+    "retention_cohorts_events": retention_cohorts_events,
+    "volume_anomaly_events": volume_anomaly_events,
+}
+
+ORACLES = {
+    "funnel_events": ORACLE_FUNNEL,
+    "retention_cohorts_events": ORACLE_RETENTION,
+    "volume_anomaly_events": ORACLE_ANOMALY,
+}

@@ -905,8 +905,238 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H-shaped additions (round 4): deeper join variety on the same star —
+# non-equi EXISTS semi-join (Q4), two-sided nation-pair join (Q7), returned-
+# items top-k (Q10), ratio-of-conditional-sums (Q14), disjunctive pushdown
+# (Q19). Adapted to the driver corpus's columns (no partsupp / commitdate /
+# shipmode — TESTDATA.md).
+# ---------------------------------------------------------------------------
+
+
+def _dec_volume():
+    """Exact-decimal line revenue ``price * (1 - discount)``. Double
+    sums are partition-order-dependent and their round(,2) sits on a
+    knife edge whenever the true sum has a half-cent tail (found by the
+    vanilla driver-sim sweep on q10). price and discount carry ≤2
+    decimal digits, so decimal(18,2) arithmetic is exact, the sum is
+    order-independent, and both engines round decimal ties
+    half-away-from-zero — identical digits everywhere."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+
+_DEC_VOLUME_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join with a NON-equi conjunct
+    (l_shipdate > o_orderdate). Spark plans the equi part as the shuffle
+    key and evaluates the inequality as a join residual, so this stays a
+    hash semi-join, never a cartesian. The date filter sits on the
+    orders scan (pushed down) and prunes before the shuffle."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+ORACLE_Q04 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: fact ⋈ fact (lineitem ⋈ orders) with supplier and
+    customer each resolved to a nation and the (supp, cust) pair
+    restricted both directions. All four dimension joins broadcast; the
+    only shuffle is the lineitem ⋈ orders equi-join. The nation-pair
+    disjunction is applied AFTER both broadcasts resolve names — a
+    map-side filter, no extra exchange."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10")
+    ) | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nkey)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_dec_volume()), 2).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_Q07 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(round(sum({vol}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                     AND TIMESTAMP '1996-12-31 00:00:00'
+GROUP BY supp_nation, cust_nation, l_year
+""".format(vol=_DEC_VOLUME_SQL)
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-revenue per customer, deterministic
+    top-20 (revenue DESC, custkey ASC tiebreak → TakeOrdered, a
+    per-partition partial top-k + single-driver merge, never a full
+    sort). Customer and nation broadcast; one fact ⋈ fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_dec_volume()), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum({vol}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""".format(vol=_DEC_VOLUME_SQL)
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional sum to total sum in one
+    hash aggregate (two partial aggs in a single pass — no second scan,
+    no join back). Part broadcasts; the month filter is pushed to the
+    lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = _dec_volume()
+    zero = F.lit(0).cast("decimal(18,4)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # both sums are exact decimals; the single double division of two
+        # identical doubles is engine-identical, so round(,4) is stable
+        .agg(
+            F.round(
+                F.lit(100.0) * promo.cast("double") / F.sum(vol).cast("double"), 4
+            ).alias("promo_pct")
+        )
+    )
+
+
+ORACLE_Q14 = """
+SELECT round(
+         100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                          THEN {vol} ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(sum({vol}) AS DOUBLE), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""".format(vol=_DEC_VOLUME_SQL)
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of (brand, size-range, qty-range)
+    conjuncts across the join. The part-side conjuncts (brand OR brand)
+    are extracted below as a scan filter so the broadcast side shrinks
+    before the join; the mixed residual evaluates post-join map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2")
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(_dec_volume()), 2).cast("double").alias("revenue")
+    )
+
+
+ORACLE_Q19 = """
+SELECT CAST(round(sum({vol}), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+""".format(vol=_DEC_VOLUME_SQL)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q04_order_priority": q04_order_priority,
+    "q07_volume_shipping": q07_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_discounted_revenue": q19_discounted_revenue,
     "q03_shipping_priority": q03_shipping_priority,
     "q05_revenue_by_nation": q05_revenue_by_nation,
     "q06_forecast_revenue": q06_forecast_revenue,
@@ -948,6 +1178,11 @@ QUERIES = {
 
 ORACLES = {
     "q01_pricing_summary": ORACLE_Q01,
+    "q04_order_priority": ORACLE_Q04,
+    "q07_volume_shipping": ORACLE_Q07,
+    "q10_returned_items": ORACLE_Q10,
+    "q14_promo_revenue": ORACLE_Q14,
+    "q19_discounted_revenue": ORACLE_Q19,
     "q03_shipping_priority": ORACLE_Q03,
     "q05_revenue_by_nation": ORACLE_Q05,
     "q06_forecast_revenue": ORACLE_Q06,

@@ -140,3 +140,51 @@ def test_new_ops_prune_scan_columns(spark, mod, name, want_cols):
     for match in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         got |= {c.split(":")[0] for c in match.group(1).split(",") if c}
     assert got == want_cols, plan[:2000]
+
+
+def test_q04_semi_join_is_hash_not_nested_loop(spark):
+    """The non-equi conjunct (l_shipdate > o_orderdate) must ride as a
+    residual on the EQUI semi-join — if Spark ever planned it as a
+    nested-loop the query would be quadratic at scale."""
+    plan = _plan(relational.q04_order_priority(spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q07_dimensions_broadcast_single_fact_shuffle(spark):
+    """supplier/customer/nation×2 broadcast (≥4 BHJ); at sf0.001 the
+    orders side also fits the broadcast threshold so lineitem⋈orders may
+    broadcast too — the invariant is: every join is hash-equi, nothing
+    sort-merges or nested-loops at this scale."""
+    plan = _plan(relational.q07_volume_shipping(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_top20_is_take_ordered(spark):
+    """The top-20 must plan as TakeOrderedAndProject (partial per-
+    partition top-k + one merge), never a global Sort."""
+    plan = _plan(relational.q10_returned_items(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_part_filter_pushed_to_scan(spark):
+    """The brand disjunction's part-side conjuncts must reach the part
+    scan as an In filter so the broadcast side shrinks pre-join."""
+    plan = _plan(relational.q19_discounted_revenue(spark, SF_SMALL))
+    assert re.search(r"PushedFilters: \[[^\]]*In\(p_brand", plan), plan[:3000]
+
+
+def test_behavioral_no_cartesian_and_anomaly_preaggregates(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators import behavioral
+
+    for name in ("funnel_events", "retention_cohorts_events", "volume_anomaly_events"):
+        plan = _plan(behavioral.QUERIES[name](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # anomaly: the window runs over the (type, hour) AGGREGATE — the
+    # plan must place HashAggregate below the Window operator
+    plan = _plan(behavioral.QUERIES["volume_anomaly_events"](spark, SF_SMALL))
+    assert plan.index("Window") < plan.index("HashAggregate"), plan[:2000]
