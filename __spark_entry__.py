@@ -79,12 +79,12 @@ _DRIVER_PRIORITY = [
     "funnel_events",
     "retention_cohorts_events",
     "volume_anomaly_events",
+    "pq_encode_embeddings",
+    "ann_pq_topk",
     # -- (g) family representatives (one per big family; the rest of the
     # families' queries are r3-green and sit in the registry tail) --
     "q03_shipping_priority",
     "sessionize_events",
-    "simhash_near_pairs_docs",
-    "ann_cosine_topk",
 ]
 
 

@@ -823,8 +823,232 @@ WHERE rk <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): 64-dim vectors → 8 subspaces
+# of 8 dims, each encoded as its nearest of 16 per-subspace centroids —
+# an 8-byte code per vector (32× compression). Search is asymmetric
+# distance computation (ADC): the probe stays full-precision, each
+# corpus vector is scored through a per-probe lookup table of
+# subspace-centroid distances. At 100 TB the corpus shuffles CODES
+# (8 bytes/row), never raw vectors.
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+
+
+def _sq_l2(vec: Column, center: list[float]) -> Column:
+    """Squared L2 between an array column and a literal center — the
+    codegen'd left fold (no sqrt: monotone for argmin, exact for ADC)."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(x)) for x in center]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Reproduction recipe for ``_pq_codebooks.PQ_PINNED_CODEBOOKS``:
+    per-subspace KMeans over the corpus (m fits on m slices of one
+    cached projection). At scale each fit samples the corpus; the
+    resulting codebooks are tiny (m·k·sub floats) and are persisted as
+    literals / a table, exactly like the IVF centers."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(F.col(vec_col).cast("array<double>").alias("e")).cache()
+    try:
+        dim = len(base.first()["e"])
+        sub = dim // m
+        books = []
+        for i in range(m):
+            train = base.select(
+                array_to_vector(F.slice("e", i * sub + 1, sub)).alias("features")
+            )
+            model = KMeans(k=k, seed=seed, featuresCol="features").fit(train)
+            books.append(
+                [[round(float(x), 6) for x in c] for c in model.clusterCenters()]
+            )
+        return books
+    finally:
+        base.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its per-subspace argmin-L2 code array —
+    one map-side pass of codegen'd expressions (no shuffle, no UDF),
+    ties broken toward the lower code id via struct array_sort."""
+    vec = F.col(vec_col).cast("array<double>")
+    codes = []
+    for m, book in enumerate(codebooks):
+        sub = len(book[0])
+        s = F.slice(vec, m * sub + 1, sub)
+        dists = F.array(
+            *[
+                F.struct(_sq_l2(s, c).alias("d"), F.lit(i).alias("code"))
+                for i, c in enumerate(book)
+            ]
+        )
+        codes.append(F.element_at(F.array_sort(dists), 1).getField("code"))
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def ann_pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: corpus rows carry only their PQ codes; each probe
+    precomputes its m×|codebook| distance lookup table map-side, the
+    (small) probe side broadcasts, and a pair's distance is m table
+    lookups — ``zip_with(codes, lut, element_at)``. The shuffle after
+    the scan carries 8-byte codes, never 512-byte vectors."""
+    encoded = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    pvec = F.col(vec_col).cast("array<double>")
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _sq_l2(F.slice(pvec, m * len(book[0]) + 1, len(book[0])), c)
+                    for c in book
+                ]
+            )
+            for m, book in enumerate(codebooks)
+        ]
+    )
+    p = probes.select(F.col(id_col).alias("probe_id"), lut.alias("lut"))
+    dist = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("lut"), lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        encoded.join(F.broadcast(p))
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id", F.round(dist, 4).alias("dist"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "dist", "rk")
+    )
+
+
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes over the frozen codebooks, CSV-projected (the driver's
+    row canonicalizer requires hashable cells — same projection rule as
+    ``quantize_embeddings_int8``)."""
+    from ._pq_codebooks import PQ_PINNED_CODEBOOKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, PQ_PINNED_CODEBOOKS).select(
+        "vec_id", F.concat_ws(",", F.col("codes")).alias("code")
+    )
+
+
+def ann_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._pq_codebooks import PQ_PINNED_CODEBOOKS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ann_pq_topk(emb, probes, PQ_PINNED_CODEBOOKS, k=5)
+
+
+def _pq_codebook_values() -> str:
+    from ._pq_codebooks import PQ_PINNED_CODEBOOKS
+
+    return ",\n    ".join(
+        f"({m}, {code}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for m, book in enumerate(PQ_PINNED_CODEBOOKS)
+        for code, c in enumerate(book)
+    )
+
+
+_PQ_ENCODE_CTE = """
+cb(m, code, cvec) AS (VALUES
+    {values}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+subs AS (
+  SELECT vec_id, CAST(m.m AS INT) AS m, e[m.m*8+1 : m.m*8+8] AS s
+  FROM v, (SELECT unnest(range(8)) AS m) m
+),
+d AS (SELECT vec_id, subs.m, code, list_distance(s, cvec) AS dist
+      FROM subs JOIN cb ON subs.m = cb.m),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+    FROM d) WHERE rn = 1
+)"""
+
+
+def _oracle_pq_encode() -> str:
+    return (
+        "WITH "
+        + _PQ_ENCODE_CTE.format(values=_pq_codebook_values())
+        + """
+SELECT vec_id, string_agg(code, ',' ORDER BY m) AS code
+FROM enc GROUP BY vec_id
+"""
+    )
+
+
+def _oracle_ann_pq() -> str:
+    """DuckDB ADC twin: the probe LUT is the (probe, m, code) distance
+    relation; a pair's distance is the m-way join-and-sum against the
+    corpus code relation — identical codebook literals, identical
+    (dist, id) tie-breaks."""
+    return (
+        "WITH "
+        + _PQ_ENCODE_CTE.format(values=_pq_codebook_values())
+        + """,
+lut AS (
+  SELECT subs.vec_id AS probe_id, subs.m, code,
+         power(list_distance(s, cvec), 2) AS pdist
+  FROM subs JOIN cb ON subs.m = cb.m
+  WHERE subs.vec_id < 10
+),
+adc AS (
+  SELECT probe_id, enc.vec_id AS neighbor_id, round(sum(pdist), 4) AS dist
+  FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.code
+  WHERE enc.vec_id <> lut.probe_id
+  GROUP BY probe_id, neighbor_id
+)
+SELECT probe_id, neighbor_id, dist, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY dist ASC, neighbor_id ASC) AS rk
+      FROM adc)
+WHERE rk <= 5
+"""
+    )
+
+
 QUERIES = {
     "quantize_embeddings_int8": quantize_embeddings_int8,
+    "pq_encode_embeddings": pq_encode_embeddings,
+    "ann_pq_topk": ann_pq_topk_query,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
     "ann_lsh_topk": ann_lsh_topk_query,
@@ -835,6 +1059,8 @@ QUERIES = {
 
 ORACLES = {
     "quantize_embeddings_int8": ORACLE_QUANTIZE,
+    "pq_encode_embeddings": _oracle_pq_encode(),
+    "ann_pq_topk": _oracle_ann_pq(),
     "ann_cosine_topk": ORACLE_ANN,
     "embedding_near_dup": ORACLE_NEAR_DUP,
     "ann_lsh_topk": _oracle_ann_lsh(),

@@ -508,3 +508,46 @@ def test_quality_buckets_partition_the_corpus(spark):
     bs = sorted(by_bucket)
     for lo, hi in zip(bs, bs[2:]):
         assert max(by_bucket[lo]) <= min(by_bucket[hi])
+
+
+def test_pq_encode_codes_in_range_and_deterministic(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators import load_table
+    from aws_etl_dados_publicos_cnpj_spark.operators._pq_codebooks import (
+        PQ_PINNED_CODEBOOKS,
+    )
+    from aws_etl_dados_publicos_cnpj_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_SUBSPACES,
+        pq_encode,
+    )
+
+    from conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    a = {r.vec_id: r.codes for r in pq_encode(emb, PQ_PINNED_CODEBOOKS).collect()}
+    b = {r.vec_id: r.codes for r in pq_encode(emb, PQ_PINNED_CODEBOOKS).collect()}
+    assert a == b
+    for codes in a.values():
+        assert len(codes) == PQ_SUBSPACES
+        assert all(0 <= c < PQ_CODES for c in codes)
+
+
+def test_pq_adc_prefers_reconstruction_close_neighbors(spark):
+    """A corpus vector IDENTICAL to the probe must win ADC top-1: its
+    codes equal the probe's own, so its ADC distance is the probe's
+    quantization error — the minimum any code can achieve."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_dados_publicos_cnpj_spark.operators import load_table
+    from aws_etl_dados_publicos_cnpj_spark.operators._pq_codebooks import (
+        PQ_PINNED_CODEBOOKS,
+    )
+    from aws_etl_dados_publicos_cnpj_spark.operators.similarity import ann_pq_topk
+
+    from conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    clone = probe.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    top = ann_pq_topk(emb.unionByName(clone), probe, PQ_PINNED_CODEBOOKS, k=1).collect()
+    assert len(top) == 1 and top[0].neighbor_id == 100000

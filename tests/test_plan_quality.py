@@ -188,3 +188,26 @@ def test_behavioral_no_cartesian_and_anomaly_preaggregates(spark):
     # plan must place HashAggregate below the Window operator
     plan = _plan(behavioral.QUERIES["volume_anomaly_events"](spark, SF_SMALL))
     assert plan.index("Window") < plan.index("HashAggregate"), plan[:2000]
+
+
+def test_pq_encode_is_map_only_and_prunes_scan(spark):
+    """PQ encoding must be a pure scan→project pipeline: no Exchange, no
+    UDF, and the embeddings scan reads only (vec_id, embedding)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators import similarity
+
+    plan = _plan(similarity.QUERIES["pq_encode_embeddings"](spark, SF_SMALL))
+    assert "Exchange" not in plan, plan[:2000]
+    got = set()
+    for match in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        got |= {c.split(":")[0] for c in match.group(1).split(",") if c}
+    assert got == {"vec_id", "embedding"}
+
+
+def test_ann_pq_broadcasts_probes(spark):
+    """ADC scoring streams the corpus once against a BROADCAST probe
+    table — the corpus side must never shuffle or build."""
+    from aws_etl_dados_publicos_cnpj_spark.operators import similarity
+
+    plan = _plan(similarity.QUERIES["ann_pq_topk"](spark, SF_SMALL))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
