@@ -81,10 +81,8 @@ _DRIVER_PRIORITY = [
     "volume_anomaly_events",
     "pq_encode_embeddings",
     "ann_pq_topk",
-    # -- (g) family representatives (one per big family; the rest of the
-    # families' queries are r3-green and sit in the registry tail) --
-    "q03_shipping_priority",
-    "sessionize_events",
+    "prefix_filter_jaccard_docs",
+    "repeated_ngram_spans_docs",
 ]
 
 

@@ -27,7 +27,7 @@ array functions) — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -841,8 +841,91 @@ def _oracle_cc(iters: int = 10) -> str:
     return sql
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_SIZE,
+) -> DataFrame:
+    """EXACT Jaccard near-dup via AllPairs/PPJoin prefix filtering
+    (Bayardo et al. 2007; Xiao et al. 2008) — same output contract as
+    ``jaccard_pairs`` (doc_a < doc_b, jaccard ≥ threshold, 4 dp) but
+    sub-quadratic: candidates only need to COLLIDE ON A PREFIX SHINGLE.
+
+    Order every doc's shingles by global rarity (corpus frequency asc,
+    shingle asc). If |A∩B|/|A∪B| ≥ t then A and B must share at least
+    one shingle among each one's first ``|d| - ceil(t*|d|) + 1`` rarest
+    shingles — so the candidate self-join runs only on PREFIX shingles,
+    whose buckets are small BY CONSTRUCTION (rare tokens), while the
+    plain shingle self-join (`jaccard_pairs`) is dominated by its
+    hottest shingle bucket. A length filter (min/max ≥ t) prunes
+    further before verification; verification computes the exact
+    intersection only for surviving candidates.
+
+    Scale shape: one shuffle to attach shingle frequencies, one per-doc
+    window for prefix ranks, a candidate equi-join on (rare) prefix
+    shingles, and a candidate-restricted verify join — never an
+    all-pairs product and never a hot-bucket quadratic blowup.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
+    ranked = sh.join(freq, "shingle").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.asc("df_sh"), F.asc("shingle"))
+        ),
+    )
+    pref = (
+        ranked.join(counts, id_col)
+        # prefix length |d| - ceil(t|d|) + 1
+        .filter(F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+        .select(F.col(id_col), "shingle", "n_sh")
+    )
+    a = pref.select(
+        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = pref.select(
+        F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: jaccard >= t requires min(|A|,|B|)/max(|A|,|B|) >= t
+        .filter(
+            F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b")
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("_db"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_db")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def prefix_filter_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard; the oracle is the brute-force
+    all-pairs SQL — passing it PROVES the prefix filter loses no pair
+    (exact recall), the same oracle-strengthening trick as MinHash."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return prefix_filter_jaccard_pairs(docs, threshold=0.8)
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
+    "prefix_filter_jaccard_docs": prefix_filter_jaccard_docs,
     "near_dup_clusters_docs": near_dup_clusters_docs,
     "hybrid_near_dup_docs": hybrid_near_dup_docs,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
@@ -857,6 +940,7 @@ ORACLES = {
     "near_dup_clusters_docs": _oracle_cc(),
     "hybrid_near_dup_docs": ORACLE_HYBRID,
     "ngram_jaccard_pairs_docs": _ORACLE_EXACT_JACCARD,
+    "prefix_filter_jaccard_docs": _ORACLE_EXACT_JACCARD,
     "minhash_lsh_pairs_docs": _ORACLE_EXACT_JACCARD,
     "simhash_docs": ORACLE_SIMHASH,
     "simhash_near_pairs_docs": ORACLE_SIMHASH_PAIRS,

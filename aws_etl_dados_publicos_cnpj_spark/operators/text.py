@@ -694,8 +694,99 @@ GROUP BY lang
 """
 
 
+def repeated_ngram_spans(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-substring analysis (the measurement half
+    of Lee et al. 2022's "Deduplicating Training Data" span removal):
+    for each document, how many of its word n-gram POSITIONS carry an
+    n-gram that also occurs in some OTHER document, and what fraction
+    of the document that covers. Feed the high-ratio tail to a span
+    scrubber or drop it outright.
+
+    Scale shape: n-gram construction is map-side (zip_with over shifted
+    slices); the cross-document n-gram frequency is one partial-agg
+    shuffle over DISTINCT (doc, ngram) pairs; the per-position join
+    back is keyed on ngram; the final per-doc rollup re-shuffles on
+    doc_id. Nothing is quadratic — cost tracks total token volume.
+    """
+    w = words_col(text_col)
+    m = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
+    ng = F.slice(w, 1, m)
+    for i in range(1, n):
+        ng = F.zip_with(
+            ng, F.slice(w, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    pos = df.select(F.col(id_col), F.explode(ng).alias("ngram"))
+    # an n-gram is "shared" if it appears in >= 2 DISTINCT documents
+    shared = (
+        pos.select(id_col, "ngram")
+        .distinct()
+        .groupBy("ngram")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("ngram")
+    )
+    dup_counts = (
+        pos.join(shared, "ngram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_ngrams"))
+    )
+    totals = df.select(F.col(id_col), m.alias("n_ngrams"))
+    return (
+        totals.join(dup_counts, id_col, "left")
+        .withColumn("n_dup_ngrams", F.coalesce("n_dup_ngrams", F.lit(0)))
+        .withColumn(
+            "dup_ratio",
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.round(F.col("n_dup_ngrams") / F.col("n_ngrams"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(id_col, "n_ngrams", "n_dup_ngrams", "dup_ratio")
+    )
+
+
+def repeated_ngram_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repeated_ngram_spans(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_REPEATED_NGRAMS = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (
+  SELECT doc_id, array_to_string(w[i.i:i.i+4], ' ') AS ngram
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 4)) AS i
+  ) i
+  WHERE len(w) >= 5
+),
+shared AS (
+  SELECT ngram FROM (SELECT DISTINCT doc_id, ngram FROM pos)
+  GROUP BY ngram HAVING count(*) >= 2
+),
+dup AS (
+  SELECT doc_id, count(*) AS n_dup_ngrams FROM pos JOIN shared USING (ngram)
+  GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, greatest(len(w) - 4, 0) AS n_ngrams FROM words
+)
+SELECT t.doc_id,
+       CAST(t.n_ngrams AS INT) AS n_ngrams,
+       CAST(coalesce(d.n_dup_ngrams, 0) AS BIGINT) AS n_dup_ngrams,
+       CASE WHEN t.n_ngrams > 0
+            THEN round(coalesce(d.n_dup_ngrams, 0) * 1.0 / t.n_ngrams, 4)
+            ELSE 0.0 END AS dup_ratio
+FROM totals t LEFT JOIN dup d USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_quality_docs": text_quality_docs,
+    "repeated_ngram_spans_docs": repeated_ngram_spans_docs,
     "tfidf_top_terms_docs": tfidf_top_terms_docs,
     "lang_id_docs": lang_id_docs,
     "token_count_docs": token_count_docs,
@@ -712,6 +803,7 @@ QUERIES = {
 
 ORACLES = {
     "unigram_logprob_docs": ORACLE_UNIGRAM,
+    "repeated_ngram_spans_docs": ORACLE_REPEATED_NGRAMS,
     "repetition_ratio_docs": ORACLE_REPETITION,
     "redact_pii_docs": ORACLE_REDACT,
     "text_quality_docs": ORACLE_TEXT_QUALITY,

@@ -551,3 +551,28 @@ def test_pq_adc_prefers_reconstruction_close_neighbors(spark):
     clone = probe.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
     top = ann_pq_topk(emb.unionByName(clone), probe, PQ_PINNED_CODEBOOKS, k=1).collect()
     assert len(top) == 1 and top[0].neighbor_id == 100000
+
+
+def test_prefix_filter_equals_bruteforce_jaccard(spark):
+    """Exact-recall property: the prefix-filtered join returns the SAME
+    pair set and scores as the quadratic brute-force on a corpus with
+    planted near-dups."""
+    from aws_etl_dados_publicos_cnpj_spark.operators import load_table
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+        shingles,
+    )
+
+    from conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    brute = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(shingles(docs), threshold=0.8).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert brute == fast and len(brute) > 0

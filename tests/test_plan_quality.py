@@ -211,3 +211,13 @@ def test_ann_pq_broadcasts_probes(spark):
     plan = _plan(similarity.QUERIES["ann_pq_topk"](spark, SF_SMALL))
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_prefix_filter_jaccard_no_cartesian(spark):
+    """The prefix-filter join must stay an equi-join on prefix shingles
+    — never a cross product — and verification must be candidate-keyed."""
+    from aws_etl_dados_publicos_cnpj_spark.operators import dedup
+
+    plan = _plan(dedup.prefix_filter_jaccard_docs(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
