@@ -884,28 +884,56 @@ def train_pq_codebooks(
         base.unpersist()
 
 
+def _pq_codes_np(A: np.ndarray, codebooks: list[list[list[float]]]) -> np.ndarray:
+    """(batch, dim) → (batch, m) argmin-L2 codes; numpy argmin takes the
+    FIRST minimum, matching the lower-code-id tie-break of the HOF twin
+    and the (dist, code) ordering of the oracle."""
+    codes = np.empty((A.shape[0], len(codebooks)), dtype=np.int32)
+    for m, book in enumerate(codebooks):
+        C = np.asarray(book, dtype=np.float64)
+        sub = C.shape[1]
+        X = A[:, m * sub : (m + 1) * sub]
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = d.argmin(axis=1)
+    return codes
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    backend: str = "vectorized",
 ) -> DataFrame:
     """Encode each vector as its per-subspace argmin-L2 code array —
-    one map-side pass of codegen'd expressions (no shuffle, no UDF),
-    ties broken toward the lower code id via struct array_sort."""
+    one map-side pass, no shuffle.
+
+    Vectorized backend (default): one Arrow-batched numpy broadcast
+    per subspace — Spark 4 higher-order functions are interpreted, and
+    the unrolled m×k fold expressions measured ~20× slower at sf0.1.
+    ``backend='hof'`` keeps the JVM expression form (oracle twin:
+    sequential fold exactly like DuckDB's list_distance loop)."""
     vec = F.col(vec_col).cast("array<double>")
-    codes = []
-    for m, book in enumerate(codebooks):
-        sub = len(book[0])
-        s = F.slice(vec, m * sub + 1, sub)
-        dists = F.array(
-            *[
-                F.struct(_sq_l2(s, c).alias("d"), F.lit(i).alias("code"))
-                for i, c in enumerate(book)
-            ]
-        )
-        codes.append(F.element_at(F.array_sort(dists), 1).getField("code"))
-    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+    if backend == "hof":
+        codes = []
+        for m, book in enumerate(codebooks):
+            sub = len(book[0])
+            s = F.slice(vec, m * sub + 1, sub)
+            dists = F.array(
+                *[
+                    F.struct(_sq_l2(s, c).alias("d"), F.lit(i).alias("code"))
+                    for i, c in enumerate(book)
+                ]
+            )
+            codes.append(F.element_at(F.array_sort(dists), 1).getField("code"))
+        return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _codes(vecs: pd.Series) -> pd.Series:
+        A = np.stack(vecs.to_numpy())
+        return pd.Series(list(_pq_codes_np(A, codebooks)))
+
+    return df.select(F.col(id_col), _codes(vec).alias("codes"))
 
 
 def ann_pq_topk(
@@ -915,38 +943,108 @@ def ann_pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    backend: str = "vectorized",
 ) -> DataFrame:
-    """ADC top-k: corpus rows carry only their PQ codes; each probe
-    precomputes its m×|codebook| distance lookup table map-side, the
-    (small) probe side broadcasts, and a pair's distance is m table
-    lookups — ``zip_with(codes, lut, element_at)``. The shuffle after
-    the scan carries 8-byte codes, never 512-byte vectors."""
-    encoded = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
-    pvec = F.col(vec_col).cast("array<double>")
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    _sq_l2(F.slice(pvec, m * len(book[0]) + 1, len(book[0])), c)
-                    for c in book
-                ]
-            )
-            for m, book in enumerate(codebooks)
-        ]
-    )
-    p = probes.select(F.col(id_col).alias("probe_id"), lut.alias("lut"))
-    dist = F.aggregate(
-        F.zip_with(F.col("codes"), F.col("lut"), lambda c, row: F.element_at(row, c + 1)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        encoded.join(F.broadcast(p))
-        .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .select("probe_id", "neighbor_id", F.round(dist, 4).alias("dist"))
-    )
+    """ADC top-k: corpus rows are scored through their PQ codes against
+    each probe's m×|codebook| distance lookup table — the probe stays
+    full-precision, the corpus never ships raw vectors past the scan.
+
+    Vectorized backend (default, the ``ann_bruteforce_topk`` shape):
+    probe LUTs are a small numpy tensor shipped in the ``mapInPandas``
+    closure (the probe side is bounded by definition); each corpus
+    Arrow batch encodes with one numpy broadcast and scores ALL probes
+    with one ``take_along_axis`` gather per subspace, emitting only its
+    batch-local top-k per probe — exact because global top-k is a
+    monotone selection over batch-local top-k. ``backend='hof'`` keeps
+    the JVM expression form: broadcast probe LUT arrays +
+    ``zip_with(codes, lut, element_at)`` (oracle twin)."""
+    if backend == "hof":
+        encoded = pq_encode(corpus, codebooks, id_col, vec_col, "hof").withColumnRenamed(
+            id_col, "neighbor_id"
+        )
+        pvec = F.col(vec_col).cast("array<double>")
+        lut = F.array(
+            *[
+                F.array(
+                    *[
+                        _sq_l2(F.slice(pvec, m * len(book[0]) + 1, len(book[0])), c)
+                        for c in book
+                    ]
+                )
+                for m, book in enumerate(codebooks)
+            ]
+        )
+        p = probes.select(F.col(id_col).alias("probe_id"), lut.alias("lut"))
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("lut"), lambda c, row: F.element_at(row, c + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = (
+            encoded.join(F.broadcast(p))
+            .filter(F.col("neighbor_id") != F.col("probe_id"))
+            .select("probe_id", "neighbor_id", F.round(dist, 4).alias("dist"))
+        )
+    else:
+        probe_pd = probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).cast("array<double>").alias("pvec"),
+        ).toPandas()
+        pids = probe_pd["probe_id"].to_numpy()
+        P = (
+            np.stack(probe_pd["pvec"].to_numpy())
+            if len(probe_pd)
+            else np.zeros((0, 1))
+        )
+        # LUT[p, m, code] = squared L2 of probe p's subvector m vs centroid
+        luts = np.stack(
+            [
+                ((P[:, m * len(b[0]) : (m + 1) * len(b[0]), None]
+                  - np.asarray(b, dtype=np.float64).T[None, :, :]) ** 2).sum(axis=1)
+                for m, b in enumerate(codebooks)
+            ],
+            axis=1,
+        ) if len(probe_pd) else np.zeros((0, len(codebooks), 1))
+
+        def score_batches(batches):
+            for pdf in batches:
+                if not len(pdf) or not len(pids):
+                    continue
+                ids = pdf["neighbor_id"].to_numpy()
+                C = np.stack(pdf["cvec"].to_numpy())
+                codes = _pq_codes_np(C, codebooks)  # (B, M)
+                # dist[b, p] = Σ_m LUT[p, m, codes[b, m]]
+                d = np.zeros((len(ids), len(pids)))
+                for m in range(codes.shape[1]):
+                    d += luts[:, m, :][:, codes[:, m]].T
+                d = _round_half_away(d)
+                out_p, out_n, out_d = [], [], []
+                for j, pid in enumerate(pids):
+                    col = d[:, j]
+                    mask = ids != pid
+                    cand_ids, cand_d = ids[mask], col[mask]
+                    order = np.lexsort((cand_ids, cand_d))[:k]
+                    out_p.append(np.full(len(order), pid))
+                    out_n.append(cand_ids[order])
+                    out_d.append(cand_d[order])
+                yield pd.DataFrame(
+                    {
+                        "probe_id": np.concatenate(out_p),
+                        "neighbor_id": np.concatenate(out_n),
+                        "dist": np.concatenate(out_d),
+                    }
+                )
+
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+        scored = c.mapInPandas(
+            score_batches, "probe_id long, neighbor_id long, dist double"
+        )
+
     w = Window.partitionBy("probe_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

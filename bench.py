@@ -45,6 +45,12 @@ HEADLINE = [
     "shuffle_order_docs",
     "unigram_logprob_docs",
     "incremental_dedup_refresh",
+    # round-4 operator families
+    "q07_volume_shipping",
+    "q10_returned_items",
+    "funnel_events",
+    "prefix_filter_jaccard_docs",
+    "ann_pq_topk",
 ]
 
 

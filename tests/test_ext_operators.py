@@ -576,3 +576,37 @@ def test_prefix_filter_equals_bruteforce_jaccard(spark):
         for r in prefix_filter_jaccard_pairs(docs, threshold=0.8).collect()
     }
     assert brute == fast and len(brute) > 0
+
+
+def test_pq_backends_equal(spark):
+    """The Arrow-vectorized hot path and the JVM HOF oracle twin must
+    produce identical codes and identical ADC top-k."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_dados_publicos_cnpj_spark.operators import load_table
+    from aws_etl_dados_publicos_cnpj_spark.operators._pq_codebooks import (
+        PQ_PINNED_CODEBOOKS,
+    )
+    from aws_etl_dados_publicos_cnpj_spark.operators.similarity import (
+        ann_pq_topk,
+        pq_encode,
+    )
+
+    from conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    vec = {r.vec_id: list(r.codes) for r in pq_encode(emb, PQ_PINNED_CODEBOOKS).collect()}
+    hof = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb, PQ_PINNED_CODEBOOKS, backend="hof").collect()
+    }
+    assert vec == hof
+    probes = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ann_pq_topk(emb, probes, PQ_PINNED_CODEBOOKS, k=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            ann_pq_topk(emb, probes, PQ_PINNED_CODEBOOKS, k=3, backend="hof").collect(),
+        )
+    )
+    assert a == b and len(a) > 0

@@ -203,14 +203,15 @@ def test_pq_encode_is_map_only_and_prunes_scan(spark):
     assert got == {"vec_id", "embedding"}
 
 
-def test_ann_pq_broadcasts_probes(spark):
-    """ADC scoring streams the corpus once against a BROADCAST probe
-    table — the corpus side must never shuffle or build."""
+def test_ann_pq_corpus_read_map_only(spark):
+    """ADC scoring streams the corpus once through mapInPandas — no
+    joins at all; the only Exchange is the (batches × probes × k)-row
+    top-k window shuffle, independent of corpus size."""
     from aws_etl_dados_publicos_cnpj_spark.operators import similarity
 
     plan = _plan(similarity.QUERIES["ann_pq_topk"](spark, SF_SMALL))
-    assert "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_prefix_filter_jaccard_no_cartesian(spark):
