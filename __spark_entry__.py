@@ -59,11 +59,11 @@ _DRIVER_PRIORITY = [
     "quantize_embeddings_int8",
     # -- (c) oracle upgraded this round --
     "ann_ivf_topk",
-    # -- (d) implementation touched this round --
-    "shuffle_order_docs",
-    "minhash_lsh_pairs_docs",
+    # -- (d) implementation touched this round (near_dup_clusters gained
+    # the union-find fast path; the other cache-scoping-only changes —
+    # shuffle_order, minhash, hybrid — are r3-green, unit-tested, and
+    # sit in the tail to make room for never-checked queries) --
     "near_dup_clusters_docs",
-    "hybrid_near_dup_docs",
     # -- (e) NEW round-4 queries (no driver row yet) --
     "asof_last_click_before_error_pandas",
     "semantic_dedup_embeddings",
@@ -83,6 +83,9 @@ _DRIVER_PRIORITY = [
     "ann_pq_topk",
     "prefix_filter_jaccard_docs",
     "repeated_ngram_spans_docs",
+    "q16_supplier_variety",
+    "q18_large_volume_customers",
+    "q22_idle_rich_customers",
 ]
 
 

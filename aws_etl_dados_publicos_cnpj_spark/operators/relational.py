@@ -1130,8 +1130,113 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 """.format(vol=_DEC_VOLUME_SQL)
 
 
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp → lineitem): distinct-supplier counts
+    per (brand, size) with a NOT-IN brand exclusion. The distinct agg
+    expands to a two-phase (partial distinct on (brand, size, supp) →
+    count) plan; part broadcasts into the fact scan."""
+    part = load_table(spark, sf_dir, "part").filter(
+        ~F.col("p_brand").isin("Brand#3", "Brand#5")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand NOT IN ('Brand#3', 'Brand#5')
+GROUP BY p_brand, p_size
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (grouped-HAVING subquery), semi-joined back and enriched
+    with the customer. The HAVING aggregate runs once at order
+    granularity; customer broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+ORACLE_Q18 = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(sum(l_quantity), 2) > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    orders — a scalar aggregate subquery (one-row broadcast, never a
+    per-row re-computation) feeding an anti-join whose probe side is
+    date-filtered at the scan, grouped by segment. (The corpus gives
+    every customer at least one lifetime order, so the recency filter
+    is what keeps the anti-join non-degenerate.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_Q22 = """
+SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
     "q04_order_priority": q04_order_priority,
     "q07_volume_shipping": q07_volume_shipping,
     "q10_returned_items": q10_returned_items,
@@ -1179,6 +1284,9 @@ QUERIES = {
 ORACLES = {
     "q01_pricing_summary": ORACLE_Q01,
     "q04_order_priority": ORACLE_Q04,
+    "q16_supplier_variety": ORACLE_Q16,
+    "q18_large_volume_customers": ORACLE_Q18,
+    "q22_idle_rich_customers": ORACLE_Q22,
     "q07_volume_shipping": ORACLE_Q07,
     "q10_returned_items": ORACLE_Q10,
     "q14_promo_revenue": ORACLE_Q14,
