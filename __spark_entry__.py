@@ -86,6 +86,11 @@ _DRIVER_PRIORITY = [
     "q16_supplier_variety",
     "q18_large_volume_customers",
     "q22_idle_rich_customers",
+    # NOTE the window is full at 50: the remaining round-4 queries
+    # (q09_profit_by_nation, reservoir_sample_docs, dedup_events_window)
+    # follow in registry order at positions 51+ — green on the
+    # driver-identical in-repo gate (tools/check_oracle.py, default AND
+    # vanilla sessions) this round, scheduled for the r5 window.
 ]
 
 

@@ -104,6 +104,32 @@ def volume_anomaly(events: DataFrame, round_to: int = 4) -> DataFrame:
     return hourly.withColumn("z_score", F.round(z, round_to))
 
 
+def dedup_events_window(events: DataFrame, slot_minutes: int = 10) -> DataFrame:
+    """Batch twin of ``streaming.windows.streaming_dedup_events``: keep
+    the FIRST event per (user, type, tumbling slot) — the classic
+    client-retry / double-fire scrub — and report how many the slot
+    absorbed. One shuffle; both the keeper rank and the slot count come
+    from the same window partitioning."""
+    hour = F.date_trunc("hour", "ts")
+    slot = F.floor(F.minute("ts") / slot_minutes).cast("int")
+    base = events.withColumn("hour", hour).withColumn("slot", slot)
+    grp = ["user_id", "event_type", "hour", "slot"]
+    w = Window.partitionBy(*grp).orderBy("ts", "event_id")
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count("*").over(Window.partitionBy(*grp)))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "hour",
+            "slot",
+            F.col("event_id").alias("kept_event_id"),
+            "n_events",
+        )
+    )
+
+
 # --- driver-contract query forms -------------------------------------------
 
 
@@ -174,14 +200,40 @@ FROM hourly
 """
 
 
+def dedup_events_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_events_window(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_DEDUP_EVENTS = """
+WITH base AS (
+  SELECT user_id, event_type, date_trunc('hour', ts) AS hour,
+         CAST(floor(minute(ts) / 10) AS INT) AS slot, ts, event_id
+  FROM events
+),
+ranked AS (
+  SELECT user_id, event_type, hour, slot, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type, hour, slot
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type, hour, slot)
+             AS n_events
+  FROM base
+)
+SELECT user_id, event_type, hour, slot,
+       event_id AS kept_event_id, n_events
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "funnel_events": funnel_events,
     "retention_cohorts_events": retention_cohorts_events,
     "volume_anomaly_events": volume_anomaly_events,
+    "dedup_events_window": dedup_events_window_query,
 }
 
 ORACLES = {
     "funnel_events": ORACLE_FUNNEL,
     "retention_cohorts_events": ORACLE_RETENTION,
     "volume_anomaly_events": ORACLE_ANOMALY,
+    "dedup_events_window": ORACLE_DEDUP_EVENTS,
 }

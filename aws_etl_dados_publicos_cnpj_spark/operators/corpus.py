@@ -12,7 +12,7 @@ partial-agg shuffle on (lang, source).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import load_table
@@ -351,8 +351,49 @@ FROM documents
 """
 
 
+def reservoir_sample(
+    df: DataFrame,
+    n_per_group: int = 20,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size per-group sample (the eval-set / human-review cut):
+    exactly ``n_per_group`` docs per group, chosen by md5-content-hash
+    order — deterministic across runs AND engines (unlike
+    ``TABLESAMPLE`` / reservoir randomness), and stable under corpus
+    append ONLY where new docs hash above the cut, exactly like a
+    true reservoir's inclusion property.
+
+    Scale shape: one hash-partition shuffle on the group key; the
+    per-group window is a partial top-k problem, so with a rank filter
+    this small Spark pushes a WindowGroupLimit (per-partition top-k
+    before the exchange) — never a global sort."""
+    w = Window.partitionBy(group_col).orderBy(F.md5(F.col(text_col)), F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_group)
+        .select(id_col, group_col, "sample_rank")
+    )
+
+
+def reservoir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reservoir_sample(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_RESERVOIR = """
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)
+             AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 20
+"""
+
+
 QUERIES = {
     "corpus_stats_by_lang_source": corpus_stats_by_lang_source,
+    "reservoir_sample_docs": reservoir_sample_docs,
     "stratified_sample_docs": stratified_sample_docs,
     "train_val_test_split_docs": train_val_test_split_docs,
     "decontaminate_train_docs": decontaminate_train_docs,
@@ -362,6 +403,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "reservoir_sample_docs": ORACLE_RESERVOIR,
     "shuffle_order_docs": ORACLE_SHUFFLE_ORDER,
     "domain_mix_docs": ORACLE_DOMAIN_MIX,
     "corpus_stats_by_lang_source": ORACLE_CORPUS_STATS,

@@ -1232,8 +1232,51 @@ GROUP BY c_mktsegment
 """
 
 
+def q09_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (sans partsupp): profit per supplier-nation per
+    year for a part-name pattern. part and supplier/nation broadcast;
+    the LIKE filter prunes the broadcast side at its scan; one
+    fact⋈fact shuffle (lineitem⋈orders) carries the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _dec_volume() - F.col("l_quantity").cast("decimal(18,2)") * F.col(
+        "p_retailprice"
+    ).cast("decimal(18,2)") * F.lit(0.1).cast("decimal(3,1)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
+
+
+ORACLE_Q09 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(round(sum({vol}
+                      - CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(0.1 AS DECIMAL(3,1))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+""".format(vol=_DEC_VOLUME_SQL)
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q09_profit_by_nation": q09_profit_by_nation,
     "q16_supplier_variety": q16_supplier_variety,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q22_idle_rich_customers": q22_idle_rich_customers,
@@ -1284,6 +1327,7 @@ QUERIES = {
 ORACLES = {
     "q01_pricing_summary": ORACLE_Q01,
     "q04_order_priority": ORACLE_Q04,
+    "q09_profit_by_nation": ORACLE_Q09,
     "q16_supplier_variety": ORACLE_Q16,
     "q18_large_volume_customers": ORACLE_Q18,
     "q22_idle_rich_customers": ORACLE_Q22,
