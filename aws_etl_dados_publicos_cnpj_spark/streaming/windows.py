@@ -123,3 +123,56 @@ def run_available_now(agg: DataFrame, query_name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def click_error_interval_join(clicks: DataFrame, errors: DataFrame) -> DataFrame:
+    """Shared join logic for the stream-stream interval join and its
+    batch twin: each click pairs with the SAME USER's errors occurring
+    within the following 5 minutes (the batch analog of the bucketed
+    range join in ``operators/temporal.py``)."""
+    return clicks.join(
+        errors,
+        F.expr(
+            "user_id = err_user AND "
+            "err_ts >= click_ts AND err_ts <= click_ts + INTERVAL 5 MINUTES"
+        ),
+    ).select("user_id", "click_id", "err_id", "click_ts", "err_ts")
+
+
+def _split_click_error(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("err_user"),
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    return clicks, errors
+
+
+def streaming_click_error_join(
+    spark: SparkSession, source_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """STREAM-STREAM inner join with event-time bounds: both sides are
+    watermarked so the join state is bounded — a click can only match
+    errors up to 5 minutes later, so once the error-side watermark
+    passes click_ts + 5 min the buffered click row is evicted. Without
+    the time bound (or watermarks) Spark would have to buffer both
+    streams forever; this is the canonical bounded-state shape for
+    correlating two 100 TB event feeds."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(source_dir)
+    clicks, errors = _split_click_error(stream)
+    return click_error_interval_join(
+        clicks.withWatermark("click_ts", watermark),
+        errors.withWatermark("err_ts", watermark),
+    )
+
+
+def batch_click_error_join(events: DataFrame) -> DataFrame:
+    """Batch twin of ``streaming_click_error_join`` (same plan shape
+    minus the state store) — the parity reference for tests."""
+    clicks, errors = _split_click_error(events)
+    return click_error_interval_join(clicks, errors)

@@ -352,3 +352,30 @@ def test_streaming_dedup_batch_replay_is_idempotent(spark, tmp_path):
     )
     assert pairs_replayed == pairs_once
     assert spark.read.parquet(sig_store).count() == sigs_once
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """Stream-stream inner join (watermarked both sides, time-bounded
+    condition) must produce exactly the batch join's pairs once all
+    input drains."""
+    from aws_etl_dados_publicos_cnpj_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        batch_click_error_join,
+        run_available_now,
+        streaming_click_error_join,
+    )
+
+    batch_df = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    batch = {tuple(r) for r in batch_click_error_join(batch_df).collect()}
+
+    joined = streaming_click_error_join(spark, events_dir)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_ss_join")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = {tuple(r) for r in spark.sql("SELECT * FROM t_stream_ss_join").collect()}
+    assert stream == batch and len(batch) > 0
