@@ -868,7 +868,13 @@ def prefix_filter_jaccard_pairs(
     shingles, and a candidate-restricted verify join — never an
     all-pairs product and never a hot-bucket quadratic blowup.
     """
-    sh = shingles(df, text_col, id_col, n)
+    # compute-once sharing: the shingle relation feeds FOUR branches
+    # (doc sizes, global frequencies, prefix ranking, verify join) —
+    # without pinning, each branch re-shingles the corpus from the scan.
+    # Lazy localCheckpoint (not cache) so the ContextCleaner releases
+    # the blocks when the result is dropped (same rationale as
+    # minhash_lsh_dedup above).
+    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
     ranked = sh.join(freq, "shingle").withColumn(

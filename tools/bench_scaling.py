@@ -64,6 +64,15 @@ def main() -> None:
         ),
         "repetition_ratio": ((1, 4, 16), lambda d: text.repetition_ratio(d)),
         "shuffle_order": ((1, 4, 16), lambda d: corpus.shuffle_order(d)),
+        # round-4 families (pair-emitting → 1x/4x; linear → 16x)
+        "prefix_filter_jaccard": (
+            (1, 4),
+            lambda d: dedup.prefix_filter_jaccard_pairs(d, threshold=0.8),
+        ),
+        "repeated_ngram_spans": ((1, 4, 16), lambda d: text.repeated_ngram_spans(d)),
+        "reservoir_sample": ((1, 4, 16), lambda d: corpus.reservoir_sample(
+            d.withColumn("lang", F.pmod(F.col("doc_id"), F.lit(10)).cast("string"))
+        )),
     }
     for name, (scales, fn) in ops.items():
         if only and name not in only:
