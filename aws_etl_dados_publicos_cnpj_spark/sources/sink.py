@@ -179,3 +179,46 @@ def latest_partition(spark: SparkSession, name: str, database: str = "default") 
     ``README.md:222`` is the max — SURVEY.md §2.1 S14)."""
     parts = list_partitions(spark, name, database)
     return max((int(p) for p in parts), default=None)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    name: str,
+    old_ref: str | int,
+    new_ref: str | int,
+    key_cols: list[str],
+    database: str = "default",
+) -> DataFrame:
+    """Time-travel diff between two ``ref_date`` snapshots of a
+    catalog table: one row per changed entity with ``change ∈
+    {added, removed, updated}``.
+
+    The reference's weekly full re-uploads ARE snapshots
+    (``README.md:222``); "what changed since last week" is the first
+    consumption question that layout exists to answer. Both sides are
+    partition-pruned scans (the ``ref_date =`` filters hit the Hive
+    layout, no other snapshot is read); the diff is a single full-outer
+    key join; ``updated`` compares a row-content hash of the non-key
+    columns so wide tables diff without shipping both full rows to the
+    driver."""
+    tbl = spark.table(f"{database}.{name}")
+    data_cols = [
+        c for c in tbl.columns if c not in (*key_cols, PARTITION_COLUMN)
+    ]
+    def side(ref, tag):
+        return tbl.filter(F.col(PARTITION_COLUMN) == str(ref)).select(
+            *key_cols,
+            F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in data_cols]).alias(f"h_{tag}"),
+        )
+    old, new = side(old_ref, "old"), side(new_ref, "new")
+    joined = old.join(new, key_cols, "full_outer")
+    change = (
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_old") != F.col("h_new"), "updated")
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

@@ -196,3 +196,45 @@ def test_warehouse_maintenance_multi_snapshot(spark, fixture_zips):
         .toString()
     )
     assert "PartitionFilters" in plan and "20230715" in plan
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    """Two snapshots of a small dimension → added/removed/updated rows
+    classified correctly, with both scans partition-pruned."""
+    from aws_etl_dados_publicos_cnpj_spark.sources.sink import (
+        register_table,
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "dimtbl")
+    old = spark.createDataFrame(
+        [(1, "acme", 10.0), (2, "beta", 20.0), (3, "gone", 30.0)],
+        "k long, nome string, cap double",
+    )
+    new = spark.createDataFrame(
+        [(1, "acme", 10.0), (2, "beta", 25.0), (4, "novel", 40.0)],
+        "k long, nome string, cap double",
+    )
+    write_snapshot(old, root, 20240101)
+    write_snapshot(new, root, 20240108)
+    register_table(spark, "dimtbl", root)
+
+    diff = snapshot_diff(spark, "dimtbl", 20240101, 20240108, ["k"])
+    got = {(r.k, r.change) for r in diff.collect()}
+    assert got == {(2, "updated"), (3, "removed"), (4, "added")}
+
+    # both sides must be partition-pruned to exactly their snapshot
+    # (plan toString truncates PartitionFilters at 100 chars by default)
+    import re
+
+    old_len = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = snapshot_diff(
+            spark, "dimtbl", 20240101, 20240108, ["k"]
+        )._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old_len)
+    prunes = re.findall(r"PartitionFilters: \[[^\]]*= (\d+)\)", plan)
+    assert sorted(prunes) == ["20240101", "20240108"], plan[:3000]
