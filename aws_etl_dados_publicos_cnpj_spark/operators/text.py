@@ -754,6 +754,108 @@ def repeated_ngram_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_ngram_spans(load_table(spark, sf_dir, "documents"))
 
 
+def scrub_repeated_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REMOVAL half of cross-document span dedup (Lee et al. 2022):
+    rewrite each document with every word position covered by a shared
+    n-gram (one occurring in ≥ ``min_docs`` distinct docs) dropped.
+
+    Plan: positions of shared n-grams come from the same
+    posexplode→distinct→join pipeline as ``repeated_ngram_spans``; the
+    covered-index set is collected per doc (bounded by doc length) and
+    the rewrite is a per-row array filter — the corpus crosses the
+    network once as (doc, start) pairs, never as text."""
+    w = words_col(text_col)
+    m = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
+    ng = F.slice(w, 1, m)
+    for i in range(1, n):
+        ng = F.zip_with(
+            ng, F.slice(w, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    pos = df.select(F.col(id_col), F.posexplode(ng).alias("p0", "ngram"))
+    shared = (
+        pos.select(id_col, "ngram")
+        .distinct()
+        .groupBy("ngram")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("ngram")
+    )
+    starts = (
+        pos.join(shared, "ngram")
+        .groupBy(id_col)
+        # 1-based word index of each shared-n-gram start
+        .agg(F.collect_set(F.col("p0") + 1).alias("starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce("starts", F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + F.lit(n - 1)),
+            )
+        )
+    )
+    kept = F.filter(
+        w, lambda x, j: ~F.array_contains(F.col("covered"), (j + 1).cast("int"))
+    )
+    return (
+        df.join(starts, id_col, "left")
+        .withColumn("covered", covered)
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", kept).alias("clean_text"),
+            (F.size(w) - F.size(kept)).alias("n_removed_words"),
+        )
+    )
+
+
+def scrub_repeated_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scrub_repeated_ngrams(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_SCRUB_NGRAMS = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (
+  SELECT doc_id, i.i AS p, array_to_string(w[i.i:i.i+4], ' ') AS ngram
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 4)) AS i
+  ) i
+  WHERE len(w) >= 5
+),
+shared AS (
+  SELECT ngram FROM (SELECT DISTINCT doc_id, ngram FROM pos)
+  GROUP BY ngram HAVING count(*) >= 2
+),
+starts AS (
+  SELECT doc_id, list(DISTINCT p) AS starts
+  FROM pos JOIN shared USING (ngram) GROUP BY doc_id
+),
+rw AS (
+  SELECT words.doc_id, w,
+         flatten(list_transform(coalesce(starts, []),
+                                s -> range(s, s + 5))) AS covered
+  FROM words LEFT JOIN starts ON words.doc_id = starts.doc_id
+),
+kept AS (
+  SELECT doc_id, w, covered,
+         list_transform(
+           list_filter(range(1, len(w) + 1),
+                       j -> NOT list_contains(covered, j)),
+           j -> w[j]) AS kw
+  FROM rw
+)
+SELECT doc_id,
+       coalesce(array_to_string(kw, ' '), '') AS clean_text,
+       CAST(len(w) - len(kw) AS INT) AS n_removed_words
+FROM kept
+"""
+
+
 ORACLE_REPEATED_NGRAMS = """
 WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 pos AS (
@@ -787,6 +889,7 @@ FROM totals t LEFT JOIN dup d USING (doc_id)
 QUERIES = {
     "text_quality_docs": text_quality_docs,
     "repeated_ngram_spans_docs": repeated_ngram_spans_docs,
+    "scrub_repeated_ngrams_docs": scrub_repeated_ngrams_docs,
     "tfidf_top_terms_docs": tfidf_top_terms_docs,
     "lang_id_docs": lang_id_docs,
     "token_count_docs": token_count_docs,
@@ -804,6 +907,7 @@ QUERIES = {
 ORACLES = {
     "unigram_logprob_docs": ORACLE_UNIGRAM,
     "repeated_ngram_spans_docs": ORACLE_REPEATED_NGRAMS,
+    "scrub_repeated_ngrams_docs": ORACLE_SCRUB_NGRAMS,
     "repetition_ratio_docs": ORACLE_REPETITION,
     "redact_pii_docs": ORACLE_REDACT,
     "text_quality_docs": ORACLE_TEXT_QUALITY,

@@ -610,3 +610,24 @@ def test_pq_backends_equal(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_scrub_repeated_ngrams_removes_only_shared_spans(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators.text import scrub_repeated_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon unique one tail"),
+            (2, "alpha beta gamma delta epsilon other two tails"),
+            (3, "totally different words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_repeated_ngrams(docs, n=5).collect()}
+    # the shared 5-gram span (words 1-5) vanishes from both docs
+    assert out[1].clean_text == "unique one tail"
+    assert out[2].clean_text == "other two tails"
+    assert out[1].n_removed_words == 5 and out[2].n_removed_words == 5
+    # untouched doc passes through verbatim
+    assert out[3].clean_text == docs.filter("doc_id=3").first().text
+    assert out[3].n_removed_words == 0

@@ -379,3 +379,37 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
     q.awaitTermination(120)
     stream = {tuple(r) for r in spark.sql("SELECT * FROM t_stream_ss_join").collect()}
     assert stream == batch and len(batch) > 0
+
+
+def test_streaming_funnel_equals_batch(spark, events_dir):
+    """The per-user stateful funnel (applyInPandasWithState) must agree
+    with the batch funnel's per-stage survivor counts once the stream
+    drains."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.behavioral import funnel
+    from aws_etl_dados_publicos_cnpj_spark.streaming.stateful import streaming_funnel
+    from aws_etl_dados_publicos_cnpj_spark.streaming.windows import EVENTS_SCHEMA
+
+    batch_df = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    batch = {r.stage_ord: r.users for r in funnel(batch_df).collect()}
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(events_dir)
+    )
+    q = (
+        streaming_funnel(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_stream_funnel")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits per batch: the user's FINAL stage is the last
+    # emitted row; with availableNow over one directory it's one batch
+    rows = spark.sql(
+        "SELECT user_id, max(stage_reached) AS stage FROM t_stream_funnel GROUP BY user_id"
+    ).collect()
+    stream_counts = {
+        k: sum(1 for r in rows if r.stage >= k) for k in batch
+    }
+    assert stream_counts == batch and batch[1] > 0
