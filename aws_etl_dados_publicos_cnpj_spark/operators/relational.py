@@ -1274,8 +1274,45 @@ GROUP BY n_name, o_year
 """.format(vol=_DEC_VOLUME_SQL)
 
 
+def moving_window_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per customer, the trailing-30-DAY order
+    volume and count (event-time range, not row count) — the frame type
+    ROWS windows can't express when order cadence varies. Spark takes
+    the range on a day-count ordering key (``datediff`` from an epoch
+    literal — NTZ-safe where a long cast is not, and exact because
+    order dates are midnight-aligned); one key-partitioned sort, no
+    self-join. The windowed sum runs on exact decimals (a windowed
+    ``avg`` of doubles hits structural half-cent round ties — found by
+    the oracle sweep)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_key = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(day_key).rangeBetween(-30, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_30d"),
+        F.count("*").over(w).alias("n_30d"),
+    )
+
+
+ORACLE_MOVING_AVG = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_30d,
+       count(*) OVER w AS n_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "moving_window_orders": moving_window_orders,
     "q09_profit_by_nation": q09_profit_by_nation,
     "q16_supplier_variety": q16_supplier_variety,
     "q18_large_volume_customers": q18_large_volume_customers,
@@ -1328,6 +1365,7 @@ ORACLES = {
     "q01_pricing_summary": ORACLE_Q01,
     "q04_order_priority": ORACLE_Q04,
     "q09_profit_by_nation": ORACLE_Q09,
+    "moving_window_orders": ORACLE_MOVING_AVG,
     "q16_supplier_variety": ORACLE_Q16,
     "q18_large_volume_customers": ORACLE_Q18,
     "q22_idle_rich_customers": ORACLE_Q22,
