@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
@@ -610,14 +610,41 @@ def quality_buckets(
     with its bucket (1 = most fluent). Downstream mixes then sample per
     bucket instead of hard-filtering.
 
-    Scale shape: the boundaries are ONE 1-row aggregate (exact
-    interpolated percentile) broadcast back; bucket assignment is a
-    map-side array comparison — no global sort, no ntile window dragging
-    the corpus through a single task."""
+    Scale shape: boundaries come from the DISTINCT-score table (tiny —
+    scores are 4 dp) via a cumulative count, then broadcast back; bucket
+    assignment is a map-side comparison — no global sort, no ntile
+    window dragging the corpus through a single task.
+
+    Boundaries are DISCRETE order statistics (SQL-standard
+    ``percentile_disc``: the smallest score whose cumulative count ≥
+    ⌈p·N⌉) computed with integer rank arithmetic — an interpolated
+    percentile differs between engines by 1 ulp exactly when a decile
+    cut lands on a run of tied scores (found by the sf0.1 oracle
+    sweep), while the discrete rule always selects an actual data
+    value, identically everywhere."""
     scored = unigram_logprob(df, text_col, id_col)
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = scored.agg(
-        F.percentile("mean_nll", F.array(*[F.lit(p) for p in probs])).alias("bs")
+    vals = scored.groupBy("mean_nll").agg(F.count("*").alias("c"))
+    # cumulative count over the DISTINCT values — bounded cardinality,
+    # so the single-partition window is a non-issue
+    wcum = Window.orderBy("mean_nll").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.withColumn("cum", F.sum("c").over(wcum))
+    total = scored.agg(F.count("*").alias("n"))
+    bounds = (
+        cum.crossJoin(F.broadcast(total))
+        .agg(
+            F.array(
+                *[
+                    F.min(
+                        F.when(
+                            F.col("cum")
+                            >= F.ceil(F.col("n") * F.lit(k) / F.lit(n_buckets)),
+                            F.col("mean_nll"),
+                        )
+                    )
+                    for k in range(1, n_buckets)
+                ]
+            ).alias("bs")
+        )
     )
     return scored.join(F.broadcast(bounds)).select(
         id_col,
@@ -649,13 +676,22 @@ scored AS (
   FROM words JOIN model USING (word)
   GROUP BY doc_id
 ),
-bounds AS (
-  SELECT quantile_cont(mean_nll, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
-  FROM scored
+cumdist AS (
+  SELECT mean_nll, sum(count(*)) OVER (ORDER BY mean_nll
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM scored GROUP BY mean_nll
+),
+total AS (SELECT count(*) AS n FROM scored),
+bvals AS (
+  SELECT k, min(mean_nll) AS b
+  FROM (SELECT unnest(range(1, 10)) AS k) ks, cumdist, total
+  WHERE cum >= ceil(n * k / 10.0)
+  GROUP BY k
 )
 SELECT doc_id, mean_nll,
-       len(list_filter(bs, b -> mean_nll > b)) + 1 AS bucket
-FROM scored, bounds
+       CAST(1 + count(bvals.k) AS INT) AS bucket
+FROM scored LEFT JOIN bvals ON scored.mean_nll > bvals.b
+GROUP BY doc_id, mean_nll
 """
 
 

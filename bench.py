@@ -51,6 +51,12 @@ HEADLINE = [
     "funnel_events",
     "prefix_filter_jaccard_docs",
     "ann_pq_topk",
+    "q09_profit_by_nation",
+    "retention_cohorts_events",
+    "moving_window_orders",
+    "repeated_ngram_spans_docs",
+    "scrub_repeated_ngrams_docs",
+    "reservoir_sample_docs",
 ]
 
 
