@@ -222,3 +222,19 @@ def test_prefix_filter_jaccard_no_cartesian(spark):
     plan = _plan(dedup.prefix_filter_jaccard_docs(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_moving_window_single_sort_exchange(spark):
+    """The RANGE-frame query must be one hash exchange + one sort on
+    (custkey, day) — no self-join, no extra exchanges."""
+    plan = _plan(relational.QUERIES["moving_window_orders"](spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_scrub_repeated_ngrams_no_cartesian(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators import text
+
+    plan = _plan(text.QUERIES["scrub_repeated_ngrams_docs"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
