@@ -391,9 +391,90 @@ WHERE sample_rank <= 20
 """
 
 
+def split_leakage(df: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Train/eval LEAKAGE audit: near-duplicate pairs that straddle the
+    train/val/test boundary — the QA check every split needs, since a
+    near-dup of a training doc sitting in test silently inflates eval.
+    Composes the content-hash split with MinHash-grade exact Jaccard
+    pairs (prefix-filtered, sub-quadratic); only pairs with different
+    split labels survive."""
+    from .dedup import prefix_filter_jaccard_pairs
+
+    pairs = prefix_filter_jaccard_pairs(df, threshold=threshold)
+    splits = train_val_test_split(df).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )
+
+
+def split_leakage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_leakage(load_table(spark, sf_dir, "documents"))
+
+
+def kl_lang_by_source(df: DataFrame) -> DataFrame:
+    """Per-source distribution drift: KL(source's lang distribution ‖
+    corpus lang distribution), the standard check that one ingest
+    source isn't skewing the language mix. Two tiny aggregates joined
+    on lang — the corpus marginal broadcasts."""
+    src = df.groupBy("source", "lang").agg(F.count("*").alias("n_sl"))
+    src_tot = df.groupBy("source").agg(F.count("*").alias("n_s"))
+    corpus = df.groupBy("lang").agg(F.count("*").alias("n_l"))
+    total = df.agg(F.count("*").alias("n"))
+    p = F.col("n_sl") / F.col("n_s")
+    q = F.col("n_l") / F.col("n")
+    return (
+        src.join(src_tot, "source")
+        .join(F.broadcast(corpus), "lang")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_lang"))
+    )
+
+
+def kl_lang_by_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kl_lang_by_source(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_split_leakage() -> str:
+    from .dedup import _ORACLE_EXACT_JACCARD
+
+    return f"""
+WITH jac AS MATERIALIZED ({_ORACLE_EXACT_JACCARD}),
+sp AS (
+  SELECT doc_id, CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                      WHEN {_BUCKET_SQL} < 90 THEN 'val'
+                      ELSE 'test' END AS split
+  FROM documents
+)
+SELECT doc_a, doc_b, a.split AS split_a, b.split AS split_b, jaccard
+FROM jac JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id
+WHERE a.split <> b.split
+"""
+
+
+ORACLE_KL = """
+WITH src AS (SELECT source, lang, count(*) AS n_sl FROM documents GROUP BY 1, 2),
+st AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+t AS (SELECT count(*) AS n FROM documents)
+SELECT source,
+       round(sum((n_sl * 1.0 / n_s)
+                 * ln((n_sl * 1.0 / n_s) / (n_l * 1.0 / n))), 6) AS kl_lang
+FROM src JOIN st USING (source) JOIN c USING (lang), t
+GROUP BY source
+"""
+
+
 QUERIES = {
     "corpus_stats_by_lang_source": corpus_stats_by_lang_source,
     "reservoir_sample_docs": reservoir_sample_docs,
+    "split_leakage_docs": split_leakage_docs,
+    "kl_lang_by_source_docs": kl_lang_by_source_docs,
     "stratified_sample_docs": stratified_sample_docs,
     "train_val_test_split_docs": train_val_test_split_docs,
     "decontaminate_train_docs": decontaminate_train_docs,
@@ -404,6 +485,8 @@ QUERIES = {
 
 ORACLES = {
     "reservoir_sample_docs": ORACLE_RESERVOIR,
+    "split_leakage_docs": _oracle_split_leakage(),
+    "kl_lang_by_source_docs": ORACLE_KL,
     "shuffle_order_docs": ORACLE_SHUFFLE_ORDER,
     "domain_mix_docs": ORACLE_DOMAIN_MIX,
     "corpus_stats_by_lang_source": ORACLE_CORPUS_STATS,

@@ -1310,10 +1310,51 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
 """
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of THAT PART's average quantity — a correlated aggregate
+    subquery, decorrelated to a per-part aggregate joined back on the
+    part key (Catalyst's standard rewrite, expressed directly). The
+    threshold comparison is cross-multiplied into exact integer/decimal
+    arithmetic (10·cnt·qty < 2·sum_qty), so no FP division sits on a
+    knife edge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    qdec = F.col("l_quantity").cast("decimal(18,2)")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(qdec) * F.lit(2)).alias("sum2"),
+        (F.count("*") * F.lit(10)).alias("cnt10"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part.pk)
+        .filter(qdec * F.col("cnt10") < F.col("sum2"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7, 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+ORACLE_Q17 = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7, 2) AS DOUBLE)
+           AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN (SELECT l_partkey AS pk,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) * 2 AS sum2,
+             count(*) * 10 AS cnt10
+      FROM lineitem GROUP BY l_partkey) pp ON l_partkey = pp.pk
+WHERE p_brand = 'Brand#1'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * cnt10 < sum2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "moving_window_orders": moving_window_orders,
     "q09_profit_by_nation": q09_profit_by_nation,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q16_supplier_variety": q16_supplier_variety,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q22_idle_rich_customers": q22_idle_rich_customers,
@@ -1365,6 +1406,7 @@ ORACLES = {
     "q01_pricing_summary": ORACLE_Q01,
     "q04_order_priority": ORACLE_Q04,
     "q09_profit_by_nation": ORACLE_Q09,
+    "q17_small_quantity_revenue": ORACLE_Q17,
     "moving_window_orders": ORACLE_MOVING_AVG,
     "q16_supplier_variety": ORACLE_Q16,
     "q18_large_volume_customers": ORACLE_Q18,
