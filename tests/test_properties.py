@@ -170,3 +170,77 @@ def test_fingerprint_matches_pure_python(spark, text):
     for ch in text:
         want = (want * FINGERPRINT_BASE + ord(ch)) % FINGERPRINT_MOD
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=60).map(
+            lambda s: " ".join(s.split()) or "a"
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    t=st.sampled_from([0.5, 0.7, 0.8, 0.9]),
+)
+def test_prefix_filter_equals_bruteforce_property(spark, texts, t):
+    """Exact recall at ANY threshold on random word-soup corpora: the
+    prefix-filtered join must reproduce the quadratic brute force."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(texts)], "doc_id long, text string"
+    )
+    brute = {
+        (p.doc_a, p.doc_b): p.jaccard
+        for p in jaccard_pairs(shingles(df), threshold=t).collect()
+    }
+    fast = {
+        (p.doc_a, p.doc_b): p.jaccard
+        for p in prefix_filter_jaccard_pairs(df, threshold=t).collect()
+    }
+    assert fast == brute
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="xy ", min_size=9, max_size=60).map(
+            lambda s: " ".join(s.split()) or "x y z w v u"
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_scrub_invariants(spark, texts):
+    """(a) word count conservation: kept + removed == original;
+    (b) completeness: after scrubbing, no n-gram shared by >=2 docs
+    BEFORE the scrub survives in any scrubbed doc at its original
+    position count... weaker but checkable: every scrubbed doc's
+    removed count is 0 iff it shared no n-gram."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.text import (
+        repeated_ngram_spans,
+        scrub_repeated_ngrams,
+    )
+
+    n = 3
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(texts)], "doc_id long, text string"
+    )
+    spans = {r.doc_id: r.n_dup_ngrams for r in repeated_ngram_spans(df, n=n).collect()}
+    out = {r.doc_id: r for r in scrub_repeated_ngrams(df, n=n).collect()}
+    orig = {i: len(x.split()) for i, x in enumerate(texts)}
+    for i, r in out.items():
+        kept = len(r.clean_text.split()) if r.clean_text else 0
+        assert kept + r.n_removed_words == orig[i]
+        assert (r.n_removed_words == 0) == (spans[i] == 0)
