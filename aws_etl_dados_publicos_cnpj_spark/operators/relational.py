@@ -1310,6 +1310,46 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
 """
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue per supplier over a quarter, keep the
+    supplier(s) achieving the MAX — an aggregate, a scalar max over it,
+    and an equality join back (the view + subquery of the original,
+    decorrelated). Exact-decimal revenue so the max comparison is
+    engine-stable; supplier broadcast for the name lookup."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec_volume()).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("mx"))
+        .join(F.broadcast(supp), rev.supplier_no == supp.s_suppkey)
+        .select(
+            "supplier_no",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no, sum({vol}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT supplier_no, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""".format(vol=_DEC_VOLUME_SQL)
+
+
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from lineitems whose quantity is below
     20% of THAT PART's average quantity — a correlated aggregate
@@ -1354,6 +1394,7 @@ QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "moving_window_orders": moving_window_orders,
     "q09_profit_by_nation": q09_profit_by_nation,
+    "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q16_supplier_variety": q16_supplier_variety,
     "q18_large_volume_customers": q18_large_volume_customers,
@@ -1406,6 +1447,7 @@ ORACLES = {
     "q01_pricing_summary": ORACLE_Q01,
     "q04_order_priority": ORACLE_Q04,
     "q09_profit_by_nation": ORACLE_Q09,
+    "q15_top_supplier": ORACLE_Q15,
     "q17_small_quantity_revenue": ORACLE_Q17,
     "moving_window_orders": ORACLE_MOVING_AVG,
     "q16_supplier_variety": ORACLE_Q16,

@@ -238,3 +238,23 @@ def test_scrub_repeated_ngrams_no_cartesian(spark):
     plan = _plan(text.QUERIES["scrub_repeated_ngrams_docs"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_row_python_or_cartesian_anywhere(spark):
+    """Blanket guard over the ENTIRE registry: no query may plan a
+    row-at-a-time Python eval (BatchEvalPython) or a cartesian product.
+    Arrow paths (ArrowEvalPython/MapInPandas/FlatMapGroupsInPandas) are
+    the only sanctioned Python surfaces."""
+    import __spark_entry__ as entrymod
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        plan = _plan(fn(spark, SF_SMALL))
+        hits = [
+            m
+            for m in ("BatchEvalPython", "CartesianProduct")
+            if m in plan
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
