@@ -325,37 +325,39 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return sums.select(id_col, F.expr(pack).alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+def hamming_block_pairs(
+    sigs: DataFrame,
+    bits: int,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ `max_hamming` via
-    pigeonhole block search: the 60-bit signature splits into
-    `max_hamming + 1` contiguous blocks; a pair with ≤ max_hamming
-    differing bits must agree on at least one whole block, so joining
-    on (block_id, block_value) has EXACT recall at any threshold —
-    never an all-pairs compare. At the default max_hamming=3 that is 4
-    blocks of 15 bits (2^15-value join key space per block id).
+    """Generic pigeonhole block search over ANY integer signature
+    column (SimHash text signatures, image aHashes, …): the `bits`-wide
+    signature splits into `max_hamming + 1` contiguous blocks; a pair
+    with ≤ max_hamming differing bits must agree on at least one whole
+    block, so joining on (block_id, block_value) has EXACT recall at
+    any threshold — never an all-pairs compare.
 
     Scale shape: one (blocks)× explode + one equi-join (AQE splits hot
     buckets) + exact Hamming on candidates only."""
-    nblocks = min(max_hamming + 1, SIMHASH_BITS)
-    base_w, extra = divmod(SIMHASH_BITS, nblocks)
+    nblocks = min(max_hamming + 1, bits)
+    base_w, extra = divmod(bits, nblocks)
     bounds = []  # (start_bit, width) per block — widths differ by ≤1
     start = 0
     for i in range(nblocks):
         w = base_w + (1 if i < extra else 0)
         bounds.append((start, w))
         start += w
-    sigs = simhash(df, text_col, id_col)
     blocked = sigs.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("bi"),
-                        F.shiftright(F.col("simhash"), s)
+                        F.shiftright(F.col(sig_col), s)
                         .bitwiseAND(F.lit((1 << w) - 1))
                         .alias("bv"),
                     )
@@ -363,12 +365,12 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("blk"),
-    ).select(id_col, "simhash", F.col("blk.bi").alias("bi"), F.col("blk.bv").alias("bv"))
+    ).select(id_col, "_sig", F.col("blk.bi").alias("bi"), F.col("blk.bv").alias("bv"))
     a = blocked.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "bi", "bv"
+        F.col(id_col).alias("doc_a"), F.col("_sig").alias("sig_a"), "bi", "bv"
     )
     b = blocked.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "bi", "bv"
+        F.col(id_col).alias("doc_b"), F.col("_sig").alias("sig_b"), "bi", "bv"
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
@@ -377,6 +379,19 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ `max_hamming` —
+    the pigeonhole block join over the 60-bit text signature (see
+    ``hamming_block_pairs``; at the default max_hamming=3 that is 4
+    blocks of 15 bits)."""
+    sigs = simhash(df, text_col, id_col)
+    return hamming_block_pairs(
+        sigs, SIMHASH_BITS, id_col, "simhash", max_hamming
     )
 
 

@@ -318,6 +318,89 @@ def synthesize_wav_from_text(
     )
 
 
+def synthesize_bmp_from_text(
+    df: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic synthetic-image generator: the decoded pixel at
+    row-major index k gets BGR bytes ``text_bytes[(3k + c) % n]`` —
+    so the REAL 24-bit BMP encoder/decoder round-trip can be exercised
+    (and SQL-oracled) with no media files in the environment. Rows are
+    serialized bottom-up per the BMP spec; width 8 → 24-byte rows, no
+    padding."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        row_size = (width * 3 + 3) // 4 * 4
+        for pdf in it:
+            payloads = []
+            for t in pdf[text_col]:
+                raw = t.encode("utf-8")
+                n = len(raw)
+                idx = np.arange(height * width * 3) % max(n, 1)
+                px = (
+                    np.frombuffer(raw, dtype=np.uint8)[idx]
+                    if n
+                    else np.zeros(height * width * 3, dtype=np.uint8)
+                ).reshape(height, width, 3)
+                rows = np.zeros((height, row_size), dtype=np.uint8)
+                rows[:, : width * 3] = np.flipud(px).reshape(height, width * 3)
+                body = rows.tobytes()
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 0, 0, 0, 0
+                )
+                payloads.append(header + body)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads, "mime": "image/bmp"}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _batches, "doc_id long, payload binary, mime string"
+    )
+
+
+AHASH_BITS = 60
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Average-hash perceptual image signature over REAL decoded BMP
+    pixels: bit k is set iff pixel k's brightness exceeds the image
+    mean. Computed in EXACT integer arithmetic (``60·gray3_k > Σgray3``
+    with gray3 = b+g+r) so no float mean sits on a threshold tie —
+    engine-identical by construction. 60 bits (first 60 row-major
+    pixels) keeps the signature sign-safe in a BIGINT, matching the
+    SimHash convention so the same pigeonhole block join applies."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for payload in pdf["payload"]:
+                px = _bmp_pixels(bytes(payload))
+                gray3 = px.reshape(-1, 3).sum(axis=1).astype(np.int64)[:AHASH_BITS]
+                total = int(gray3.sum())
+                bits = (AHASH_BITS * gray3 > total).astype(np.int64)
+                out.append(int((bits << np.arange(AHASH_BITS)).sum()))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "ahash": out})
+
+    return df.mapInPandas(_batches, "doc_id long, ahash long")
+
+
+def image_ahash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: aHash signatures joined by
+    the generic pigeonhole Hamming block search (exact recall, never
+    all-pairs — the image twin of SimHash text dedup)."""
+    from .dedup import hamming_block_pairs
+
+    sigs = image_ahash(df, id_col)
+    return hamming_block_pairs(sigs, AHASH_BITS, id_col, "ahash", max_hamming)
+
+
 # --- driver-contract query forms -------------------------------------------
 
 
@@ -400,7 +483,56 @@ FROM documents
 """
 
 
+def image_ahash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP encode → decode → aHash over the synthetic image table;
+    the oracle recomputes the signature from the text bytes the pixels
+    were synthesized from (the wav-decode oracle pattern)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return image_ahash(synthesize_bmp_from_text(docs))
+
+
+def image_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs; brute-force all-pairs oracle
+    proves the pigeonhole blocking's exact recall (as for SimHash)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return image_ahash_near_pairs(synthesize_bmp_from_text(docs))
+
+
+_ORACLE_AHASH_SIG = """
+g AS (
+  SELECT doc_id, k,
+         ascii(text[((3*k) % length(text)) + 1])
+         + ascii(text[((3*k+1) % length(text)) + 1])
+         + ascii(text[((3*k+2) % length(text)) + 1]) AS gray3
+  FROM documents, (SELECT unnest(range(0, 60)) AS k) ks
+  WHERE length(text) > 0
+),
+t AS (SELECT doc_id, sum(gray3) AS total FROM g GROUP BY doc_id),
+sig AS (
+  SELECT g.doc_id,
+         CAST(sum(CASE WHEN 60 * gray3 > total
+                       THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS ahash
+  FROM g JOIN t ON g.doc_id = t.doc_id GROUP BY g.doc_id
+)
+"""
+
+ORACLE_AHASH = "WITH " + _ORACLE_AHASH_SIG + "SELECT doc_id, ahash FROM sig"
+
+ORACLE_AHASH_PAIRS = (
+    "WITH "
+    + _ORACLE_AHASH_SIG
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.ahash, b.ahash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+)
+
+
 QUERIES = {
+    "image_ahash_docs": image_ahash_docs,
+    "image_near_dup_docs": image_near_dup_docs,
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -408,6 +540,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "image_ahash_docs": ORACLE_AHASH,
+    "image_near_dup_docs": ORACLE_AHASH_PAIRS,
     "multimodal_meta": ORACLE_META,
     "multimodal_features": ORACLE_FEATURES,
     "multimodal_frame_sample": ORACLE_FRAMES,

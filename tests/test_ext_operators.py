@@ -631,3 +631,30 @@ def test_scrub_repeated_ngrams_removes_only_shared_spans(spark):
     # untouched doc passes through verbatim
     assert out[3].clean_text == docs.filter("doc_id=3").first().text
     assert out[3].n_removed_words == 0
+
+
+def test_bmp_synthesis_roundtrip_and_ahash(spark):
+    """The synthesized BMP must decode (REAL header parse) to the pixel
+    formula bytes[(3k+c) % n], and identical texts must share an aHash."""
+    import numpy as np
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _bmp_pixels,
+        image_ahash,
+        synthesize_bmp_from_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    imgs = synthesize_bmp_from_text(docs)
+    payload = {r.doc_id: bytes(r.payload) for r in imgs.collect()}
+    px = _bmp_pixels(payload[1])
+    raw = b"alpha beta gamma delta"
+    flat = px.reshape(-1)
+    assert px.shape == (8, 8, 3)
+    assert all(flat[i] == raw[i % len(raw)] for i in range(len(flat)))
+    sigs = {r.doc_id: r.ahash for r in image_ahash(imgs).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
