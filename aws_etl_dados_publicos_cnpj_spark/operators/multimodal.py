@@ -401,6 +401,47 @@ def image_ahash_near_pairs(
     return hamming_block_pairs(sigs, AHASH_BITS, id_col, "ahash", max_hamming)
 
 
+def audio_energy_hash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual audio signature over REAL decoded WAV samples: the
+    stream splits into 60 even windows (first ``n % 60`` windows one
+    sample longer) and bit k is set iff window k's energy (sum of
+    squared samples — exact int64) exceeds the stream mean, compared as
+    ``60·E_k > ΣE`` so no float mean sits on a tie. The audio member of
+    the cross-modality dedup triad (SimHash text / aHash image / this),
+    all sharing the same pigeonhole Hamming block join."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for payload in pdf["payload"]:
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    raw = w.readframes(w.getnframes())
+                s = np.frombuffer(raw, dtype=np.int16).astype(np.int64)
+                n = len(s)
+                base, extra = divmod(n, AHASH_BITS)
+                energies = np.zeros(AHASH_BITS, dtype=np.int64)
+                pos = 0
+                for k in range(AHASH_BITS):
+                    ln = base + (1 if k < extra else 0)
+                    energies[k] = int((s[pos : pos + ln] ** 2).sum())
+                    pos += ln
+                total = int(energies.sum())
+                bits = (AHASH_BITS * energies > total).astype(np.int64)
+                out.append(int((bits << np.arange(AHASH_BITS)).sum()))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "ehash": out})
+
+    return df.mapInPandas(_batches, "doc_id long, ehash long")
+
+
+def audio_near_dup_pairs(
+    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    from .dedup import hamming_block_pairs
+
+    sigs = audio_energy_hash(df, id_col)
+    return hamming_block_pairs(sigs, AHASH_BITS, id_col, "ehash", max_hamming)
+
+
 # --- driver-contract query forms -------------------------------------------
 
 
@@ -530,7 +571,59 @@ WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
 )
 
 
+def audio_ehash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV encode → decode → energy-hash; oracle recomputes the
+    windowed energies from the text bytes the samples came from."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return audio_energy_hash(synthesize_wav_from_text(docs))
+
+
+def audio_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return audio_near_dup_pairs(synthesize_wav_from_text(docs))
+
+
+# windowed energies from text bytes: window k of n samples spans
+# [start_k+1, start_k+len_k] 1-based, start = k*(n div 60) + least(k, n%60)
+_ORACLE_EHASH_SIG = """
+e AS (
+  SELECT doc_id, k,
+         coalesce(list_aggregate(list_transform(
+             generate_series(k*(length(text)//60) + least(k, length(text)%60) + 1,
+                             k*(length(text)//60) + least(k, length(text)%60)
+                             + (length(text)//60)
+                             + (CASE WHEN k < length(text)%60 THEN 1 ELSE 0 END)),
+             i -> CAST(ascii(text[i]) AS BIGINT) * ascii(text[i])), 'sum'), 0)
+           AS energy
+  FROM documents, (SELECT unnest(range(0, 60)) AS k) ks
+  WHERE length(text) > 0
+),
+t AS (SELECT doc_id, sum(energy) AS total FROM e GROUP BY doc_id),
+sig AS (
+  SELECT e.doc_id,
+         CAST(sum(CASE WHEN 60 * energy > total
+                       THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS ehash
+  FROM e JOIN t ON e.doc_id = t.doc_id GROUP BY e.doc_id
+)
+"""
+
+ORACLE_EHASH = "WITH " + _ORACLE_EHASH_SIG + "SELECT doc_id, ehash FROM sig"
+
+ORACLE_EHASH_PAIRS = (
+    "WITH "
+    + _ORACLE_EHASH_SIG
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.ehash, b.ehash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ehash, b.ehash)) <= 3
+"""
+)
+
+
 QUERIES = {
+    "audio_ehash_docs": audio_ehash_docs,
+    "audio_near_dup_docs": audio_near_dup_docs,
     "image_ahash_docs": image_ahash_docs,
     "image_near_dup_docs": image_near_dup_docs,
     "multimodal_meta": multimodal_meta,
@@ -540,6 +633,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "audio_ehash_docs": ORACLE_EHASH,
+    "audio_near_dup_docs": ORACLE_EHASH_PAIRS,
     "image_ahash_docs": ORACLE_AHASH,
     "image_near_dup_docs": ORACLE_AHASH_PAIRS,
     "multimodal_meta": ORACLE_META,
