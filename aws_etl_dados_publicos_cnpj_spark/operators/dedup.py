@@ -826,18 +826,26 @@ def near_dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(load_table(spark, sf_dir, "documents"))
 
 
-def _oracle_cc(iters: int = 10) -> str:
-    """Unrolled neighbor-min propagation (no pointer jumping): exact CC
-    when every component's diameter ≤ ``iters`` — guaranteed for the
-    driver corpus where dup clusters are small planted groups. The
-    Spark side iterates to a true fixpoint, so results agree."""
+def _oracle_cc(
+    pairs_sql: str | None = None,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_name: str = "doc_id",
+    iters: int = 10,
+) -> str:
+    """Unrolled neighbor-min propagation (no pointer jumping) over ANY
+    pair-producing SQL (defaults to the exact-Jaccard text pairs):
+    exact CC when every component's diameter ≤ ``iters`` — guaranteed
+    for the driver corpus where dup clusters are small planted groups.
+    The Spark side iterates to a true fixpoint, so results agree."""
+    pairs_sql = pairs_sql or _ORACLE_EXACT_JACCARD
     # every l{i} is referenced twice by l{i+1}; DuckDB inlines plain
     # CTEs, which would re-evaluate the whole chain 2^iters times —
     # MATERIALIZED pins each round to one evaluation
-    sql = f"WITH jac AS MATERIALIZED ({_ORACLE_EXACT_JACCARD}),\n"
+    sql = f"WITH jac AS MATERIALIZED ({pairs_sql}),\n"
     sql += (
-        "e AS MATERIALIZED (SELECT doc_a AS v, doc_b AS u FROM jac "
-        "UNION ALL SELECT doc_b AS v, doc_a AS u FROM jac),\n"
+        f"e AS MATERIALIZED (SELECT {a_col} AS v, {b_col} AS u FROM jac "
+        f"UNION ALL SELECT {b_col} AS v, {a_col} AS u FROM jac),\n"
     )
     sql += "l0 AS MATERIALIZED (SELECT DISTINCT v, v AS lab FROM e),\n"
     for i in range(1, iters + 1):
@@ -850,7 +858,7 @@ def _oracle_cc(iters: int = 10) -> str:
         )
     sql = sql.rstrip(",\n") + "\n"
     sql += (
-        f"SELECT v AS doc_id, lab AS cluster_id, "
+        f"SELECT v AS {id_name}, lab AS cluster_id, "
         f"CAST(v = lab AS INTEGER) AS is_canonical FROM l{iters}"
     )
     return sql

@@ -609,6 +609,25 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space duplicate CLUSTERS: cosine near-dup pairs →
+    connected components → (vec, cluster, canonical?) keep-list — the
+    embedding twin of the MinHash ``near_dup_clusters`` pipeline,
+    sharing the same CC operator (union-find fast path / pointer
+    jumping above the gate) and the same unrolled min-propagation
+    oracle, parameterized by the cosine pair source."""
+    from .dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb)
+    cc = connected_components(pairs, a_col="id_a", b_col="id_b")
+    return cc.select(
+        F.col("v").alias("vec_id"),
+        "cluster_id",
+        (F.col("v") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
 def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN — hash-checked: the hyperplanes are literal
     constants (seeded), so the oracle reproduces the exact bucketing
@@ -1149,6 +1168,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk_query,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_near_dup": embedding_near_dup,
+    "embedding_dup_clusters": embedding_dup_clusters,
     "ann_lsh_topk": ann_lsh_topk_query,
     "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk_query,
     "ann_ivf_topk": ann_ivf_topk_query,
@@ -1161,8 +1181,18 @@ ORACLES = {
     "ann_pq_topk": _oracle_ann_pq(),
     "ann_cosine_topk": ORACLE_ANN,
     "embedding_near_dup": ORACLE_NEAR_DUP,
+    # "embedding_dup_clusters" is assigned below the dict — it reuses
+    # dedup's CC oracle generator (deferred import avoids a load cycle)
     "ann_lsh_topk": _oracle_ann_lsh(),
     "ann_lsh_multiprobe_topk": _oracle_ann_lsh(multi_probe=True),
     "ann_ivf_topk": _oracle_ann_ivf(),
     "semantic_dedup_embeddings": _oracle_semantic_dedup(),
 }
+
+# the CC oracle lives with the CC operator; parameterize it with the
+# cosine pair source (deferred import avoids a cycle at module load)
+from .dedup import _oracle_cc as _dedup_oracle_cc  # noqa: E402
+
+ORACLES["embedding_dup_clusters"] = _dedup_oracle_cc(
+    ORACLE_NEAR_DUP, a_col="id_a", b_col="id_b", id_name="vec_id"
+)
