@@ -401,6 +401,101 @@ def image_ahash_near_pairs(
     return hamming_block_pairs(sigs, AHASH_BITS, id_col, "ahash", max_hamming)
 
 
+_VIDEO_MAGIC = b"VID0"
+_FRAME_BYTES = 54 + 8 * 8 * 3  # one 8×8 24-bit BMP, headers included
+
+
+def synthesize_video_from_text(
+    df: DataFrame,
+    n_frames: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic synthetic-video generator: a trivial container
+    (magic + frame count + concatenated 8×8 BMP frames) where frame f's
+    decoded pixel byte k is ``text_bytes[(192·f + k) % n]`` — so the
+    REAL container parse + per-frame BMP decode runs at corpus scale
+    with no media files."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = h = 8
+        for pdf in it:
+            payloads = []
+            for t in pdf[text_col]:
+                raw = t.encode("utf-8")
+                n = max(len(raw), 1)
+                src = np.frombuffer(raw, dtype=np.uint8) if len(raw) else np.zeros(1, np.uint8)
+                frames = []
+                for f in range(n_frames):
+                    idx = (192 * f + np.arange(h * w * 3)) % n
+                    px = src[idx].reshape(h, w, 3)
+                    body = np.flipud(px).reshape(h, w * 3).tobytes()
+                    header = struct.pack(
+                        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+                    ) + struct.pack(
+                        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0
+                    )
+                    frames.append(header + body)
+                payloads.append(
+                    _VIDEO_MAGIC + struct.pack("<I", n_frames) + b"".join(frames)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads, "mime": "video/x-frames"}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _batches, "doc_id long, payload binary, mime string"
+    )
+
+
+def video_frame_hashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Parse the video container (REAL offset walk), decode every frame
+    (REAL BMP parse), and emit one aHash row per frame — the 1→N frame
+    fingerprint table video dedup joins on."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fids, hashes = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:4] != _VIDEO_MAGIC:
+                    raise ValueError("not a VID0 container")
+                (nf,) = struct.unpack_from("<I", buf, 4)
+                pos = 8
+                for f in range(nf):
+                    px = _bmp_pixels(buf[pos : pos + _FRAME_BYTES])
+                    pos += _FRAME_BYTES
+                    gray3 = px.reshape(-1, 3).sum(axis=1).astype(np.int64)[:AHASH_BITS]
+                    total = int(gray3.sum())
+                    bits = (AHASH_BITS * gray3 > total).astype(np.int64)
+                    ids.append(doc_id)
+                    fids.append(f)
+                    hashes.append(int((bits << np.arange(AHASH_BITS)).sum()))
+            yield pd.DataFrame({"doc_id": ids, "frame_id": fids, "fhash": hashes})
+
+    return df.mapInPandas(_batches, "doc_id long, frame_id int, fhash long")
+
+
+def video_near_dup_pairs(
+    df: DataFrame, id_col: str = "doc_id", min_shared: int = 2
+) -> DataFrame:
+    """Video near-dup by frame fingerprints (the production shape:
+    sample frames → perceptual hash → candidates share hashed frames):
+    an equi-join on the EXACT frame hash — never pairwise video
+    comparison — then a per-pair distinct-shared-hash count with a
+    ``min_shared`` floor."""
+    fh = video_frame_hashes(df, id_col).select(id_col, "fhash").distinct()
+    a = fh.select(F.col(id_col).alias("doc_a"), "fhash")
+    b = fh.select(F.col(id_col).alias("doc_b"), "fhash")
+    return (
+        a.join(b, "fhash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= min_shared)
+    )
+
+
 def audio_energy_hash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Perceptual audio signature over REAL decoded WAV samples: the
     stream splits into 60 even windows (first ``n % 60`` windows one
@@ -621,7 +716,59 @@ WHERE bit_count(xor(a.ehash, b.ehash)) <= 3
 )
 
 
+def video_frame_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return video_frame_hashes(synthesize_video_from_text(docs))
+
+
+def video_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return video_near_dup_pairs(synthesize_video_from_text(docs))
+
+
+# frame f pixel-byte k of doc = text_bytes[(192*f + k) % n]; gray3 per
+# pixel p is the sum of its 3 bytes; same exact-integer aHash rule
+_ORACLE_VIDEO_SIG = """
+g AS (
+  SELECT doc_id, f, p,
+         ascii(text[((192*f + 3*p) % length(text)) + 1])
+         + ascii(text[((192*f + 3*p + 1) % length(text)) + 1])
+         + ascii(text[((192*f + 3*p + 2) % length(text)) + 1]) AS gray3
+  FROM documents,
+       (SELECT unnest(range(0, 6)) AS f) fs,
+       (SELECT unnest(range(0, 60)) AS p) ps
+  WHERE length(text) > 0
+),
+t AS (SELECT doc_id, f, sum(gray3) AS total FROM g GROUP BY doc_id, f),
+sig AS (
+  SELECT g.doc_id, CAST(g.f AS INT) AS frame_id,
+         CAST(sum(CASE WHEN 60 * gray3 > total
+                       THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS fhash
+  FROM g JOIN t ON g.doc_id = t.doc_id AND g.f = t.f
+  GROUP BY g.doc_id, g.f
+)
+"""
+
+ORACLE_VIDEO_HASHES = (
+    "WITH " + _ORACLE_VIDEO_SIG + "SELECT doc_id, frame_id, fhash FROM sig"
+)
+
+ORACLE_VIDEO_PAIRS = (
+    "WITH "
+    + _ORACLE_VIDEO_SIG
+    + """,
+fh AS (SELECT DISTINCT doc_id, fhash FROM sig)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_frames
+FROM fh a JOIN fh b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING count(*) >= 2
+"""
+)
+
+
 QUERIES = {
+    "video_frame_hash_docs": video_frame_hash_docs,
+    "video_near_dup_docs": video_near_dup_docs,
     "audio_ehash_docs": audio_ehash_docs,
     "audio_near_dup_docs": audio_near_dup_docs,
     "image_ahash_docs": image_ahash_docs,
@@ -633,6 +780,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "video_frame_hash_docs": ORACLE_VIDEO_HASHES,
+    "video_near_dup_docs": ORACLE_VIDEO_PAIRS,
     "audio_ehash_docs": ORACLE_EHASH,
     "audio_near_dup_docs": ORACLE_EHASH_PAIRS,
     "image_ahash_docs": ORACLE_AHASH,

@@ -658,3 +658,33 @@ def test_bmp_synthesis_roundtrip_and_ahash(spark):
     sigs = {r.doc_id: r.ahash for r in image_ahash(imgs).collect()}
     assert sigs[1] == sigs[2] != sigs[3]
     assert all(0 <= s < (1 << 60) for s in sigs.values())
+
+
+def test_video_container_roundtrip(spark):
+    """The VID0 container must parse back into per-frame hashes, with
+    identical texts sharing ALL frame hashes and the pair join finding
+    them."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        synthesize_video_from_text,
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different footage material here entirely unrelated"),
+        ],
+        "doc_id long, text string",
+    )
+    vids = synthesize_video_from_text(docs)
+    fh = video_frame_hashes(vids).collect()
+    per_doc = {}
+    for r in fh:
+        per_doc.setdefault(r.doc_id, {})[r.frame_id] = r.fhash
+    assert all(len(v) == 6 for v in per_doc.values())
+    assert per_doc[1] == per_doc[2] != per_doc[3]
+    pairs = {(r.doc_a, r.doc_b): r.n_shared_frames for r in video_near_dup_pairs(vids).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert (1, 3) not in pairs
