@@ -57,6 +57,8 @@ HEADLINE = [
     "repeated_ngram_spans_docs",
     "scrub_repeated_ngrams_docs",
     "reservoir_sample_docs",
+    "image_near_dup_docs",
+    "video_near_dup_docs",
 ]
 
 
