@@ -87,11 +87,12 @@ _DRIVER_PRIORITY = [
     "q18_large_volume_customers",
     "q22_idle_rich_customers",
     # NOTE the window is full at 50: the remaining round-4 queries
-    # (moving_window_orders, q09_profit_by_nation, q15_top_supplier,
-    # q17_small_quantity_revenue at positions 51-54, then
-    # reservoir_sample_docs, dedup_events_window, split_leakage_docs,
-    # kl_lang_by_source_docs, scrub_repeated_ngrams_docs later in the
-    # tail) are green on the driver-identical in-repo gate
+    # (TPC-H q08/q09/q13/q15/q17 + moving_window_orders at positions
+    # 51+, then reservoir_sample_docs, dedup_events_window,
+    # split_leakage_docs, kl_lang_by_source_docs,
+    # scrub_repeated_ngrams_docs, embedding_dup_clusters, and the
+    # image/audio/video perceptual-dedup family later in the tail) are
+    # ALL green on the driver-identical in-repo gate
     # (tools/check_oracle.py, default AND vanilla sessions) this round
     # and are scheduled for the r5 window.
 ]
