@@ -222,3 +222,69 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(*key_cols, "change")
     )
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    effective_col: str = "effective_date",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: history-preserving upsert
+    of a dimension snapshot (the warehouse consumption feature the
+    reference's weekly full re-uploads approximate by overwriting —
+    this keeps every version queryable).
+
+    ``current`` rows carry ``valid_from`` / ``valid_to`` (NULL = open);
+    ``updates`` carries the new attribute values with their effective
+    date. Semantics: an open row whose attribute CONTENT HASH differs
+    from its update closes at the effective date and a new open row
+    begins there; brand-new keys open a first row; unchanged rows and
+    already-closed history pass through untouched.
+
+    Plan shape: ONE key-partitioned join of open rows × updates decides
+    everything (closed history is a pass-through union, no join); the
+    attribute comparison is an xxhash64 of the attr columns, so wide
+    dimensions compare without shipping both attribute sets through the
+    plan twice."""
+    attr_hash = F.xxhash64(
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in attr_cols]
+    )
+    closed = current.filter(F.col("valid_to").isNotNull())
+    open_rows = current.filter(F.col("valid_to").isNull())
+
+    u = updates.select(
+        *key_cols,
+        *[F.col(c).alias(f"__new_{c}") for c in attr_cols],
+        F.col(effective_col).alias("__eff"),
+        F.xxhash64(
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in attr_cols]
+        ).alias("__new_hash"),
+    )
+    joined = open_rows.withColumn("__hash", attr_hash).join(u, key_cols, "full_outer")
+
+    unchanged_or_no_update = joined.filter(
+        F.col("__eff").isNull() | (F.col("__hash") == F.col("__new_hash"))
+    ).select(*key_cols, *attr_cols, "valid_from", "valid_to")
+
+    closing = joined.filter(
+        F.col("__hash").isNotNull()
+        & F.col("__eff").isNotNull()
+        & (F.col("__hash") != F.col("__new_hash"))
+    )
+    closed_now = closing.select(
+        *key_cols, *attr_cols, "valid_from", F.col("__eff").alias("valid_to")
+    )
+    opened_now = joined.filter(
+        F.col("__eff").isNotNull()
+        & (F.col("__hash").isNull() | (F.col("__hash") != F.col("__new_hash")))
+    ).select(
+        *key_cols,
+        *[F.col(f"__new_{c}").alias(c) for c in attr_cols],
+        F.col("__eff").alias("valid_from"),
+        F.lit(None).cast(current.schema["valid_to"].dataType).alias("valid_to"),
+    )
+    return closed.unionByName(unchanged_or_no_update).unionByName(
+        closed_now
+    ).unionByName(opened_now)
