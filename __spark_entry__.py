@@ -103,7 +103,8 @@ def _registries():
 
     modules = [relational]
     for mod_name in (
-        "dedup", "similarity", "text", "multimodal", "temporal", "corpus", "behavioral"
+        "dedup", "similarity", "text", "multimodal", "temporal", "corpus",
+        "behavioral", "quality",
     ):
         try:
             mod = __import__(

@@ -688,3 +688,36 @@ def test_video_container_roundtrip(spark):
     pairs = {(r.doc_a, r.doc_b): r.n_shared_frames for r in video_near_dup_pairs(vids).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert (1, 3) not in pairs
+
+
+def test_dq_checks_catch_planted_violations(spark):
+    """The validation engine must count exactly the planted bad rows
+    (one pass for row rules; anti-join for FK; key agg for uniqueness)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.quality import (
+        fk_check,
+        run_checks,
+        uniqueness_check,
+    )
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, -1.0), (2, 99, 7.0), (4, None, 0.0)],
+        "id long, ref long, amount double",
+    )
+    dim = spark.createDataFrame([(10,), (11,)], "ref long")
+    rows = {
+        r.check: (r.n_violations, r.passed)
+        for r in run_checks(
+            fact,
+            {
+                "amount_positive": F.col("amount") > 0,
+                "ref_not_null": F.col("ref").isNotNull(),
+            },
+        ).collect()
+    }
+    assert rows == {"amount_positive": (2, 0), "ref_not_null": (1, 0)}
+    u = uniqueness_check(fact, ["id"], "id_unique").collect()[0]
+    assert (u.n_violations, u.passed) == (1, 0)
+    f = fk_check(fact, "ref", dim, "ref", "ref_fk").collect()[0]
+    # ref=99 orphan + ref=NULL doesn't match dim → 2 orphans
+    assert (f.n_violations, f.passed) == (2, 0)
