@@ -717,15 +717,48 @@ FROM orders
 
 
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregation surface (HLL distinct + quantile sketch)
-    — rows-only check: sketch internals differ across engines by
-    design; exact twins are `distinct_agg_orders`/`percentile_prices`."""
+    """Approximate aggregation surface (HLL distinct + quantile
+    sketch), SELF-CHECKING: sketch internals differ across engines by
+    design, so the output carries the EXACT twins plus boolean
+    tolerance assertions computed in-query — the HLL estimate within
+    3·rsd (rsd=0.05 default → 15%) of the exact distinct count, and
+    the KLL-style median within the exact p45..p55 band. The oracle
+    recomputes the exact columns and emits literal TRUE for the flags,
+    so any sketch drifting out of tolerance flips a value and fails the
+    hash compare (r4 verdict item #2: no registered query may lack a
+    passing correctness path)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
         F.count("*").alias("n_rows"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n_rows",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.col("exact_parts") * F.lit(0.15)
+        ).alias("hll_within_3rsd"),
+        (
+            (F.col("approx_median") >= F.col("p45"))
+            & (F.col("approx_median") <= F.col("p55"))
+        ).alias("median_within_decile"),
+    )
+
+
+ORACLE_APPROX_AGG = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(*) AS n_rows,
+       TRUE AS hll_within_3rsd,
+       TRUE AS median_within_decile
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1449,7 +1482,18 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     qdec = F.col("l_quantity").cast("decimal(18,2)")
-    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+    # Broadcast-semi-join BEFORE the per-part aggregate: Brand#1 keeps
+    # ~4% of parts, so aggregating every part first would shuffle
+    # groups for ~100% of parts to discard ~96% (r4 verdict finding
+    # #2). Per-part sums are preserved — the semi-join keeps ALL
+    # lineitems of every kept part, dropping only whole groups that the
+    # downstream broadcast join would drop anyway.
+    li_kept = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    per_part = li_kept.groupBy(F.col("l_partkey").alias("pk")).agg(
         (F.sum(qdec) * F.lit(2)).alias("sum2"),
         (F.count("*") * F.lit(10)).alias("cnt10"),
     )
@@ -1577,6 +1621,7 @@ ORACLES = {
     "date_arithmetic_orders": ORACLE_DATE_ARITH,
     "above_customer_avg_orders": ORACLE_ABOVE_AVG,
     "math_funcs_prices": ORACLE_MATH,
+    "approx_aggregates": ORACLE_APPROX_AGG,
     "running_revenue_per_customer": ORACLE_RUNNING,
     "grouping_sets_orders": ORACLE_GROUPING_SETS,
     "unpivot_lineitem_metrics": ORACLE_UNPIVOT,

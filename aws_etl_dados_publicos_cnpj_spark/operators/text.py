@@ -622,15 +622,25 @@ def quality_buckets(
     cut lands on a run of tied scores (found by the sf0.1 oracle
     sweep), while the discrete rule always selects an actual data
     value, identically everywhere."""
-    scored = unigram_logprob(df, text_col, id_col)
+    # Lazy localCheckpoint: `scored` (2 aggs + a join) feeds BOTH the
+    # boundary computation and the final assignment join — without the
+    # checkpoint Spark re-executes the whole scoring subtree per
+    # consumer (3 corpus passes observed; r4 verdict finding #1).
+    scored = unigram_logprob(df, text_col, id_col).localCheckpoint(eager=False)
     vals = scored.groupBy("mean_nll").agg(F.count("*").alias("c"))
     # cumulative count over the DISTINCT values — bounded cardinality,
-    # so the single-partition window is a non-issue
+    # so the single-partition window is a non-issue. The corpus total
+    # `n` is sum(c) over the same tiny frame — no extra pass over
+    # `scored` for a separate count.
     wcum = Window.orderBy("mean_nll").rowsBetween(Window.unboundedPreceding, 0)
-    cum = vals.withColumn("cum", F.sum("c").over(wcum))
-    total = scored.agg(F.count("*").alias("n"))
+    wall = Window.orderBy("mean_nll").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
     bounds = (
-        cum.crossJoin(F.broadcast(total))
+        cum
         .agg(
             F.array(
                 *[

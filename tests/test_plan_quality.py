@@ -258,3 +258,26 @@ def test_no_row_python_or_cartesian_anywhere(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_quality_buckets_scores_once(spark):
+    """The unigram-NLL scoring subtree feeds both the boundary
+    computation and the assignment join; the lazy localCheckpoint must
+    keep the plan at ≤4 exchanges (it was 9 when the subtree executed
+    three times — r4 verdict finding #1)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators import text
+
+    plan = _plan(text.QUERIES["quality_buckets_docs"](spark, SF_SMALL))
+    assert plan.count("Exchange") <= 4, plan[:3000]
+
+
+def test_q17_aggregates_only_matched_parts(spark):
+    """The per-part aggregate must sit ABOVE a broadcast semi-join on
+    the Brand#1 part keys — aggregating every part shuffles ~25x the
+    needed groups (r4 verdict finding #2)."""
+    plan = _plan(relational.q17_small_quantity_revenue(spark, SF_SMALL))
+    semi = plan.find("BroadcastHashJoin [l_partkey")
+    assert "LeftSemi" in plan, plan[:3000]
+    # the semi-join appears below (later in toString than) the partial agg
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1 and "LeftSemi" in plan[first_agg:], plan[:3000]
