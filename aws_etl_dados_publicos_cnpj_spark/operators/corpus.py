@@ -470,8 +470,164 @@ GROUP BY source
 """
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk: int = 50,
+    stride: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style sliding-window chunking: split each document into
+    word-based chunks of ``chunk`` words every ``stride`` words
+    (overlap = chunk − stride), keeping the shorter tail chunk.
+
+    Scale shape: pure map-side — split, sequence-of-starts explode,
+    slice, join — no shuffle at all; each input partition emits its own
+    chunks, so a 100 TB corpus chunks at scan speed and the output can
+    be written partition-aligned with the input."""
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("ws") - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        df.select(id_col, words.alias("ws"))
+        .select(id_col, "ws", F.explode(starts).alias("start"))
+        .select(
+            id_col,
+            F.col("start").cast("long").alias("chunk_start"),
+            F.array_join(F.slice("ws", F.col("start") + 1, chunk), " ").alias(
+                "chunk_text"
+            ),
+            F.least(F.size("ws") - F.col("start"), F.lit(chunk))
+            .cast("long")
+            .alias("n_words"),
+        )
+    )
+
+
+def chunk_documents_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_CHUNK = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(0, greatest(len(ws) - 1, 0), 40)) AS start
+  FROM w
+)
+SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+       array_to_string(ws[start + 1 : start + 50], ' ') AS chunk_text,
+       CAST(least(len(ws) - start, 50) AS BIGINT) AS n_words
+FROM s
+"""
+
+
+def domain_cap_sample(
+    df: DataFrame, cap: int = 200, key: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain quota sampling: keep at most ``cap`` documents per
+    ``key`` group (the standard web-corpus guard against a single host
+    dominating the mix), deterministically — the ``cap`` LOWEST doc ids
+    win, so reruns and engine swaps keep identical rows.
+
+    Scale shape: one hash-partition window per key; each task ranks
+    only its own keys' rows. Skewed hosts cap out early, and because
+    row_number needs no global order the shuffle carries (key, id)
+    pairs only after column pruning."""
+    w = Window.partitionBy(key).orderBy(id_col)
+    return (
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= cap)
+        .select(id_col, key, "rn")
+    )
+
+
+def domain_cap_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_cap_sample(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_DOMAIN_CAP = """
+SELECT doc_id, source, rn
+FROM (SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                  AS BIGINT) AS rn
+      FROM documents)
+WHERE rn <= 200
+"""
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontamination via a BROADCAST partitioned Bloom filter over
+    the benchmark shingle set — the 100 TB shape where even the
+    benchmark's distinct-shingle table is awkward to hash-join: the
+    corpus probes k tiny per-hash POSITION sets via k successive
+    broadcast SEMI-joins (each one map-side, zero shuffle), and only
+    all-k-positive shingles continue to exact verification. The
+    position sets are ``pmod(xxhash64(shingle, seed_k), m)`` distinct
+    values — ≤ m ints each, a few MB broadcast like a bitset would be.
+    (Spark's internal ``bloom_filter_agg`` is not SQL-registered, so
+    the filter is expressed relationally; the false-positive behavior
+    is that of a blocked Bloom filter with k=3, m=400k bits/hash.)
+
+    SELF-CHECKING output (sketch op, same contract as
+    ``approx_aggregates``): rows are the EXACTLY-contaminated docs
+    (shared n-gram with the benchmark, recomputed in-query) and
+    ``bloom_hit`` asserts the filter's no-false-negative guarantee —
+    any lost insert flips a value and fails the driver's hash compare.
+    False positives only cost extra verification work; they never
+    appear in the output."""
+    k, m = 3, 400_000
+    t_sh = shingles(train, text_col, id_col, n)
+    b_sh = shingles(benchmark, text_col, id_col, n).select("shingle").distinct()
+    probe = t_sh
+    for i in range(k):
+        pos = (
+            b_sh.select(
+                F.pmod(F.xxhash64("shingle", F.lit(i)), F.lit(m)).alias("p")
+            ).distinct()
+        )
+        probe = (
+            probe.withColumn(
+                "p", F.pmod(F.xxhash64("shingle", F.lit(i)), F.lit(m))
+            )
+            .join(F.broadcast(pos), "p", "left_semi")
+            .drop("p")
+        )
+    bloom_pos = probe.select(id_col).distinct().withColumn("bloom_hit", F.lit(True))
+    exact = t_sh.join(F.broadcast(b_sh), "shingle").select(id_col).distinct()
+    return exact.join(bloom_pos, id_col, "left").select(
+        id_col, F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit")
+    )
+
+
+def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-decontaminate the content-hash train split against the
+    test split (same splits as ``decontaminate_train_docs``)."""
+    docs = train_val_test_split(load_table(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("split") == "train")
+    benchmark = docs.filter(F.col("split") == "test")
+    return bloom_decontaminate(train, benchmark)
+
+
+def _oracle_bloom_decontaminate() -> str:
+    return f"""
+WITH hits AS ({ORACLE_DECONTAMINATE})
+SELECT doc_id, TRUE AS bloom_hit FROM hits
+"""
+
+
 QUERIES = {
     "corpus_stats_by_lang_source": corpus_stats_by_lang_source,
+    "chunk_documents_docs": chunk_documents_docs,
+    "domain_cap_sample_docs": domain_cap_sample_docs,
+    "bloom_decontaminate_docs": bloom_decontaminate_docs,
     "reservoir_sample_docs": reservoir_sample_docs,
     "split_leakage_docs": split_leakage_docs,
     "kl_lang_by_source_docs": kl_lang_by_source_docs,
@@ -484,6 +640,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "chunk_documents_docs": ORACLE_CHUNK,
+    "domain_cap_sample_docs": ORACLE_DOMAIN_CAP,
+    "bloom_decontaminate_docs": _oracle_bloom_decontaminate(),
     "reservoir_sample_docs": ORACLE_RESERVOIR,
     "split_leakage_docs": _oracle_split_leakage(),
     "kl_lang_by_source_docs": ORACLE_KL,

@@ -762,15 +762,34 @@ def connected_components(
                 if rb < ra:
                     ra, rb = rb, ra
                 parent[rb] = ra
-        out = [(v, find(v)) for v in parent]
+        import pandas as pd
+
+        # ship the labels back as ONE Arrow batch — createDataFrame on a
+        # list of tuples serializes row-at-a-time through pickle and
+        # dominated wall-time at near-gate sizes (measured ~20 s for
+        # 900k labels vs <2 s via Arrow, tools/bench_cc_gate.py)
+        verts = list(parent)
+        pdf = pd.DataFrame({"v": verts, "cluster_id": [find(v) for v in verts]})
         spark = pairs.sparkSession
         id_type = pairs.schema[a_col].dataType
         schema = T.StructType(
             [T.StructField("v", id_type), T.StructField("cluster_id", id_type)]
         )
         edges.unpersist()
-        return spark.createDataFrame(out, schema)
-    labels = edges.select("v").distinct().withColumn("lab", F.col("v")).cache()
+        return spark.createDataFrame(pdf, schema)
+    # localCheckpoint (NOT cache) per round: `stepped` is referenced
+    # twice below, so without lineage truncation the logical plan
+    # DOUBLES every round — at the ~7 rounds a diameter-64 graph needs,
+    # plan rendering/compilation goes exponential and the job dies in
+    # generateTreeString (found by tools/bench_cc_gate.py).
+    # Checkpointing each round keeps the plan O(1) per round, the
+    # standard shape for iterative Spark algorithms. LAZY (eager=False):
+    # the convergence-sum action below materializes the checkpoint in
+    # the SAME job, so each round costs one job, not two.
+    labels = (
+        edges.select("v").distinct().withColumn("lab", F.col("v"))
+        .localCheckpoint(eager=False)
+    )
     prev_sum = None
     for _ in range(max_iter):
         nmin = (
@@ -784,24 +803,16 @@ def connected_components(
             "v", F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab")
         )
         jump = stepped.select(F.col("v").alias("lab"), F.col("lab").alias("plab"))
-        new_labels = (
+        labels = (
             stepped.join(jump, "lab")
             .select("v", F.col("plab").alias("lab"))
-            .cache()
+            .localCheckpoint(eager=False)
         )
-        new_sum = new_labels.agg(F.sum("lab")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
+        new_sum = labels.agg(F.sum("lab")).collect()[0][0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    # materialize the converged labels OUTSIDE the loop caches, then drop
-    # them — without this every call leaks a pinned edge list + label
-    # table into a long-lived driver session
-    result = labels.select(F.col("v"), F.col("lab").alias("cluster_id")).localCheckpoint(
-        eager=True
-    )
-    labels.unpersist()
+    result = labels.select(F.col("v"), F.col("lab").alias("cluster_id"))
     edges.unpersist()
     return result
 

@@ -1522,6 +1522,293 @@ WHERE p_brand = 'Brand#1'
 """
 
 
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) with
+    the MINIMUM cost — the correlated MIN subquery, decorrelated into a
+    per-part aggregate equality-joined back (the `ps_supplycost`
+    relation is adapted onto lineitem as min extended price per
+    (part, supplier), since the corpus has no partsupp table — same
+    adaptation q16 uses). Suppliers restricted to one region via a
+    broadcast dimension chain; exact-decimal cost so the min-equality
+    join is engine-stable."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 5) & (F.col("p_type") == "PROMO")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    cost = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("cost"))
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (cost.l_partkey == min_cost.mk) & (cost.cost == min_cost.min_cost),
+        )
+        .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("cost").cast("double").alias("supplycost"),
+        )
+    )
+
+
+ORACLE_Q02 = """
+WITH supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_size <= 5 AND p_type = 'PROMO')
+    AND l_suppkey IN (SELECT s_suppkey FROM supp)
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(cost AS DOUBLE) AS supplycost
+FROM cost
+JOIN (SELECT l_partkey AS mk, min(cost) AS min_cost
+      FROM cost GROUP BY l_partkey) mc
+  ON l_partkey = mc.mk AND cost = mc.min_cost
+JOIN supp ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value for one nation's
+    suppliers, HAVING value above a fixed fraction of the nation's
+    total — a grouped aggregate filtered against a SCALAR aggregate
+    over the same input (one-row broadcast). The fraction compare is
+    cross-multiplied (value·10000 > total) in exact decimal. The value
+    relation adapts `ps_supplycost·ps_availqty` onto lineitem as
+    Σ(extendedprice·quantity) per part."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,2)")
+            ).alias("value")
+        )
+    )
+    total = val.agg(F.sum("value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 10000 > F.col("total"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+ORACLE_Q11 = """
+WITH val AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS value
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation
+                      ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value AS DOUBLE) AS value
+FROM val
+WHERE value * 10000 > (SELECT sum(value) FROM val)
+"""
+
+
+def q12_shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line-level delay classification × order
+    priority, as conditional CASE-sums per class — the fact-fact
+    equi-join shuffles on the order key; the CASE arithmetic is
+    map-side. (The corpus has no commit/receipt dates or shipmode, so
+    'late' is ship-after-90-days and the class is the delay bucket —
+    the aggregate structure of Q12 is preserved.)"""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "delay_class",
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            F.lit("late"),
+        ).otherwise(F.lit("ontime")),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("delay_class").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+ORACLE_Q12 = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+            THEN 'late' ELSE 'ontime' END AS delay_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the double-nested semi-join — suppliers having
+    SOME qualifying part whose recent shipments exceed a fraction of
+    lifetime shipments. Part filter broadcasts into the fact scan; the
+    per-(part,supplier) aggregate computes the 1996 share with an agg
+    FILTER; the surviving supplier keys semi-join the supplier dim.
+    Fraction compare cross-multiplied in exact decimal (q96·5 > qall ⇔
+    share > 20%)."""
+    small = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    qdec = F.col("l_quantity").cast("decimal(18,2)")
+    per = (
+        li.join(
+            F.broadcast(small.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in96, qdec).otherwise(F.lit(0).cast("decimal(18,2)"))).alias(
+                "q96"
+            ),
+            F.sum(qdec).alias("qall"),
+        )
+        .filter(F.col("q96") * 5 > F.col("qall"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return supp.join(
+        per.select("l_suppkey").distinct(),
+        supp.s_suppkey == F.col("l_suppkey"),
+        "left_semi",
+    )
+
+
+ORACLE_Q20 = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_partkey, l_suppkey,
+           sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                     AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                    THEN CAST(l_quantity AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS q96,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS qall
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_partkey, l_suppkey
+    HAVING q96 * 5 > qall))
+"""
+
+
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier finalized order — the EXISTS (another supplier on
+    the order) + NOT EXISTS (another LATE supplier) pair, decorrelated
+    into one per-order aggregate (distinct suppliers, distinct late
+    suppliers via agg FILTER) joined back to the late lines. 'Late' is
+    ship-after-60-days (no receipt/commit dates in the corpus); the
+    two-distinct-count aggregate runs once at order granularity."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    late_supp = (
+        lo.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+            F.col("l_orderkey") == F.col("ok"),
+            "left_semi",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late_supp.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
+ORACLE_Q21 = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+  FROM lo GROUP BY 1
+)
+SELECT s_name, count(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late) ls
+JOIN per_order ON ls.l_orderkey = per_order.ok
+JOIN supplier ON ls.l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "moving_window_orders": moving_window_orders,
@@ -1567,6 +1854,11 @@ QUERIES = {
     "above_customer_avg_orders": above_customer_avg_orders,
     "math_funcs_prices": math_funcs_prices,
     "approx_aggregates": approx_aggregates,
+    "q02_min_cost_supplier": q02_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
+    "q12_shipping_delay_priority": q12_shipping_delay_priority,
+    "q20_promotion_candidates": q20_promotion_candidates,
+    "q21_waiting_orders": q21_waiting_orders,
     "running_revenue_per_customer": running_revenue_per_customer,
     "grouping_sets_orders": grouping_sets_orders,
     "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
@@ -1622,6 +1914,11 @@ ORACLES = {
     "above_customer_avg_orders": ORACLE_ABOVE_AVG,
     "math_funcs_prices": ORACLE_MATH,
     "approx_aggregates": ORACLE_APPROX_AGG,
+    "q02_min_cost_supplier": ORACLE_Q02,
+    "q11_important_stock": ORACLE_Q11,
+    "q12_shipping_delay_priority": ORACLE_Q12,
+    "q20_promotion_candidates": ORACLE_Q20,
+    "q21_waiting_orders": ORACLE_Q21,
     "running_revenue_per_customer": ORACLE_RUNNING,
     "grouping_sets_orders": ORACLE_GROUPING_SETS,
     "unpivot_lineitem_metrics": ORACLE_UNPIVOT,

@@ -59,6 +59,12 @@ HEADLINE = [
     "reservoir_sample_docs",
     "image_near_dup_docs",
     "video_near_dup_docs",
+    # round-4 families previously missing a headline row (VERDICT r4 #7)
+    "semantic_dedup_embeddings",
+    "pq_encode_embeddings",
+    "audio_near_dup_docs",
+    "quality_buckets_docs",
+    "dq_orders_checks",
 ]
 
 

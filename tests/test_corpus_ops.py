@@ -153,3 +153,59 @@ def test_domain_mix_replicates_by_weight(spark):
     assert sorted(per_doc[1]) == [1]
     assert sorted(per_doc[2]) == [1, 2, 3]
     assert sorted(per_doc[3]) == [1, 2]
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """A 100-word doc at chunk=50/stride=40 yields starts 0,40,80 with
+    the tail chunk truncated; a short doc yields one whole-text chunk."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.corpus import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "only three words")], "doc_id long, text string"
+    )
+    rows = {
+        (r.doc_id, r.chunk_start): r
+        for r in chunk_documents(df, chunk=50, stride=40).collect()
+    }
+    assert set(rows) == {(1, 0), (1, 40), (1, 80), (2, 0)}
+    assert rows[(1, 0)].n_words == 50
+    assert rows[(1, 80)].n_words == 20
+    assert rows[(1, 80)].chunk_text.startswith("w80 ")
+    assert rows[(2, 0)].chunk_text == "only three words"
+    # overlap: chunk at 40 re-covers words 40..49 of chunk at 0
+    assert rows[(1, 40)].chunk_text.split(" ")[0] == "w40"
+
+
+def test_domain_cap_sample_keeps_lowest_ids(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators.corpus import domain_cap_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b") for i in range(15)],
+        "doc_id long, source string",
+    )
+    out = domain_cap_sample(df, cap=3, key="source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert by_src == {"a": {0, 1, 2}, "b": {10, 11, 12}}
+
+
+def test_bloom_decontaminate_no_false_negatives_and_flags_planted(spark):
+    """Planted contamination must surface with bloom_hit=True (the
+    no-false-negative guarantee of the relational Bloom filter)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.corpus import bloom_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words then the quick brown fox jumps over and more"),
+            (2, "completely unrelated content about spark partitions here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bloom_hit for r in bloom_decontaminate(train, bench).collect()}
+    assert out == {1: True}
