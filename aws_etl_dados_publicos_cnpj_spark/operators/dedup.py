@@ -777,42 +777,83 @@ def connected_components(
         )
         edges.unpersist()
         return spark.createDataFrame(pdf, schema)
-    # localCheckpoint (NOT cache) per round: `stepped` is referenced
-    # twice below, so without lineage truncation the logical plan
-    # DOUBLES every round — at the ~7 rounds a diameter-64 graph needs,
-    # plan rendering/compilation goes exponential and the job dies in
-    # generateTreeString (found by tools/bench_cc_gate.py).
-    # Checkpointing each round keeps the plan O(1) per round, the
-    # standard shape for iterative Spark algorithms. LAZY (eager=False):
-    # the convergence-sum action below materializes the checkpoint in
-    # the SAME job, so each round costs one job, not two.
-    labels = (
-        edges.select("v").distinct().withColumn("lab", F.col("v"))
-        .localCheckpoint(eager=False)
-    )
-    prev_sum = None
+    # Distributed path — contraction with full path compression:
+    # each round (1) points every CURRENT root at the min root in its
+    # contracted neighborhood, (2) fully compresses the pointer forest
+    # by SQUARING (p := p∘p until idempotent — pointers strictly
+    # decrease, so the forest is acyclic and depth halves per
+    # squaring), (3) rewrites the edge list onto the new roots,
+    # dropping self-loops. Contraction at least halves the local-min
+    # count per round ⇒ O(log n) rounds, each with O(log depth)
+    # squarings; a path/chain collapses in ONE round. (The r4 version
+    # did a single jump per round on the UNcontracted graph — O(d)
+    # rounds, caught unconverged at max_iter by
+    # tools/bench_cc_gate.py --check: 882k wrong labels at 1.3M
+    # vertices, 60 at 55k.)
+    #
+    # Engineering notes, each load-bearing (measured in the gate tool):
+    # - every loop table localCheckpoints (NOT cache): squaring
+    #   references p twice, so un-truncated lineage doubles per
+    #   iteration and plan rendering goes exponential;
+    # - `pinned` holds a strong ref to every checkpointed table until
+    #   the RESULT is eagerly checkpointed — dropping them mid-loop
+    #   lets the ContextCleaner evict the blocks and every later
+    #   action recomputes the whole history (observed: rounds going
+    #   5 s → 300 s), and stragglers of the evicted stages are the
+    #   'non-existent accumulator' noise in BENCH_r04;
+    # - convergence = the contracted edge list is EMPTY (count
+    #   action), not a label-sum fixpoint.
+    pinned = []
+
+    def _ckpt(df):
+        out = df.localCheckpoint(eager=False)
+        pinned.append(out)
+        return out
+
+    labels = _ckpt(edges.select("v").distinct().withColumn("lab", F.col("v")))
+    ec = edges  # contracted edge list, both directions, root ids
     for _ in range(max_iter):
-        nmin = (
-            edges.join(
-                labels.select(F.col("v").alias("u"), F.col("lab").alias("ulab")), "u"
+        # min root in each root's closed contracted neighborhood
+        p = _ckpt(
+            ec.groupBy("v")
+            .agg(F.min("u").alias("nlab"))
+            .select("v", F.least(F.col("v"), F.col("nlab")).alias("lab"))
+        )
+        p_sum = p.agg(F.sum("lab")).collect()[0][0]
+        for _ in range(max_iter):
+            pj = p.select(F.col("v").alias("lab"), F.col("lab").alias("plab"))
+            p2 = _ckpt(
+                p.join(pj, "lab", "left").select(
+                    "v", F.coalesce("plab", "lab").alias("lab")
+                )
             )
-            .groupBy("v")
-            .agg(F.min("ulab").alias("nlab"))
+            s2 = p2.agg(F.sum("lab")).collect()[0][0]
+            if s2 == p_sum:
+                break
+            p, p_sum = p2, s2
+        # fold the round's relabeling into the global labels
+        relab = p.select(F.col("v").alias("lab"), F.col("lab").alias("newlab"))
+        labels = _ckpt(
+            labels.join(relab, "lab", "left").select(
+                "v", F.coalesce("newlab", "lab").alias("lab")
+            )
         )
-        stepped = labels.join(nmin, "v", "left").select(
-            "v", F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab")
+        # contract: rewrite edges onto new roots, drop self-loops
+        pv = p.select(F.col("v").alias("_v"), F.col("lab").alias("_vl"))
+        pu = p.select(F.col("v").alias("_u"), F.col("lab").alias("_ul"))
+        ec = _ckpt(
+            ec.join(pv, ec.v == F.col("_v"))
+            .join(pu, ec.u == F.col("_u"))
+            .select(F.col("_vl").alias("v"), F.col("_ul").alias("u"))
+            .filter(F.col("v") != F.col("u"))
+            .distinct()
         )
-        jump = stepped.select(F.col("v").alias("lab"), F.col("lab").alias("plab"))
-        labels = (
-            stepped.join(jump, "lab")
-            .select("v", F.col("plab").alias("lab"))
-            .localCheckpoint(eager=False)
-        )
-        new_sum = labels.agg(F.sum("lab")).collect()[0][0]
-        if new_sum == prev_sum:
+        if ec.count() == 0:
             break
-        prev_sum = new_sum
-    result = labels.select(F.col("v"), F.col("lab").alias("cluster_id"))
+    result = labels.select(F.col("v"), F.col("lab").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    del pinned
     edges.unpersist()
     return result
 
@@ -963,8 +1004,104 @@ def prefix_filter_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(docs, threshold=0.8)
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_SIZE,
+) -> DataFrame:
+    """ASYMMETRIC containment join: pairs (A, B) where
+    |A∩B|/|A| ≥ t — the subset-duplicate case Jaccard misses (a doc
+    embedded verbatim inside a much longer one scores low Jaccard but
+    containment ≈ 1). Both directions are reported independently.
+
+    Prefix filtering adapts to containment: if |A∩B| ≥ ⌈t·|A|⌉ then B
+    must share one of A's first |A| − ⌈t·|A|⌉ + 1 RAREST shingles (any
+    miss-set that avoids A's prefix is too small to reach t·|A|) — so
+    the candidate join runs A-prefix × B-all-shingles. There is no
+    length filter (B may be arbitrarily large) and no symmetric
+    pruning; the rarity ordering is what keeps the probe buckets
+    small. Verification counts exact intersections on candidates only.
+
+    Scale shape: same as ``prefix_filter_jaccard_pairs`` — frequency
+    attach, per-doc window, candidate equi-join on rare prefix
+    shingles, candidate-restricted verify; never all-pairs."""
+    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
+    ranked = sh.join(freq, "shingle").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.asc("df_sh"), F.asc("shingle"))
+        ),
+    )
+    pref = (
+        ranked.join(counts, id_col)
+        .filter(
+            F.col("rk")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select(F.col(id_col), "shingle", "n_sh")
+    )
+    a = pref.select(
+        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "n_a")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("_db"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_db")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b", "n_a")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn("containment", F.round(F.col("inter") / F.col("n_a"), 4))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join on the doc corpus; the oracle is the
+    brute-force all-pairs SQL, so passing PROVES the asymmetric prefix
+    filter loses no qualifying pair (exact recall)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return containment_pairs(docs, threshold=0.9)
+
+
+ORACLE_CONTAINMENT = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) >= 3 THEN array_to_string(w[i.i:i.i+2], ' ')
+              ELSE array_to_string(w, ' ') END AS shingle
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+  ) i
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(inter * 1.0 / ca.n, 4) AS containment
+FROM pairs JOIN cnt ca ON doc_a = ca.doc_id
+WHERE round(inter * 1.0 / ca.n, 4) >= 0.9
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
+    "containment_pairs_docs": containment_pairs_docs,
     "prefix_filter_jaccard_docs": prefix_filter_jaccard_docs,
     "near_dup_clusters_docs": near_dup_clusters_docs,
     "hybrid_near_dup_docs": hybrid_near_dup_docs,
@@ -977,6 +1114,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact_docs": ORACLE_DEDUP_EXACT,
+    "containment_pairs_docs": ORACLE_CONTAINMENT,
     "near_dup_clusters_docs": _oracle_cc(),
     "hybrid_near_dup_docs": ORACLE_HYBRID,
     "ngram_jaccard_pairs_docs": _ORACLE_EXACT_JACCARD,

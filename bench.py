@@ -65,6 +65,12 @@ HEADLINE = [
     "audio_near_dup_docs",
     "quality_buckets_docs",
     "dq_orders_checks",
+    # round-5 additions: TPC-H completions + new corpus/dedup families
+    "q02_min_cost_supplier",
+    "q21_waiting_orders",
+    "containment_pairs_docs",
+    "chunk_documents_docs",
+    "bloom_decontaminate_docs",
 ]
 
 
