@@ -651,6 +651,58 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals via ``width_bucket`` — the
+    profiling primitive behind range-partition boundary picks and data
+    skew reports. One partial-agg shuffle on ≤22 bucket keys; the
+    bucket expression is map-side codegen on the pruned scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket(
+                F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(20)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+ORACLE_HISTOGRAM = """
+SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 500000.0 THEN 21
+            ELSE floor((o_totalprice - 0.0) / (500000.0 - 0.0) * 20) + 1
+            END AS BIGINT) AS bucket,
+       count(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def skew_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of the orders fact on o_custkey — key
+    count, hottest-key row count, and the top-key share that decides
+    whether a shuffle join needs salting (``operators/skew.py``) or
+    AQE skew splitting. Two chained aggregates; the second runs on the
+    per-key table (≤ distinct keys rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_key_rows"),
+        F.sum("n").alias("total_rows"),
+        F.round(F.max("n") / F.sum("n"), 6).cast("double").alias("top_key_share"),
+    )
+
+
+ORACLE_SKEW_AUDIT = """
+WITH per_key AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+SELECT count(*) AS n_keys, max(n) AS max_key_rows,
+       CAST(sum(n) AS BIGINT) AS total_rows,
+       CAST(round(max(n) * 1.0 / sum(n), 6) AS DOUBLE) AS top_key_share
+FROM per_key
+"""
+
+
 def date_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar arithmetic (SURVEY.md §2.2 date fns — the capability the
     reference's YYYYMMDD-int encoding forgoes): day diffs and month
@@ -1854,6 +1906,8 @@ QUERIES = {
     "above_customer_avg_orders": above_customer_avg_orders,
     "math_funcs_prices": math_funcs_prices,
     "approx_aggregates": approx_aggregates,
+    "histogram_prices": histogram_prices,
+    "skew_audit_orders": skew_audit_orders,
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q11_important_stock": q11_important_stock,
     "q12_shipping_delay_priority": q12_shipping_delay_priority,
@@ -1914,6 +1968,8 @@ ORACLES = {
     "above_customer_avg_orders": ORACLE_ABOVE_AVG,
     "math_funcs_prices": ORACLE_MATH,
     "approx_aggregates": ORACLE_APPROX_AGG,
+    "histogram_prices": ORACLE_HISTOGRAM,
+    "skew_audit_orders": ORACLE_SKEW_AUDIT,
     "q02_min_cost_supplier": ORACLE_Q02,
     "q11_important_stock": ORACLE_Q11,
     "q12_shipping_delay_priority": ORACLE_Q12,
