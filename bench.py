@@ -111,6 +111,30 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # BENCH-ONLY log hygiene (SCALE.md §BENCH_r04): repeated runs of
+    # checkpoint-bearing queries race a driver GC (which unregisters
+    # weakly-referenced SQL-metric accumulators of already-collected
+    # executions) against late task-COMPLETION events — DAGScheduler
+    # then logs hundreds of 'non-existent accumulator' ERROR stacks.
+    # Verified metrics-only: the same runs show ZERO task failures /
+    # retries / fetch failures, and any REAL failure raises in
+    # collect() and lands in the errors dict below. Silence just this
+    # logger for the timing loop so the bench tail stays parseable;
+    # correctness gates (check_oracle, pytest) never do this.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+        # its WARN-level twin ('Attempted to access garbage collected
+        # accumulator N') — same race, confirms the GC mechanism
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.util.AccumulatorContext",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # noqa: BLE001 — logging backend changed; noise returns
+        pass
     for name in headline:
         # cold pass: includes whole-stage-codegen compilation (recorded
         # separately); timed pass measures steady-state execution.

@@ -281,3 +281,42 @@ def test_q17_aggregates_only_matched_parts(spark):
     # the semi-join appears below (later in toString than) the partial agg
     first_agg = plan.find("HashAggregate")
     assert first_agg != -1 and "LeftSemi" in plan[first_agg:], plan[:3000]
+
+
+def test_chunk_documents_is_map_only(spark):
+    """Chunking must be scan→project→generate with ZERO exchanges —
+    a 100 TB corpus chunks at scan speed."""
+    from aws_etl_dados_publicos_cnpj_spark.operators import corpus
+
+    plan = _plan(corpus.QUERIES["chunk_documents_docs"](spark, SF_SMALL))
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_domain_cap_single_keyed_exchange(spark):
+    """Quota capping is one keyed window — exactly one hash exchange,
+    no global sort."""
+    from aws_etl_dados_publicos_cnpj_spark.operators import corpus
+
+    plan = _plan(corpus.QUERIES["domain_cap_sample_docs"](spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_bloom_probe_side_joins_are_broadcast(spark):
+    """The corpus side of the Bloom probe must see only broadcast
+    joins (k semi-joins + the exact-verify join) — no shuffle of the
+    corpus shingle table by position or shingle."""
+    from aws_etl_dados_publicos_cnpj_spark.operators import corpus
+
+    plan = _plan(corpus.QUERIES["bloom_decontaminate_docs"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_q02_cost_agg_behind_semi_joins(spark):
+    """q02's per-(part,supplier) aggregate must sit above the two
+    broadcast semi-joins so only qualifying lineitems aggregate."""
+    plan = _plan(relational.q02_min_cost_supplier(spark, SF_SMALL))
+    assert plan.count("LeftSemi") >= 2, plan[:2000]
+    first_agg = plan.find("HashAggregate")
+    assert "LeftSemi" in plan[first_agg:], plan[:2000]
