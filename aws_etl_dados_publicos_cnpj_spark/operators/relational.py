@@ -535,6 +535,101 @@ FROM x GROUP BY user_id
 """
 
 
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` grouping
+    (the dedicated operator, vs ``sessionize_events``' lag+cumsum
+    re-expression) — per-user session and event counts. Session
+    semantics: a session extends to last_event + gap EXCLUSIVE, so an
+    event exactly ``gap`` after the previous one opens a NEW session
+    (the oracle uses ``>=`` accordingly; the lag form uses ``>``).
+    One keyed shuffle; merging is done by the SessionWindow physical
+    node, not a driver loop."""
+    events = load_table(spark, sf_dir, "events")
+    sw = events.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count("*").alias("n"))
+    return sw.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
+ORACLE_SESSION_WINDOW = """
+WITH x AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM x GROUP BY user_id
+"""
+
+
+def forward_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: each event carries the most
+    recent CLICK value of its user (``last(..., ignorenulls=True)``
+    over a running frame) — the gap-filling shape sensor/telemetry
+    pipelines use. One keyed window; the conditional null-ification is
+    map-side codegen."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_val = F.when(F.col("event_type") == "click", F.col("value"))
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(click_val, ignorenulls=True).over(w), 4).alias(
+            "last_click_value"
+        ),
+    )
+
+
+ORACLE_FORWARD_FILL = """
+SELECT event_id, user_id,
+       round(last_value(CASE WHEN event_type = 'click' THEN value END
+                        IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS last_click_value
+FROM events
+"""
+
+
+def revenue_share_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each priority class's share
+    of total revenue via an unbounded-frame window over the 5-row
+    aggregate — the window runs on the POST-aggregation table, so the
+    single-partition frame is a non-issue."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return per.select(
+        "o_orderpriority",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
+
+
+ORACLE_REVENUE_SHARE = """
+WITH per AS (
+  SELECT o_orderpriority, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, revenue,
+       round(revenue / sum(revenue) OVER (), 6) AS share
+FROM per
+"""
+
+
 def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer dimension join (full join surface, SURVEY.md §2.2):
     every customer with their order count, zero-filled."""
@@ -1908,6 +2003,9 @@ QUERIES = {
     "approx_aggregates": approx_aggregates,
     "histogram_prices": histogram_prices,
     "skew_audit_orders": skew_audit_orders,
+    "session_window_events": session_window_events,
+    "forward_fill_events": forward_fill_events,
+    "revenue_share_by_priority": revenue_share_by_priority,
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q11_important_stock": q11_important_stock,
     "q12_shipping_delay_priority": q12_shipping_delay_priority,
@@ -1970,6 +2068,9 @@ ORACLES = {
     "approx_aggregates": ORACLE_APPROX_AGG,
     "histogram_prices": ORACLE_HISTOGRAM,
     "skew_audit_orders": ORACLE_SKEW_AUDIT,
+    "session_window_events": ORACLE_SESSION_WINDOW,
+    "forward_fill_events": ORACLE_FORWARD_FILL,
+    "revenue_share_by_priority": ORACLE_REVENUE_SHARE,
     "q02_min_cost_supplier": ORACLE_Q02,
     "q11_important_stock": ORACLE_Q11,
     "q12_shipping_delay_priority": ORACLE_Q12,
