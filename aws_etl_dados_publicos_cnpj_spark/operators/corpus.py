@@ -623,8 +623,38 @@ SELECT doc_id, TRUE AS bloom_hit FROM hits
 """
 
 
+def weighted_sample(
+    df: DataFrame, pivot: int = 200, scale: int = 1_000_000
+) -> DataFrame:
+    """Deterministic WEIGHTED downsampling: keep each document with
+    probability n_chars/(n_chars+pivot) — longer (higher-value) docs
+    survive more often, the smooth quality-weighted cut pretraining
+    mixes use instead of a hard length filter. The coin is the md5
+    content hash (engine-reproducible, like every sampler here), and
+    the comparison is cross-multiplied into exact integer arithmetic:
+    keep ⇔ h·(n+pivot) < scale·n with h = hash mod scale — no float
+    probability on a knife edge. Pure map-side filter, zero shuffle."""
+    h = F.pmod(word_hash60(F.col("text")), F.lit(scale))
+    return df.filter(
+        h * (F.col("n_chars") + F.lit(pivot)) < F.lit(scale) * F.col("n_chars")
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 1000000)
+      * (n_chars + 200) < 1000000 * n_chars
+"""
+
+
 QUERIES = {
     "corpus_stats_by_lang_source": corpus_stats_by_lang_source,
+    "weighted_sample_docs": weighted_sample_docs,
     "chunk_documents_docs": chunk_documents_docs,
     "domain_cap_sample_docs": domain_cap_sample_docs,
     "bloom_decontaminate_docs": bloom_decontaminate_docs,
@@ -640,6 +670,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "weighted_sample_docs": ORACLE_WEIGHTED_SAMPLE,
     "chunk_documents_docs": ORACLE_CHUNK,
     "domain_cap_sample_docs": ORACLE_DOMAIN_CAP,
     "bloom_decontaminate_docs": _oracle_bloom_decontaminate(),

@@ -932,7 +932,52 @@ FROM totals t LEFT JOIN dup d USING (doc_id)
 """
 
 
+def kwic_spark_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance via a Python UDTF — each
+    occurrence of the keyword ('spark') yields one row with its
+    1-based word position and a ±2-word context window. This is the
+    arrow-optimized UDTF surface (plans as ``ArrowEvalPythonUDTF``,
+    never ``BatchEvalPython``) invoked through SQL LATERAL; the
+    relational twin of the same semantics is the oracle's
+    explode-with-subscripts form, which is what the 100 TB hot path
+    would use — the UDTF exists because table-generating Python IS
+    part of the engine's API surface (SURVEY.md §2.2 UDF/UDTF row)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, pos: int, context: string", useArrow=True)
+    class Kwic:
+        def eval(self, doc_id, text):  # noqa: ANN001 — UDTF signature
+            if text is None:
+                return
+            words = text.split(" ")
+            n = len(words)
+            for i, w in enumerate(words):
+                if w == "spark":
+                    lo, hi = max(0, i - 2), min(n, i + 3)
+                    yield (doc_id, i + 1, " ".join(words[lo:hi]))
+
+    spark.udtf.register("kwic_spans", Kwic)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_kwic_docs")
+    return spark.sql(
+        "SELECT s.doc_id, s.pos, s.context "
+        "FROM _kwic_docs t, LATERAL kwic_spans(t.doc_id, t.text) s"
+    )
+
+
+ORACLE_KWIC = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+occ AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w
+)
+SELECT doc_id, CAST(i AS INT) AS pos,
+       array_to_string(ws[greatest(i - 2, 1) : least(i + 2, len(ws))], ' ')
+           AS context
+FROM occ WHERE ws[i] = 'spark'
+"""
+
+
 QUERIES = {
+    "kwic_spark_docs": kwic_spark_docs,
     "text_quality_docs": text_quality_docs,
     "repeated_ngram_spans_docs": repeated_ngram_spans_docs,
     "scrub_repeated_ngrams_docs": scrub_repeated_ngrams_docs,
@@ -951,6 +996,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kwic_spark_docs": ORACLE_KWIC,
     "unigram_logprob_docs": ORACLE_UNIGRAM,
     "repeated_ngram_spans_docs": ORACLE_REPEATED_NGRAMS,
     "scrub_repeated_ngrams_docs": ORACLE_SCRUB_NGRAMS,
