@@ -584,8 +584,17 @@ def bloom_decontaminate(
     False positives only cost extra verification work; they never
     appear in the output."""
     k, m = 3, 400_000
-    t_sh = shingles(train, text_col, id_col, n)
-    b_sh = shingles(benchmark, text_col, id_col, n).select("shingle").distinct()
+    # compute-once sharing: t_sh feeds the k-stage probe chain AND the
+    # exact-verify join; b_sh feeds k position sets AND the exact side.
+    # Lazy localCheckpoint (same rationale as minhash_lsh_dedup) —
+    # without it each consumer re-shingles its corpus from the scan.
+    t_sh = shingles(train, text_col, id_col, n).localCheckpoint(eager=False)
+    b_sh = (
+        shingles(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     probe = t_sh
     for i in range(k):
         pos = (

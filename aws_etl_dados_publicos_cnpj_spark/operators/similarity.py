@@ -1162,7 +1162,54 @@ WHERE rk <= 5
     )
 
 
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface, exercised explicitly:
+    ``aggregate`` (sum of squares → L2 norm), ``transform`` (unit
+    normalization), ``filter`` (positive-component count) and
+    ``exists`` — all JVM-side lambda expressions inside whole-stage
+    codegen, zero Python, zero shuffle (pure map over the scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    norm = F.sqrt(sumsq)
+    return emb.select(
+        "vec_id",
+        F.round(norm, 4).alias("l2_norm"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda v: v.cast("double") / norm),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            4,
+        ).alias("unit_component_sum"),
+        F.size(F.filter("embedding", lambda v: v > 0)).alias("n_positive"),
+        F.exists("embedding", lambda v: v.cast("double") > 3.0).alias("has_outlier"),
+    )
+
+
+ORACLE_EMBEDDING_NORMS = """
+WITH x AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, v -> v * v))) AS nrm
+  FROM x
+)
+SELECT vec_id, round(nrm, 4) AS l2_norm,
+       round(list_sum(list_transform(e, v -> v / nrm)), 4)
+           AS unit_component_sum,
+       CAST(len(list_filter(e, v -> v > 0)) AS INT) AS n_positive,
+       len(list_filter(e, v -> v > 3.0)) > 0 AS has_outlier
+FROM n
+"""
+
+
 QUERIES = {
+    "embedding_norms": embedding_norms,
     "quantize_embeddings_int8": quantize_embeddings_int8,
     "pq_encode_embeddings": pq_encode_embeddings,
     "ann_pq_topk": ann_pq_topk_query,
@@ -1176,6 +1223,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_norms": ORACLE_EMBEDDING_NORMS,
     "quantize_embeddings_int8": ORACLE_QUANTIZE,
     "pq_encode_embeddings": _oracle_pq_encode(),
     "ann_pq_topk": _oracle_ann_pq(),
