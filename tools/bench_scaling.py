@@ -73,6 +73,23 @@ def main() -> None:
         "reservoir_sample": ((1, 4, 16), lambda d: corpus.reservoir_sample(
             d.withColumn("lang", F.pmod(F.col("doc_id"), F.lit(10)).cast("string"))
         )),
+        # round-5 families
+        "containment": (
+            (1, 4),
+            lambda d: dedup.containment_pairs(d, threshold=0.9),
+        ),
+        "chunk_documents": ((1, 4, 16), lambda d: corpus.chunk_documents(d)),
+        "bloom_decontaminate": (
+            (1, 4, 16),
+            lambda d: corpus.bloom_decontaminate(
+                d, d.filter(F.pmod(dedup.word_hash60(F.col("text")), F.lit(100)) >= 97)
+            ),
+        ),
+        "weighted_sample": ((1, 4, 16), lambda d: corpus.weighted_sample(
+            d.withColumn("n_chars", F.length("text").cast("long"))
+            .withColumn("lang", F.lit("en"))
+            .withColumn("source", F.lit("s"))
+        )),
     }
     for name, (scales, fn) in ops.items():
         if only and name not in only:
