@@ -773,6 +773,67 @@ FROM orders GROUP BY 1
 """
 
 
+def price_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate (OLS trend): totalprice vs
+    days-since-1995 per priority class. Built from EXACT decimal
+    moment sums (n, Σx, Σy, Σxy, Σx²) folded in ONE partial-agg pass —
+    order-independent at any partition count, unlike the native
+    ``regr_slope`` whose double partials can differ in low bits across
+    engines — with the slope/intercept arithmetic done identically in
+    both engines on the exact sums (single double division each)."""
+    orders = load_table(spark, sf_dir, "orders")
+    xd = F.datediff(
+        F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+    ).cast("decimal(18,2)")
+    yd = F.col("o_totalprice").cast("decimal(18,2)")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n"),
+            2,
+        ).alias("intercept"),
+    )
+
+
+ORACLE_PRICE_TREND = """
+WITH agg AS (
+  SELECT o_orderpriority, count(*) AS n,
+         sum(CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                  AS DECIMAL(18,2))) AS sx,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sy,
+         sum(CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                  AS DECIMAL(18,2))
+             * CAST(o_totalprice AS DECIMAL(18,2))) AS sxy,
+         sum(CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                  AS DECIMAL(18,2))
+             * CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                    AS DECIMAL(18,2))) AS sxx
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n, 2) AS intercept
+FROM agg
+"""
+
+
 def skew_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profile of the orders fact on o_custkey — key
     count, hottest-key row count, and the top-key share that decides
@@ -2003,6 +2064,7 @@ QUERIES = {
     "approx_aggregates": approx_aggregates,
     "histogram_prices": histogram_prices,
     "skew_audit_orders": skew_audit_orders,
+    "price_trend_by_priority": price_trend_by_priority,
     "session_window_events": session_window_events,
     "forward_fill_events": forward_fill_events,
     "revenue_share_by_priority": revenue_share_by_priority,
@@ -2068,6 +2130,7 @@ ORACLES = {
     "approx_aggregates": ORACLE_APPROX_AGG,
     "histogram_prices": ORACLE_HISTOGRAM,
     "skew_audit_orders": ORACLE_SKEW_AUDIT,
+    "price_trend_by_priority": ORACLE_PRICE_TREND,
     "session_window_events": ORACLE_SESSION_WINDOW,
     "forward_fill_events": ORACLE_FORWARD_FILL,
     "revenue_share_by_priority": ORACLE_REVENUE_SHARE,

@@ -251,3 +251,84 @@ def test_scrub_invariants(spark, texts):
         kept = len(r.clean_text.split()) if r.clean_text else 0
         assert kept + r.n_removed_words == orig[i]
         assert (r.n_removed_words == 0) == (spans[i] == 0)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=30).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    t=st.sampled_from([0.5, 0.8, 0.9]),
+)
+def test_containment_equals_bruteforce_property(spark, texts, t):
+    """The asymmetric prefix filter must lose NO qualifying pair vs the
+    brute-force containment over all ordered pairs (exact recall), at
+    several thresholds, on adversarial tiny vocab corpora (hot shingles
+    everywhere — the worst case for prefix filtering)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import (
+        containment_pairs,
+        shingles as _sh,
+    )
+
+    df = spark.createDataFrame(
+        [(i, txt) for i, txt in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, threshold=t).collect()
+    }
+    sets = {}
+    for i, txt in enumerate(texts):
+        rows = _sh(
+            spark.createDataFrame([(i, txt)], "doc_id long, text string")
+        ).collect()
+        sets[i] = {r.shingle for r in rows}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            c = round(len(sets[a] & sets[b]) / len(sets[a]), 4)
+            if c >= t:
+                want[(a, b)] = c
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.sampled_from(["w%d" % i for i in range(40)]), min_size=1, max_size=150
+    ),
+    chunk=st.sampled_from([5, 13, 50]),
+)
+def test_chunk_documents_covers_and_reconstructs(spark, words, chunk):
+    """Chunking invariants for any doc length and chunk size with
+    stride = chunk (non-overlapping): concatenating the chunks in
+    chunk_start order reconstructs the document exactly; with
+    stride < chunk every consecutive pair overlaps by chunk−stride."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.corpus import chunk_documents
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    # non-overlapping: exact reconstruction
+    rows = sorted(
+        chunk_documents(df, chunk=chunk, stride=chunk).collect(),
+        key=lambda r: r.chunk_start,
+    )
+    assert " ".join(r.chunk_text for r in rows) == text
+    assert all(r.n_words == len(r.chunk_text.split(" ")) for r in rows)
+    # overlapping: each consecutive pair shares exactly chunk-stride
+    # words when the earlier chunk is full
+    stride = max(1, chunk - 2)
+    rows = sorted(
+        chunk_documents(df, chunk=chunk, stride=stride).collect(),
+        key=lambda r: r.chunk_start,
+    )
+    for a, b in zip(rows, rows[1:]):
+        if a.n_words == chunk:
+            overlap = a.chunk_text.split(" ")[stride:]
+            assert b.chunk_text.split(" ")[: len(overlap)] == overlap
