@@ -472,6 +472,87 @@ GROUP BY doc_id
 """
 
 
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-LM quality score, BIGRAM order (one step toward CCNet's
+    5-gram KenLM filter): mean negative log of the add-one-smoothed
+    conditional P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) over each document's
+    bigrams (docs need ≥2 words). Captures word-ORDER fluency the
+    unigram scorer is blind to — scrambled text keeps its unigram
+    score but its bigram NLL spikes.
+
+    Scale shape: bigrams are built map-side (two shifted slices
+    zipped, no self-join on positions); the bigram-count shuffle
+    carries DISTINCT (w₁,w₂) pairs; the unigram table joins on w₁ and
+    the 1-row vocab total broadcasts; per-doc scoring joins the doc
+    bigrams to the model on the pair key — corpus text never joins
+    against itself."""
+    ws = F.split(F.col(text_col), " ")
+    tail_len = F.greatest(F.size(ws) - 1, F.lit(0))
+    bi = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(ws, 1, tail_len).alias("w1"),
+                    F.slice(ws, 2, tail_len).alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    words = df.select(F.explode(ws).alias("word"))
+    uni = words.groupBy("word").agg(F.count("*").alias("c1"))
+    vtot = uni.agg(F.count("*").alias("v"))
+    model = (
+        c12.join(uni.withColumnRenamed("word", "w1"), "w1")
+        .crossJoin(F.broadcast(vtot))
+        .select(
+            "w1",
+            "w2",
+            (-F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))).alias("nll"),
+        )
+    )
+    return (
+        bi.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("nll"), 4).alias("mean_bigram_nll"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+
+
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_BIGRAM = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bi AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM w WHERE len(ws) >= 2)
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+uni AS (
+  SELECT u.word, count(*) AS c1
+  FROM w, LATERAL (SELECT unnest(ws) AS word) u GROUP BY 1
+),
+vtot AS (SELECT count(*) AS v FROM uni),
+model AS (
+  SELECT w1, w2, -ln((c12 + 1) * 1.0 / (c1 + v)) AS nll
+  FROM c12 JOIN uni ON w1 = word, vtot
+)
+SELECT doc_id, round(avg(nll), 4) AS mean_bigram_nll,
+       count(*) AS n_bigrams
+FROM bi JOIN model USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
 def frequent_ngrams(
     df: DataFrame,
     n: int = 3,
@@ -978,6 +1059,7 @@ FROM occ WHERE ws[i] = 'spark'
 
 QUERIES = {
     "kwic_spark_docs": kwic_spark_docs,
+    "bigram_logprob_docs": bigram_logprob_docs,
     "text_quality_docs": text_quality_docs,
     "repeated_ngram_spans_docs": repeated_ngram_spans_docs,
     "scrub_repeated_ngrams_docs": scrub_repeated_ngrams_docs,
@@ -997,6 +1079,7 @@ QUERIES = {
 
 ORACLES = {
     "kwic_spark_docs": ORACLE_KWIC,
+    "bigram_logprob_docs": ORACLE_BIGRAM,
     "unigram_logprob_docs": ORACLE_UNIGRAM,
     "repeated_ngram_spans_docs": ORACLE_REPEATED_NGRAMS,
     "scrub_repeated_ngrams_docs": ORACLE_SCRUB_NGRAMS,
