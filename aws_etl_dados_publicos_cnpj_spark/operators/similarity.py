@@ -1166,8 +1166,11 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order-function surface, exercised explicitly:
     ``aggregate`` (sum of squares → L2 norm), ``transform`` (unit
     normalization), ``filter`` (positive-component count) and
-    ``exists`` — all JVM-side lambda expressions inside whole-stage
-    codegen, zero Python, zero shuffle (pure map over the scan)."""
+    ``exists`` — all JVM-side lambda expressions, zero Python, zero
+    shuffle (pure map over the scan). NOTE Spark evaluates HOF
+    lambdas INTERPRETED (outside whole-stage codegen), so per-element
+    cost is real — the numeric hot paths here (ANN, quantization) use
+    Arrow/numpy batches instead; this query pins the API surface."""
     emb = load_table(spark, sf_dir, "embeddings")
     sumsq = F.aggregate(
         "embedding",

@@ -76,6 +76,7 @@ HEADLINE = [
     "embedding_norms",
     "price_trend_by_priority",
     "kwic_spark_docs",
+    "bigram_logprob_docs",
 ]
 
 
