@@ -413,3 +413,76 @@ def test_streaming_funnel_equals_batch(spark, events_dir):
         k: sum(1 for r in rows if r.stage >= k) for k in batch
     }
     assert stream_counts == batch and batch[1] > 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Event-time watermark semantics, explicitly: an event arriving in
+    a LATER micro-batch with a timestamp older than (max event time −
+    watermark) must be EXCLUDED from the already-finalized window, and
+    append mode must emit only finalized windows. maxFilesPerTrigger=1
+    forces the two files through separate micro-batches in mtime
+    order, so the second file genuinely arrives 'late'."""
+    import time
+    from datetime import datetime
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    # Three files → three micro-batches. The watermark is a GUARANTEE
+    # boundary, not an eager filter: a late row is only certain to be
+    # dropped once its window's state has been EVICTED, which happens
+    # at the end of the batch whose watermark passed the window end —
+    # so the late row must arrive one batch after the advancer.
+    batches = [
+        [(1, datetime(2024, 1, 1, 0, 5), 10, "click", 1.0, "{}")],
+        # raises max event time to 06:00 → the NEXT batch runs with
+        # watermark 04:00 (the watermark used in batch N derives from
+        # batch N−1's max event time)
+        [(2, datetime(2024, 1, 1, 6, 0), 11, "click", 1.0, "{}")],
+        # this batch runs with watermark 04:00 — hour-0 state is
+        # evicted (and its window emitted) at the END of this batch
+        [(3, datetime(2024, 1, 1, 6, 10), 12, "click", 1.0, "{}")],
+        # hour-0's state is GONE → this late row is guaranteed-dropped
+        [(4, datetime(2024, 1, 1, 0, 6), 13, "click", 1.0, "{}"),
+         (5, datetime(2024, 1, 1, 6, 30), 14, "click", 1.0, "{}")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH").alias("hb"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.hb: r.n for r in spark.sql("SELECT * FROM t_late_drop").collect()}
+    # the hour-0 window finalized with ONLY the on-time event; the late
+    # event would have made it 2
+    assert got.get("2024-01-01 00") == 1, got
+    # and the drop is observable in the state-operator metrics
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1, [p["batchId"] for p in q.recentProgress]
+    # the hour-6 window never passes the watermark before the stream
+    # drains — append mode must NOT emit it
+    assert "2024-01-01 06" not in got, got
