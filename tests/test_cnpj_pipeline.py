@@ -285,3 +285,26 @@ def test_scd2_merge_history_semantics(spark):
         merged.filter(F.col("valid_to").isNull()).groupBy("k").count().collect()
     )
     assert all(r["count"] == 1 for r in open_counts)
+
+
+def test_partial_failure_resume_ingests_only_missing(spark, fixture_zips):
+    """Crash-resume semantics (the state machine's retry story): if a
+    prior run committed municipios but died before empresas, planning
+    from the surviving catalog must ingest ONLY empresas, and the
+    resumed warehouse must match a clean full run."""
+    listing = _listing(spark, fixture_zips)
+    wh = str(fixture_zips / "warehouse")
+    partial = CatalogState({"municipios": ["20230506"]})
+    manifest = plan_updates(spark, listing, partial).collect()
+    assert [(r.table_name, r.date) for r in manifest] == [("empresas", "20230506")]
+    refreshed = run_pipeline(
+        spark, listing, partial, wh, str(fixture_zips / "scratch")
+    )
+    assert refreshed == {"empresas": "20230506"}
+    emp = spark.sql("SELECT count(*) AS n FROM default.empresas").collect()[0].n
+    assert emp == 3
+    # and the now-complete catalog replans to a no-op
+    complete = CatalogState(
+        {"empresas": ["20230506"], "municipios": ["20230506"]}
+    )
+    assert plan_updates(spark, listing, complete).count() == 0
