@@ -1974,23 +1974,24 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
     )
-    per_order = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+    # ONE aggregation over the joined facts: the sole-late-supplier
+    # condition is (distinct suppliers ≥ 2) ∧ (late-supplier set has
+    # exactly one member), and that member IS the answer — so
+    # collect_set(late suppliers) replaces the second pass over `lo`
+    # (the r5 plan audit caught the original join-back recomputing the
+    # lineitem⋈orders fact join twice; exchanges 5 → 3).
+    per_order = lo.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+        F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "late_supps"
+        ),
     )
-    late_supp = (
-        lo.filter(F.col("late"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
-            F.col("l_orderkey") == F.col("ok"),
-            "left_semi",
-        )
-    )
+    sole_late = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.size("late_supps") == 1)
+    ).select(F.col("late_supps").getItem(0).alias("l_suppkey"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        late_supp.groupBy("l_suppkey")
+        sole_late.groupBy("l_suppkey")
         .agg(F.count("*").alias("numwait"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select("s_name", "numwait")
