@@ -834,6 +834,40 @@ FROM agg
 """
 
 
+def latest_order_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``max_by``/``min_by`` aggregate surface: each customer's latest
+    and earliest order in ONE hash aggregate — no window, no sort, no
+    join-back (the cheapest 'latest row per key' plan shape; compare
+    `window_latest_order` which pins the window form). The ordering
+    key is a lexicographic (date, zero-padded key) string because the
+    oracle's ``arg_max`` accepts only scalar ordering keys — identical
+    total order in both engines, ties impossible (orderkey unique)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ordkey = F.concat(
+        F.date_format("o_orderdate", "yyyyMMdd"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordkey).alias("last_orderkey"),
+        F.max_by("o_totalprice", ordkey).alias("last_price"),
+        F.min_by("o_orderkey", ordkey).alias("first_orderkey"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+ORACLE_LATEST_ORDER = """
+SELECT o_custkey,
+       arg_max(o_orderkey, strftime(o_orderdate, '%Y%m%d')
+               || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS last_orderkey,
+       arg_max(o_totalprice, strftime(o_orderdate, '%Y%m%d')
+               || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS last_price,
+       arg_min(o_orderkey, strftime(o_orderdate, '%Y%m%d')
+               || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS first_orderkey,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
 def skew_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profile of the orders fact on o_custkey — key
     count, hottest-key row count, and the top-key share that decides
@@ -2065,6 +2099,7 @@ QUERIES = {
     "approx_aggregates": approx_aggregates,
     "histogram_prices": histogram_prices,
     "skew_audit_orders": skew_audit_orders,
+    "latest_order_by_customer": latest_order_by_customer,
     "price_trend_by_priority": price_trend_by_priority,
     "session_window_events": session_window_events,
     "forward_fill_events": forward_fill_events,
@@ -2131,6 +2166,7 @@ ORACLES = {
     "approx_aggregates": ORACLE_APPROX_AGG,
     "histogram_prices": ORACLE_HISTOGRAM,
     "skew_audit_orders": ORACLE_SKEW_AUDIT,
+    "latest_order_by_customer": ORACLE_LATEST_ORDER,
     "price_trend_by_priority": ORACLE_PRICE_TREND,
     "session_window_events": ORACLE_SESSION_WINDOW,
     "forward_fill_events": ORACLE_FORWARD_FILL,
