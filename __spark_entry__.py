@@ -24,10 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 # touched this round first, then never-driver-green queries, then
 # everything else stalest-first. Re-run the tool after adding queries
 # or landing a round's correctness file.
-try:
-    from aws_etl_dados_publicos_cnpj_spark._driver_window import DRIVER_PRIORITY
-except ImportError:  # pragma: no cover — generated file missing
-    DRIVER_PRIORITY = []
+# The generated file is checked in — if the import fails the
+# verification schedule is gone, so fail LOUDLY rather than silently
+# degrading to registry order (r5 advice).
+from aws_etl_dados_publicos_cnpj_spark._driver_window import DRIVER_PRIORITY
+
 _DRIVER_PRIORITY = DRIVER_PRIORITY
 
 

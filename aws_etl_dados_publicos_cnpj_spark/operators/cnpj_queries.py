@@ -65,14 +65,34 @@ def partners_per_company(spark: SparkSession, database: str = "default") -> Data
 
 
 def simples_adherence(spark: SparkSession, database: str = "default") -> DataFrame:
-    """Share of companies opted into the Simples tax regime."""
+    """Share of companies opted into the Simples tax regime — one lazy
+    left-join aggregate (single scan of empresas, no eager driver
+    actions; the old double-count form scanned it twice)."""
     emp = _latest(spark, database, "empresas")
-    simples = _latest(spark, database, "simples").filter(F.col("opcao_simpl") == "S")
-    total = emp.count()
-    opted = emp.join(simples, "cnpj_raiz", "left_semi").count()
-    return spark.createDataFrame(
-        [(total, opted, round(opted / total, 4) if total else 0.0)],
-        "n_empresas long, n_simples long, adherence double",
+    simples = (
+        _latest(spark, database, "simples")
+        .filter(F.col("opcao_simpl") == "S")
+        .select("cnpj_raiz", F.lit(1).alias("__opted"))
+        .dropDuplicates(["cnpj_raiz"])
+    )
+    return (
+        emp.select("cnpj_raiz")
+        .join(simples, "cnpj_raiz", "left")
+        .agg(
+            F.count("*").alias("n_empresas"),
+            F.sum(F.coalesce("__opted", F.lit(0))).cast("long").alias("n_simples"),
+        )
+        .select(
+            "n_empresas",
+            "n_simples",
+            F.round(
+                F.when(
+                    F.col("n_empresas") > 0,
+                    F.col("n_simples") / F.col("n_empresas"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("adherence"),
+        )
     )
 
 

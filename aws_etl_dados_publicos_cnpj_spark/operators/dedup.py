@@ -716,8 +716,8 @@ def connected_components(
     et al., "Connected Components in MapReduce", SOCC'14). Scale notes:
     the label table holds only vertices that appear in a pair (tiny vs
     the corpus); each round is two key-joins on it; the per-round
-    convergence action reads ONE scalar (sum of labels, monotonically
-    non-increasing — equal sums ⇒ fixpoint), not the table.
+    convergence action reads ONE scalar (the changed-row count — zero
+    changes ⇒ fixpoint), not the table.
 
     Small-graph fast path: the edge list is materialized (cached) and
     counted anyway; when it holds ≤ ``local_threshold`` edges (≈32 MB of
@@ -812,6 +812,7 @@ def connected_components(
 
     labels = _ckpt(edges.select("v").distinct().withColumn("lab", F.col("v")))
     ec = edges  # contracted edge list, both directions, root ids
+    converged = False
     for _ in range(max_iter):
         # min root in each root's closed contracted neighborhood
         p = _ckpt(
@@ -819,18 +820,25 @@ def connected_components(
             .agg(F.min("u").alias("nlab"))
             .select("v", F.least(F.col("v"), F.col("nlab")).alias("lab"))
         )
-        p_sum = p.agg(F.sum("lab")).collect()[0][0]
         for _ in range(max_iter):
             pj = p.select(F.col("v").alias("lab"), F.col("lab").alias("plab"))
+            # fixpoint check = changed-row count, not a label sum:
+            # int64 sums of 60-bit hash ids can wrap in non-ANSI mode,
+            # so two distinct states could compare equal and end
+            # compression early (r5 advice); a count can't collide
             p2 = _ckpt(
                 p.join(pj, "lab", "left").select(
-                    "v", F.coalesce("plab", "lab").alias("lab")
+                    "v",
+                    F.coalesce("plab", "lab").alias("lab"),
+                    (F.col("plab").isNotNull() & (F.col("plab") != F.col("lab")))
+                    .cast("int")
+                    .alias("_chg"),
                 )
             )
-            s2 = p2.agg(F.sum("lab")).collect()[0][0]
-            if s2 == p_sum:
+            n_chg = p2.agg(F.sum("_chg")).collect()[0][0]
+            p = p2
+            if not n_chg:
                 break
-            p, p_sum = p2, s2
         # fold the round's relabeling into the global labels
         relab = p.select(F.col("v").alias("lab"), F.col("lab").alias("newlab"))
         labels = _ckpt(
@@ -849,7 +857,18 @@ def connected_components(
             .distinct()
         )
         if ec.count() == 0:
+            converged = True
             break
+    if not converged:
+        # returning silently-unconverged labels is WRONG OUTPUT (the r4
+        # defect class); contraction halves local-min count per round so
+        # max_iter=20 covers >1M-component graphs — exhaustion means a
+        # bug or a pathological graph, either way an error (r5 advice)
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components: contracted edge list non-empty after "
+            f"{max_iter} rounds — labels would be unconverged; raise max_iter"
+        )
     result = labels.select(F.col("v"), F.col("lab").alias("cluster_id")).localCheckpoint(
         eager=True
     )

@@ -1,15 +1,16 @@
 """Data-quality validation (Deequ-shaped): declarative per-column rules
 evaluated in ONE aggregate pass, plus referential-integrity checks as
-anti-join counts — the gate a warehouse pipeline runs between landing
+a single lazy left-join aggregate — the gate a warehouse pipeline runs
+between landing
 and publishing a snapshot (the reference publishes unvalidated,
 ``fetch_data.py`` writes straight to the bucket; this is the missing
 guard).
 
 Scale shape: all row-level rules fold into a single map-side partial
 aggregate over one scan (violations are ``sum(bool)`` columns, then a
-tiny unpivot); each FK rule is one left-anti join against the
-referenced dimension (broadcast when it fits). Nothing is per-rule
-scanned.
+tiny unpivot); each FK rule is one lazy left join against the
+referenced dimension (broadcast when it fits) folded into one
+aggregate — exactly one job per fact table, no eager driver actions.
 """
 
 from __future__ import annotations
@@ -51,19 +52,30 @@ def run_checks(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
 def fk_check(
     fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str, name: str
 ) -> DataFrame:
-    """Referential integrity as a left-anti join count (orphan fact
-    rows), emitted in the same (check, n_rows, n_violations, passed)
-    contract so it unions with ``run_checks`` output."""
-    total = fact.count()
-    orphans = (
-        fact.select(F.col(fact_key))
-        .join(dim.select(F.col(dim_key).alias(fact_key)), fact_key, "left_anti")
-        .count()
+    """Referential integrity in ONE lazy aggregate over a left join:
+    orphans = fact rows whose key finds no dim match. Emitted in the
+    same (check, n_rows, n_violations, passed) contract so it unions
+    with ``run_checks`` output. Unlike an anti-join + two eager
+    ``count()`` actions this is a single scan, stays lazy, and the
+    dim side broadcasts when small — at 100 TB the fact table is read
+    once per suite, not twice per FK rule."""
+    marker = f"__fk_hit_{name}"
+    joined = fact.select(F.col(fact_key)).join(
+        dim.select(F.col(dim_key).alias(fact_key), F.lit(1).alias(marker))
+        .dropDuplicates([fact_key]),
+        fact_key,
+        "left",
     )
-    spark = fact.sparkSession
-    return spark.createDataFrame(
-        [(name, total, orphans, 1 if orphans == 0 else 0)],
-        "check string, n_rows long, n_violations long, passed int",
+    return joined.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col(marker).isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+    ).select(
+        F.lit(name).alias("check"),
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
     )
 
 
@@ -92,8 +104,8 @@ def uniqueness_check(df: DataFrame, cols: list[str], name: str) -> DataFrame:
 def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The validation suite a pipeline would gate the orders snapshot
     on: completeness, domain, range, key uniqueness, and customer FK
-    integrity — one scan for the row rules + one anti-join + one
-    key agg."""
+    integrity — one scan for the row rules + one lazy FK-join agg +
+    one key agg."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     row_rules = run_checks(

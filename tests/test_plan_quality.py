@@ -276,11 +276,34 @@ def test_q17_aggregates_only_matched_parts(spark):
     the Brand#1 part keys — aggregating every part shuffles ~25x the
     needed groups (r4 verdict finding #2)."""
     plan = _plan(relational.q17_small_quantity_revenue(spark, SF_SMALL))
-    semi = plan.find("BroadcastHashJoin [l_partkey")
-    assert "LeftSemi" in plan, plan[:3000]
-    # the semi-join appears below (later in toString than) the partial agg
+    # the broadcast semi-join on partkey exists, and sits below (later
+    # in toString than) the first per-part HashAggregate (r5 advice:
+    # assert the positional relationship, not just membership)
+    semi = plan.find("LeftSemi")
     first_agg = plan.find("HashAggregate")
-    assert first_agg != -1 and "LeftSemi" in plan[first_agg:], plan[:3000]
+    assert semi != -1 and first_agg != -1 and semi > first_agg, plan[:3000]
+    assert "BroadcastHashJoin [l_partkey" in plan, plan[:3000]
+
+
+@pytest.mark.parametrize(
+    "name,max_hashpart",
+    [
+        ("q02_min_cost_supplier", 3),
+        ("q11_important_stock", 2),
+        ("q12_shipping_delay_priority", 1),
+        ("q20_promotion_candidates", 2),
+        ("q21_waiting_orders", 3),
+    ],
+)
+def test_tpch_r5_additions_exchange_counts_pinned(spark, name, max_hashpart):
+    """Pin the shuffle-exchange count of the round-5 TPC-H completions
+    (r5 verdict item #7): a future edit that adds a hash exchange to
+    any of these fails fast. Bounds are the measured-at-landing counts;
+    <= so a genuine improvement doesn't break the pin."""
+    plan = _plan(relational.QUERIES[name](spark, SF_SMALL))
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= max_hashpart, f"{name}: {n} hash exchanges (pin {max_hashpart})\n" + plan[:3000]
+    assert "CartesianProduct" not in plan
 
 
 def test_chunk_documents_is_map_only(spark):
