@@ -258,6 +258,14 @@ def minhash_lsh_dedup_incremental(
             ).alias("bb"),
         ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
+    # The new batch is referenced THREE times (band-join left side,
+    # the all_b union, the sh_set verify side) — checkpoint it so a
+    # non-persisted input computes once (r5 verdict item #6: the bench
+    # shape re-built the new half's signatures 3x). The CORPUS side is
+    # deliberately NOT checkpointed: at 100 TB it must stream from its
+    # persisted parquet signature table (2 scan-only references), never
+    # materialize to executor disk.
+    new_sigs = new_sigs.localCheckpoint(eager=False)
     new_b = banded(new_sigs)
     all_b = banded(corpus_sigs).union(new_b)
     cand = (

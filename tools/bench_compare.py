@@ -12,14 +12,14 @@ import re
 import sys
 
 
-def _queries(path: str) -> dict[str, float]:
+def _payload(path: str) -> dict:
     raw = open(path).read()
     try:
         d = json.loads(raw)
         if "queries" in d:  # bench.py's own output line
-            return d["queries"]
+            return d
         if "parsed" in d and d["parsed"]:  # the driver's BENCH_r*.json wrapper
-            return d["parsed"]["queries"]
+            return d["parsed"]
     except json.JSONDecodeError:
         pass
     # raw bench stdout with a stderr fragment — last line that parses
@@ -27,16 +27,39 @@ def _queries(path: str) -> dict[str, float]:
         m = re.search(r"\{.*\}", line)
         if m:
             try:
-                return json.loads(m.group(0))["queries"]
-            except (json.JSONDecodeError, KeyError):
+                d = json.loads(m.group(0))
+                if "queries" in d:
+                    return d
+            except json.JSONDecodeError:
                 continue
     raise SystemExit(f"no bench JSON found in {path}")
+
+
+def _queries(path: str) -> dict[str, float]:
+    return _payload(path)["queries"]
 
 
 def main() -> None:
     a, b = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
-    qa, qb = _queries(a), _queries(b)
+    pa, pb = _payload(a), _payload(b)
+    qa, qb = pa["queries"], pb["queries"]
+    # methodology guard (r5 advice): deltas between artifacts measured
+    # under different harness methodology attribute harness changes to
+    # engine changes — say so loudly before any numbers.
+    ma, mb = pa.get("methodology"), pb.get("methodology")
+    if ma != mb:
+        print(
+            "WARNING: methodology differs — deltas mix harness and engine "
+            f"changes\n  {a}: {ma}\n  {b}: {mb}"
+        )
+    for path, p in ((a, pa), (b, pb)):
+        if p.get("adjudicated"):
+            adj = ", ".join(
+                f"{q} {v['session']:.2f}->{v['isolated']:.2f}s"
+                for q, v in p["adjudicated"].items()
+            )
+            print(f"adjudicated in {path}: {adj}")
     common = sorted(set(qa) & set(qb))
     ta, tb = sum(qa[q] for q in common), sum(qb[q] for q in common)
     print(f"common queries: {len(common)}")
