@@ -116,3 +116,145 @@ def test_sample_audio_frames_every_n(spark):
         (2, 6.0),
         (3, 9.0),
     ]
+
+
+def make_png(px: np.ndarray, color_type: int = 2, filters=None) -> bytes:
+    """Encode an (h, w, ch) uint8 array as an 8-bit PNG, choosing the
+    filter type per scanline (default: y % 5, all five exercised)."""
+    import zlib
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import _PNG_MAGIC
+
+    h, wd, ch = px.shape
+    stride = wd * ch
+    flat = px.reshape(h, stride).astype(np.int64)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    lines = []
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = (y % 5) if filters is None else filters[y]
+        cur = flat[y]
+        filt = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (int(cur[x]) - pred) & 0xFF
+        lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", wd, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filters_round_trip():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import _png_pixels
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (10, 7, 3)).astype(np.uint8)
+    # y % 5 covers None/Sub/Up/Average/Paeth across the 10 scanlines
+    assert (_png_pixels(make_png(px)) == px).all()
+
+
+def test_png_rgba_alpha_dropped():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import _png_pixels
+
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, (4, 4, 4)).astype(np.uint8)
+    out = _png_pixels(make_png(px, color_type=6))
+    assert out.shape == (4, 4, 3)
+    assert (out == px[:, :, :3]).all()
+
+
+def test_png_decode_features_and_quarantine(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import decode_png
+
+    px = np.full((3, 5, 3), 128, dtype=np.uint8)
+    px[0, 0] = [255, 0, 0]
+    png = make_png(px)
+    out = decode_png(png)
+    assert (out["width"], out["height"]) == (5, 3)
+    assert out["mean_r"] == pytest.approx((128 * 14 + 255) / 15)
+    assert out["mean_g"] == pytest.approx(128 * 14 / 15)
+    rows = [
+        (1, bytearray(png), "image/png"),
+        (2, bytearray(png[:40]), "image/png"),  # truncated mid-chunk
+        (3, bytearray(b"\x89PNG\r\n\x1a\njunk"), "image/png"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, mime string")
+    got = {r.doc_id: r for r in decode_features(df).collect()}
+    assert got[1].ok and got[1].kind == "image"
+    assert not got[2].ok and "ValueError" in got[2].err
+    assert not got[3].ok and "ValueError" in got[3].err
+
+
+def test_png_and_bmp_ahash_agree(spark):
+    """Same pixels through the two REAL codecs must produce the same
+    perceptual signature — pins channel-order handling (BMP stores BGR,
+    PNG RGB) and the shared synthesizer pixel mapping."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        image_ahash,
+        synthesize_bmp_from_text,
+        synthesize_png_from_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "päckchen àéîõü"), (3, "aaaabbbbcccc")],
+        "doc_id long, text string",
+    )
+    bmp = {r.doc_id: r.ahash for r in image_ahash(synthesize_bmp_from_text(df)).collect()}
+    png = {r.doc_id: r.ahash for r in image_ahash(synthesize_png_from_text(df)).collect()}
+    assert bmp == png
+
+
+def test_resize_works_on_png(spark):
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:2, :2] = [255, 0, 0]
+    px[2:, 2:] = [0, 0, 255]
+    df = spark.createDataFrame(
+        [(1, bytearray(make_png(px)))], "doc_id long, payload binary"
+    )
+    r = resize_bmp(df, width=2, height=2).collect()[0]
+    thumb = np.frombuffer(bytes(r.thumb), dtype=np.uint8).reshape(2, 2, 3)
+    assert thumb[0, 0].tolist() == [255, 0, 0]
+    assert thumb[1, 1].tolist() == [0, 0, 255]
+
+
+def test_png_unsupported_variants_raise():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import _png_pixels
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = make_png(px)
+    # flip IHDR bit depth to 16 (offset: 8 magic + 4 len + 4 type + 8 w/h)
+    bad_depth = bytearray(good)
+    bad_depth[24] = 16
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        _png_pixels(bytes(bad_depth))
+    bad_interlace = bytearray(good)
+    bad_interlace[28] = 1
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        _png_pixels(bytes(bad_interlace))
