@@ -77,6 +77,8 @@ HEADLINE = [
     "price_trend_by_priority",
     "kwic_spark_docs",
     "bigram_logprob_docs",
+    # round-6: real compressed-codec (PNG zlib+unfilter) decode family
+    "image_png_ahash_docs",
 ]
 
 

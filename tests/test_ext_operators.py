@@ -721,3 +721,45 @@ def test_dq_checks_catch_planted_violations(spark):
     f = fk_check(fact, "ref", dim, "ref", "ref_fk").collect()[0]
     # ref=99 orphan + ref=NULL doesn't match dim → 2 orphans
     assert (f.n_violations, f.passed) == (2, 0)
+
+
+def test_dq_suite_builds_lazily_no_eager_jobs(spark):
+    """fk_check's r5 form ran two eager driver actions per FK rule at
+    BUILD time; the r6 form must construct every check without
+    launching a single Spark job (parquet schema reads excluded by
+    using in-memory inputs)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.quality import (
+        fk_check,
+        run_checks,
+        uniqueness_check,
+    )
+
+    fact = spark.createDataFrame([(1, 10), (2, 99)], "id long, ref long")
+    dim = spark.createDataFrame([(10,)], "ref long")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    checks = (
+        run_checks(fact, {"id_not_null": F.col("id").isNotNull()})
+        .unionByName(uniqueness_check(fact, ["id"], "id_unique"))
+        .unionByName(fk_check(fact, "ref", dim, "ref", "ref_fk"))
+    )
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "building the DQ suite must not launch jobs"
+    assert {r.check for r in checks.collect()} == {
+        "id_not_null", "id_unique", "ref_fk",
+    }
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Unconverged labels are wrong output, not a result: exhausting
+    max_iter with edges still contracted must raise (r5 advice), never
+    return silently."""
+    import pytest as _pytest
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="non-empty after 0 rounds"):
+        connected_components(pairs, max_iter=0, local_threshold=0)
