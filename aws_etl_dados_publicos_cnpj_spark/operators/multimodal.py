@@ -176,14 +176,18 @@ def _png_pixels(payload: bytes) -> np.ndarray:
             cur = line
         elif f == 2:  # Up — vectorizable (no left dependence)
             cur = (line + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub/Average/Paeth: left-dependent scan
+        elif f == 1:  # Sub — per-channel prefix sum; mod 256 commutes
+            # with addition, so cumsum-then-mask is exact and avoids
+            # the per-pixel Python scan on the most common filter
+            cur = np.empty(stride, dtype=np.int64)
+            for c in range(ch):
+                cur[c::ch] = np.cumsum(line[c::ch]) & 0xFF
+        elif f in (3, 4):  # Average/Paeth: nonlinear left dependence
             cur = np.zeros(stride, dtype=np.int64)
             for x in range(stride):
                 a = int(cur[x - ch]) if x >= ch else 0
                 b = int(prev[x])
-                if f == 1:
-                    pred = a
-                elif f == 3:
+                if f == 3:
                     pred = (a + b) >> 1
                 else:
                     c = int(prev[x - ch]) if x >= ch else 0

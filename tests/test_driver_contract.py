@@ -51,3 +51,16 @@ def test_every_query_has_an_oracle():
     # to rows-only silently.
     no_oracle = sorted(n for n in qs if n not in oracles)
     assert no_oracle == []
+
+
+def test_bench_headline_names_resolve():
+    """Every bench headline name must exist in the registry (or be the
+    bench-only incremental wrapper) — a renamed query should fail here,
+    not as a silent per-query error line in the landed artifact."""
+    import bench
+
+    qs = set(entrymod.queries())
+    unknown = [
+        n for n in bench.HEADLINE if n not in qs and n != "incremental_dedup_refresh"
+    ]
+    assert unknown == [], f"headline names not in registry: {unknown}"
