@@ -175,9 +175,9 @@ def _best_known() -> dict[str, float]:
     return best
 
 
-ADJUDICATE_RATIO = 1.5
+ADJUDICATE_RATIO = 1.2  # r6: 1.5 left 1.3-1.4x phantoms in the artifact
 ADJUDICATE_ABS = 0.15  # seconds — sub-0.15s swings are pure scheduler noise
-ADJUDICATE_CAP = 12  # bound the extra wall-clock per round
+ADJUDICATE_CAP = 16  # bound the extra wall-clock per round
 
 
 def main() -> None:
