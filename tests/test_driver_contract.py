@@ -64,3 +64,24 @@ def test_bench_headline_names_resolve():
         n for n in bench.HEADLINE if n not in qs and n != "incremental_dedup_refresh"
     ]
     assert unknown == [], f"headline names not in registry: {unknown}"
+
+
+def test_window_regenerated_from_latest_correctness():
+    """The checked-in window must be derived from EVERY landed
+    CORRECTNESS file — when a round's file lands without re-running
+    tools/driver_window.py, the schedule silently re-verifies fresh
+    queries while stale ones rot (the r5 verdict's #1 item). Fails
+    loudly instead: re-run tools/driver_window.py."""
+    import glob
+    import os
+
+    from aws_etl_dados_publicos_cnpj_spark import _driver_window
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    on_disk = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    )
+    assert getattr(_driver_window, "GENERATED_FROM", None) == on_disk, (
+        "stale driver window — re-run `python tools/driver_window.py "
+        "[--front touched,...]` after landing correctness results"
+    )
