@@ -332,3 +332,34 @@ def test_chunk_documents_covers_and_reconstructs(spark, words, chunk):
         if a.n_words == chunk:
             overlap = a.chunk_text.split(" ")[stride:]
             assert b.chunk_text.split(" ")[: len(overlap)] == overlap
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    ch=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_png_round_trip_property(w, h, ch, seed, data):
+    """Pure-Python property: ANY 8-bit RGB/RGBA pixel array survives the
+    PNG encode (arbitrary per-scanline filter choice) → stdlib-decode
+    round trip byte-exactly — the decoder's five unfilter paths
+    (incl. the vectorized Sub cumsum) are inverse to the spec filters
+    for every content, not just the y%5 fixture pattern."""
+    import numpy as np
+
+    from test_multimodal_decode import make_png
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import _png_pixels
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h), label="filters"
+    )
+    color_type = 2 if ch == 3 else 6
+    decoded = _png_pixels(make_png(px, color_type=color_type, filters=filters))
+    assert decoded.shape == (h, w, 3)
+    assert (decoded == px[:, :, :3]).all()
