@@ -1678,14 +1678,21 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier(s) achieving the MAX — an aggregate, a scalar max over it,
     and an equality join back (the view + subquery of the original,
     decorrelated). Exact-decimal revenue so the max comparison is
-    engine-stable; supplier broadcast for the name lookup."""
+    engine-stable; supplier broadcast for the name lookup. The rev
+    aggregate feeds BOTH the scalar max and the equality join —
+    lazily localCheckpointed so lineitem is scanned and aggregated
+    ONCE (the un-pinned form executed the whole subtree twice, r6);
+    rev is supplier-cardinality, so the materialization is
+    dimension-sized, never fact-sized."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_dec_volume()).alias("total_revenue")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_dec_volume()).alias("total_revenue"))
+        .localCheckpoint(eager=False)
     )
     top = rev.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -1767,12 +1774,19 @@ WHERE p_brand = 'Brand#1'
 def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: for each qualifying part, the supplier(s) with
     the MINIMUM cost — the correlated MIN subquery, decorrelated into a
-    per-part aggregate equality-joined back (the `ps_supplycost`
-    relation is adapted onto lineitem as min extended price per
-    (part, supplier), since the corpus has no partsupp table — same
-    adaptation q16 uses). Suppliers restricted to one region via a
-    broadcast dimension chain; exact-decimal cost so the min-equality
-    join is engine-stable."""
+    min-over-partition WINDOW on the per-(part, supplier) cost
+    aggregate (the `ps_supplycost` relation is adapted onto lineitem
+    as min extended price per (part, supplier), since the corpus has
+    no partsupp table — same adaptation q16 uses). The r5 form
+    equality-joined a separate per-part MIN aggregate back onto the
+    cost table, which executed the whole cost subtree (lineitem scan +
+    both semi-joins + aggregate) TWICE — the window keeps one lineitem
+    scan and reuses the aggregate's (l_partkey, l_suppkey) hash
+    partitioning, so the window's l_partkey exchange is the only added
+    shuffle. Suppliers restricted to one region via a broadcast
+    dimension chain; exact-decimal cost so the min-equality filter is
+    engine-stable; ties (co-minimal suppliers) are kept, matching the
+    correlated-subquery semantics."""
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 5) & (F.col("p_type") == "PROMO")
     )
@@ -1793,16 +1807,12 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("cost"))
     )
-    min_cost = cost.groupBy(F.col("l_partkey").alias("mk")).agg(
-        F.min("cost").alias("min_cost")
-    )
+    best = cost.withColumn(
+        "min_cost", F.min("cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("cost") == F.col("min_cost"))
     return (
-        cost.join(
-            min_cost,
-            (cost.l_partkey == min_cost.mk) & (cost.cost == min_cost.min_cost),
-        )
-        .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), best.l_partkey == part.p_partkey)
         .select(
             "s_acctbal",
             "s_name",
@@ -1847,7 +1857,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same input (one-row broadcast). The fraction compare is
     cross-multiplied (value·10000 > total) in exact decimal. The value
     relation adapts `ps_supplycost·ps_availqty` onto lineitem as
-    Σ(extendedprice·quantity) per part."""
+    Σ(extendedprice·quantity) per part. The per-part aggregate feeds
+    BOTH the scalar total and the HAVING compare — lazily
+    localCheckpointed so lineitem is scanned and aggregated ONCE
+    (r6; val is part-cardinality, dimension-sized)."""
     nation = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_3"
     )
@@ -1867,6 +1880,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,2)")
             ).alias("value")
         )
+        .localCheckpoint(eager=False)
     )
     total = val.agg(F.sum("value").alias("total"))
     return (
