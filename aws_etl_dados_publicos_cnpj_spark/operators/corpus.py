@@ -419,12 +419,20 @@ def split_leakage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kl_lang_by_source(df: DataFrame) -> DataFrame:
     """Per-source distribution drift: KL(source's lang distribution ‖
     corpus lang distribution), the standard check that one ingest
-    source isn't skewing the language mix. Two tiny aggregates joined
-    on lang — the corpus marginal broadcasts."""
-    src = df.groupBy("source", "lang").agg(F.count("*").alias("n_sl"))
-    src_tot = df.groupBy("source").agg(F.count("*").alias("n_s"))
-    corpus = df.groupBy("lang").agg(F.count("*").alias("n_l"))
-    total = df.agg(F.count("*").alias("n"))
+    source isn't skewing the language mix. ONE corpus scan: the
+    (source, lang) contingency table contains every marginal, so the
+    per-source totals, corpus lang marginal, and grand total all
+    re-aggregate the tiny checkpointed table instead of re-scanning
+    the corpus (the r5 form scanned documents four times — pruned
+    scans, but 4x the fact I/O at 100 TB; r6)."""
+    src = (
+        df.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_sl"))
+        .localCheckpoint(eager=False)
+    )
+    src_tot = src.groupBy("source").agg(F.sum("n_sl").alias("n_s"))
+    corpus = src.groupBy("lang").agg(F.sum("n_sl").alias("n_l"))
+    total = src.agg(F.sum("n_sl").alias("n"))
     p = F.col("n_sl") / F.col("n_s")
     q = F.col("n_l") / F.col("n")
     return (

@@ -1858,9 +1858,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied (value·10000 > total) in exact decimal. The value
     relation adapts `ps_supplycost·ps_availqty` onto lineitem as
     Σ(extendedprice·quantity) per part. The per-part aggregate feeds
-    BOTH the scalar total and the HAVING compare — lazily
-    localCheckpointed so lineitem is scanned and aggregated ONCE
-    (r6; val is part-cardinality, dimension-sized)."""
+    BOTH the scalar total and the HAVING compare — no checkpoint
+    needed: Spark reuses the l_partkey exchange across the two
+    consumers (plan shows ReusedExchange, verified r6; a
+    localCheckpoint here only replaces a reused shuffle read with a
+    second materialization — q15's shape, by contrast, gets NO reuse
+    and does need the pin)."""
     nation = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_3"
     )
@@ -1880,7 +1883,6 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,2)")
             ).alias("value")
         )
-        .localCheckpoint(eager=False)
     )
     total = val.agg(F.sum("value").alias("total"))
     return (

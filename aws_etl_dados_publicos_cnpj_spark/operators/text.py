@@ -432,6 +432,11 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     the same exploded rows — the model table is vocabulary-sized, so at
     100 TB it broadcasts while the corpus streams map-side."""
     words = df.select(F.col(id_col), F.explode(words_col(text_col)).alias("word"))
+    # vocab feeds BOTH the scalar totals and the model join — NO
+    # checkpoint needed: Spark reuses the word-hash exchange across the
+    # two consumers (plan shows ReusedExchange; verified r6 — adding a
+    # localCheckpoint here measured strictly slower because it only
+    # replaced a reused shuffle read with a second materialization)
     vocab = words.groupBy("word").agg(F.count("*").alias("wc"))
     totals = vocab.agg(
         F.sum("wc").alias("n_tokens"), F.count("*").alias("n_vocab")
@@ -504,7 +509,15 @@ def bigram_logprob(
     )
     c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     words = df.select(F.explode(ws).alias("word"))
-    uni = words.groupBy("word").agg(F.count("*").alias("c1"))
+    # uni feeds BOTH the vocab-size scalar and the model join —
+    # checkpointed so the unigram-count shuffle runs once (see
+    # unigram_logprob); bi stays recompute-on-reference (map-side
+    # explode of the scan, corpus-sized if stored)
+    uni = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=False)
+    )
     vtot = uni.agg(F.count("*").alias("v"))
     model = (
         c12.join(uni.withColumnRenamed("word", "w1"), "w1")
