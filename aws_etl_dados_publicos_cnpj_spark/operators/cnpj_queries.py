@@ -80,7 +80,11 @@ def simples_adherence(spark: SparkSession, database: str = "default") -> DataFra
         .join(simples, "cnpj_raiz", "left")
         .agg(
             F.count("*").alias("n_empresas"),
-            F.sum(F.coalesce("__opted", F.lit(0))).cast("long").alias("n_simples"),
+            # outer coalesce: sum over an EMPTY empresas snapshot is
+            # NULL, not 0 (r6 advice — same contract as quality.fk_check)
+            F.coalesce(F.sum(F.coalesce("__opted", F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_simples"),
         )
         .select(
             "n_empresas",

@@ -24,8 +24,13 @@ from . import load_table
 def run_checks(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """Evaluate boolean row-level ``rules`` (True = row passes) in one
     aggregate pass: (check, n_rows, n_violations, passed)."""
+    # coalesce: sum over ZERO rows is NULL — an empty-but-landed
+    # snapshot must report 0 violations / passed=1, not NULLs that a
+    # passed==1 gate silently treats as failure-shaped (r6 advice)
     aggs = [F.count("*").alias("__n")] + [
-        F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(f"__v_{i}")
+        F.coalesce(F.sum(F.when(~cond, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(f"__v_{i}")
         for i, cond in enumerate(rules.values())
     ]
     row = df.agg(*aggs)
@@ -68,7 +73,12 @@ def fk_check(
     )
     return joined.agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.when(F.col(marker).isNull(), 1).otherwise(0))
+        # coalesce: an EMPTY fact table must yield n_violations=0 /
+        # passed=1, not NULL/NULL (sum over zero rows) — uniqueness_check
+        # already coalesces this case (r6 advice, medium)
+        F.coalesce(
+            F.sum(F.when(F.col(marker).isNull(), 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("n_violations"),
     ).select(
@@ -92,7 +102,8 @@ def uniqueness_check(df: DataFrame, cols: list[str], name: str) -> DataFrame:
     )
     return dup.select(
         F.lit(name).alias("check"),
-        F.col("n").alias("n_rows"),
+        # empty input → zero groups → sum is NULL; report 0 rows
+        F.coalesce("n", F.lit(0)).alias("n_rows"),
         F.coalesce("extra", F.lit(0)).alias("n_violations"),
         (F.coalesce("extra", F.lit(0)) == 0).cast("int").alias("passed"),
     )

@@ -1,6 +1,9 @@
 """Benchmark harness (driver contract): run the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line (fitted to the
+driver's 2000-char tail capture; the complete payload — methodology,
+cold timings, adjudication detail — is written to BENCH.out.json,
+committed at round end).
 
 Headline set: the flagship star join + the scan/agg/window/dedup/ANN
 representatives — one per operator family, so a regression in any
@@ -145,18 +148,51 @@ def _quiet_loggers(spark) -> None:
         pass
 
 
+def recover_timings_from_tail(tail: str, names) -> dict[str, float]:
+    """Recover per-query warm timings from a driver ``tail`` capture
+    even when the JSON line is truncated at the FRONT (BENCH_r06: the
+    one-line artifact outgrew the driver's 2000-char tail, so
+    ``parsed`` is null and the leading ~11 timings are gone — r6
+    verdict item #1). Strategy: regex every scalar ``"name": 1.234``
+    pair plus every adjudicated ``{"session": x, "isolated": y}``
+    block, and keep only keys in ``names`` (the headline set) so
+    wrapper keys like ``value``/``sf`` can't masquerade as queries.
+    Adjudicated entries contribute min(session, isolated) — the same
+    value the final timings dict records."""
+    import re
+
+    names = set(names)
+    out: dict[str, float] = {}
+    for q, v in re.findall(r'"([a-zA-Z0-9_]+)":\s*([0-9]+\.?[0-9]*)', tail):
+        if q in names:
+            out[q] = float(v)
+    for q, s, i in re.findall(
+        r'"([a-zA-Z0-9_]+)":\s*\{"session":\s*([0-9.]+),\s*"isolated":\s*([0-9.]+)\}',
+        tail,
+    ):
+        if q in names:
+            out[q] = min(float(s), float(i))
+    return out
+
+
 def _best_known() -> dict[str, float]:
-    """Per-query MIN across every landed BENCH_r*.json — the best time
-    this box has ever measured for each query. Used as the drift
-    reference for isolated adjudication (r5 verdict item #2: the r5
-    artifact carried 2.5-3.4x phantom regressions on untouched queries
-    that vanished in isolated reruns)."""
+    """Per-query MIN across every landed BENCH_r*.json and the local
+    BENCH.out.json — the best time this box has ever measured for each
+    query. Used as the drift reference for isolated adjudication (r5
+    verdict item #2: the r5 artifact carried 2.5-3.4x phantom
+    regressions on untouched queries that vanished in isolated
+    reruns). Reads, in order of trust: the file's own ``queries`` dict
+    (BENCH.out.json), the driver wrapper's ``parsed`` payload, then a
+    truncated-``tail`` recovery (r6 verdict item #1 — without it r6's
+    45 surviving timings were invisible to adjudication)."""
     import glob
     import re
 
     best: dict[str, float] = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    paths += glob.glob(os.path.join(here, "BENCH.out.json"))
+    for path in paths:
         try:
             d = json.load(open(path))
         except (json.JSONDecodeError, OSError):
@@ -169,10 +205,37 @@ def _best_known() -> dict[str, float]:
                     qd = json.loads(m.group(0)).get("queries", {})
                 except json.JSONDecodeError:
                     qd = {}
+        if not qd and isinstance(d.get("tail"), str):
+            qd = recover_timings_from_tail(d["tail"], HEADLINE)
         for q, t in qd.items():
             if isinstance(t, (int, float)) and t > 0:
                 best[q] = min(best.get(q, float("inf")), float(t))
     return best
+
+
+TAIL_BUDGET = 1900  # driver captures last 2000 stdout chars; keep margin
+
+
+def fitted_line(out: dict, budget: int = TAIL_BUDGET) -> str:
+    """Compact single-line JSON fitted to the driver's tail-capture
+    budget: optional fields are dropped, least-important first, until
+    the line fits, so ``parsed`` is never null and every per-query
+    timing survives (the r6 artifact lost 11 timings + the headline
+    total to truncation). The COMPLETE payload lives in
+    BENCH.out.json; this line is what the driver records."""
+    compact = dict(out)
+    for drop in ("adjudicated", "cold_total", "errors", "methodology"):
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= budget:
+            return line
+        compact.pop(drop, None)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > budget:  # last resort: 2-decimal timings
+        compact["queries"] = {
+            q: round(t, 2) for q, t in compact.get("queries", {}).items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
 
 
 ADJUDICATE_RATIO = 1.2  # r6: 1.5 left 1.3-1.4x phantoms in the artifact
@@ -250,7 +313,7 @@ def main() -> None:
     spark.stop()
 
     # Isolated adjudication (r5 verdict item #2): a query whose
-    # in-session min drifted >1.5x past its best-ever landed time is
+    # in-session min drifted >ADJUDICATE_RATIO past its best-ever landed time is
     # re-measured ALONE in a fresh JVM (cold + 2 warm, min taken) —
     # on this co-tenanted box, session position and neighbor load
     # produced 2.5-3.4x phantom regressions in BENCH_r05 that vanished
@@ -299,7 +362,10 @@ def main() -> None:
         "methodology": {
             "recycle_every": RECYCLE_EVERY,
             "warm_runs": 2,
-            "report": "min(warm); isolated adjudication of >1.5x drift vs best-known",
+            "report": (
+                f"min(warm); isolated adjudication of >{ADJUDICATE_RATIO}x "
+                "drift vs best-known"
+            ),
             "adjudicate": {
                 "ratio": ADJUDICATE_RATIO,
                 "abs_floor_sec": ADJUDICATE_ABS,
@@ -312,7 +378,22 @@ def main() -> None:
         out["adjudicated"] = adjudicated
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+
+    # Artifact fix (r6 verdict item #1): the one-line JSON outgrew the
+    # driver's 2000-char tail capture, so BENCH_r06.json landed with
+    # parsed:null and 11 timings truncated off the front. Two-part fix:
+    # (a) the COMPLETE payload is written to BENCH.out.json (committed
+    # at round end, so nothing is ever lost to tail truncation again);
+    # (b) stdout gets a line FITTED to the tail budget — optional
+    # fields are dropped, least-important first, until the line fits,
+    # so the driver's parse always succeeds and always carries every
+    # per-query timing. Recovery of older truncated artifacts lives in
+    # recover_timings_from_tail().
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH.out.json"), "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(fitted_line(out))
 
 
 if __name__ == "__main__":

@@ -723,6 +723,31 @@ def test_dq_checks_catch_planted_violations(spark):
     assert (f.n_violations, f.passed) == (2, 0)
 
 
+def test_dq_checks_on_empty_fact_report_zero_not_null(spark):
+    """An EMPTY-but-landed snapshot must report n_violations=0 and
+    passed=1 on every check: sum over zero rows is NULL, and the r6
+    lazy single-scan rewrite regressed fk_check/run_checks to
+    NULL/NULL, which a `passed == 1` gate reads as failure-shaped
+    (r6 advice, medium)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.quality import (
+        fk_check,
+        run_checks,
+        uniqueness_check,
+    )
+
+    fact = spark.createDataFrame([], "id long, ref long")
+    dim = spark.createDataFrame([(10,)], "ref long")
+    for r in (
+        run_checks(fact, {"id_not_null": F.col("id").isNotNull()})
+        .unionByName(uniqueness_check(fact, ["id"], "id_unique"))
+        .unionByName(fk_check(fact, "ref", dim, "ref", "ref_fk"))
+        .collect()
+    ):
+        assert (r.n_rows, r.n_violations, r.passed) == (0, 0, 1), r.check
+
+
 def test_dq_suite_builds_lazily_no_eager_jobs(spark):
     """fk_check's r5 form ran two eager driver actions per FK rule at
     BUILD time; the r6 form must construct every check without

@@ -8,18 +8,36 @@ Usage: python tools/bench_compare.py BENCH_r04.json BENCH_r05.json [pct]
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _payload(path: str) -> dict:
     raw = open(path).read()
     try:
         d = json.loads(raw)
-        if "queries" in d:  # bench.py's own output line
+        if "queries" in d:  # bench.py's own output line / BENCH.out.json
             return d
         if "parsed" in d and d["parsed"]:  # the driver's BENCH_r*.json wrapper
             return d["parsed"]
+        if isinstance(d.get("tail"), str):
+            # Front-truncated tail (BENCH_r06: the JSON line outgrew the
+            # driver's 2000-char capture, parsed landed null). Recover
+            # whatever per-query timings survive; flag partiality so the
+            # common-set comparison below is read accordingly.
+            from bench import HEADLINE, recover_timings_from_tail
+
+            qd = recover_timings_from_tail(d["tail"], HEADLINE)
+            if qd:
+                print(
+                    f"NOTE: {path} is a truncated tail — recovered "
+                    f"{len(qd)}/{len(HEADLINE)} headline timings; totals "
+                    "cover the common RECOVERED set only"
+                )
+                return {"queries": qd, "truncated": True}
     except json.JSONDecodeError:
         pass
     # raw bench stdout with a stderr fragment — last line that parses
