@@ -306,6 +306,37 @@ def test_tpch_r5_additions_exchange_counts_pinned(spark, name, max_hashpart):
     assert "CartesianProduct" not in plan
 
 
+def test_q15_checkpointed_form_pinned(spark):
+    """q15's r6 rewrite: the supplier-revenue aggregate is lazily
+    localCheckpointed so lineitem is scanned ONCE and both consumers
+    (scalar max + equality join-back) read the checkpoint. Pin the
+    visible (above-checkpoint) shape: exactly 2 `Scan ExistingRDD`
+    consumers of the SAME checkpoint, zero hash exchanges, both joins
+    broadcast — a future edit that drops the checkpoint re-executes
+    the revenue subtree twice and changes all three counts (r6
+    verdict item #5)."""
+    plan = _plan(relational.QUERIES["q15_top_supplier"](spark, SF_SMALL))
+    assert plan.count("Scan ExistingRDD") == 2, plan[:3000]
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:3000]
+    assert plan.count("BroadcastHashJoin") == 2, plan[:3000]
+
+
+def test_dq_suite_scan_counts_pinned(spark):
+    """The DQ suite's single-scan shapes, pinned on the pre-AQE
+    physical plan (executedPlan duplicates scans in the adaptive
+    string): orders appears exactly 3x (row rules / uniqueness / FK
+    probe — once per component, never twice per rule like the eager
+    r5 fk_check), customer exactly once (r6 verdict item #5)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["dq_orders_checks"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    orders = len(re.findall(r"Scan parquet[^\n]*orders", plan))
+    customer = len(re.findall(r"Scan parquet[^\n]*customer", plan))
+    assert orders == 3, f"orders scanned {orders}x\n" + plan[:3000]
+    assert customer == 1, f"customer scanned {customer}x\n" + plan[:3000]
+
+
 def test_chunk_documents_is_map_only(spark):
     """Chunking must be scan→project→generate with ZERO exchanges —
     a 100 TB corpus chunks at scan speed."""
