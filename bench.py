@@ -82,6 +82,8 @@ HEADLINE = [
     "bigram_logprob_docs",
     # round-6: real compressed-codec (PNG zlib+unfilter) decode family
     "image_png_ahash_docs",
+    # round-7: real transform-codec (baseline JPEG huffman+iDCT) decode
+    "image_jpeg_ahash_docs",
 ]
 
 

@@ -258,3 +258,119 @@ def test_png_unsupported_variants_raise():
     bad_interlace[28] = 1
     with pytest.raises(ValueError, match="unsupported PNG variant"):
         _png_pixels(bytes(bad_interlace))
+
+
+# --- JPEG (baseline sequential, encoder/decoder twins) ---------------------
+
+
+def test_jpeg_block_constant_is_exactly_lossless():
+    """The fixture contract behind the SQL oracle: a block-constant
+    image has only DC coefficients (8·(v−128)), and the DC quant
+    divisor 8 divides them exactly — so the LOSSY codec round-trips
+    these pixels bit-exactly for every byte value."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg,
+    )
+
+    vals = np.arange(256, dtype=np.uint8)  # every possible block value
+    px = np.tile(np.repeat(vals, 8), (8, 1))  # 8×2048, 256 blocks
+    dec = _jpeg_pixels(encode_jpeg(px))
+    assert dec.shape == (8, 2048, 3)
+    for c in range(3):  # grayscale replicates into all three channels
+        assert (dec[:, :, c] == px).all()
+
+
+def test_jpeg_color_and_odd_dims_round_trip_bounded():
+    """General lossy path: random RGB content at 4:4:4 with the all-8s
+    table must reconstruct within a small bound (quant error ≤ q/2 per
+    coefficient + color-convert rounding), and non-multiple-of-8 dims
+    must crop the padded MCU grid back exactly."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (13, 21, 3)).astype(np.uint8)
+    dec = _jpeg_pixels(encode_jpeg(px))
+    assert dec.shape == (13, 21, 3)
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 24
+
+
+def test_jpeg_restart_markers_round_trip():
+    """DRI/RSTn: segment boundaries byte-align the bitstream and reset
+    DC predictors; decode must be identical to the no-restart encode."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(5)
+    g = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    q1 = np.ones(64, dtype=np.int64)
+    plain = _jpeg_pixels(encode_jpeg(g, qtable=q1))
+    restarted = _jpeg_pixels(encode_jpeg(g, qtable=q1, restart_interval=3))
+    assert (plain == restarted).all()
+    assert np.abs(plain[:, :, 0].astype(int) - g.astype(int)).max() <= 1
+
+
+def test_jpeg_unsupported_variants_quarantine(spark):
+    """Progressive (SOF2) and 16-bit-quant JPEGs must raise — and
+    through decode_features they quarantine per row, never killing the
+    job."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_pixels,
+        decode_features,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    progressive = bytearray(good)
+    sof = good.find(b"\xff\xc0")
+    progressive[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF type 0xc2"):
+        _jpeg_pixels(bytes(progressive))
+    bad_quant = bytearray(good)
+    dqt = good.find(b"\xff\xdb")
+    bad_quant[dqt + 4] = 0x10  # Pq=1 → 16-bit table
+    with pytest.raises(ValueError, match="16-bit"):
+        _jpeg_pixels(bytes(bad_quant))
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good), "image/jpeg"),
+            (2, bytearray(bytes(progressive)), "image/jpeg"),
+            (3, bytearray(good[:30]), "image/jpeg"),
+        ],
+        "doc_id long, payload binary, mime string",
+    )
+    rows = {r.doc_id: r for r in decode_features(df).collect()}
+    assert rows[1].ok and rows[1].kind == "image"
+    assert rows[1].width == 8 and rows[1].height == 8
+    assert not rows[2].ok and "SOF" in rows[2].err
+    assert not rows[3].ok
+
+
+def test_jpeg_ahash_matches_bmp_on_same_pixels(spark):
+    """Cross-format agreement: a JPEG and a BMP of the SAME
+    block-constant pixel array must produce identical aHashes through
+    the Spark path — pinning that _image_pixels routes JPEG into the
+    shared aHash family with pixel-exact output."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        encode_jpeg,
+        image_ahash,
+    )
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 256, 8).astype(np.uint8)
+    gray = np.tile(np.repeat(vals, 8), (8, 1))  # 8×64 block-constant
+    rgb = np.stack([gray] * 3, axis=-1)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_jpeg(gray, restart_interval=2))),
+            (2, bytearray(make_bmp(rgb))),
+        ],
+        "doc_id long, payload binary",
+    )
+    hashes = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
+    assert hashes[1] == hashes[2]

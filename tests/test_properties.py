@@ -363,3 +363,41 @@ def test_png_round_trip_property(w, h, ch, seed, data):
     decoded = _png_pixels(make_png(px, color_type=color_type, filters=filters))
     assert decoded.shape == (h, w, 3)
     assert (decoded == px[:, :, :3]).all()
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    gray=st.booleans(),
+    restart=st.integers(0, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_round_trip_property(w, h, gray, restart, seed):
+    """Pure-Python property over the baseline JPEG codec twins: ANY
+    8-bit content at any (possibly non-multiple-of-8) size, grayscale
+    or RGB 4:4:4, with or without restart markers, encodes with the
+    all-ones quant table and decodes back within the rounding bound —
+    ±1 for grayscale (iDCT∘DCT is exact-inverse, quantization is the
+    only rounding), a small bound for color (YCbCr round trip). Shape
+    must always crop back exactly."""
+    import numpy as np
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    q1 = np.ones(64, dtype=np.int64)
+    if gray:
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        dec = _jpeg_pixels(encode_jpeg(px, qtable=q1, restart_interval=restart))
+        assert dec.shape == (h, w, 3)
+        assert (dec[:, :, 0] == dec[:, :, 1]).all()
+        assert np.abs(dec[:, :, 0].astype(int) - px.astype(int)).max() <= 1
+    else:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        dec = _jpeg_pixels(encode_jpeg(px, qtable=q1, restart_interval=restart))
+        assert dec.shape == (h, w, 3)
+        assert np.abs(dec.astype(int) - px.astype(int)).max() <= 6
