@@ -642,14 +642,17 @@ def encode_jpeg(
     px: np.ndarray,
     qtable: np.ndarray | None = None,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """Baseline JFIF encoder — the test/synthesizer twin of
     ``_jpeg_pixels`` (the wav/bmp/png synthesizer discipline: a real
     encoder in the fixture path so decode is exercised end-to-end).
-    Grayscale (h,w) or RGB (h,w,3) at 4:4:4; one shared quant table in
-    zigzag order (default: all 8s — the DC divisor that makes
-    block-constant images round-trip EXACTLY); Annex-K luminance
-    huffman tables for every component; optional DRI/RSTn restarts."""
+    Grayscale (h,w) or RGB (h,w,3) at 4:4:4 or 4:2:0 (chroma
+    subsampled by 2×2 mean — exercises the decoder's interleaved-MCU
+    walk and replication upsample); one shared quant table in zigzag
+    order (default: all 8s — the DC divisor that makes block-constant
+    images round-trip EXACTLY); Annex-K luminance huffman tables for
+    every component; optional DRI/RSTn restarts."""
     if qtable is None:
         qtable = np.full(64, 8, dtype=np.int64)
     qtable = np.asarray(qtable, dtype=np.int64).reshape(64)
@@ -657,6 +660,7 @@ def encode_jpeg(
     h, w = px.shape[:2]
     if gray:
         planes = [px.astype(np.float64)]
+        samp = [(1, 1)]
     else:
         rgb = px.astype(np.float64)
         r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -665,21 +669,36 @@ def encode_jpeg(
             128 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_,
             128 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_,
         ]
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    coefs_per_comp = []
-    for plane in planes:
-        padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
-        blocks = (
-            padded.reshape(ph // 8, 8, pw // 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(-1, 8, 8)
-        )
+        if subsampling == "444":
+            samp = [(1, 1)] * 3
+        elif subsampling == "420":
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs_per_comp = []  # (nby, nbx, 64) int arrays, zigzag order
+    for plane, (hi, vi) in zip(planes, samp):
+        if (hi, vi) != (hmax, vmax):  # subsample by box mean
+            fy, fx = vmax // vi, hmax // hi
+            py, pxw = -(-h // fy) * fy, -(-w // fx) * fx
+            full = np.pad(plane, ((0, py - h), (0, pxw - w)), mode="edge")
+            plane = full.reshape(py // fy, fy, pxw // fx, fx).mean(axis=(1, 3))
+        nby, nbx = mcuy * vi, mcux * hi
+        padded = np.pad(
+            plane,
+            ((0, nby * 8 - plane.shape[0]), (0, nbx * 8 - plane.shape[1])),
+            mode="edge",
+        ) - 128.0
+        blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
         S = np.matmul(_JPEG_DCT_M, np.matmul(blocks, _JPEG_DCT_M.T))
-        zz = S.reshape(-1, 64)[:, _JPEG_ZIGZAG]
+        zz = S.reshape(nby, nbx, 64)[:, :, _JPEG_ZIGZAG]
         coefs_per_comp.append(np.round(zz / qtable).astype(np.int64))
     dc_codes = _jpeg_std_dc_codes()
     ac_codes = _jpeg_std_ac_codes()
-    nc = 1 if gray else 3
+    nc = len(planes)
     out = bytearray(b"\xff\xd8")
 
     def seg(marker: int, body: bytes) -> None:
@@ -691,7 +710,9 @@ def encode_jpeg(
         bytes([8])
         + struct.pack(">HH", h, w)
         + bytes([nc])
-        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc)),
+        + b"".join(
+            bytes([i + 1, (samp[i][0] << 4) | samp[i][1], 0]) for i in range(nc)
+        ),
     )
     seg(0xC4, bytes([0x00]) + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS))
     seg(0xC4, bytes([0x10]) + bytes(_JPEG_STD_AC_BITS) + bytes(_JPEG_STD_AC_VALS))
@@ -705,18 +726,23 @@ def encode_jpeg(
     )
     writer = _JpegBitWriter()
     preds = [0] * nc
-    nmcu = (ph // 8) * (pw // 8)
-    for bi in range(nmcu):
-        if restart_interval and bi and bi % restart_interval == 0:
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
             out.extend(writer.flush())
-            out.extend(
-                bytes([0xFF, 0xD0 + ((bi // restart_interval - 1) % 8)])
-            )
+            out.extend(bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)]))
             preds = [0] * nc
+        my, mx = divmod(m, mcux)
         for ci in range(nc):
-            preds[ci] = _jpeg_encode_block(
-                coefs_per_comp[ci][bi], dc_codes, ac_codes, preds[ci], writer
-            )
+            hi, vi = samp[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    preds[ci] = _jpeg_encode_block(
+                        coefs_per_comp[ci][my * vi + by, mx * hi + bx],
+                        dc_codes,
+                        ac_codes,
+                        preds[ci],
+                        writer,
+                    )
     out.extend(writer.flush())
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -374,3 +374,54 @@ def test_jpeg_ahash_matches_bmp_on_same_pixels(spark):
     )
     hashes = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
     assert hashes[1] == hashes[2]
+
+
+def test_jpeg_420_subsampling_round_trip():
+    """4:2:0: the decoder's interleaved-MCU walk (4 luma + 1 Cb + 1 Cr
+    per MCU) and 2×2 replication upsample, driven by the encoder's box
+    -mean subsample. Two exactness regimes: gray content (chroma
+    constant 128 — subsample exact) must round-trip within ±1, and
+    in-gamut content whose chroma is constant per 2×2 cell (box-mean
+    exact, replication exact) within a small rounding bound."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(13)
+    q1 = np.ones(64, dtype=np.int64)
+    g = rng.randint(0, 256, (19, 29)).astype(np.uint8)
+    rgbg = np.stack([g, g, g], axis=-1)
+    dec = _jpeg_pixels(encode_jpeg(rgbg, qtable=q1, subsampling="420"))
+    assert dec.shape == (19, 29, 3)
+    assert np.abs(dec.astype(int) - rgbg.astype(int)).max() <= 1
+    # restarts must not change output
+    decr = _jpeg_pixels(
+        encode_jpeg(rgbg, qtable=q1, subsampling="420", restart_interval=2)
+    )
+    assert (decr == dec).all()
+    # in-gamut cell-constant chroma: only rounding chains remain
+    h, w = 18, 26
+    y = rng.randint(80, 176, (h, w)).astype(float)
+    cb = np.repeat(
+        np.repeat(rng.randint(112, 144, (9, 13)).astype(float), 2, 0), 2, 1
+    )[:h, :w]
+    cr = np.repeat(
+        np.repeat(rng.randint(112, 144, (9, 13)).astype(float), 2, 0), 2, 1
+    )[:h, :w]
+    rgb = np.clip(
+        np.round(
+            np.stack(
+                [
+                    y + 1.402 * (cr - 128),
+                    y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                    y + 1.772 * (cb - 128),
+                ],
+                axis=-1,
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    dec2 = _jpeg_pixels(encode_jpeg(rgb, qtable=q1, subsampling="420"))
+    assert np.abs(dec2.astype(int) - rgb.astype(int)).max() <= 6
