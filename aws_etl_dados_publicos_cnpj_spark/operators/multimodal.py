@@ -1305,6 +1305,19 @@ def audio_near_dup_pairs(
 
 # --- driver-contract query forms -------------------------------------------
 
+# A small documents table read from ONE parquet file scans as ONE
+# partition, serializing every per-payload codec loop on a single core
+# (measured 3×: jpeg aHash 2.24 s → 0.78 s at sf0.1 on local[32]); on
+# a real multi-file corpus the scan already splits and the repartition
+# is a cheap rebalance of (id, text) — the same tradeoff dedup.spread
+# documents. Applied ONLY where the per-payload Python work dominates
+# (PNG/JPEG codecs, WAV/VID0 synth+hash pair queries — all measured
+# faster); NOT to the cheap byte-stat / BMP paths, where the added
+# shuffle + 32-way Python-worker spin-up measured SLOWER than the one
+# fat partition (features 0.27→0.46 s, wav_decode 0.48→0.66 s,
+# bmp near-dup 0.84→1.26 s).
+from .dedup import spread as _spread  # noqa: E402
+
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata projection from the payload struct (pure JVM)."""
@@ -1406,7 +1419,7 @@ def image_png_ahash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapping matches the BMP synthesizer, so the SAME text-byte oracle
     hash-checks the entire compressed-codec round trip (r5 verdict
     item #5: PNG moved from stubbed to real)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = _spread(load_table(spark, sf_dir, "documents").filter(F.length("text") > 0))
     return image_ahash(synthesize_png_from_text(docs))
 
 
@@ -1418,7 +1431,7 @@ def image_jpeg_ahash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     block-constant grayscale fixture is exactly ``text_bytes[x//8 %
     n]`` (see synthesize_jpeg_from_text for why the round trip is
     exact), so gray3 = 3·byte."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = _spread(load_table(spark, sf_dir, "documents").filter(F.length("text") > 0))
     return image_ahash(synthesize_jpeg_from_text(docs))
 
 
@@ -1477,12 +1490,12 @@ WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
 def audio_ehash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV encode → decode → energy-hash; oracle recomputes the
     windowed energies from the text bytes the samples came from."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = _spread(load_table(spark, sf_dir, "documents").filter(F.length("text") > 0))
     return audio_energy_hash(synthesize_wav_from_text(docs))
 
 
 def audio_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = _spread(load_table(spark, sf_dir, "documents").filter(F.length("text") > 0))
     return audio_near_dup_pairs(synthesize_wav_from_text(docs))
 
 
@@ -1525,12 +1538,12 @@ WHERE bit_count(xor(a.ehash, b.ehash)) <= 3
 
 
 def video_frame_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = _spread(load_table(spark, sf_dir, "documents").filter(F.length("text") > 0))
     return video_frame_hashes(synthesize_video_from_text(docs))
 
 
 def video_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = _spread(load_table(spark, sf_dir, "documents").filter(F.length("text") > 0))
     return video_near_dup_pairs(synthesize_video_from_text(docs))
 
 

@@ -392,9 +392,11 @@ def main() -> None:
     # per-query timing. Recovery of older truncated artifacts lives in
     # recover_timings_from_tail().
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH.out.json"), "w") as f:
-        json.dump(out, f, indent=1)
-        f.write("\n")
+    if not only:  # a SPARK_GRAFT_BENCH_ONLY mini-run must never
+        # clobber the committed full-headline artifact (it did, once)
+        with open(os.path.join(here, "BENCH.out.json"), "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
     print(fitted_line(out))
 
 
