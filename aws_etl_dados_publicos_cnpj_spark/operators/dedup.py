@@ -41,11 +41,19 @@ SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed long exactly
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Repartition before heavy per-row work. A small table read from
-    one parquet file scans as ONE partition, serializing the
-    shingle/hash stage on a single core; on a real multi-file table the
-    scan already splits and this is a cheap no-op-ish rebalance."""
+    """Repartition before heavy per-row work — ONLY when the plan
+    under-splits. A small table read from one parquet file scans as
+    ONE partition, serializing the shingle/hash/codec stage on a
+    single core; there the round-robin shuffle buys core-count
+    parallelism for the price of one small exchange. On a real
+    multi-file 100 TB table the scan already yields >= core-count
+    splits and this returns the input UNCHANGED — an unconditional
+    repartition would re-shuffle the whole corpus for nothing (the r7
+    fix: the old form always shuffled). The partition probe is
+    driver-side plan analysis (``df.rdd.getNumPartitions``), no job."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 
@@ -447,8 +455,14 @@ def edit_distance_near_pairs(
     population at any realistic threshold) with direct verification."""
     d = max_dist
     k = d + 1
-    base = df.select(
-        F.col(id_col), F.col(key_col).alias("k"), F.length(key_col).alias("l")
+    # spread the narrow (id, key, len) projection: a one-file table
+    # scans as one partition, serializing the segment/probe substring
+    # enumeration (measured −12% at sf0.1; same internal-spread
+    # discipline as minhash_lsh_dedup/simhash)
+    base = spread(
+        df.select(
+            F.col(id_col), F.col(key_col).alias("k"), F.length(key_col).alias("l")
+        )
     )
 
     idx_structs = ", ".join(

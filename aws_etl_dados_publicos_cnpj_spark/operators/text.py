@@ -20,7 +20,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
 from . import load_table
-from .dedup import word_hash60
+from .dedup import spread, word_hash60
 
 # Small stopword lists for the language-ID heuristic. Deterministic and
 # mirrored verbatim in the oracle SQL.
@@ -853,6 +853,10 @@ def repeated_ngram_spans(
     back is keyed on ngram; the final per-doc rollup re-shuffles on
     doc_id. Nothing is quadratic — cost tracks total token volume.
     """
+    # a one-file table scans as one partition, serializing the n-gram
+    # explode on a single core (measured −47% at sf0.1; the branches
+    # below share the repartition via ReusedExchange)
+    df = spread(df)
     w = words_col(text_col)
     m = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
     ng = F.slice(w, 1, m)
@@ -910,6 +914,8 @@ def scrub_repeated_ngrams(
     covered-index set is collected per doc (bounded by doc length) and
     the rewrite is a per-row array filter — the corpus crosses the
     network once as (doc, start) pairs, never as text."""
+    # same single-partition-scan fix as repeated_ngram_spans (−50%)
+    df = spread(df)
     w = words_col(text_col)
     m = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
     ng = F.slice(w, 1, m)
