@@ -436,6 +436,10 @@ def ann_ivf_topk(
     query becomes a pure function of its literals — the hash-checkable
     driver form."""
     if centers is not None:
+        # NOTE: deliberately NOT spread — unlike semantic_dedup, the
+        # 16-center assignment here is light and the broadcast-probed
+        # search join dominates; the extra exchange measured flat-to-
+        # slower (1.54→1.70 s A/B at sf0.1)
         train = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("cvec"),
@@ -714,9 +718,17 @@ def semantic_dedup(
     map-side codegen expression, the quadratic cosine work is blocked
     per cell (cells ≈ √N sized in practice), and nothing ever shuffles
     the full N×N pair space."""
-    base = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    from .dedup import spread
+
+    # spread BEFORE the per-row nearest-cell expression: a one-file
+    # embeddings table scans as one partition, serializing the
+    # centers x dims dot products on a single core (measured -30% at
+    # sf0.1); adaptive - unchanged on an already-split corpus
+    base = spread(
+        embeddings.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     ).withColumn("cell", F.element_at(_nearest_cells_expr(F.col("v"), centers, 1), 1))
     a = base.select(F.col(id_col).alias("id_a"), "cell", F.col("v").alias("va"))
     b = base.select(F.col(id_col).alias("id_b"), "cell", F.col("v").alias("vb"))
