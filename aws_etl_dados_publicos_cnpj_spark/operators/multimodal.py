@@ -443,6 +443,10 @@ def _jpeg_pixels(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        while payload[pos + 1] == 0xFF:  # T.81 allows 0xFF fill bytes
+            pos += 1
+            if pos + 4 > len(payload):
+                raise ValueError("truncated JPEG marker stream")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             break

@@ -425,3 +425,18 @@ def test_jpeg_420_subsampling_round_trip():
     ).astype(np.uint8)
     dec2 = _jpeg_pixels(encode_jpeg(rgb, qtable=q1, subsampling="420"))
     assert np.abs(dec2.astype(int) - rgb.astype(int)).max() <= 6
+
+
+def test_jpeg_fill_bytes_before_marker_tolerated():
+    """T.81 allows any number of 0xFF fill bytes before a marker;
+    decode must skip them, not reject the stream."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg,
+    )
+
+    px = np.arange(120, dtype=np.uint8).reshape(10, 12)
+    good = encode_jpeg(px, qtable=np.ones(64, dtype=np.int64))
+    i = good.find(b"\xff\xdb")
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    assert (_jpeg_pixels(padded) == _jpeg_pixels(good)).all()
