@@ -40,18 +40,38 @@ SHINGLE_SIZE = 3
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed long exactly
 
 
+_SHUFFLE_PLAN_TOKENS = (
+    "Join", "Aggregate", "Repartition", "Window", "Sort",
+    "Deduplicate", "GlobalLimit", "MapInPandas", "FlatMap",
+)
+
+
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Repartition before heavy per-row work — ONLY when the plan
-    under-splits. A small table read from one parquet file scans as
-    ONE partition, serializing the shingle/hash/codec stage on a
-    single core; there the round-robin shuffle buys core-count
-    parallelism for the price of one small exchange. On a real
-    multi-file 100 TB table the scan already yields >= core-count
+    """Repartition before heavy per-row work — ONLY when the plan is
+    scan-shaped AND under-splits. A small table read from one parquet
+    file scans as ONE partition, serializing the shingle/hash/codec
+    stage on a single core; there the round-robin shuffle buys
+    core-count parallelism for the price of one small exchange. On a
+    real multi-file 100 TB table the scan already yields >= core-count
     splits and this returns the input UNCHANGED — an unconditional
-    repartition would re-shuffle the whole corpus for nothing (the r7
-    fix: the old form always shuffled). The partition probe is
-    driver-side plan analysis (``df.rdd.getNumPartitions``), no job."""
+    repartition would re-shuffle the whole corpus for nothing.
+
+    Probe safety (r7 review finding): ``df.rdd`` on a plan containing
+    an exchange EXECUTES that exchange eagerly under AQE — a job at
+    query-construction time, run again at action time. So the
+    partition probe only runs on plans whose optimized LOGICAL plan
+    (analysis only, never a job) is shuffle-free; anything downstream
+    of a join/aggregate/window already runs at
+    ``spark.sql.shuffle.partitions`` and is returned unchanged.
+
+    Known limitation: the probe sees partition COUNT, not balance — a
+    caller holding an already-wide-but-skewed frame should repartition
+    explicitly (scan splits, the only frames this probes, are
+    size-balanced by construction)."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(tok in plan for tok in _SHUFFLE_PLAN_TOKENS):
+        return df
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)

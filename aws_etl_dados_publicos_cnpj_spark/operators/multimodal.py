@@ -488,6 +488,14 @@ def _jpeg_pixels(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
+            if data[0] != len(comps):
+                # T.81 allows splitting components across several
+                # non-interleaved scans; decoding only the first would
+                # be silently wrong — quarantine instead
+                raise ValueError(
+                    "multi-scan (non-interleaved multi-component) JPEG "
+                    "unsupported"
+                )
             for i in range(data[0]):
                 cid, tt = data[1 + 2 * i], data[2 + 2 * i]
                 comp = next(c for c in comps if c["id"] == cid)
@@ -499,6 +507,15 @@ def _jpeg_pixels(payload: bytes) -> np.ndarray:
         raise ValueError("missing JPEG SOF/SOS/DQT")
     if len(comps) not in (1, 3):
         raise ValueError("unsupported JPEG component count")
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — one
+        # block per MCU in raster order over ceil(w/8) × ceil(h/8),
+        # and the declared sampling factors DO NOT apply (a grayscale
+        # JPEG legally declaring 2×2 misdecoded through the
+        # interleaved walk — r7 review finding). Forcing 1×1 factors
+        # makes the interleaved MCU walk below degenerate to exactly
+        # that raster walk.
+        comps[0]["h"] = comps[0]["v"] = 1
     # entropy stream → restart segments, 0xFF00 unstuffed
     segments: list[bytes] = []
     cur = bytearray()

@@ -165,14 +165,17 @@ def recover_timings_from_tail(tail: str, names) -> dict[str, float]:
 
     names = set(names)
     out: dict[str, float] = {}
-    for q, v in re.findall(r'"([a-zA-Z0-9_]+)":\s*([0-9]+\.?[0-9]*)', tail):
-        if q in names:
+    # value must be a COMPLETE number — a fragment truncated mid-value
+    # ('"q03": 0.') must be dropped, not read as 0.0 (it would poison
+    # bench_compare ratios and best-known floors)
+    for q, v in re.findall(r'"([a-zA-Z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)[,}]', tail):
+        if q in names and float(v) > 0:
             out[q] = float(v)
     for q, s, i in re.findall(
         r'"([a-zA-Z0-9_]+)":\s*\{"session":\s*([0-9.]+),\s*"isolated":\s*([0-9.]+)\}',
         tail,
     ):
-        if q in names:
+        if q in names and min(float(s), float(i)) > 0:
             out[q] = min(float(s), float(i))
     return out
 
@@ -232,10 +235,23 @@ def fitted_line(out: dict, budget: int = TAIL_BUDGET) -> str:
             return line
         compact.pop(drop, None)
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > budget:  # last resort: 2-decimal timings
+    if len(line) > budget:  # next resort: 2-decimal timings
         compact["queries"] = {
             q: round(t, 2) for q, t in compact.get("queries", {}).items()
         }
+        line = json.dumps(compact, separators=(",", ":"))
+    # FINAL resort — guaranteed-fit: drop the fastest queries (least
+    # information lost; their best-known floors survive in older
+    # artifacts) and say how many. Without this the r6 failure mode
+    # (over-budget line → front-truncated tail → parsed:null) recurs
+    # silently the day the headline outgrows the budget again.
+    omitted = 0
+    while len(line) > budget and compact.get("queries"):
+        qd = compact["queries"]
+        fastest = min(qd, key=qd.get)
+        del qd[fastest]
+        omitted += 1
+        compact["queries_omitted"] = omitted
         line = json.dumps(compact, separators=(",", ":"))
     return line
 

@@ -440,3 +440,45 @@ def test_jpeg_fill_bytes_before_marker_tolerated():
     i = good.find(b"\xff\xdb")
     padded = good[:i] + b"\xff\xff\xff" + good[i:]
     assert (_jpeg_pixels(padded) == _jpeg_pixels(good)).all()
+
+
+def test_jpeg_grayscale_declared_sampling_factors_ignored():
+    """T.81 A.2: a single-component scan is non-interleaved raster
+    order and the declared sampling factors do not apply — a legal
+    grayscale JPEG declaring 2x2 must decode identically to the same
+    stream declaring 1x1 (the interleaved walk misplaced or rejected
+    its blocks before the r7 fix)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(21)
+    for h, w in [(32, 16), (24, 16), (13, 29)]:
+        px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        good = encode_jpeg(px, qtable=np.ones(64, dtype=np.int64))
+        sof = good.find(b"\xff\xc0")
+        patched = bytearray(good)
+        assert patched[sof + 11] == 0x11  # (h<<4)|v of the one component
+        patched[sof + 11] = 0x22
+        assert (_jpeg_pixels(bytes(patched)) == _jpeg_pixels(good)).all()
+
+
+def test_jpeg_multi_scan_quarantines():
+    """A 3-component image whose SOS lists fewer components than the
+    frame (split across non-interleaved scans) must raise — decoding
+    only the first scan would be silently wrong."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    good = encode_jpeg(rgb)
+    sos = good.find(b"\xff\xda")
+    (seglen,) = struct.unpack_from(">H", good, sos + 2)
+    single = good[:sos] + bytes(
+        [0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 63, 0]
+    ) + good[sos + 2 + seglen:]
+    with pytest.raises(ValueError, match="multi-scan"):
+        _jpeg_pixels(single)

@@ -133,3 +133,27 @@ def test_partition_pruning_in_plan(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert scan.count() == 50
+
+
+def test_spread_probe_is_lazy_and_shuffle_aware(spark):
+    """spread()'s partition probe must never run a Spark job (df.rdd
+    on an exchange-bearing plan EXECUTES it eagerly under AQE — r7
+    review finding): scan-shaped under-split frames widen, frames
+    downstream of a shuffle return UNCHANGED, and neither launches a
+    job at build time."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import spread
+
+    scan = spark.createDataFrame([(i, f"t{i}") for i in range(10)], "id long, t string")
+    agg = scan.groupBy("t").agg(F.count("*").alias("c"))
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    widened = spread(scan)
+    unchanged = spread(agg)
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "spread() launched a job at build time"
+    assert unchanged is agg, "shuffle-shaped frame must pass through untouched"
+    assert widened.rdd.getNumPartitions() >= min(
+        32, spark.sparkContext.defaultParallelism
+    )
