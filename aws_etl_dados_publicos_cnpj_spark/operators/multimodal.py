@@ -12,10 +12,13 @@ Decode status — honest per format:
   uncompressed 24-bit BMP images (``struct`` + numpy: dimensions, mean
   RGB, real nearest-neighbor thumbnails, per-sample frame extraction),
   8-bit RGB/RGBA PNG (stdlib ``zlib`` inflate + all five scanline
-  filters inverted in ``_png_pixels``), and baseline sequential JPEG
+  filters inverted in ``_png_pixels``), baseline sequential JPEG
   (``_jpeg_pixels``: DHT huffman entropy decode + dequant + batched
   numpy iDCT + sampling-factor MCU assembly + YCbCr→RGB — a genuinely
-  lossy transform codec, with an encoder twin for fixtures).
+  lossy transform codec, with an encoder twin for fixtures), and
+  Motion-JPEG AVI video (``_avi_mjpeg_frames``: RIFF/'movi' walk +
+  per-frame JPEG decode — a STANDARD video container, alongside the
+  synthetic VID0 one).
 - **STUB**: MP4/... (and progressive/arithmetic JPEG variants) need
   ffmpeg/PIL, absent in this container — ``decode_media`` raises
   ``NotImplementedError`` for those mimes; ``decode_features`` rows
@@ -1235,23 +1238,116 @@ def synthesize_video_from_text(
     )
 
 
+def _avi_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """JPEG frame payloads of a Motion-JPEG AVI — a REAL RIFF
+    container walk (the WAV discipline applied to video): verify
+    RIFF/'AVI ', find the 'movi' LIST, collect '00dc'/'00db' chunk
+    data honoring RIFF's even-byte padding. Each returned frame is a
+    complete baseline JPEG for ``_jpeg_pixels``."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI container")
+    frames: list[bytes] = []
+    pos = 12
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    while pos + 8 <= end:
+        ckid = payload[pos : pos + 4]
+        (cksz,) = struct.unpack_from("<I", payload, pos + 4)
+        if ckid == b"LIST" and payload[pos + 8 : pos + 12] == b"movi":
+            sub = pos + 12
+            subend = pos + 8 + cksz
+            while sub + 8 <= subend:
+                sid = payload[sub : sub + 4]
+                (ssz,) = struct.unpack_from("<I", payload, sub + 4)
+                if sid[2:4] in (b"dc", b"db"):
+                    frames.append(payload[sub + 8 : sub + 8 + ssz])
+                sub += 8 + ssz + (ssz & 1)  # RIFF pads chunks to even
+        pos += 8 + cksz + (cksz & 1)
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    return frames
+
+
+def synthesize_avi_mjpeg_from_text(
+    df: DataFrame,
+    n_frames: int = 4,
+    n_blocks: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic Motion-JPEG AVI generator: a real RIFF/AVI
+    container (avih + strl headers, 'movi' LIST of '00dc' chunks)
+    whose frames are 64×8 block-constant grayscale JPEGs — frame f
+    block b = ``text_bytes[(n_blocks·f + b) % n]``, the exactly-
+    lossless fixture contract of ``synthesize_jpeg_from_text`` — so a
+    STANDARD video container round-trips through the real JPEG codec
+    with no media libraries."""
+
+    def _avi(frames: list[bytes]) -> bytes:
+        def ck(cid: bytes, data: bytes) -> bytes:
+            return cid + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+        def lst(ltype: bytes, data: bytes) -> bytes:
+            return ck(b"LIST", ltype + data)
+
+        avih = struct.pack("<14I", 100_000, 0, 0, 0, len(frames), 0, 1, 0, 64, 8, 0, 0, 0, 0)
+        strh = b"vids" + b"MJPG" + struct.pack("<12I", 0, 0, 0, 1, 10, 0, len(frames), 0, 0, 0, 0, 0)
+        strf = struct.pack("<3I2H6I", 40, 64, 8, 1, 24, 0x47504A4D, 64 * 8 * 3, 0, 0, 0, 0)
+        hdrl = lst(b"hdrl", ck(b"avih", avih) + lst(b"strl", ck(b"strh", strh) + ck(b"strf", strf)))
+        movi = lst(b"movi", b"".join(ck(b"00dc", f) for f in frames))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf[text_col]:
+                raw = t.encode("utf-8")
+                n = len(raw)
+                frames = []
+                for f in range(n_frames):
+                    vals = (
+                        np.frombuffer(raw, dtype=np.uint8)[
+                            (n_blocks * f + np.arange(n_blocks)) % n
+                        ]
+                        if n
+                        else np.zeros(n_blocks, dtype=np.uint8)
+                    )
+                    px = np.tile(np.repeat(vals, 8), (8, 1)).astype(np.uint8)
+                    frames.append(encode_jpeg(px))
+                payloads.append(_avi(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads, "mime": "video/x-msvideo"}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _batches, "doc_id long, payload binary, mime string"
+    )
+
+
 def video_frame_hashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Parse the video container (REAL offset walk), decode every frame
-    (REAL BMP parse), and emit one aHash row per frame — the 1→N frame
-    fingerprint table video dedup joins on."""
+    """Parse the video container (REAL offset walk — VID0 or
+    Motion-JPEG AVI, sniffed by magic), decode every frame (REAL BMP
+    or baseline-JPEG parse), and emit one aHash row per frame — the
+    1→N frame fingerprint table video dedup joins on."""
+
+    def _frame_pixels(buf: bytes) -> list[np.ndarray]:
+        if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+            return [_jpeg_pixels(f) for f in _avi_mjpeg_frames(buf)]
+        if buf[:4] != _VIDEO_MAGIC:
+            raise ValueError("not a VID0 or AVI container")
+        (nf,) = struct.unpack_from("<I", buf, 4)
+        pos = 8
+        out = []
+        for _ in range(nf):
+            out.append(_bmp_pixels(buf[pos : pos + _FRAME_BYTES]))
+            pos += _FRAME_BYTES
+        return out
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, fids, hashes = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                buf = bytes(payload)
-                if buf[:4] != _VIDEO_MAGIC:
-                    raise ValueError("not a VID0 container")
-                (nf,) = struct.unpack_from("<I", buf, 4)
-                pos = 8
-                for f in range(nf):
-                    px = _bmp_pixels(buf[pos : pos + _FRAME_BYTES])
-                    pos += _FRAME_BYTES
+                for f, px in enumerate(_frame_pixels(bytes(payload))):
                     gray3 = px.reshape(-1, 3).sum(axis=1).astype(np.int64)[:AHASH_BITS]
                     total = int(gray3.sum())
                     bits = (AHASH_BITS * gray3 > total).astype(np.int64)

@@ -482,3 +482,52 @@ def test_jpeg_multi_scan_quarantines():
     ) + good[sos + 2 + seglen:]
     with pytest.raises(ValueError, match="multi-scan"):
         _jpeg_pixels(single)
+
+
+def test_avi_mjpeg_frame_hashes_match_vid0_semantics(spark):
+    """Motion-JPEG AVI: a REAL RIFF container (avih/strl headers,
+    'movi' LIST, '00dc' chunks, even-byte padding) whose frames are
+    block-constant baseline JPEGs — the exactly-lossless fixture — so
+    per-frame aHashes are a pure function of the text bytes. Also pins
+    that the VID0 path still routes by magic."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _avi_mjpeg_frames,
+        _jpeg_pixels,
+        synthesize_avi_mjpeg_from_text,
+        video_frame_hashes,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    avi = synthesize_avi_mjpeg_from_text(df, n_frames=3)
+    rows = sorted(video_frame_hashes(avi).collect(), key=lambda r: r.frame_id)
+    assert [r.frame_id for r in rows] == [0, 1, 2]
+    raw = text.encode()
+    payload = bytes(avi.collect()[0].payload)
+    frames = _avi_mjpeg_frames(payload)
+    assert len(frames) == 3
+    for f, fb in enumerate(frames):  # container+codec round trip exact
+        px = _jpeg_pixels(fb)
+        expect = np.array([raw[(8 * f + (x // 8)) % len(raw)] for x in range(64)])
+        assert (px[0, :, 0] == expect).all()
+    # recompute frame 0's aHash from first principles
+    gray3 = (px_vals := np.array(
+        [3 * raw[(0 + (x // 8)) % len(raw)] for x in range(60)], dtype=np.int64
+    ))
+    total = int(gray3.sum())
+    expect_hash = int(((60 * gray3 > total).astype(np.int64) << np.arange(60)).sum())
+    assert rows[0].fhash == expect_hash
+
+
+def test_avi_corrupt_payloads_raise(spark):
+    """Non-AVI bytes and frame-less AVIs must raise (and therefore
+    quarantine through decode-style wrappers), never silently yield."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _avi_mjpeg_frames,
+    )
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        _avi_mjpeg_frames(b"RIFFxxxxWAVE")
+    empty = b"RIFF" + struct.pack("<I", 4) + b"AVI "
+    with pytest.raises(ValueError, match="no video frames"):
+        _avi_mjpeg_frames(empty)
