@@ -434,7 +434,19 @@ def _jpeg_pixels(payload: bytes) -> np.ndarray:
     JPEG — marker parse, DHT huffman entropy decode, dequantize,
     de-zigzag, batched-numpy iDCT, sampling-factor MCU assembly with
     replication upsampling, BT.601 YCbCr→RGB. Grayscale replicates Y.
-    """
+    Every malformed-stream failure mode surfaces as ValueError (the
+    PNG decoder's contract), so quarantine matching stays uniform."""
+    try:
+        return _jpeg_pixels_impl(payload)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError, StopIteration) as exc:
+        raise ValueError(
+            f"corrupt JPEG stream ({type(exc).__name__}: {exc})"
+        ) from exc
+
+
+def _jpeg_pixels_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -1246,6 +1258,13 @@ def _avi_mjpeg_frames(payload: bytes) -> list[bytes]:
     complete baseline JPEG for ``_jpeg_pixels``."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI container")
+    try:
+        return _avi_mjpeg_frames_impl(payload)
+    except struct.error as exc:
+        raise ValueError(f"corrupt AVI container ({exc})") from exc
+
+
+def _avi_mjpeg_frames_impl(payload: bytes) -> list[bytes]:
     frames: list[bytes] = []
     pos = 12
     end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
