@@ -809,6 +809,8 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_png(payload)
     if mime in ("image/jpeg", "image/jpg"):
         return decode_jpeg(payload)
+    if mime in ("video/x-msvideo", "video/avi"):
+        return decode_avi_mjpeg(payload)
     raise NotImplementedError(
         f"media decode for {mime!r} requires codec libraries not present; "
         "extract_features uses the deterministic byte-level fallback"
@@ -1341,6 +1343,24 @@ def synthesize_avi_mjpeg_from_text(
     return df.select(id_col, text_col).mapInPandas(
         _batches, "doc_id long, payload binary, mime string"
     )
+
+
+def decode_avi_mjpeg(payload: bytes) -> dict:
+    """Video stats via the real container+codec walk: frame count and
+    first-frame dimensions + mean RGB (consistent with the image
+    decode dicts; ``kind: video`` so decode_features rows type)."""
+    frames = _avi_mjpeg_frames(payload)
+    px = _jpeg_pixels(frames[0])
+    mean_rgb = px.reshape(-1, 3).mean(axis=0) if px.size else np.zeros(3)
+    return {
+        "kind": "video",
+        "n_frames": len(frames),
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "mean_r": float(mean_rgb[0]),
+        "mean_g": float(mean_rgb[1]),
+        "mean_b": float(mean_rgb[2]),
+    }
 
 
 def video_frame_hashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -531,3 +531,23 @@ def test_avi_corrupt_payloads_raise(spark):
     empty = b"RIFF" + struct.pack("<I", 4) + b"AVI "
     with pytest.raises(ValueError, match="no video frames"):
         _avi_mjpeg_frames(empty)
+
+
+def test_decode_media_avi_stats(spark):
+    """decode_media/decode_features route AVI through the real
+    container+codec walk: kind=video, frame count, first-frame dims."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        decode_features,
+        decode_media,
+        synthesize_avi_mjpeg_from_text,
+    )
+
+    df = spark.createDataFrame([(5, "some avi text payload")], "doc_id long, text string")
+    avi = synthesize_avi_mjpeg_from_text(df, n_frames=3)
+    payload = bytes(avi.collect()[0].payload)
+    out = decode_media(payload, "video/x-msvideo")
+    assert out["kind"] == "video" and out["n_frames"] == 3
+    assert (out["width"], out["height"]) == (64, 8)
+    rows = decode_features(avi).collect()
+    assert len(rows) == 1 and rows[0].ok and rows[0].kind == "video"
+    assert rows[0].n_frames == 3
