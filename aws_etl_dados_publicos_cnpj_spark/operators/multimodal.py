@@ -19,11 +19,15 @@ Decode status — honest per format:
   Motion-JPEG AVI video (``_avi_mjpeg_frames``: RIFF/'movi' walk +
   per-frame JPEG decode — a STANDARD video container, alongside the
   synthetic VID0 one).
-- **STUB**: MP4/... (and progressive/arithmetic JPEG variants) need
-  ffmpeg/PIL, absent in this container — ``decode_media`` raises
-  ``NotImplementedError`` for those mimes; ``decode_features`` rows
-  quarantine per-payload (``ok=false`` + error) instead of killing the
-  job, mirroring the engine's corrupt-CSV quarantine semantics.
+- **STUB**: MP4/... (and arithmetic-coded/lossless/hierarchical JPEG
+  variants) need ffmpeg/PIL, absent in this container —
+  ``decode_media`` raises ``NotImplementedError`` for those mimes;
+  ``decode_features`` rows quarantine per-payload (``ok=false`` +
+  error) instead of killing the job, mirroring the engine's
+  corrupt-CSV quarantine semantics. Progressive huffman JPEG (SOF2)
+  decodes for REAL: spectral selection, successive approximation,
+  EOB runs — the scan loop accumulates per-component coefficient
+  state and the shared iDCT finishes it.
 
 At 100 TB: payloads live in parquet binary columns (or are pointers to
 object-store blobs resolved inside the batch fn); ``mapInPandas`` keeps
@@ -446,6 +450,100 @@ def _jpeg_pixels(payload: bytes) -> np.ndarray:
         ) from exc
 
 
+def _jpeg_entropy_segments(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """Unstuffed entropy data from ``start`` to the next real marker,
+    split at RSTn boundaries. Returns (segments, end_position)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = start
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF:
+            nxt = payload[i + 1] if i + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # a real marker ends the scan
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _jpeg_ac_first(reader, ac_tab, coef, ss, se, al, state) -> None:
+    """Progressive AC initial scan for one block band (T.81 G.1.2.2):
+    run/size coding of coef >> al, with EOB-run skipping whole blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = reader.decode(ac_tab)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r != 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.read_bits(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG AC run")
+        coef[k] = _jpeg_extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _jpeg_ac_refine(reader, ac_tab, coef, ss, se, al, state) -> None:
+    """Progressive AC refinement scan (T.81 G.1.2.3): one correction
+    bit per already-nonzero coefficient, ±1<<al for newly-significant
+    ones; runs count only zero-HISTORY positions."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            sym = reader.decode(ac_tab)
+            r, s = sym >> 4, sym & 15
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                val = 0  # ZRL: advance 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG refinement scan")
+                val = p1 if reader.read_bits(1) else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.read_bits(1) and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                coef[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        # EOB blocks still carry correction bits for nonzero history
+        while k <= se:
+            if coef[k] != 0:
+                if reader.read_bits(1) and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
 def _jpeg_pixels_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -454,7 +552,84 @@ def _jpeg_pixels_impl(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[dict] = []
     w = h = dri = 0
-    scan = None
+    hmax = vmax = mcux = mcuy = 0
+    progressive = False
+    saw_scan = False
+
+    def _alloc() -> None:
+        nonlocal hmax, vmax, mcux, mcuy
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for c in comps:
+            if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
+                raise ValueError("non-integer JPEG sampling ratio")
+            # zigzag-ordered coefficient state, accumulated across
+            # scans (one scan for baseline, many for progressive)
+            c["coef"] = np.zeros(
+                (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+            )
+            # non-interleaved walk bounds: the component's OWN block
+            # grid (T.81 A.2 — sampling factors don't apply in a
+            # single-component scan)
+            c["bw"] = -(-(-(-w * c["h"] // hmax)) // 8)
+            c["bh"] = -(-(-(-h * c["v"] // vmax)) // 8)
+
+    def _decode_scan(scomps: list[dict], segments: list[bytes],
+                     ss: int, se: int, ah: int, al: int) -> None:
+        reader = _JpegBitReader(segments[0])
+        seg_i = 0
+        state = {"eobrun": 0}
+        for c in scomps:
+            c["pred"] = 0
+        interleaved = len(scomps) > 1
+        units = mcux * mcuy if interleaved else scomps[0]["bw"] * scomps[0]["bh"]
+
+        def unit(c: dict, by: int, bx: int) -> None:
+            coef = c["coef"][by, bx]
+            dc_tab = huff.get((0, c["td"]))
+            ac_tab = huff.get((1, c["ta"]))
+            if (dc_tab is None and (not progressive or (ss == 0 and ah == 0))) or (
+                ac_tab is None and (not progressive or ss > 0)
+            ):
+                raise ValueError("JPEG scan references undefined huffman table")
+            if not progressive:
+                block, c["pred"] = _jpeg_decode_block(
+                    reader, dc_tab, ac_tab, c["pred"]
+                )
+                coef[:] = block
+            elif ss == 0:
+                if ah == 0:  # DC first: diff-coded (dc >> al)
+                    s = reader.decode(dc_tab)
+                    c["pred"] += _jpeg_extend(reader.read_bits(s), s) if s else 0
+                    coef[0] = c["pred"] << al
+                elif reader.read_bits(1):  # DC refinement: one bit
+                    coef[0] |= 1 << al
+            elif ah == 0:
+                _jpeg_ac_first(reader, ac_tab, coef, ss, se, al, state)
+            else:
+                _jpeg_ac_refine(reader, ac_tab, coef, ss, se, al, state)
+
+        for u in range(units):
+            if dri and u and u % dri == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("missing JPEG restart segment")
+                reader = _JpegBitReader(segments[seg_i])
+                state["eobrun"] = 0
+                for c in scomps:
+                    c["pred"] = 0
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for c in scomps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit(c, my * c["v"] + by, mx * c["h"] + bx)
+            else:
+                by, bx = divmod(u, scomps[0]["bw"])
+                unit(scomps[0], by, bx)
+
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -463,7 +638,7 @@ def _jpeg_pixels_impl(payload: bytes) -> np.ndarray:
             if pos + 4 > len(payload):
                 raise ValueError("truncated JPEG marker stream")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         data = payload[pos + 4 : pos + 2 + seglen]
@@ -477,7 +652,7 @@ def _jpeg_pixels_impl(payload: bytes) -> np.ndarray:
                     data[p + 1 : p + 65], dtype=np.uint8
                 ).astype(np.int64)
                 p += 65
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (redefinable between scans)
             p = 0
             while p < len(data):
                 tc, th = data[p] >> 4, data[p] & 15
@@ -487,111 +662,76 @@ def _jpeg_pixels_impl(payload: bytes) -> np.ndarray:
                     bytes(data[p + 17 : p + 17 + nv]),
                 )
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline sequential
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if data[0] != 8:
                 raise ValueError("non-8-bit JPEG unsupported")
             h, w = struct.unpack_from(">HH", data, 1)
             for i in range(data[5]):
                 cid, hv, tq = data[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if len(comps) not in (1, 3):
+                raise ValueError("unsupported JPEG component count")
+            _alloc()
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG SOF type 0x{marker:02x} "
-                "(baseline sequential only)"
+                "(baseline sequential + progressive huffman only)"
             )
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", data, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
-            if data[0] != len(comps):
-                # T.81 allows splitting components across several
-                # non-interleaved scans; decoding only the first would
-                # be silently wrong — quarantine instead
+        elif marker == 0xDA:  # SOS — one of possibly many scans
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
+            ns = data[0]
+            if not progressive and ns != len(comps):
                 raise ValueError(
-                    "multi-scan (non-interleaved multi-component) JPEG "
-                    "unsupported"
+                    "multi-scan baseline JPEG unsupported (decoding only "
+                    "the first scan would be silently wrong)"
                 )
-            for i in range(data[0]):
+            scomps = []
+            for i in range(ns):
                 cid, tt = data[1 + 2 * i], data[2 + 2 * i]
-                comp = next(c for c in comps if c["id"] == cid)
-                comp["td"], comp["ta"] = tt >> 4, tt & 15
-            scan = payload[pos + 2 + seglen :]
-            break
+                match = [c for c in comps if c["id"] == cid]
+                if not match:
+                    raise ValueError("JPEG scan references unknown component")
+                match[0]["td"], match[0]["ta"] = tt >> 4, tt & 15
+                scomps.append(match[0])
+            ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            if not (0 <= ss <= se <= 63) or al > 13:
+                raise ValueError("corrupt JPEG scan header")
+            if progressive and ss == 0 and se != 0:
+                raise ValueError(
+                    "corrupt JPEG scan header (progressive DC scan needs Se=0)"
+                )
+            if progressive and ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            segments, end = _jpeg_entropy_segments(payload, pos + 2 + seglen)
+            _decode_scan(scomps, segments, ss, se, ah, al)
+            saw_scan = True
+            pos = end
+            continue
         pos += 2 + seglen
-    if not comps or scan is None or not qt:
+    if not comps or not saw_scan or not qt:
         raise ValueError("missing JPEG SOF/SOS/DQT")
-    if len(comps) not in (1, 3):
-        raise ValueError("unsupported JPEG component count")
-    if len(comps) == 1:
-        # T.81 A.2: a single-component scan is NON-interleaved — one
-        # block per MCU in raster order over ceil(w/8) × ceil(h/8),
-        # and the declared sampling factors DO NOT apply (a grayscale
-        # JPEG legally declaring 2×2 misdecoded through the
-        # interleaved walk — r7 review finding). Forcing 1×1 factors
-        # makes the interleaved MCU walk below degenerate to exactly
-        # that raster walk.
-        comps[0]["h"] = comps[0]["v"] = 1
-    # entropy stream → restart segments, 0xFF00 unstuffed
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = 0
-    while i < len(scan):
-        b = scan[i]
-        if b == 0xFF:
-            nxt = scan[i + 1] if i + 1 < len(scan) else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or stray marker ends the scan
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    for c in comps:
-        if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
-            raise ValueError("non-integer JPEG sampling ratio")
-        c["blocks"] = []
-        c["pred"] = 0
-    reader = _JpegBitReader(segments[0])
-    seg_i = 0
-    for m in range(mcux * mcuy):
-        if dri and m and m % dri == 0:
-            seg_i += 1
-            if seg_i >= len(segments):
-                raise ValueError("missing JPEG restart segment")
-            reader = _JpegBitReader(segments[seg_i])
-            for c in comps:
-                c["pred"] = 0
-        my, mx = divmod(m, mcux)
-        for c in comps:
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    coefs, c["pred"] = _jpeg_decode_block(
-                        reader, huff[(0, c["td"])], huff[(1, c["ta"])], c["pred"]
-                    )
-                    c["blocks"].append(
-                        ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8, coefs)
-                    )
     for c in comps:  # batched dequant → de-zigzag → iDCT
         q = qt[c["tq"]]
-        zz = np.stack([blk for _, _, blk in c["blocks"]]) * q
+        nby, nbx = c["coef"].shape[:2]
+        zz = c["coef"].reshape(-1, 64) * q
         blocks = np.zeros((len(zz), 64), dtype=np.float64)
         blocks[:, _JPEG_ZIGZAG] = zz
         spatial = np.matmul(
             _JPEG_DCT_M.T, np.matmul(blocks.reshape(-1, 8, 8), _JPEG_DCT_M)
         )
-        plane = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        for (y, x, _), blk in zip(c["blocks"], spatial):
-            plane[y : y + 8, x : x + 8] = blk
+        plane = (
+            spatial.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
         plane = np.clip(np.round(plane + 128), 0, 255)
         c["plane"] = np.repeat(
             np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
@@ -674,11 +814,72 @@ def _jpeg_encode_block(coefs, dc_codes, ac_codes, pred, writer) -> int:
     return int(coefs[0])
 
 
+def _jpeg_emit_ac_first(writer, ac_codes, coef, ss, se, al) -> None:
+    """Encoder twin of _jpeg_ac_first for one block band: run/size
+    code coef >> al (truncated toward zero), per-block EOB only (no
+    cross-block EOB runs — the decoder handles the general form)."""
+    vals = [
+        (abs(int(coef[k])) >> al) * (1 if int(coef[k]) > 0 else -1)
+        for k in range(ss, se + 1)
+    ]
+    last = max((i for i, v in enumerate(vals) if v), default=-1)
+    r = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            writer.write(*ac_codes[0xF0])
+            r -= 16
+        s = abs(v).bit_length()
+        writer.write(*ac_codes[(r << 4) | s])
+        writer.write(s, v if v > 0 else v + (1 << s) - 1)
+        r = 0
+    if last < len(vals) - 1:
+        writer.write(*ac_codes[0x00])  # EOB covering the band's tail
+
+
+def _jpeg_emit_ac_refine(writer, ac_codes, coef, ss, se, al) -> None:
+    """Encoder twin of _jpeg_ac_refine: correction bit per
+    already-significant coefficient (buffered until the next emitted
+    symbol, libjpeg's BR discipline), (run,1)+sign for each
+    newly-significant one; runs count zero-history positions only."""
+    absv = [abs(int(coef[k])) >> al for k in range(ss, se + 1)]
+    eob = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            writer.write(*ac_codes[0xF0])
+            r -= 16
+            for bit in br:
+                writer.write(1, bit)
+            br = []
+        if t > 1:  # significant in an earlier scan: correction bit
+            br.append(t & 1)
+            continue
+        writer.write(*ac_codes[(r << 4) | 1])
+        writer.write(1, 1 if int(coef[ss + i]) > 0 else 0)
+        for bit in br:
+            writer.write(1, bit)
+        br = []
+        r = 0
+    if r > 0 or br:
+        writer.write(*ac_codes[0x00])
+        for bit in br:
+            writer.write(1, bit)
+
+
 def encode_jpeg(
     px: np.ndarray,
     qtable: np.ndarray | None = None,
     restart_interval: int = 0,
     subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
     """Baseline JFIF encoder — the test/synthesizer twin of
     ``_jpeg_pixels`` (the wav/bmp/png synthesizer discipline: a real
@@ -735,6 +936,11 @@ def encode_jpeg(
     dc_codes = _jpeg_std_dc_codes()
     ac_codes = _jpeg_std_ac_codes()
     nc = len(planes)
+    if progressive:
+        if restart_interval:
+            raise ValueError("progressive encoder does not emit restarts")
+        if any(s != (1, 1) for s in samp):
+            raise ValueError("progressive encoder supports 1x1 factors only")
     out = bytearray(b"\xff\xd8")
 
     def seg(marker: int, body: bytes) -> None:
@@ -742,7 +948,7 @@ def encode_jpeg(
 
     seg(0xDB, bytes([0]) + bytes(qtable.astype(np.uint8)))
     seg(
-        0xC0,
+        0xC2 if progressive else 0xC0,
         bytes([8])
         + struct.pack(">HH", h, w)
         + bytes([nc])
@@ -752,6 +958,58 @@ def encode_jpeg(
     )
     seg(0xC4, bytes([0x00]) + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS))
     seg(0xC4, bytes([0x10]) + bytes(_JPEG_STD_AC_BITS) + bytes(_JPEG_STD_AC_VALS))
+    if progressive:
+        # Scan script exercising every progressive mode: interleaved
+        # DC first (Al=1) + DC refinement, then per component two AC
+        # bands first (Al=1) and their refinements (Al=0). With one
+        # refinement level the decoded coefficients EXACTLY equal the
+        # baseline encoding's — the property tests pin that.
+        nby, nbx = coefs_per_comp[0].shape[:2]
+        AL = 1
+
+        def sos(ids: list[int], ss: int, se: int, ah: int, al: int) -> None:
+            seg(
+                0xDA,
+                bytes([len(ids)])
+                + b"".join(bytes([cid, 0x00]) for cid in ids)
+                + bytes([ss, se, (ah << 4) | al]),
+            )
+
+        sos(list(range(1, nc + 1)), 0, 0, 0, AL)  # DC first
+        writer = _JpegBitWriter()
+        preds = [0] * nc
+        for bi in range(nby * nbx):
+            by, bx = divmod(bi, nbx)
+            for ci in range(nc):
+                v = int(coefs_per_comp[ci][by, bx, 0]) >> AL
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = abs(diff).bit_length()
+                writer.write(*dc_codes[s])
+                if s:
+                    writer.write(s, diff if diff > 0 else diff + (1 << s) - 1)
+        out.extend(writer.flush())
+        sos(list(range(1, nc + 1)), 0, 0, AL, 0)  # DC refinement
+        writer = _JpegBitWriter()
+        for bi in range(nby * nbx):
+            by, bx = divmod(bi, nbx)
+            for ci in range(nc):
+                writer.write(1, int(coefs_per_comp[ci][by, bx, 0]) & 1)
+        out.extend(writer.flush())
+        for ci in range(nc):  # AC bands: first pass then refinement
+            for ah, al in ((0, AL), (AL, 0)):
+                for ss, se in ((1, 5), (6, 63)):
+                    sos([ci + 1], ss, se, ah, al)
+                    writer = _JpegBitWriter()
+                    emit = _jpeg_emit_ac_first if ah == 0 else _jpeg_emit_ac_refine
+                    for bi in range(nby * nbx):
+                        by, bx = divmod(bi, nbx)
+                        emit(
+                            writer, ac_codes, coefs_per_comp[ci][by, bx], ss, se, al
+                        )
+                    out.extend(writer.flush())
+        out.extend(b"\xff\xd9")
+        return bytes(out)
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))
     seg(

@@ -316,9 +316,10 @@ def test_jpeg_restart_markers_round_trip():
 
 
 def test_jpeg_unsupported_variants_quarantine(spark):
-    """Progressive (SOF2) and 16-bit-quant JPEGs must raise — and
-    through decode_features they quarantine per row, never killing the
-    job."""
+    """Lossless (SOF3) and 16-bit-quant JPEGs must raise — and through
+    decode_features they quarantine per row, never killing the job. A
+    baseline stream relabeled SOF2 is CORRUPT progressive (its one
+    scan has Ss=0,Se=63) and must raise too, not misdecode."""
     from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
         _jpeg_pixels,
         decode_features,
@@ -326,11 +327,15 @@ def test_jpeg_unsupported_variants_quarantine(spark):
     )
 
     good = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
-    progressive = bytearray(good)
     sof = good.find(b"\xff\xc0")
-    progressive[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF type 0xc2"):
-        _jpeg_pixels(bytes(progressive))
+    lossless = bytearray(good)
+    lossless[sof + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF type 0xc3"):
+        _jpeg_pixels(bytes(lossless))
+    fake_prog = bytearray(good)
+    fake_prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive DC scan"):
+        _jpeg_pixels(bytes(fake_prog))
     bad_quant = bytearray(good)
     dqt = good.find(b"\xff\xdb")
     bad_quant[dqt + 4] = 0x10  # Pq=1 → 16-bit table
@@ -339,7 +344,7 @@ def test_jpeg_unsupported_variants_quarantine(spark):
     df = spark.createDataFrame(
         [
             (1, bytearray(good), "image/jpeg"),
-            (2, bytearray(bytes(progressive)), "image/jpeg"),
+            (2, bytearray(bytes(lossless)), "image/jpeg"),
             (3, bytearray(good[:30]), "image/jpeg"),
         ],
         "doc_id long, payload binary, mime string",
@@ -551,3 +556,28 @@ def test_decode_media_avi_stats(spark):
     rows = decode_features(avi).collect()
     assert len(rows) == 1 and rows[0].ok and rows[0].kind == "video"
     assert rows[0].n_frames == 3
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """Progressive (SOF2, spectral selection + one level of successive
+    approximation) reconstructs the EXACT same quantized coefficients
+    as the baseline encoding of the same image — so decode must be
+    bit-identical, grayscale and color, odd dims, both quant tables."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(42)
+    q1 = np.ones(64, dtype=np.int64)
+    for h, w, gray, qt in [
+        (16, 24, True, q1),
+        (13, 21, True, None),
+        (16, 24, False, q1),
+        (13, 29, False, None),
+        (1, 1, True, q1),
+    ]:
+        px = rng.randint(0, 256, (h, w) if gray else (h, w, 3)).astype(np.uint8)
+        base = _jpeg_pixels(encode_jpeg(px, qtable=qt))
+        prog = _jpeg_pixels(encode_jpeg(px, qtable=qt, progressive=True))
+        assert (base == prog).all(), (h, w, gray)
