@@ -1399,13 +1399,16 @@ def synthesize_jpeg_from_text(
     these fixtures and the aHash oracle stays a pure function of the
     text bytes, while the full huffman/DCT machinery runs for real
     (the PNG synthesizer's y%5-filter-sweep discipline, adapted to a
-    transform codec). Restart interval 2 exercises the DRI/RSTn path
-    at corpus scale."""
+    transform codec). EVEN doc_ids encode baseline with restart
+    interval 2 (DRI/RSTn path); ODD doc_ids encode PROGRESSIVE (SOF2
+    multi-scan, successive approximation, EOB runs) — both decode to
+    identical pixels on these fixtures, so ONE oracle certifies both
+    entropy modes at corpus scale."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = []
-            for t in pdf[text_col]:
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
                 raw = t.encode("utf-8")
                 n = len(raw)
                 vals = (
@@ -1414,7 +1417,11 @@ def synthesize_jpeg_from_text(
                     else np.zeros(n_blocks, dtype=np.uint8)
                 )
                 px = np.tile(np.repeat(vals, 8), (8, 1)).astype(np.uint8)
-                payloads.append(encode_jpeg(px, restart_interval=2))
+                payloads.append(
+                    encode_jpeg(px, progressive=True)
+                    if int(doc_id) % 2
+                    else encode_jpeg(px, restart_interval=2)
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col], "payload": payloads, "mime": "image/jpeg"}
             )
