@@ -27,6 +27,8 @@ array functions) — no Python UDFs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -40,9 +42,16 @@ SHINGLE_SIZE = 3
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed long exactly
 
 
-_SHUFFLE_PLAN_TOKENS = (
-    "Join", "Aggregate", "Repartition", "Window", "Sort",
-    "Deduplicate", "GlobalLimit", "MapInPandas", "FlatMap",
+# Matches shuffle-introducing node NAMES at the start of a plan-tree
+# line (after the `+- : |` tree art), never inside rendered
+# expressions — a column literally named "Join" or a string literal
+# containing "Sort" appears mid-line inside Project/Filter brackets
+# and must not trip the guard (r7 advice: raw substring containment
+# made the probe data/schema-dependent).
+_SHUFFLE_NODE_RE = re.compile(
+    r"^[\s+:|-]*(?:Join|Aggregate|Repartition\w*|Rebalance\w*|Window|Sort"
+    r"|Deduplicate\w*|GlobalLimit|MapInPandas|FlatMap\w*)\b",
+    re.MULTILINE,
 )
 
 
@@ -70,7 +79,7 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     size-balanced by construction)."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(tok in plan for tok in _SHUFFLE_PLAN_TOKENS):
+    if _SHUFFLE_NODE_RE.search(plan):
         return df
     if df.rdd.getNumPartitions() >= n:
         return df

@@ -893,6 +893,12 @@ def encode_jpeg(
     if qtable is None:
         qtable = np.full(64, 8, dtype=np.int64)
     qtable = np.asarray(qtable, dtype=np.int64).reshape(64)
+    # DQT entries are emitted as uint8 (r7 advice): a value >255 would
+    # silently wrap so decode divides by a DIFFERENT table than encode
+    # multiplied by, and a 0 entry makes round(coef/q) produce inf →
+    # garbage int64. Reject both instead of emitting a wrong stream.
+    if not ((qtable >= 1).all() and (qtable <= 255).all()):
+        raise ValueError("qtable entries must be in [1, 255]")
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if gray:
@@ -1545,6 +1551,16 @@ def _avi_mjpeg_frames_impl(payload: bytes) -> list[bytes]:
                 sid = payload[sub : sub + 4]
                 (ssz,) = struct.unpack_from("<I", payload, sub + 4)
                 if sid[2:4] in (b"dc", b"db"):
+                    # Single-stream contract (r7 advice): only stream
+                    # 00 frames form ONE ordered sequence; a second
+                    # video/aux stream interleaving '01dc' chunks would
+                    # corrupt frame_id order + n_frames, so quarantine
+                    # instead of silently merging streams.
+                    if sid[:2] != b"00":
+                        raise ValueError(
+                            "multi-stream AVI (stream %r) unsupported"
+                            % sid[:2].decode("ascii", "replace")
+                        )
                     frames.append(payload[sub + 8 : sub + 8 + ssz])
                 sub += 8 + ssz + (ssz & 1)  # RIFF pads chunks to even
         pos += 8 + cksz + (cksz & 1)

@@ -538,6 +538,47 @@ def test_avi_corrupt_payloads_raise(spark):
         _avi_mjpeg_frames(empty)
 
 
+def test_avi_multi_stream_quarantines(spark):
+    """An AVI whose 'movi' list carries a SECOND stream's '01dc'
+    chunks must raise (r8): silently interleaving foreign frames into
+    one sequence would corrupt frame_id ordering and n_frames. Only
+    stream 00 is the single-stream fixture contract."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _avi_mjpeg_frames,
+        encode_jpeg,
+        synthesize_avi_mjpeg_from_text,
+    )
+
+    frame = encode_jpeg(np.full((8, 8), 42, dtype=np.uint8))
+
+    def ck(cid, data):
+        return cid + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    movi = b"movi" + ck(b"00dc", frame) + ck(b"01dc", frame)
+    body = b"AVI " + ck(b"LIST", movi)
+    two_stream = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="multi-stream"):
+        _avi_mjpeg_frames(two_stream)
+
+    # The single-stream synthesizer path is unaffected.
+    df = spark.createDataFrame([(1, "ok")], "doc_id long, text string")
+    payload = bytes(synthesize_avi_mjpeg_from_text(df, n_frames=2).collect()[0].payload)
+    assert len(_avi_mjpeg_frames(payload)) == 2
+
+
+def test_encode_jpeg_rejects_out_of_range_qtable():
+    """DQT entries are emitted as uint8: >255 would silently wrap (a
+    different table at decode than encode) and 0 divides to inf — both
+    must raise instead of producing a wrong stream (r8)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import encode_jpeg
+
+    px = np.zeros((8, 8), dtype=np.uint8)
+    for bad in (np.full(64, 256), np.full(64, 0), np.r_[np.zeros(1), np.full(63, 8)]):
+        with pytest.raises(ValueError, match=r"\[1, 255\]"):
+            encode_jpeg(px, qtable=bad)
+    assert encode_jpeg(px, qtable=np.full(64, 255))[:2] == b"\xff\xd8"
+
+
 def test_decode_media_avi_stats(spark):
     """decode_media/decode_features route AVI through the real
     container+codec walk: kind=video, frame count, first-frame dims."""

@@ -157,3 +157,33 @@ def test_spread_probe_is_lazy_and_shuffle_aware(spark):
     assert widened.rdd.getNumPartitions() >= min(
         32, spark.sparkContext.defaultParallelism
     )
+
+
+def test_spread_guard_ignores_tokens_inside_expressions(spark, tmp_path):
+    """The shuffle guard matches node NAMES at plan-tree line starts,
+    not raw substrings (r7 advice): a column named 'Join' or a string
+    literal containing 'Sort' renders inside Project/Filter brackets
+    and must NOT make spread() skip the rebalance."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import spread
+
+    root = str(tmp_path / "tokens")
+    spark.range(10).withColumnRenamed("id", "Join").coalesce(1).write.parquet(root)
+    scan = (
+        spark.read.parquet(root)
+        .withColumn("note", F.lit("Sort by Window GlobalLimit"))
+        .filter(F.col("Join") >= 0)
+    )
+    assert scan.rdd.getNumPartitions() == 1  # genuinely under-split
+    plan = scan._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan and "Sort" in plan  # tokens DO appear mid-line
+    widened = spread(scan)
+    assert widened is not scan, "guard false-positived on expression text"
+    assert widened.rdd.getNumPartitions() >= min(
+        32, spark.sparkContext.defaultParallelism
+    )
+
+    # And real shuffle nodes still short-circuit.
+    agg = scan.groupBy("note").agg(F.count("*").alias("c"))
+    assert spread(agg) is agg
