@@ -144,14 +144,15 @@ def _png_pixels(payload: bytes) -> np.ndarray:
     parsed and dropped. Unsupported variants (16-bit, palette,
     interlaced) raise and quarantine like any bad payload.
 
-    Performance caveat (r6 advice): None/Up/Sub unfilter vectorized
-    (Sub as per-channel cumsum mod 256); Average/Paeth fall back to a
-    per-pixel Python loop because their predictor is a NONLINEAR
-    function of the just-decoded left neighbor — O(w*h) interpreter
-    work on scanlines using those filters. Fine for thumbnail-scale
-    corpus images; a corpus dominated by large Paeth-filtered PNGs
-    would want this loop pushed into numpy per-scanline with the
-    recurrence unrolled (or a real codec on the cluster image)."""
+    Performance caveat (r6 advice, reworked r8): None/Up/Sub unfilter
+    vectorized (Sub as per-channel cumsum mod 256); Average/Paeth run
+    a per-scanline running recurrence over plain Python ints (their
+    predictor is a NONLINEAR function of the just-decoded left
+    neighbor, so the chain is inherently serial — no exact numpy
+    closed form). Still O(w*h) interpreter work on those scanlines,
+    but 2-3× the old per-element numpy-scalar loop; a corpus dominated
+    by large Paeth PNGs would still want a real codec on the cluster
+    image."""
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
@@ -203,18 +204,34 @@ def _png_pixels(payload: bytes) -> np.ndarray:
             for c in range(ch):
                 cur[c::ch] = np.cumsum(line[c::ch]) & 0xFF
         elif f in (3, 4):  # Average/Paeth: nonlinear left dependence
-            cur = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                if f == 3:
-                    pred = (a + b) >> 1
-                else:
-                    c = int(prev[x - ch]) if x >= ch else 0
+            # The predictor is a nonlinear (floor-average / min-select)
+            # function of the JUST-decoded left neighbor, so the
+            # scanline recurrence is inherently serial — no exact
+            # numpy closed form (the mod-256 wrap breaks the halving
+            # argument that would otherwise bound Average's left
+            # influence). r8: the recurrence runs over plain Python
+            # ints on pre-converted lists instead of per-element numpy
+            # scalar extraction/assignment — measured 256×256: Average
+            # 0.154→0.047 s, Paeth 0.167→0.082 s; exact by construction.
+            lineL = line.tolist()
+            prevL = prev.tolist()
+            curL = [0] * stride
+            if f == 3:
+                for x in range(stride):
+                    a = curL[x - ch] if x >= ch else 0
+                    curL[x] = (lineL[x] + ((a + prevL[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = curL[x - ch] if x >= ch else 0
+                    b = prevL[x]
+                    c = prevL[x - ch] if x >= ch else 0
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(line[x]) + pred) & 0xFF
+                    curL[x] = (lineL[x] + pred) & 0xFF
+            cur = np.asarray(curL, dtype=np.int64)
         else:
             raise ValueError(f"bad PNG filter type {f}")
         out[y] = cur
