@@ -19,8 +19,14 @@ Decode status — honest per format:
   Motion-JPEG AVI video (``_avi_mjpeg_frames``: RIFF/'movi' walk +
   per-frame JPEG decode — a STANDARD video container, alongside the
   synthetic VID0 one).
-- **STUB**: MP4/... (and arithmetic-coded/lossless/hierarchical JPEG
-  variants) need ffmpeg/PIL, absent in this container —
+- **MP4**: the ISO-BMFF CONTAINER walk is real (r8,
+  ``_mp4_video_stats``: box tree → 'vide' trak → tkhd dims, mdhd
+  timescale/duration, stsd codec fourcc, stsz sample count), so
+  ``decode_media`` returns video stats for MP4; the SAMPLE layer
+  (H.264/H.265 bitstream decode) needs ffmpeg, absent here — frame
+  pixel access raises ``NotImplementedError`` and quarantines.
+- **STUB**: arithmetic-coded/lossless/hierarchical JPEG
+  variants need ffmpeg/PIL, absent in this container —
   ``decode_media`` raises ``NotImplementedError`` for those mimes;
   ``decode_features`` rows quarantine per-payload (``ok=false`` +
   error) instead of killing the job, mirroring the engine's
@@ -1078,10 +1084,110 @@ def _image_pixels(payload: bytes) -> np.ndarray:
     raise ValueError("unsupported image container (expected BMP, PNG, or JPEG)")
 
 
+def _mp4_boxes(buf: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """(type, payload_start, payload_end) for each ISO-BMFF box in
+    buf[start:end]. Handles 32-bit sizes, size==1 (64-bit largesize)
+    and size==0 (box extends to end of the enclosing scope)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if body + 8 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack_from(">Q", buf, body)
+            body += 8
+            box_end = pos + size
+        elif size == 0:
+            box_end = end
+        else:
+            box_end = pos + size
+        if box_end < body or box_end > end:
+            raise ValueError(f"MP4 box {btype!r} overruns its scope")
+        yield btype, body, box_end
+        pos = box_end
+
+
+def _mp4_child(buf: bytes, start: int, end: int, btype: bytes) -> tuple[int, int] | None:
+    for t, b, e in _mp4_boxes(buf, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def _mp4_video_stats(payload: bytes) -> dict:
+    """Video stats from a REAL ISO-BMFF (MP4) container walk — box
+    tree → first 'vide'-handler trak → tkhd 16.16 dims, mdhd
+    timescale+duration, stsd first sample-entry fourcc, stsz sample
+    count. No sample-layer decode: the H.264/HEVC bitstream needs
+    codec libraries absent in this container, so FRAME access (e.g.
+    ``video_frame_hashes``) raises and quarantines — this parses the
+    metadata a 100 TB video-corpus triage pass actually scans
+    (duration/dims/codec routing before any expensive decode).
+
+    Parity anchor: the reference has no video path; this extends the
+    decode_media family (same dict shape as ``decode_avi_mjpeg``,
+    minus pixel means which require sample decode)."""
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (MP4) container")
+    moov = _mp4_child(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MP4 has no moov box")
+    for ttype, tb, te in _mp4_boxes(payload, *moov):
+        if ttype != b"trak":
+            continue
+        mdia = _mp4_child(payload, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_child(payload, *mdia, b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        # tkhd: width/height as 16.16 fixed point at the tail.
+        tkhd = _mp4_child(payload, tb, te, b"tkhd")
+        if tkhd is None:
+            raise ValueError("video trak missing tkhd")
+        (tw,) = struct.unpack_from(">I", payload, tkhd[1] - 8)
+        (th,) = struct.unpack_from(">I", payload, tkhd[1] - 4)
+        # mdhd: timescale + duration (v0: 32-bit, v1: 64-bit fields).
+        mdhd = _mp4_child(payload, *mdia, b"mdhd")
+        if mdhd is None:
+            raise ValueError("video trak missing mdhd")
+        v = payload[mdhd[0]]
+        if v == 1:
+            timescale, duration = struct.unpack_from(">IQ", payload, mdhd[0] + 20)
+        else:
+            timescale, duration = struct.unpack_from(">II", payload, mdhd[0] + 12)
+        stbl_scope = _mp4_child(payload, *mdia, b"minf")
+        stbl = _mp4_child(payload, *stbl_scope, b"stbl") if stbl_scope else None
+        if stbl is None:
+            raise ValueError("video trak missing minf/stbl")
+        stsd = _mp4_child(payload, *stbl, b"stsd")
+        codec = "unknown"
+        if stsd is not None:
+            (n_entries,) = struct.unpack_from(">I", payload, stsd[0] + 4)
+            if n_entries >= 1:
+                codec = payload[stsd[0] + 12 : stsd[0] + 16].decode("ascii", "replace")
+        stsz = _mp4_child(payload, *stbl, b"stsz")
+        if stsz is None:
+            raise ValueError("video trak missing stsz")
+        (n_frames,) = struct.unpack_from(">I", payload, stsz[0] + 8)
+        return {
+            "kind": "video",
+            "n_frames": int(n_frames),
+            "width": tw >> 16,
+            "height": th >> 16,
+            "codec": codec,
+            "duration_s": (duration / timescale) if timescale else 0.0,
+        }
+    raise ValueError("MP4 has no video track")
+
+
 def decode_media(payload: bytes, mime: str) -> dict:
     """Decode entry point, routed by mime. WAV, uncompressed BMP,
     8-bit PNG, and baseline JPEG decode for real (stdlib + numpy);
-    MP4/... would need ffmpeg, absent in this container, and raise."""
+    MP4 gets a real ISO-BMFF container walk (stats only — the sample
+    layer would need ffmpeg, absent in this container, and raises)."""
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return decode_wav(payload)
     if mime in ("image/bmp", "image/x-bmp"):
@@ -1092,6 +1198,8 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_jpeg(payload)
     if mime in ("video/x-msvideo", "video/avi"):
         return decode_avi_mjpeg(payload)
+    if mime in ("video/mp4", "video/quicktime"):
+        return _mp4_video_stats(payload)
     raise NotImplementedError(
         f"media decode for {mime!r} requires codec libraries not present; "
         "extract_features uses the deterministic byte-level fallback"
@@ -1125,14 +1233,14 @@ DECODE_SCHEMA = (
     "doc_id long, mime string, kind string, ok boolean, err string, "
     "width int, height int, mean_r double, mean_g double, mean_b double, "
     "n_channels int, sample_rate int, n_frames int, duration_s double, "
-    "rms double, peak double"
+    "rms double, peak double, codec string"
 )
 
 _DECODE_NULLS = {
     "kind": None, "width": None, "height": None,
     "mean_r": None, "mean_g": None, "mean_b": None,
     "n_channels": None, "sample_rate": None, "n_frames": None,
-    "duration_s": None, "rms": None, "peak": None,
+    "duration_s": None, "rms": None, "peak": None, "codec": None,
 }
 
 

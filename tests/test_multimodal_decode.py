@@ -72,11 +72,12 @@ def test_decode_features_mixed_media_and_quarantine(spark):
         (1, bytearray(wav), "audio/wav"),
         (2, bytearray(bmp), "image/bmp"),
         (3, bytearray(b"not really media"), "image/bmp"),  # corrupt
-        (4, bytearray(b"\x00" * 64), "video/mp4"),  # unsupported codec
+        (4, bytearray(b"\x00" * 64), "video/webm"),  # unsupported codec
+        (5, bytearray(b"\x00" * 64), "video/mp4"),  # corrupt container
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary, mime string")
     out = {r.doc_id: r for r in decode_features(df).collect()}
-    assert len(out) == 4  # quarantine, not row loss
+    assert len(out) == 5  # quarantine, not row loss
     assert out[1].ok and out[1].kind == "audio"
     assert out[1].sample_rate == 8000 and out[1].n_frames == 100
     assert out[1].rms == pytest.approx(500.0)
@@ -85,6 +86,7 @@ def test_decode_features_mixed_media_and_quarantine(spark):
     assert out[2].mean_g == pytest.approx(128.0)
     assert not out[3].ok and "ValueError" in out[3].err
     assert not out[4].ok and "NotImplementedError" in out[4].err
+    assert not out[5].ok and "ValueError" in out[5].err  # real walk, bad bytes
 
 
 def test_resize_bmp_exact_nearest_neighbor(spark):
@@ -622,3 +624,102 @@ def test_jpeg_progressive_decodes_identical_to_baseline():
         base = _jpeg_pixels(encode_jpeg(px, qtable=qt))
         prog = _jpeg_pixels(encode_jpeg(px, qtable=qt, progressive=True))
         assert (base == prog).all(), (h, w, gray)
+
+
+# --- MP4 ISO-BMFF container walk (r8) -------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _make_mp4(
+    n_frames=7,
+    width=320,
+    height=240,
+    codec=b"avc1",
+    timescale=600,
+    duration=1800,
+    mdhd_v1=False,
+    extra_trak=b"",
+    largesize_moov=False,
+) -> bytes:
+    tkhd = _box(
+        b"tkhd",
+        bytes(4) + bytes(80) + struct.pack(">II", width << 16, height << 16),
+    )
+    if mdhd_v1:
+        mdhd = _box(
+            b"mdhd",
+            b"\x01" + bytes(3) + bytes(16) + struct.pack(">IQ", timescale, duration) + bytes(4),
+        )
+    else:
+        mdhd = _box(
+            b"mdhd",
+            bytes(4) + bytes(8) + struct.pack(">II", timescale, duration) + bytes(4),
+        )
+    hdlr = _box(b"hdlr", bytes(4) + bytes(4) + b"vide" + bytes(12))
+    entry = struct.pack(">I", 16) + codec + bytes(8)
+    stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+    stsz = _box(b"stsz", bytes(4) + struct.pack(">II", 0, n_frames))
+    stbl = _box(b"stbl", stsd + stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov_payload = extra_trak + trak
+    if largesize_moov:
+        moov = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov_payload)) + moov_payload
+    else:
+        moov = _box(b"moov", moov_payload)
+    return _box(b"ftyp", b"isom" + bytes(4) + b"isomavc1") + moov + _box(b"mdat", b"\x00" * 32)
+
+
+def test_mp4_container_walk_stats():
+    """The ISO-BMFF walk resolves the 'vide' trak's dims (tkhd 16.16),
+    codec fourcc (stsd), frame count (stsz) and duration (mdhd v0 AND
+    v1 layouts, plus a 64-bit largesize moov) — real container
+    parsing, no sample-layer decode."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp4_video_stats,
+        decode_media,
+    )
+
+    out = _mp4_video_stats(_make_mp4())
+    assert out == {
+        "kind": "video",
+        "n_frames": 7,
+        "width": 320,
+        "height": 240,
+        "codec": "avc1",
+        "duration_s": 3.0,
+    }
+    assert decode_media(_make_mp4(), "video/mp4") == out
+    v1 = _mp4_video_stats(_make_mp4(mdhd_v1=True, timescale=1000, duration=2500))
+    assert v1["duration_s"] == 2.5
+    big = _mp4_video_stats(_make_mp4(largesize_moov=True, codec=b"hev1"))
+    assert big["codec"] == "hev1" and big["n_frames"] == 7
+
+
+def test_mp4_skips_non_video_traks_and_quarantines_bad_payloads():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp4_video_stats,
+    )
+
+    # An audio ('soun') trak before the video one is skipped, not misread.
+    soun_hdlr = _box(b"hdlr", bytes(4) + bytes(4) + b"soun" + bytes(12))
+    soun_trak = _box(b"trak", _box(b"mdia", soun_hdlr))
+    out = _mp4_video_stats(_make_mp4(extra_trak=soun_trak, n_frames=3))
+    assert out["n_frames"] == 3 and out["kind"] == "video"
+
+    with pytest.raises(ValueError, match="not an ISO-BMFF"):
+        _mp4_video_stats(b"\x00" * 64)
+    no_moov = _box(b"ftyp", b"isom" + bytes(4)) + _box(b"mdat", b"x")
+    with pytest.raises(ValueError, match="no moov"):
+        _mp4_video_stats(no_moov)
+    audio_only = _box(b"ftyp", b"isom" + bytes(4)) + _box(b"moov", soun_trak)
+    with pytest.raises(ValueError, match="no video track"):
+        _mp4_video_stats(audio_only)
+    # A box whose declared size overruns its scope must raise, not scan OOB.
+    overrun = _box(b"ftyp", b"isom" + bytes(4)) + struct.pack(">I", 1 << 20) + b"moov"
+    with pytest.raises(ValueError, match="overruns"):
+        _mp4_video_stats(overrun)
