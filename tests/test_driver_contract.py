@@ -121,15 +121,44 @@ def test_fitted_line_always_parses_within_budget():
         },
         "errors": {"some_query": "E" * 300},
     }
+    out["floor_runs"] = [12.1, 12.5]
+    out["git_head"] = "a" * 40
     line = bench.fitted_line(out)
     assert len(line) <= bench.TAIL_BUDGET
     parsed = json.loads(line)
     assert parsed["queries"].keys() == queries.keys()
     assert parsed["value"] == 12.3
+    # floor_runs must SURVIVE fitting (r7 verdict #7: it's how
+    # bench_compare separates noise from drift); git_head is droppable.
+    assert parsed["floor_runs"] == [12.1, 12.5]
     # a small payload keeps everything
     small = dict(out, queries={"q01": 1.0}, adjudicated={}, errors={})
     parsed_small = json.loads(bench.fitted_line(small))
     assert "methodology" in parsed_small and "cold_total" in parsed_small
+
+
+def test_floor_runs_inherit_only_at_same_commit():
+    """floor_runs accumulate across repeated full runs at one commit
+    and reset on any commit / sf / headline-set change — a stale floor
+    from different code would mask a real regression."""
+    import bench
+
+    prev = {
+        "git_head": "c1", "sf": 0.1,
+        "queries": {"q01": 1.0, "q02": 2.0},
+        "value": 43.4, "floor_runs": [43.9],
+    }
+    same = {"git_head": "c1", "sf": 0.1, "queries": {"q01": 1.1, "q02": 2.2}}
+    assert bench.inherit_floor_runs(prev, same) == [43.4, 43.9]
+    assert bench.inherit_floor_runs(dict(prev, git_head="c2"), same) == []
+    assert bench.inherit_floor_runs(dict(prev, sf=0.01), same) == []
+    assert bench.inherit_floor_runs(
+        dict(prev, queries={"q01": 1.0}), same
+    ) == []
+    # a missing git_head (no git on the box) never inherits
+    assert bench.inherit_floor_runs(
+        dict(prev, git_head=None), dict(same, git_head=None)
+    ) == []
 
 
 def test_stale_cohort_fits_check_budget():

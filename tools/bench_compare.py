@@ -81,7 +81,26 @@ def main() -> None:
     common = sorted(set(qa) & set(qb))
     ta, tb = sum(qa[q] for q in common), sum(qb[q] for q in common)
     print(f"common queries: {len(common)}")
-    print(f"{a}: {ta:.2f}s   {b}: {tb:.2f}s   delta {100*(tb-ta)/ta:+.1f}%")
+    delta_pct = 100 * (tb - ta) / ta
+    print(f"{a}: {ta:.2f}s   {b}: {tb:.2f}s   delta {delta_pct:+.1f}%")
+    # floor_runs (r7 verdict item #7): the newer artifact may carry the
+    # totals of repeated full runs at the same commit — the measured
+    # run-to-run noise band on this co-tenanted box. A total delta
+    # inside that band is noise, not drift, and the report says so
+    # without anyone having to re-read SCALE.md prose.
+    floor = [
+        t
+        for t in pb.get("floor_runs", []) + [pb.get("value")]
+        if isinstance(t, (int, float))
+    ]
+    if len(floor) >= 2:
+        noise_pct = 100 * (max(floor) - min(floor)) / min(floor)
+        verdict = "WITHIN" if abs(delta_pct) <= noise_pct else "OUTSIDE"
+        print(
+            f"run-to-run band at {b}'s commit: {min(floor):.2f}-"
+            f"{max(floor):.2f}s over {len(floor)} full runs "
+            f"(±{noise_pct:.1f}%) — total delta is {verdict} observed noise"
+        )
     regressions = []
     for q in common:
         d = 100 * (qb[q] - qa[q]) / qa[q] if qa[q] else 0.0
