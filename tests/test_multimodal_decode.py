@@ -723,3 +723,52 @@ def test_mp4_skips_non_video_traks_and_quarantines_bad_payloads():
     overrun = _box(b"ftyp", b"isom" + bytes(4)) + struct.pack(">I", 1 << 20) + b"moov"
     with pytest.raises(ValueError, match="overruns"):
         _mp4_video_stats(overrun)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n_frames=st.integers(0, 10_000),
+    width=st.integers(1, 8192),
+    height=st.integers(1, 8192),
+    codec=st.sampled_from([b"avc1", b"hev1", b"mp4v", b"vp09"]),
+    timescale=st.integers(1, 120_000),
+    duration=st.integers(0, 1 << 40),
+    mdhd_v1=st.booleans(),
+    largesize=st.booleans(),
+    junk=st.binary(min_size=0, max_size=64),
+)
+def test_mp4_walk_round_trips_arbitrary_headers(
+    n_frames, width, height, codec, timescale, duration, mdhd_v1, largesize, junk
+):
+    """Property: whatever header values the container carries, the walk
+    reads them back exactly — including v1 64-bit mdhd durations,
+    largesize moov boxes, and unknown boxes (junk 'free' payload)
+    skipped without desync."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp4_video_stats,
+    )
+
+    if mdhd_v1 is False:
+        duration %= 1 << 32  # v0 stores 32-bit durations
+    payload = _make_mp4(
+        n_frames=n_frames,
+        width=width,
+        height=height,
+        codec=codec,
+        timescale=timescale,
+        duration=duration,
+        mdhd_v1=mdhd_v1,
+        largesize_moov=largesize,
+    )
+    # splice an unknown box between ftyp and moov — must be skipped
+    (ftyp_len,) = struct.unpack_from(">I", payload, 0)
+    payload = payload[:ftyp_len] + _box(b"free", junk) + payload[ftyp_len:]
+    out = _mp4_video_stats(payload)
+    assert out["n_frames"] == n_frames
+    assert (out["width"], out["height"]) == (width, height)
+    assert out["codec"] == codec.decode()
+    assert out["duration_s"] == duration / timescale
