@@ -772,3 +772,82 @@ def test_mp4_walk_round_trips_arbitrary_headers(
     assert (out["width"], out["height"]) == (width, height)
     assert out["codec"] == codec.decode()
     assert out["duration_s"] == duration / timescale
+
+
+def test_mp4_mjpeg_sample_layer_round_trip():
+    """MJPEG samples resolve through the REAL sample tables (stsz
+    per-sample sizes x stsc run expansion x stco offsets) and decode
+    pixel-exact — single-chunk, per-sample chunks, and a multi-chunk
+    layout with a trailing partial chunk."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_pixels,
+        _mjpeg_frames_for_text,
+        _mp4_mjpeg_container,
+        _mp4_mjpeg_frames,
+        decode_media,
+    )
+
+    raw = b"sample tables are the point of this test"
+    frames = _mjpeg_frames_for_text(raw, 5)
+    for spc in (0, 1, 2, 3):
+        payload = _mp4_mjpeg_container(frames, samples_per_chunk=spc)
+        got = _mp4_mjpeg_frames(payload)
+        assert got == frames, f"samples_per_chunk={spc}"
+    out = decode_media(_mp4_mjpeg_container(frames), "video/mp4")
+    assert out["kind"] == "video" and out["n_frames"] == 5
+    assert (out["width"], out["height"]) == (64, 8)
+    assert out["codec"] == "jpeg"
+    # block-constant contract: frame f block b == raw[(8f+b) % n]
+    px = _jpeg_pixels(frames[3])
+    assert (px[:, 2 * 8 : 3 * 8] == raw[(8 * 3 + 2) % len(raw)]).all()
+
+
+def test_mp4_non_jpeg_codec_quarantines_frame_access():
+    """Frame access on an avc1 MP4 raises NotImplementedError (codec
+    libs absent) while decode_media still returns container stats."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp4_mjpeg_frames,
+        decode_media,
+        video_frame_hashes,
+    )
+
+    payload = _make_mp4(codec=b"avc1", n_frames=9)
+    with pytest.raises(NotImplementedError, match="avc1"):
+        _mp4_mjpeg_frames(payload)
+    out = decode_media(payload, "video/mp4")
+    assert out["codec"] == "avc1" and out["n_frames"] == 9
+
+
+def test_mixed_video_fixture_covers_all_three_containers(spark):
+    """doc_id % 3 routes VID0 / AVI / MP4; the two MJPEG containers
+    share the block-constant frame contract, so for the SAME text
+    their frame hashes are identical — pinning that the MP4 sample
+    walk and the AVI movi walk decode the same pixels."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        synthesize_avi_mjpeg_from_text,
+        synthesize_mixed_video_from_text,
+        synthesize_mp4_mjpeg_from_text,
+        video_frame_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some entropy") for i in range(6)],
+        "doc_id long, text string",
+    )
+    mixed = synthesize_mixed_video_from_text(docs)
+    mimes = {r.doc_id: r.mime for r in mixed.collect()}
+    assert mimes[0] == "video/x-frames" and mimes[3] == "video/x-frames"
+    assert mimes[1] == "video/x-msvideo" and mimes[2] == "video/mp4"
+    rows = video_frame_hashes(mixed).collect()
+    assert len(rows) == 6 * 6  # 6 docs x 6 frames, every container decodes
+
+    one = spark.createDataFrame([(7, "same text same hashes")], "doc_id long, text string")
+    avi_h = sorted(
+        (r.frame_id, r.fhash)
+        for r in video_frame_hashes(synthesize_avi_mjpeg_from_text(one, n_frames=4)).collect()
+    )
+    mp4_h = sorted(
+        (r.frame_id, r.fhash)
+        for r in video_frame_hashes(synthesize_mp4_mjpeg_from_text(one, n_frames=4)).collect()
+    )
+    assert avi_h == mp4_h
