@@ -1124,9 +1124,18 @@ def _mp4_video_track(payload: bytes) -> dict:
     ISO-BMFF container: tkhd 16.16 dims, mdhd timescale+duration (v0
     32-bit and v1 64-bit layouts), stsd first sample-entry fourcc,
     stsz sample count, plus the stbl bounds for the sample-table walk.
-    Raises ValueError on anything that is not a video-bearing MP4."""
+    Raises ValueError on anything that is not a video-bearing MP4
+    (struct.error from truncated fixed-layout boxes is wrapped, the
+    WAV/AVI discipline, so quarantine matching stays uniform)."""
     if len(payload) < 16 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF (MP4) container")
+    try:
+        return _mp4_video_track_impl(payload)
+    except struct.error as exc:
+        raise ValueError(f"corrupt MP4 container ({exc})") from exc
+
+
+def _mp4_video_track_impl(payload: bytes) -> dict:
     moov = _mp4_child(payload, 0, len(payload), b"moov")
     if moov is None:
         raise ValueError("MP4 has no moov box")
@@ -1211,7 +1220,16 @@ def _mp4_sample_ranges(payload: bytes, trk: dict) -> list[tuple[int, int]]:
     sample order — the real ISO-BMFF sample-table resolution: stsz
     (per-sample or uniform sizes) × stsc (sample→chunk run-length
     map) × stco/co64 (chunk offsets). This is the layer that turns
-    'container metadata' into addressable frame bytes."""
+    'container metadata' into addressable frame bytes. Every table is
+    bounds-checked against its own box so a corrupt count raises
+    ValueError instead of leaking struct.error."""
+    try:
+        return _mp4_sample_ranges_impl(payload, trk)
+    except struct.error as exc:
+        raise ValueError(f"corrupt MP4 sample tables ({exc})") from exc
+
+
+def _mp4_sample_ranges_impl(payload: bytes, trk: dict) -> list[tuple[int, int]]:
     stbl, stsz = trk["stbl"], trk["stsz"]
     (uniform, n_samples) = struct.unpack_from(">II", payload, stsz[0] + 4)
     if uniform:
@@ -1223,17 +1241,23 @@ def _mp4_sample_ranges(payload: bytes, trk: dict) -> list[tuple[int, int]]:
     stco = _mp4_child(payload, *stbl, b"stco")
     if stco is not None:
         (n_chunks,) = struct.unpack_from(">I", payload, stco[0] + 4)
+        if stco[0] + 8 + 4 * n_chunks > stco[1]:
+            raise ValueError("stco table truncated")
         offsets = list(struct.unpack_from(f">{n_chunks}I", payload, stco[0] + 8))
     else:
         co64 = _mp4_child(payload, *stbl, b"co64")
         if co64 is None:
             raise ValueError("video trak missing stco/co64")
         (n_chunks,) = struct.unpack_from(">I", payload, co64[0] + 4)
+        if co64[0] + 8 + 8 * n_chunks > co64[1]:
+            raise ValueError("co64 table truncated")
         offsets = list(struct.unpack_from(f">{n_chunks}Q", payload, co64[0] + 8))
     stsc = _mp4_child(payload, *stbl, b"stsc")
     if stsc is None:
         raise ValueError("video trak missing stsc")
     (n_runs,) = struct.unpack_from(">I", payload, stsc[0] + 4)
+    if stsc[0] + 8 + 12 * n_runs > stsc[1]:
+        raise ValueError("stsc table truncated")
     runs = [
         struct.unpack_from(">III", payload, stsc[0] + 8 + 12 * i)[:2]
         for i in range(n_runs)

@@ -851,3 +851,37 @@ def test_mixed_video_fixture_covers_all_three_containers(spark):
         for r in video_frame_hashes(synthesize_mp4_mjpeg_from_text(one, n_frames=4)).collect()
     )
     assert avi_h == mp4_h
+
+
+def test_mp4_corrupt_tables_raise_valueerror_not_struct_error():
+    """Truncated fixed-layout boxes and lying table counts must raise
+    ValueError (the uniform quarantine contract), never leak a raw
+    struct.error through video_frame_hashes."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mjpeg_frames_for_text,
+        _mp4_mjpeg_container,
+        _mp4_mjpeg_frames,
+        _mp4_video_stats,
+    )
+
+    good = _mp4_mjpeg_container(_mjpeg_frames_for_text(b"abc", 2))
+    # truncate mid-moov: fixed-layout unpacks must surface as ValueError
+    for cut in (len(good) - 6, len(good) - 20, len(good) // 2 + 3):
+        try:
+            _mp4_video_stats(good[:cut])
+        except ValueError:
+            pass  # expected family
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+    # stco count lying past its box must raise, not unpack garbage
+    idx = good.rindex(b"stco")
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, idx + 8, 1 << 20)
+    with pytest.raises(ValueError, match="stco table truncated"):
+        _mp4_mjpeg_frames(bytes(bad))
+    # stsz count lying past its box likewise
+    idx = good.rindex(b"stsz")
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, idx + 12, 1 << 20)
+    with pytest.raises(ValueError, match="stsz table truncated"):
+        _mp4_mjpeg_frames(bytes(bad))
