@@ -9,6 +9,9 @@ Decode status — honest per format:
 
 - **REAL decode, no external codecs needed**: WAV/RIFF PCM audio
   (stdlib ``wave``: channels, sample rate, duration, RMS, peak),
+  16-bit PCM AIFF audio (r8, ``_aiff_samples``: big-endian IFF walk,
+  COMM 80-bit extended-float rate, SSND offset/blockSize — ``aifc``
+  left the stdlib, so the parse is hand-rolled),
   uncompressed 24-bit BMP images (``struct`` + numpy: dimensions, mean
   RGB, real nearest-neighbor thumbnails, per-sample frame extraction),
   8-bit RGB/RGBA PNG (stdlib ``zlib`` inflate + all five scanline
@@ -105,6 +108,97 @@ def decode_wav(payload: bytes) -> dict:
         "rms": rms,
         "peak": peak,
     }
+
+
+def _f80_encode(x: int) -> bytes:
+    """80-bit IEEE extended float (AIFF sample-rate encoding) of a
+    positive integer: 15-bit exponent biased 16383, 64-bit mantissa
+    with the integer bit EXPLICIT (no hidden bit, unlike float64)."""
+    if x <= 0:
+        raise ValueError("AIFF sample rate must be positive")
+    e = x.bit_length() - 1
+    return struct.pack(">HQ", 16383 + e, x << (63 - e))
+
+
+def _f80_decode(b: bytes) -> float:
+    se, mant = struct.unpack(">HQ", b[:10])
+    if se == 0 and mant == 0:
+        return 0.0
+    val = mant / (1 << 63) * 2.0 ** ((se & 0x7FFF) - 16383)
+    return -val if se & 0x8000 else val
+
+
+def _aiff_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """(int16 samples, rate, n_channels) of a 16-bit PCM AIFF — a real
+    IFF container walk (big-endian twin of the WAV path, stdlib-free
+    since ``aifc`` left the stdlib): FORM/AIFF check, COMM chunk
+    (channels, frame count, sample size, 80-bit extended-float rate),
+    SSND chunk (offset/blockSize header, big-endian PCM), even-byte
+    chunk padding honored."""
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not an AIFF container")
+    try:
+        return _aiff_samples_impl(payload)
+    except struct.error as exc:
+        raise ValueError(f"corrupt AIFF container ({exc})") from exc
+
+
+def _aiff_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
+    pos = 12
+    end = min(len(payload), 8 + struct.unpack_from(">I", payload, 4)[0])
+    comm = ssnd = None
+    while pos + 8 <= end:
+        ckid = payload[pos : pos + 4]
+        (cksz,) = struct.unpack_from(">I", payload, pos + 4)
+        if pos + 8 + cksz > end:
+            raise ValueError(f"AIFF chunk {ckid!r} overruns the form")
+        if ckid == b"COMM":
+            comm = (pos + 8, pos + 8 + cksz)
+        elif ckid == b"SSND":
+            ssnd = (pos + 8, pos + 8 + cksz)
+        pos += 8 + cksz + (cksz & 1)  # IFF pads chunks to even
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND")
+    n_ch, n_frames, samp_size = struct.unpack_from(">hIh", payload, comm[0])
+    rate = int(round(_f80_decode(payload[comm[0] + 8 : comm[0] + 18])))
+    if samp_size != 16:
+        raise ValueError(f"unsupported AIFF sample size {samp_size}")
+    offset, _blocksize = struct.unpack_from(">II", payload, ssnd[0])
+    start = ssnd[0] + 8 + offset
+    count = n_frames * n_ch
+    if start + 2 * count > ssnd[1]:
+        raise ValueError("AIFF sample data truncated")
+    samples = np.frombuffer(payload, dtype=">i2", offset=start, count=count)
+    return samples.astype(np.int16), rate, n_ch
+
+
+def decode_aiff(payload: bytes) -> dict:
+    """AIFF twin of ``decode_wav`` — same stats dict off the real
+    big-endian IFF parse."""
+    samples, rate, n_ch = _aiff_samples(payload)
+    s = samples.astype(np.float64)
+    n_frames = len(samples) // n_ch if n_ch else 0
+    return {
+        "kind": "audio",
+        "n_channels": n_ch,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_s": n_frames / rate if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(s**2))) if s.size else 0.0,
+        "peak": float(np.max(np.abs(s))) if s.size else 0.0,
+    }
+
+
+def _pcm16_samples(payload: bytes) -> np.ndarray:
+    """int16 PCM samples of a WAV or AIFF payload, sniffed by magic —
+    the container-agnostic entry the audio fingerprint family uses, so
+    fixtures can mix containers while the sample CONTRACT (and every
+    SQL oracle built on it) stays identical."""
+    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        return _aiff_samples(payload)[0]
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        raw = w.readframes(w.getnframes())
+    return np.frombuffer(raw, dtype=np.int16)
 
 
 def _bmp_pixels(payload: bytes) -> np.ndarray:
@@ -1337,6 +1431,8 @@ def decode_media(payload: bytes, mime: str) -> dict:
     layer would need ffmpeg, absent in this container, and raises)."""
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return decode_wav(payload)
+    if mime in ("audio/aiff", "audio/x-aiff"):
+        return decode_aiff(payload)
     if mime in ("image/bmp", "image/x-bmp"):
         return decode_bmp(payload)
     if mime == "image/png":
@@ -1523,18 +1619,66 @@ def synthesize_wav_from_text(
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = []
-            for t in pdf[text_col]:
-                samples = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int16)
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(rate)
-                    w.writeframes(samples.tobytes())
-                payloads.append(buf.getvalue())
+            payloads = [
+                _wav_payload(t.encode("utf-8"), rate) for t in pdf[text_col]
+            ]
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col], "payload": payloads, "mime": "audio/wav"}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _batches, "doc_id long, payload binary, mime string"
+    )
+
+
+def _wav_payload(raw: bytes, rate: int = 8000) -> bytes:
+    """The audio fixture contract: each byte of ``raw`` becomes one
+    16-bit PCM sample (value 0-255), mono."""
+    samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _aiff_payload(raw: bytes, rate: int = 8000) -> bytes:
+    """The SAME sample contract as ``_wav_payload`` in a real AIFF
+    container (big-endian PCM, COMM 80-bit extended-float rate) — so
+    mixing containers changes the DECODE PATH, never the decoded
+    values, and the SQL oracles hold unchanged."""
+    samples = np.frombuffer(raw, dtype=np.uint8).astype(">i2")
+    comm = b"COMM" + struct.pack(">IhIh", 18, 1, len(samples), 16) + _f80_encode(rate)
+    body = struct.pack(">II", 0, 0) + samples.tobytes()
+    ssnd = b"SSND" + struct.pack(">I", len(body)) + body
+    if len(body) & 1:
+        ssnd += b"\x00"
+    form = b"AIFF" + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(form)) + form
+
+
+def synthesize_mixed_audio_from_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", rate: int = 8000
+) -> DataFrame:
+    """Container-diverse audio fixture: doc_id parity picks RIFF WAV
+    or big-endian AIFF around the identical byte→sample contract, so
+    both container walks run under one unchanged oracle gate."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, mimes = [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                raw = t.encode("utf-8")
+                if int(doc_id) % 2:
+                    payloads.append(_aiff_payload(raw, rate))
+                    mimes.append("audio/aiff")
+                else:
+                    payloads.append(_wav_payload(raw, rate))
+                    mimes.append("audio/wav")
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads, "mime": mimes}
             )
 
     return df.select(id_col, text_col).mapInPandas(
@@ -2146,9 +2290,7 @@ def audio_energy_hash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in it:
             out = []
             for payload in pdf["payload"]:
-                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                    raw = w.readframes(w.getnframes())
-                s = np.frombuffer(raw, dtype=np.int16).astype(np.int64)
+                s = _pcm16_samples(bytes(payload)).astype(np.int64)
                 n = len(s)
                 base, extra = divmod(n, AHASH_BITS)
                 energies = np.zeros(AHASH_BITS, dtype=np.int64)
@@ -2359,15 +2501,18 @@ WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
 
 
 def audio_ehash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL WAV encode → decode → energy-hash; oracle recomputes the
-    windowed energies from the text bytes the samples came from."""
+    """REAL audio encode → decode → energy-hash. r8: the fixture
+    alternates RIFF WAV / big-endian AIFF by doc_id parity around the
+    identical byte→sample contract, so BOTH container walks are
+    oracle-gated; the oracle (windowed energies recomputed from the
+    text bytes) is container-agnostic and unchanged."""
     docs = _spread(load_table(spark, sf_dir, "documents").filter(F.length("text") > 0))
-    return audio_energy_hash(synthesize_wav_from_text(docs))
+    return audio_energy_hash(synthesize_mixed_audio_from_text(docs))
 
 
 def audio_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(load_table(spark, sf_dir, "documents").filter(F.length("text") > 0))
-    return audio_near_dup_pairs(synthesize_wav_from_text(docs))
+    return audio_near_dup_pairs(synthesize_mixed_audio_from_text(docs))
 
 
 # windowed energies from text bytes: window k of n samples spans

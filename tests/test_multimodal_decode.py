@@ -885,3 +885,76 @@ def test_mp4_corrupt_tables_raise_valueerror_not_struct_error():
     struct.pack_into(">I", bad, idx + 12, 1 << 20)
     with pytest.raises(ValueError, match="stsz table truncated"):
         _mp4_mjpeg_frames(bytes(bad))
+
+
+# --- AIFF (r8): big-endian twin of the WAV path ----------------------
+
+
+def test_aiff_decodes_identical_to_wav_same_contract(spark):
+    """The AIFF and WAV fixture payloads carry the SAME byte→sample
+    contract, so decode stats, raw samples, and the energy hash must
+    be identical — pinning that the big-endian IFF walk (COMM 80-bit
+    extended-float rate, SSND offset header) reads what RIFF wrote."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _aiff_payload,
+        _pcm16_samples,
+        _wav_payload,
+        audio_energy_hash,
+        decode_aiff,
+        decode_media,
+        decode_wav,
+        synthesize_mixed_audio_from_text,
+    )
+
+    raw = "the same samples through two containers".encode()
+    w, a = _wav_payload(raw), _aiff_payload(raw)
+    dw, da = decode_wav(w), decode_aiff(a)
+    for k in ("n_channels", "sample_rate", "n_frames", "duration_s", "rms", "peak"):
+        assert dw[k] == da[k], k
+    assert (_pcm16_samples(w) == _pcm16_samples(a)).all()
+    assert decode_media(a, "audio/aiff")["kind"] == "audio"
+
+    docs = spark.createDataFrame(
+        [(i, "identical text for every row") for i in range(4)],
+        "doc_id long, text string",
+    )
+    mixed = synthesize_mixed_audio_from_text(docs)
+    mimes = {r.doc_id: r.mime for r in mixed.collect()}
+    assert mimes[0] == "audio/wav" and mimes[1] == "audio/aiff"
+    hashes = {r.doc_id: r.ehash for r in audio_energy_hash(mixed).collect()}
+    assert len(set(hashes.values())) == 1  # same text → same ehash, any container
+
+
+def test_f80_extended_float_round_trip():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _f80_decode,
+        _f80_encode,
+    )
+
+    for r in (1, 2, 3, 8000, 11025, 22050, 44100, 48000, 96000, 192000, (1 << 40) + 7):
+        assert _f80_decode(_f80_encode(r)) == float(r), r
+    with pytest.raises(ValueError):
+        _f80_encode(0)
+
+
+def test_aiff_corrupt_payloads_quarantine():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _aiff_payload,
+        _aiff_samples,
+    )
+
+    with pytest.raises(ValueError, match="not an AIFF"):
+        _aiff_samples(b"RIFFxxxxWAVE")
+    good = _aiff_payload(b"abcdef")
+    # COMM frame count lying past SSND must raise, not read garbage
+    idx = good.index(b"COMM")
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, idx + 10, 1 << 20)
+    with pytest.raises(ValueError, match="truncated"):
+        _aiff_samples(bytes(bad))
+    # a chunk size overrunning the FORM must raise
+    idx = good.index(b"SSND")
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, idx + 4, 1 << 20)
+    with pytest.raises(ValueError, match="overruns"):
+        _aiff_samples(bytes(bad))
