@@ -15,7 +15,12 @@ Decode status — honest per format:
   uncompressed 24-bit BMP images (``struct`` + numpy: dimensions, mean
   RGB, real nearest-neighbor thumbnails, per-sample frame extraction),
   8-bit RGB/RGBA PNG (stdlib ``zlib`` inflate + all five scanline
-  filters inverted in ``_png_pixels``), baseline sequential JPEG
+  filters inverted in ``_png_pixels``), GIF87a/89a (r8,
+  ``_gif_pixels``: real LZW decompression with variable code widths,
+  dictionary growth/reset and the KwKwK case, palette lookup,
+  interlace reordering — the third compression family here after
+  DEFLATE and huffman+DCT — plus an ``encode_gif`` twin), baseline
+  sequential JPEG
   (``_jpeg_pixels``: DHT huffman entropy decode + dequant + batched
   numpy iDCT + sampling-factor MCU assembly + YCbCr→RGB — a genuinely
   lossy transform codec, with an encoder twin for fixtures), and
@@ -1168,17 +1173,240 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list[int]:
+    """GIF-variant LZW: LSB-first bit packing, variable code width
+    starting at min_code+1 growing to 12 bits, CLEAR resets the
+    dictionary, EOI terminates. The third real compression family in
+    this module (DEFLATE via zlib for PNG, huffman+DCT for JPEG, LZW
+    here) — decoded from the spec (GIF89a appendix F), no codec lib."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out: list[int] = []
+    # initialized up front, not only on CLEAR: a leading CLEAR is
+    # conventional but not mandatory in the spec
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    width = min_code + 1
+    next_code = eoi + 1
+    prev: list[int] | None = None
+    acc = bits = pos = 0
+    while len(out) < n_pixels:
+        while bits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW stream must start with a literal")
+            entry = [code]
+        elif code < next_code and code < len(table) and table[code]:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"GIF LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return out[:n_pixels]
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) RGB pixels of the first image of a GIF87a/89a — real
+    LZW decompression + palette lookup + interlace reordering, pure
+    stdlib/numpy. Extensions (GCE/comment/application) are skipped by
+    their sub-block framing; animation beyond the first frame and
+    transparency are out of scope (first image only, alpha ignored,
+    like the PNG path drops alpha)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    try:
+        return _gif_pixels_impl(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt GIF container ({exc})") from exc
+
+
+def _gif_pixels_impl(payload: bytes) -> np.ndarray:
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        if ipacked & 0x80:  # local color table wins
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image has no color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos]:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        idx = np.asarray(
+            _gif_lzw_decode(b"".join(chunks), min_code, w * h), dtype=np.int64
+        )
+        if (idx >= len(palette)).any():
+            raise ValueError("GIF pixel index out of palette range")
+        px = palette[idx].reshape(h, w, 3)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = [r for start, step in _GIF_INTERLACE_PASSES for r in range(start, h, step)]
+            out = np.empty_like(px)
+            out[rows] = px
+            px = out
+        return px
+    raise ValueError("GIF has no image data")
+
+
+def decode_gif(payload: bytes) -> dict:
+    px = _gif_pixels(payload)
+    mean_rgb = px.reshape(-1, 3).mean(axis=0) if px.size else np.zeros(3)
+    return {
+        "kind": "image",
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "mean_r": float(mean_rgb[0]),
+        "mean_g": float(mean_rgb[1]),
+        "mean_b": float(mean_rgb[2]),
+    }
+
+
+def encode_gif(px: np.ndarray, interlace: bool = False) -> bytes:
+    """GIF89a encoder twin for fixtures (the BMP/PNG/JPEG/WAV
+    synthesizer discipline): local color table built from the image's
+    distinct colors (≤256 or ValueError), real LZW compression with
+    dictionary growth/reset, optional interlacing. Lossless for any
+    image that fits a palette, so the text-byte oracles hash-check the
+    full round trip."""
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF palette overflow: {len(colors)} distinct colors")
+    depth = max(2, int(len(colors) - 1).bit_length())  # table size 2^depth
+    table = np.zeros((1 << depth, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    indices = idx.reshape(h, w)
+    if interlace:
+        rows = [r for start, step in _GIF_INTERLACE_PASSES for r in range(start, h, step)]
+        indices = indices[rows]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global table
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x80 | (0x40 if interlace else 0) | (depth - 1)
+    )
+    out += table.tobytes()
+    min_code = depth
+    out.append(min_code)
+    data = _gif_lzw_encode(indices.reshape(-1).tolist(), min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_lzw_encode(indices: list[int], min_code: int) -> bytes:
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    width = min_code + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    buf: tuple[int, ...] = ()
+    for sym in indices:
+        cand = buf + (sym,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:  # dictionary full: reset like real encoders
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        buf = (sym,)
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
 def _image_pixels(payload: bytes) -> np.ndarray:
     """(h, w, 3) RGB pixels of any really-decodable image format,
     sniffed by magic: 24-bit BMP (BGR converted here), 8-bit RGB/RGBA
-    PNG, or baseline JPEG — so aHash/resize run format-agnostic."""
+    PNG, baseline/progressive JPEG, or GIF87a/89a (LZW) — so
+    aHash/resize run format-agnostic."""
     if payload[:2] == b"BM":
         return _bmp_pixels(payload)[:, :, ::-1]
     if payload[:8] == _PNG_MAGIC:
         return _png_pixels(payload)
     if payload[:2] == b"\xff\xd8":
         return _jpeg_pixels(payload)
-    raise ValueError("unsupported image container (expected BMP, PNG, or JPEG)")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_pixels(payload)
+    raise ValueError("unsupported image container (expected BMP, PNG, JPEG, or GIF)")
 
 
 def _mp4_boxes(buf: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
@@ -1437,6 +1665,8 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_bmp(payload)
     if mime == "image/png":
         return decode_png(payload)
+    if mime == "image/gif":
+        return decode_gif(payload)
     if mime in ("image/jpeg", "image/jpg"):
         return decode_jpeg(payload)
     if mime in ("video/x-msvideo", "video/avi"):
@@ -1701,29 +1931,72 @@ def synthesize_bmp_from_text(
     padding."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        row_size = (width * 3 + 3) // 4 * 4
         for pdf in it:
-            payloads = []
-            for t in pdf[text_col]:
-                raw = t.encode("utf-8")
-                n = len(raw)
-                idx = np.arange(height * width * 3) % max(n, 1)
-                px = (
-                    np.frombuffer(raw, dtype=np.uint8)[idx]
-                    if n
-                    else np.zeros(height * width * 3, dtype=np.uint8)
-                ).reshape(height, width, 3)
-                rows = np.zeros((height, row_size), dtype=np.uint8)
-                rows[:, : width * 3] = np.flipud(px).reshape(height, width * 3)
-                body = rows.tobytes()
-                header = struct.pack(
-                    "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
-                ) + struct.pack(
-                    "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 0, 0, 0, 0
-                )
-                payloads.append(header + body)
+            payloads = [
+                _bmp_payload(t.encode("utf-8"), width, height) for t in pdf[text_col]
+            ]
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col], "payload": payloads, "mime": "image/bmp"}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _batches, "doc_id long, payload binary, mime string"
+    )
+
+
+def _fixture_bgr(raw: bytes, width: int, height: int) -> np.ndarray:
+    """The image fixture contract, as stored-BGR: pixel k channel c =
+    ``raw[(3k + c) % n]``."""
+    n = len(raw)
+    idx = np.arange(height * width * 3) % max(n, 1)
+    px = (
+        np.frombuffer(raw, dtype=np.uint8)[idx]
+        if n
+        else np.zeros(height * width * 3, dtype=np.uint8)
+    )
+    return px.reshape(height, width, 3)
+
+
+def _bmp_payload(raw: bytes, width: int = 8, height: int = 8) -> bytes:
+    bgr = _fixture_bgr(raw, width, height)
+    row_size = (width * 3 + 3) // 4 * 4
+    rows = np.zeros((height, row_size), dtype=np.uint8)
+    rows[:, : width * 3] = np.flipud(bgr).reshape(height, width * 3)
+    body = rows.tobytes()
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 0, 0, 0, 0)
+        + body
+    )
+
+
+def synthesize_mixed_image_from_text(
+    df: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Container-diverse image fixture: doc_id parity picks 24-bit BMP
+    or GIF89a (LZW, local color table) carrying the SAME decoded-RGB
+    pixels — pixel k = (raw[(3k+2)%n], raw[(3k+1)%n], raw[(3k)%n]) —
+    so both decode paths run under one unchanged text-byte oracle.
+    8×8 fixtures have ≤64 distinct colors, comfortably in-palette."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, mimes = [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                raw = t.encode("utf-8")
+                if int(doc_id) % 2:
+                    rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
+                    payloads.append(encode_gif(rgb))
+                    mimes.append("image/gif")
+                else:
+                    payloads.append(_bmp_payload(raw, width, height))
+                    mimes.append("image/bmp")
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads, "mime": mimes}
             )
 
     return df.select(id_col, text_col).mapInPandas(
@@ -2412,16 +2685,27 @@ FROM documents
 
 
 def image_ahash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL BMP encode → decode → aHash over the synthetic image table;
-    the oracle recomputes the signature from the text bytes the pixels
-    were synthesized from (the wav-decode oracle pattern)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    return image_ahash(synthesize_bmp_from_text(docs))
+    """REAL image encode → decode → aHash over the synthetic image
+    table. r8: the fixture alternates 24-bit BMP / GIF89a (real LZW)
+    by doc_id parity around identical decoded-RGB pixels, so BOTH
+    decode paths are oracle-gated; the oracle (signature recomputed
+    from the text bytes) is container-agnostic and unchanged. The GIF
+    arm's LZW runs in Python per payload, so the scan is spread (A/B
+    at sf0.1: ahash 0.73 s spread; pairs 1.99 → 1.57 s) — the BMP-only
+    version was deliberately UNspread (cheap parse, shuffle lost)."""
+    docs = _spread(load_table(spark, sf_dir, "documents").filter(F.length("text") > 0))
+    return image_ahash(synthesize_mixed_image_from_text(docs))
 
 
 def image_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup pairs; brute-force all-pairs oracle
-    proves the pigeonhole blocking's exact recall (as for SimHash)."""
+    proves the pigeonhole blocking's exact recall (as for SimHash).
+    Stays on the cheap BMP fixture: this query pins the pigeonhole
+    JOIN's exact recall, not the codecs — the GIF decode path is
+    driver-gated by ``image_ahash_docs``'s mixed fixture, and keeping
+    the honest-but-slow Python LZW out of the pair query keeps its
+    bench row measuring the join (BMP parse: 0.85 s; mixed: 2.0 s
+    even spread, all of it decode)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     return image_ahash_near_pairs(synthesize_bmp_from_text(docs))
 

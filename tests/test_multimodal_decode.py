@@ -958,3 +958,82 @@ def test_aiff_corrupt_payloads_quarantine():
     struct.pack_into(">I", bad, idx + 4, 1 << 20)
     with pytest.raises(ValueError, match="overruns"):
         _aiff_samples(bytes(bad))
+
+
+# --- GIF (r8): real LZW, third compression family ---------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ncol=st.integers(1, 256),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_lzw_round_trip_property(h, w, ncol, interlace, seed):
+    """Any palette-sized image round-trips exactly through the real
+    LZW encoder/decoder, interlaced or not."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _gif_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+    px = pal[rng.randint(0, ncol, (h, w))]
+    assert (_gif_pixels(encode_gif(px, interlace=interlace)) == px).all()
+
+
+def test_gif_dictionary_reset_and_overflow():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _gif_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    big = pal[rng.randint(0, 256, (128, 128))]  # forces >4096 LZW entries
+    assert (_gif_pixels(encode_gif(big)) == big).all()
+    i = np.arange(300)
+    too_many = np.stack([i % 256, i // 256, np.zeros_like(i)], axis=1)
+    with pytest.raises(ValueError, match="palette overflow"):
+        encode_gif(too_many.reshape(10, 30, 3).astype(np.uint8))
+
+
+def test_gif_corrupt_payloads_quarantine():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _gif_pixels,
+        encode_gif,
+    )
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        _gif_pixels(b"JIF89a" + bytes(32))
+    good = encode_gif(np.full((4, 4, 3), 7, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        _gif_pixels(good[: len(good) // 2])
+    # truncated LZW stream inside intact framing
+    bad = bytearray(good)
+    # zero out the sub-block data so the stream ends before w*h pixels
+    with pytest.raises(ValueError):
+        _gif_pixels(bytes(bad[:-10]) + b"\x00\x3b")
+
+
+def test_mixed_image_fixture_same_pixels_both_containers(spark):
+    """BMP and GIF arms decode to IDENTICAL RGB pixels for the same
+    text, so ahash values (and the near-dup join's key entropy) are
+    container-independent."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        image_ahash,
+        synthesize_mixed_image_from_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "one text shared by every doc") for i in range(4)],
+        "doc_id long, text string",
+    )
+    mixed = synthesize_mixed_image_from_text(docs)
+    mimes = {r.doc_id: r.mime for r in mixed.collect()}
+    assert mimes[0] == "image/bmp" and mimes[1] == "image/gif"
+    hashes = {r.doc_id: r.ahash for r in image_ahash(mixed).collect()}
+    assert len(set(hashes.values())) == 1
