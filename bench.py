@@ -449,17 +449,30 @@ def inherit_floor_runs(prev: dict, out: dict) -> list[float]:
     return sorted(floor)[:7]
 
 
+_ENGINE_PATHS = ["aws_etl_dados_publicos_cnpj_spark", "bench.py", "__spark_entry__.py"]
+
+
 def _git_head(repo: str) -> str | None:
+    """Fingerprint of the ENGINE code the bench measures: the git tree
+    hashes of the package + harness, not the commit id — so committing
+    artifacts (BENCH.out.json, MIRROR, docs) between runs does not
+    reset the noise floor, while any engine change does. Returns None
+    (never inherit) when the engine paths have uncommitted changes:
+    the measured code then isn't the committed tree."""
     import subprocess
 
     try:
-        return (
-            subprocess.run(
-                ["git", "-C", repo, "rev-parse", "HEAD"],
-                capture_output=True, text=True, timeout=10, check=True,
-            ).stdout.strip()
-            or None
-        )
+        dirty = subprocess.run(
+            ["git", "-C", repo, "status", "--porcelain", "--", *_ENGINE_PATHS],
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.strip()
+        if dirty:
+            return None
+        trees = subprocess.run(
+            ["git", "-C", repo, "rev-parse", *[f"HEAD:{p}" for p in _ENGINE_PATHS]],
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.strip()
+        return trees.replace("\n", "-") or None
     except Exception:  # noqa: BLE001 — no git on the box: floor resets per run
         return None
 
