@@ -195,15 +195,430 @@ def decode_aiff(payload: bytes) -> dict:
 
 
 def _pcm16_samples(payload: bytes) -> np.ndarray:
-    """int16 PCM samples of a WAV or AIFF payload, sniffed by magic —
-    the container-agnostic entry the audio fingerprint family uses, so
-    fixtures can mix containers while the sample CONTRACT (and every
-    SQL oracle built on it) stays identical."""
+    """int16 PCM samples of a WAV, AIFF, or FLAC payload, sniffed by
+    magic — the container-agnostic entry the audio fingerprint family
+    uses, so fixtures can mix containers while the sample CONTRACT
+    (and every SQL oracle built on it) stays identical."""
     if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
         return _aiff_samples(payload)[0]
+    if payload[:4] == b"fLaC":
+        return _flac_samples(payload)[0]
     with wave.open(io.BytesIO(payload), "rb") as w:
         raw = w.readframes(w.getnframes())
     return np.frombuffer(raw, dtype=np.int16)
+
+
+# --- FLAC: rice coding + fixed linear predictors (r8) -----------------
+#
+# The fourth real compression family in this module (DEFLATE via zlib,
+# huffman+DCT JPEG, LZW GIF, rice+LPC here), implemented from the FLAC
+# format spec: MSB-first bitstream, STREAMINFO metadata, frame headers
+# with UTF-8-coded frame numbers and CRC-8, subframes with CONSTANT /
+# VERBATIM / FIXED(0-4) predictors, partitioned rice residuals with
+# escape codes, frame CRC-16. Scope is honest: 16-bit mono, the shapes
+# the encoder twin emits; LPC subframes (encoder-designed coefficients)
+# raise and quarantine — supporting them needs only more of the same
+# bit-reading, but an untestable decode path (our encoder never emits
+# LPC) would be dead code here.
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitReader:
+    """MSB-first bit reader (FLAC convention; the JPEG reader in this
+    module is also MSB-first but carries marker/stuffing logic this
+    format doesn't have). Accumulator-based: each read() is O(1)
+    amortized, not per-bit — the per-payload decode loop is the hot
+    path under mapInPandas."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos  # next byte to pull into the accumulator
+        self.acc = 0
+        self.bits = 0
+
+    def read(self, n: int) -> int:
+        while self.bits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("FLAC bitstream truncated")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.bits += 8
+        self.bits -= n
+        out = self.acc >> self.bits
+        self.acc &= (1 << self.bits) - 1
+        return out
+
+    def read_unary(self) -> int:
+        n = 0
+        while True:
+            if self.bits == 0:
+                if self.pos >= len(self.data):
+                    raise ValueError("FLAC bitstream truncated")
+                self.acc = self.data[self.pos]
+                self.pos += 1
+                self.bits = 8
+            if self.acc == 0:  # whole residue is zeros
+                n += self.bits
+                self.bits = 0
+                if n > 1 << 20:
+                    raise ValueError("runaway unary code")
+                continue
+            top = self.acc.bit_length()
+            n += self.bits - top
+            self.bits = top - 1  # consume the terminating 1 bit
+            self.acc &= (1 << self.bits) - 1
+            return n
+
+    @property
+    def byte(self) -> int:
+        """Index of the next unconsumed byte when bit-aligned."""
+        return self.pos - self.bits // 8
+
+    @property
+    def bit(self) -> int:
+        return (8 - self.bits % 8) % 8
+
+    def align(self) -> None:
+        self.bits -= self.bits % 8
+        self.acc &= (1 << self.bits) - 1
+
+
+_FIXED_COEFS = {  # prediction[i] = sum(c * s[i-1-j]) for j, c in enumerate(...)
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """(int16 samples, rate, n_channels) of a 16-bit mono FLAC — real
+    bitstream decode per the format spec, CRCs verified."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    try:
+        return _flac_samples_impl(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt FLAC stream ({exc})") from exc
+
+
+def _flac_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
+    pos = 4
+    rate = n_ch = bps = None
+    total = 0
+    while True:  # metadata blocks
+        header = payload[pos]
+        (length,) = struct.unpack(">I", b"\x00" + payload[pos + 1 : pos + 4])
+        body = pos + 4
+        if header & 0x7F == 0:  # STREAMINFO
+            r = _BitReader(payload, body)
+            r.read(16)  # min blocksize
+            r.read(16)  # max blocksize
+            r.read(24)
+            r.read(24)  # min/max framesize
+            rate = r.read(20)
+            n_ch = r.read(3) + 1
+            bps = r.read(5) + 1
+            total = r.read(36)
+        pos = body + length
+        if header & 0x80:
+            break
+    if rate is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    if n_ch != 1 or bps != 16:
+        raise ValueError(f"unsupported FLAC layout ({n_ch} ch, {bps}-bit)")
+    out: list[int] = []
+    while len(out) < total:
+        frame_start = pos
+        r = _BitReader(payload, pos)
+        if r.read(14) != 0x3FFE:
+            raise ValueError("bad FLAC frame sync")
+        r.read(2)  # reserved + blocking strategy
+        bs_code = r.read(4)
+        rate_code = r.read(4)
+        ch_code = r.read(4)
+        bps_code = r.read(3)
+        r.read(1)
+        first = r.read(8)  # UTF-8 coded frame number (our frames: <2^31)
+        extra = 0
+        if first >= 0xC0:
+            n = 1
+            while first & (0x40 >> n):
+                n += 1
+            extra = n
+        for _ in range(extra):
+            r.read(8)
+        if bs_code == 6:
+            blocksize = r.read(8) + 1
+        elif bs_code == 7:
+            blocksize = r.read(16) + 1
+        elif bs_code == 1:
+            blocksize = 192
+        elif 2 <= bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code >= 8:
+            blocksize = 256 << (bs_code - 8)
+        else:
+            raise ValueError("reserved FLAC blocksize code")
+        if rate_code == 12:
+            r.read(8)
+        elif rate_code in (13, 14):
+            r.read(16)
+        if ch_code != 0:
+            raise ValueError("unsupported FLAC channel layout")
+        if bps_code not in (0, 4):  # from-STREAMINFO or 16-bit
+            raise ValueError("unsupported FLAC frame bit depth")
+        if r.bit:  # header fields are whole bytes by construction
+            raise ValueError("misaligned FLAC frame header")
+        if _crc8(payload[frame_start : r.byte]) != payload[r.byte]:
+            raise ValueError("FLAC frame header CRC mismatch")
+        r.read(8)  # consume crc8
+        # one subframe (mono)
+        if r.read(1):
+            raise ValueError("bad subframe padding bit")
+        sf_type = r.read(6)
+        if r.read(1):
+            raise ValueError("wasted bits unsupported")
+        n = min(blocksize, total - len(out))
+        if sf_type == 0:  # CONSTANT
+            val = _sign_extend(r.read(16), 16)
+            samples = [val] * blocksize
+        elif sf_type == 1:  # VERBATIM
+            samples = [_sign_extend(r.read(16), 16) for _ in range(blocksize)]
+        elif 8 <= sf_type <= 12:  # FIXED order 0-4
+            order = sf_type - 8
+            warm = [_sign_extend(r.read(16), 16) for _ in range(order)]
+            resid = _flac_read_residual(r, blocksize, order)
+            # FIXED prediction of order k is the k-th finite difference:
+            # integrate the residual k times (cumsum), seeding each
+            # level with the warmup's j-th difference — exact in int64
+            # and vectorized (the per-sample recurrence was the decode
+            # hot spot)
+            x = np.asarray(resid, dtype=np.int64)
+            w_arr = np.asarray(warm, dtype=np.int64)
+            diffs = [w_arr]
+            for _ in range(order):
+                diffs.append(np.diff(diffs[-1]))
+            for j in range(order - 1, -1, -1):
+                x = diffs[j][-1] + np.cumsum(x)
+            samples = np.concatenate([w_arr, x]).tolist()
+        elif sf_type >= 32:
+            raise ValueError("FLAC LPC subframes unsupported (encoder never emits them)")
+        else:
+            raise ValueError(f"reserved FLAC subframe type {sf_type}")
+        r.align()
+        (frame_crc,) = struct.unpack_from(">H", payload, r.byte)
+        if _crc16(payload[frame_start : r.byte]) != frame_crc:
+            raise ValueError("FLAC frame CRC mismatch")
+        pos = r.byte + 2
+        out.extend(samples[:n])
+    arr = np.asarray(out, dtype=np.int64)
+    if (arr > 32767).any() or (arr < -32768).any():
+        raise ValueError("FLAC sample out of 16-bit range")
+    return arr.astype(np.int16), rate, 1
+
+
+def _sign_extend(v: int, bits: int) -> int:
+    return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+
+def _flac_read_residual(r: _BitReader, blocksize: int, order: int) -> list[int]:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual method")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    porder = r.read(4)
+    nparts = 1 << porder
+    if blocksize % nparts or (blocksize >> porder) <= order and nparts > 1:
+        raise ValueError("invalid FLAC rice partition order")
+    out: list[int] = []
+    for p in range(nparts):
+        count = (blocksize >> porder) - (order if p == 0 else 0)
+        param = r.read(plen)
+        if param == escape:
+            raw_bits = r.read(5)
+            vals = [_sign_extend(r.read(raw_bits), raw_bits) if raw_bits else 0 for _ in range(count)]
+            out.extend(vals)
+            continue
+        for _ in range(count):
+            q = r.read_unary()
+            u = (q << param) | r.read(param)
+            out.append((u >> 1) ^ -(u & 1))  # zigzag
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit writer (the FLAC encoder twin's half of
+    ``_BitReader``). Accumulator-based: O(1) per write call."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.bits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.bits += n
+        while self.bits >= 8:
+            self.bits -= 8
+            self.out.append((self.acc >> self.bits) & 0xFF)
+        self.acc &= (1 << self.bits) - 1
+
+    def write_unary(self, q: int) -> None:
+        self.write(1, q + 1)  # q zeros then the terminating 1
+
+    def align(self) -> None:
+        if self.bits:
+            self.write(0, 8 - self.bits)
+
+    def bytes(self) -> bytes:
+        assert self.bits == 0
+        return bytes(self.out)
+
+
+def encode_flac(samples: np.ndarray, rate: int = 8000, blocksize: int = 4096) -> bytes:
+    """FLAC encoder twin for fixtures: 16-bit mono, per-frame FIXED
+    predictor order chosen 0-2 by residual cost, single-partition rice
+    residuals with the parameter fitted to the residual magnitudes
+    (escape to raw when rice would lose), real CRC-8/CRC-16. Lossless
+    by construction, so the text-byte oracles hash-check the full
+    round trip through ``_flac_samples``."""
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim != 1:
+        raise ValueError("encode_flac takes mono 1-D samples")
+    if s.size and (s.max() > 32767 or s.min() < -32768):
+        raise ValueError("samples out of 16-bit range")
+    total = len(s)
+    out = bytearray(b"fLaC")
+    info = _BitWriter()
+    info.write(blocksize, 16)
+    info.write(blocksize, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(rate, 20)
+    info.write(0, 3)  # 1 channel
+    info.write(15, 5)  # 16 bps
+    info.write(total, 36)
+    body = info.bytes() + bytes(16)  # md5 0 = unknown, per spec
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+    for fi, start in enumerate(range(0, total, blocksize)):
+        frame = s[start : start + blocksize]
+        out += _flac_frame(frame, fi, blocksize)
+    return bytes(out)
+
+
+def _flac_utf8_frame_number(fi: int) -> bytes:
+    """UTF-8-style coding of the frame number per the FLAC spec: k
+    continuation bytes of 6 bits each, lead byte with a (k+1)-ones
+    prefix holding the top 6-k bits."""
+    if fi < 0x80:
+        return bytes([fi])
+    k = 1
+    while (fi >> (6 * k)) >= (1 << (6 - k)):
+        k += 1
+    tails = [0x80 | ((fi >> (6 * i)) & 0x3F) for i in range(k)]
+    lead = ((0xFE << (6 - k)) & 0xFF) | (fi >> (6 * k))
+    return bytes([lead, *reversed(tails)])
+
+
+def _flac_frame(frame: np.ndarray, fi: int, nominal_bs: int) -> bytes:
+    n = len(frame)
+    w = _BitWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 2)  # reserved + fixed blocking
+    w.write(0b0111 if n != nominal_bs else 0b1100, 4)  # 16-bit follows / 4096
+    if nominal_bs != 4096 and n == nominal_bs:
+        raise ValueError("encoder nominal blocksize must be 4096")
+    w.write(0, 4)  # rate: from STREAMINFO
+    w.write(0, 4)  # mono
+    w.write(0b100, 3)  # 16-bit
+    w.write(0, 1)
+    for b in _flac_utf8_frame_number(fi):
+        w.write(b, 8)
+    if n != nominal_bs:
+        w.write(n - 1, 16)
+    header = w.out[:]
+    assert w.bits == 0
+    w.write(_crc8(bytes(header)), 8)
+    # choose FIXED order 0-2 by total residual magnitude
+    best_order, best_resid, best_cost = 0, None, None
+    for order in range(0, 3):
+        if n <= order:
+            continue
+        resid = frame[order:].copy()
+        for j, c in enumerate(_FIXED_COEFS[order]):
+            resid = resid - c * frame[order - 1 - j : n - 1 - j]
+        cost = int(np.abs(resid).sum())
+        if best_cost is None or cost < best_cost:
+            best_order, best_resid, best_cost = order, resid, cost
+    order, resid = best_order, best_resid
+    w.write(0, 1)
+    w.write(8 + order, 6)
+    w.write(0, 1)  # no wasted bits
+    for v in frame[:order]:
+        w.write(int(v) & 0xFFFF, 16)
+    # residual: method 0 (4-bit rice), partition order 0
+    w.write(0, 2)
+    w.write(0, 4)
+    u = (resid << 1) ^ (resid >> 63)  # zigzag via arithmetic shift
+    mean = int(u.mean()) if len(u) else 0
+    param = max(0, min(14, mean.bit_length() - 1)) if mean else 0
+    rice_cost = int((u >> param).sum()) + len(u) * (1 + param)
+    maxu = int(u.max()) if len(u) else 0
+    raw_bits = max(maxu.bit_length() + 1, 1)  # signed raw width
+    if rice_cost > len(u) * raw_bits + 5:
+        w.write(0xF, 4)  # escape: raw n-bit residuals
+        w.write(raw_bits, 5)
+        for v in resid:
+            w.write(int(v) & ((1 << raw_bits) - 1), raw_bits)
+    else:
+        w.write(param, 4)
+        # one write per symbol: q implicit leading zeros + the
+        # terminating 1 + the param-bit remainder, as a single value
+        mask = (1 << param) - 1
+        qs = (u >> param).tolist()
+        rems = (u & mask).tolist()
+        for q, rem in zip(qs, rems):
+            w.write((1 << param) | rem, q + 1 + param)
+    w.align()
+    data = w.bytes()
+    return data + struct.pack(">H", _crc16(data))
+
+
+def decode_flac(payload: bytes) -> dict:
+    """FLAC twin of ``decode_wav`` — same stats dict off the real
+    bitstream decode."""
+    samples, rate, n_ch = _flac_samples(payload)
+    sf = samples.astype(np.float64)
+    n_frames = len(samples) // n_ch if n_ch else 0
+    return {
+        "kind": "audio",
+        "n_channels": n_ch,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_s": n_frames / rate if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(sf**2))) if sf.size else 0.0,
+        "peak": float(np.max(np.abs(sf))) if sf.size else 0.0,
+    }
 
 
 def _bmp_pixels(payload: bytes) -> np.ndarray:
@@ -1661,6 +2076,8 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_wav(payload)
     if mime in ("audio/aiff", "audio/x-aiff"):
         return decode_aiff(payload)
+    if mime in ("audio/flac", "audio/x-flac"):
+        return decode_flac(payload)
     if mime in ("image/bmp", "image/x-bmp"):
         return decode_bmp(payload)
     if mime == "image/png":
@@ -1889,21 +2306,34 @@ def _aiff_payload(raw: bytes, rate: int = 8000) -> bytes:
     return b"FORM" + struct.pack(">I", len(form)) + form
 
 
+def _flac_payload(raw: bytes, rate: int = 8000) -> bytes:
+    """The SAME sample contract as ``_wav_payload`` through the real
+    FLAC encoder (fixed predictors + rice) — lossless, so decoded
+    values and every oracle built on them are identical."""
+    samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+    return encode_flac(samples, rate)
+
+
 def synthesize_mixed_audio_from_text(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", rate: int = 8000
 ) -> DataFrame:
-    """Container-diverse audio fixture: doc_id parity picks RIFF WAV
-    or big-endian AIFF around the identical byte→sample contract, so
-    both container walks run under one unchanged oracle gate."""
+    """Container-diverse audio fixture: doc_id % 3 picks RIFF WAV,
+    big-endian AIFF, or FLAC (real rice+fixed-predictor compression)
+    around the identical byte→sample contract, so all three decode
+    paths run under one unchanged oracle gate."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads, mimes = [], []
             for doc_id, t in zip(pdf[id_col], pdf[text_col]):
                 raw = t.encode("utf-8")
-                if int(doc_id) % 2:
+                kind = int(doc_id) % 3
+                if kind == 1:
                     payloads.append(_aiff_payload(raw, rate))
                     mimes.append("audio/aiff")
+                elif kind == 2:
+                    payloads.append(_flac_payload(raw, rate))
+                    mimes.append("audio/flac")
                 else:
                     payloads.append(_wav_payload(raw, rate))
                     mimes.append("audio/wav")
@@ -2786,8 +3216,8 @@ WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
 
 def audio_ehash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio encode → decode → energy-hash. r8: the fixture
-    alternates RIFF WAV / big-endian AIFF by doc_id parity around the
-    identical byte→sample contract, so BOTH container walks are
+    alternates RIFF WAV / big-endian AIFF / FLAC by doc_id % 3 around
+    the identical byte→sample contract, so all three decode paths are
     oracle-gated; the oracle (windowed energies recomputed from the
     text bytes) is container-agnostic and unchanged."""
     docs = _spread(load_table(spark, sf_dir, "documents").filter(F.length("text") > 0))

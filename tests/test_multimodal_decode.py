@@ -1037,3 +1037,88 @@ def test_mixed_image_fixture_same_pixels_both_containers(spark):
     assert mimes[0] == "image/bmp" and mimes[1] == "image/gif"
     hashes = {r.doc_id: r.ahash for r in image_ahash(mixed).collect()}
     assert len(set(hashes.values())) == 1
+
+
+# --- FLAC (r8): rice + fixed predictors, fourth compression family ----
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 6000),
+    kind=st.sampled_from(["random", "bytes", "ramp", "constant", "steps"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_round_trip_property(n, kind, seed):
+    """Any 16-bit mono signal round-trips exactly — multi-frame
+    streams, partial final frames, every FIXED order the encoder
+    chooses, rice and raw-escape residual paths."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _flac_samples,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(seed)
+    if kind == "random":
+        s = rng.randint(-32768, 32768, n)
+    elif kind == "bytes":
+        s = rng.randint(0, 256, n)
+    elif kind == "ramp":
+        s = np.arange(n) % 5000
+    elif kind == "constant":
+        s = np.full(n, int(rng.randint(-32768, 32768)))
+    else:
+        s = (np.arange(n) // 97) * 31 % 20000
+    s = s.astype(np.int16)
+    got, rate, nch = _flac_samples(encode_flac(s, rate=8000))
+    assert rate == 8000 and nch == 1
+    assert np.array_equal(got, s)
+
+
+def test_flac_compresses_predictable_signals():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import encode_flac
+
+    ramp = (np.arange(8192) % 4096).astype(np.int16)
+    assert len(encode_flac(ramp)) < 2 * len(ramp) / 4  # ≥4× vs raw PCM
+
+
+def test_flac_crc_and_corruption_detection():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _flac_samples,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(3)
+    good = encode_flac(rng.randint(0, 256, 500).astype(np.int16))
+    with pytest.raises(ValueError, match="not a FLAC"):
+        _flac_samples(b"fLaX" + good[4:])
+    bad = bytearray(good)
+    bad[-3] ^= 0x10  # flip a residual bit in the last frame
+    with pytest.raises(ValueError):
+        _flac_samples(bytes(bad))
+    with pytest.raises(ValueError):
+        _flac_samples(good[: len(good) - 5])  # truncated
+
+
+def test_flac_in_mixed_audio_fixture(spark):
+    """doc_id % 3 == 2 rows are FLAC; identical samples → identical
+    energy hash across all three containers."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        audio_energy_hash,
+        decode_media,
+        synthesize_mixed_audio_from_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "one text for every container kind") for i in range(6)],
+        "doc_id long, text string",
+    )
+    mixed = synthesize_mixed_audio_from_text(docs)
+    rows = {r.doc_id: r for r in mixed.collect()}
+    assert rows[0].mime == "audio/wav"
+    assert rows[1].mime == "audio/aiff"
+    assert rows[2].mime == "audio/flac"
+    d = decode_media(bytes(rows[2].payload), "audio/flac")
+    assert d["kind"] == "audio"
+    assert d["n_frames"] == len("one text for every container kind".encode())
+    hashes = {r.doc_id: r.ehash for r in audio_energy_hash(mixed).collect()}
+    assert len(set(hashes.values())) == 1
