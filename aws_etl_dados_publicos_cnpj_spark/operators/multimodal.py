@@ -214,12 +214,16 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
 # huffman+DCT JPEG, LZW GIF, rice+LPC here), implemented from the FLAC
 # format spec: MSB-first bitstream, STREAMINFO metadata, frame headers
 # with UTF-8-coded frame numbers and CRC-8, subframes with CONSTANT /
-# VERBATIM / FIXED(0-4) predictors, partitioned rice residuals with
-# escape codes, frame CRC-16. Scope is honest: 16-bit mono, the shapes
-# the encoder twin emits; LPC subframes (encoder-designed coefficients)
-# raise and quarantine — supporting them needs only more of the same
-# bit-reading, but an untestable decode path (our encoder never emits
-# LPC) would be dead code here.
+# VERBATIM / FIXED(0-4) / LPC(1-32) predictors, partitioned rice
+# residuals with escape codes, frame CRC-16. Scope is honest: 16-bit
+# mono. LPC subframes (r8, second pass): the encoder fits coefficients
+# by autocorrelation + Levinson-Durbin, quantizes them with
+# error-feedback rounding (precision 12), and cost-competes LPC
+# against FIXED 0-2 on actual residual bit counts — on text-byte
+# fixture audio LPC genuinely wins (fractional lag-1 correlation that
+# FIXED's integer coefficients can't express), so the driver-gated
+# FLAC third of the audio fixtures exercises the LPC decode path
+# through real compression choices, not a forced flag.
 
 
 def _crc8(data: bytes) -> int:
@@ -420,8 +424,30 @@ def _flac_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
             for j in range(order - 1, -1, -1):
                 x = diffs[j][-1] + np.cumsum(x)
             samples = np.concatenate([w_arr, x]).tolist()
-        elif sf_type >= 32:
-            raise ValueError("FLAC LPC subframes unsupported (encoder never emits them)")
+        elif 32 <= sf_type <= 63:  # LPC order 1-32
+            order = sf_type - 31
+            warm = [_sign_extend(r.read(16), 16) for _ in range(order)]
+            prec_code = r.read(4)
+            if prec_code == 0xF:
+                raise ValueError("invalid FLAC LPC precision code")
+            prec = prec_code + 1
+            shift = _sign_extend(r.read(5), 5)
+            if shift < 0:
+                raise ValueError("negative FLAC LPC shift")
+            coefs = [_sign_extend(r.read(prec), prec) for _ in range(order)]
+            resid = _flac_read_residual(r, blocksize, order)
+            # the LPC recurrence feeds each prediction from RECONSTRUCTED
+            # samples — a true IIR, inherently serial like the rice
+            # symbol loop (same entropy-stage shape as the JPEG/PNG
+            # notes); O(order) int ops per sample, Python ints so the
+            # >> is the arithmetic shift the spec requires
+            hist = [int(v) for v in warm]
+            for e in resid:
+                acc = 0
+                for j, c in enumerate(coefs):
+                    acc += c * hist[-1 - j]
+                hist.append(e + (acc >> shift))
+            samples = hist
         else:
             raise ValueError(f"reserved FLAC subframe type {sf_type}")
         r.align()
@@ -441,6 +467,8 @@ def _sign_extend(v: int, bits: int) -> int:
 
 
 def _flac_read_residual(r: _BitReader, blocksize: int, order: int) -> list[int]:
+    if order >= blocksize:
+        raise ValueError("FLAC predictor order exceeds blocksize")
     method = r.read(2)
     if method > 1:
         raise ValueError("reserved FLAC residual method")
@@ -495,13 +523,21 @@ class _BitWriter:
         return bytes(self.out)
 
 
-def encode_flac(samples: np.ndarray, rate: int = 8000, blocksize: int = 4096) -> bytes:
-    """FLAC encoder twin for fixtures: 16-bit mono, per-frame FIXED
-    predictor order chosen 0-2 by residual cost, single-partition rice
-    residuals with the parameter fitted to the residual magnitudes
-    (escape to raw when rice would lose), real CRC-8/CRC-16. Lossless
-    by construction, so the text-byte oracles hash-check the full
-    round trip through ``_flac_samples``."""
+def encode_flac(
+    samples: np.ndarray,
+    rate: int = 8000,
+    blocksize: int = 4096,
+    lpc_order: int | None = 8,
+) -> bytes:
+    """FLAC encoder twin for fixtures: 16-bit mono, per-frame predictor
+    chosen by actual residual bit cost among FIXED orders 0-2 and a
+    Levinson-Durbin LPC fit up to ``lpc_order`` (None disables LPC),
+    single-partition rice residuals with the parameter fitted to the
+    residual magnitudes (escape to raw when rice would lose), real
+    CRC-8/CRC-16. Lossless by construction — LPC predicts from prior
+    ORIGINAL samples, which equal the decoder's reconstructed ones —
+    so the text-byte oracles hash-check the full round trip through
+    ``_flac_samples``."""
     s = np.asarray(samples, dtype=np.int64)
     if s.ndim != 1:
         raise ValueError("encode_flac takes mono 1-D samples")
@@ -522,7 +558,7 @@ def encode_flac(samples: np.ndarray, rate: int = 8000, blocksize: int = 4096) ->
     out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
     for fi, start in enumerate(range(0, total, blocksize)):
         frame = s[start : start + blocksize]
-        out += _flac_frame(frame, fi, blocksize)
+        out += _flac_frame(frame, fi, blocksize, lpc_order)
     return bytes(out)
 
 
@@ -540,7 +576,9 @@ def _flac_utf8_frame_number(fi: int) -> bytes:
     return bytes([lead, *reversed(tails)])
 
 
-def _flac_frame(frame: np.ndarray, fi: int, nominal_bs: int) -> bytes:
+def _flac_frame(
+    frame: np.ndarray, fi: int, nominal_bs: int, lpc_order: int | None = 8
+) -> bytes:
     n = len(frame)
     w = _BitWriter()
     w.write(0x3FFE, 14)
@@ -559,33 +597,49 @@ def _flac_frame(frame: np.ndarray, fi: int, nominal_bs: int) -> bytes:
     header = w.out[:]
     assert w.bits == 0
     w.write(_crc8(bytes(header)), 8)
-    # choose FIXED order 0-2 by total residual magnitude
-    best_order, best_resid, best_cost = 0, None, None
+    # candidate subframes, costed in ACTUAL bits: FIXED orders 0-2
+    # (integer difference predictors) vs one Levinson-Durbin LPC fit —
+    # the same competition a production encoder runs, so LPC is chosen
+    # exactly where its fractional coefficients pay for their header
+    candidates = []  # (bits, sf_type_code, order, resid, lpc_extras)
     for order in range(0, 3):
         if n <= order:
             continue
         resid = frame[order:].copy()
         for j, c in enumerate(_FIXED_COEFS[order]):
             resid = resid - c * frame[order - 1 - j : n - 1 - j]
-        cost = int(np.abs(resid).sum())
-        if best_cost is None or cost < best_cost:
-            best_order, best_resid, best_cost = order, resid, cost
-    order, resid = best_order, best_resid
+        bits = 16 * order + _rice_choice(resid)[4]
+        candidates.append((bits, 8 + order, order, resid, None))
+    fit = _fit_lpc(frame, lpc_order) if lpc_order else None
+    if fit is not None:
+        qc, shift, prec = fit
+        m = len(qc)
+        pred = np.zeros(n - m, dtype=np.int64)
+        for j, c in enumerate(qc):
+            pred += c * frame[m - 1 - j : n - 1 - j]
+        # floor_divide == the spec's arithmetic shift, and is
+        # well-defined for negatives where numpy's >> is C-inherited
+        pred = np.floor_divide(pred, 1 << shift)
+        resid = frame[m:] - pred
+        bits = 16 * m + 4 + 5 + prec * m + _rice_choice(resid)[4]
+        candidates.append((bits, 32 + m - 1, m, resid, (qc, shift, prec)))
+    _, sf_code, order, resid, lpc = min(candidates, key=lambda t: t[0])
     w.write(0, 1)
-    w.write(8 + order, 6)
+    w.write(sf_code, 6)
     w.write(0, 1)  # no wasted bits
     for v in frame[:order]:
         w.write(int(v) & 0xFFFF, 16)
+    if lpc is not None:
+        qc, shift, prec = lpc
+        w.write(prec - 1, 4)
+        w.write(shift, 5)
+        for c in qc:
+            w.write(c & ((1 << prec) - 1), prec)
     # residual: method 0 (4-bit rice), partition order 0
     w.write(0, 2)
     w.write(0, 4)
-    u = (resid << 1) ^ (resid >> 63)  # zigzag via arithmetic shift
-    mean = int(u.mean()) if len(u) else 0
-    param = max(0, min(14, mean.bit_length() - 1)) if mean else 0
-    rice_cost = int((u >> param).sum()) + len(u) * (1 + param)
-    maxu = int(u.max()) if len(u) else 0
-    raw_bits = max(maxu.bit_length() + 1, 1)  # signed raw width
-    if rice_cost > len(u) * raw_bits + 5:
+    u, param, raw_bits, use_escape, _ = _rice_choice(resid)
+    if use_escape:
         w.write(0xF, 4)  # escape: raw n-bit residuals
         w.write(raw_bits, 5)
         for v in resid:
@@ -602,6 +656,70 @@ def _flac_frame(frame: np.ndarray, fi: int, nominal_bs: int) -> bytes:
     w.align()
     data = w.bytes()
     return data + struct.pack(">H", _crc16(data))
+
+
+def _rice_choice(resid: np.ndarray):
+    """(zigzag, rice param, raw width, use_escape, total residual bits)
+    for a partition-order-0 residual block — one shared costing used
+    both to pick the winning subframe and to write it, so the two can
+    never drift."""
+    u = (resid << 1) ^ (resid >> 63)  # zigzag via arithmetic shift
+    mean = int(u.mean()) if len(u) else 0
+    param = max(0, min(14, mean.bit_length() - 1)) if mean else 0
+    rice_bits = int((u >> param).sum()) + len(u) * (1 + param)
+    maxu = int(u.max()) if len(u) else 0
+    raw_bits = max(maxu.bit_length() + 1, 1)  # signed raw width
+    use_escape = rice_bits > len(u) * raw_bits + 5
+    total = 4 + ((5 + len(u) * raw_bits) if use_escape else rice_bits)
+    return u, param, raw_bits, use_escape, total
+
+
+def _fit_lpc(frame: np.ndarray, max_order: int, precision: int = 12):
+    """Quantized LPC coefficients for one frame, or None when LPC can't
+    apply (too short, silent, or the fit degenerates): autocorrelation
+    → Levinson-Durbin recursion → error-feedback quantization at the
+    given precision with a power-of-two shift, the classic lossless-
+    audio design the FLAC format encodes. Returns (coefs, shift,
+    precision) with prediction s[i] ≈ (Σ c_j·s[i-1-j]) >> shift."""
+    n = len(frame)
+    order = min(max_order, n - 1, 32)
+    if order < 1:
+        return None
+    x = frame.astype(np.float64)
+    autoc = np.array([np.dot(x[: n - k], x[k:]) for k in range(order + 1)])
+    if autoc[0] <= 0:
+        return None  # digital silence: CONSTANT/FIXED handle it
+    a = np.zeros(order)
+    err = autoc[0]
+    m_used = 0
+    for m in range(order):
+        if err <= 0:
+            break  # perfectly predicted at a lower order
+        k = (autoc[m + 1] - np.dot(a[:m], autoc[m:0:-1])) / err
+        if not np.isfinite(k):
+            break
+        a[: m + 1] = np.concatenate([a[:m] - k * a[:m][::-1], [k]])
+        err *= 1 - k * k
+        m_used = m + 1
+    if m_used < 1:
+        return None
+    coefs = a[:m_used]
+    cmax = float(np.max(np.abs(coefs)))
+    if not np.isfinite(cmax) or cmax == 0:
+        return None
+    shift = precision - 1 - int(np.frexp(cmax)[1])
+    shift = max(0, min(15, shift))
+    qmax = (1 << (precision - 1)) - 1
+    e = 0.0
+    q = []
+    for c in coefs:
+        v = c * (1 << shift) + e
+        qi = max(-qmax - 1, min(qmax, int(round(v))))
+        e = v - qi
+        q.append(qi)
+    if not any(q):
+        return None
+    return q, shift, precision
 
 
 def decode_flac(payload: bytes) -> dict:
