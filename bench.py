@@ -229,7 +229,14 @@ def fitted_line(out: dict, budget: int = TAIL_BUDGET) -> str:
     total to truncation). The COMPLETE payload lives in
     BENCH.out.json; this line is what the driver records."""
     compact = dict(out)
-    for drop in ("adjudicated", "cold_total", "errors", "methodology", "git_head"):
+    for drop in (
+        "adjudicated",
+        "cold_total",
+        "errors",
+        "methodology",
+        "git_head",
+        "cpu_probe_sec",
+    ):
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) <= budget:
             return line
@@ -261,10 +268,25 @@ ADJUDICATE_ABS = 0.15  # seconds — sub-0.15s swings are pure scheduler noise
 ADJUDICATE_CAP = 16  # bound the extra wall-clock per round
 
 
+def _cpu_probe() -> float:
+    """Seconds for a fixed 10M-iteration integer-add loop, run before
+    Spark starts — a box-speed fingerprint for the artifact. This
+    co-tenanted box drifts ±2x between sessions (r8 measured the same
+    tree at 43.6s and 52.4s hours apart, uniformly across queries with
+    zero code change); recording the probe lets bench_compare read a
+    total delta against BOX speed instead of guessing from prose."""
+    t = time.perf_counter()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    return round(time.perf_counter() - t, 3)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from aws_etl_dados_publicos_cnpj_spark.session import build_session
 
+    cpu_probe = _cpu_probe()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     def _fresh_session():
@@ -391,6 +413,7 @@ def main() -> None:
             },
             "logger_suppression": True,
         },
+        "cpu_probe_sec": cpu_probe,
     }
     if adjudicated:
         out["adjudicated"] = adjudicated

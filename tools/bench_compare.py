@@ -83,6 +83,18 @@ def main() -> None:
     print(f"common queries: {len(common)}")
     delta_pct = 100 * (tb - ta) / ta
     print(f"{a}: {ta:.2f}s   {b}: {tb:.2f}s   delta {delta_pct:+.1f}%")
+    # cpu_probe_sec (r8): both artifacts may carry a pre-Spark single-
+    # thread probe of the box. A probe ratio far from 1.0 says the BOX
+    # moved between measurements — read the total delta against it
+    # before attributing anything to the engine.
+    ca, cb = pa.get("cpu_probe_sec"), pb.get("cpu_probe_sec")
+    if isinstance(ca, (int, float)) and isinstance(cb, (int, float)) and ca > 0:
+        ratio = cb / ca
+        print(
+            f"box speed probe: {a} {ca:.2f}s vs {b} {cb:.2f}s "
+            f"(x{ratio:.2f} single-thread time) — a total delta near "
+            f"{100 * (ratio - 1):+.0f}% is box drift, not engine drift"
+        )
     # floor_runs (r7 verdict item #7): the newer artifact may carry the
     # totals of repeated full runs at the same commit — the measured
     # run-to-run noise band on this co-tenanted box. A total delta
