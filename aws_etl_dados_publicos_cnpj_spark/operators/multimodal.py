@@ -528,16 +528,17 @@ def encode_flac(
     rate: int = 8000,
     blocksize: int = 4096,
     lpc_order: int | None = 8,
+    max_porder: int = 4,
 ) -> bytes:
     """FLAC encoder twin for fixtures: 16-bit mono, per-frame predictor
     chosen by actual residual bit cost among FIXED orders 0-2 and a
     Levinson-Durbin LPC fit up to ``lpc_order`` (None disables LPC),
-    single-partition rice residuals with the parameter fitted to the
-    residual magnitudes (escape to raw when rice would lose), real
-    CRC-8/CRC-16. Lossless by construction — LPC predicts from prior
-    ORIGINAL samples, which equal the decoder's reconstructed ones —
-    so the text-byte oracles hash-check the full round trip through
-    ``_flac_samples``."""
+    partitioned rice residuals with per-partition parameters chosen
+    over partition orders 0..``max_porder`` (escape to raw where rice
+    would lose), real CRC-8/CRC-16. Lossless by construction — LPC
+    predicts from prior ORIGINAL samples, which equal the decoder's
+    reconstructed ones — so the text-byte oracles hash-check the full
+    round trip through ``_flac_samples``."""
     s = np.asarray(samples, dtype=np.int64)
     if s.ndim != 1:
         raise ValueError("encode_flac takes mono 1-D samples")
@@ -558,7 +559,7 @@ def encode_flac(
     out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
     for fi, start in enumerate(range(0, total, blocksize)):
         frame = s[start : start + blocksize]
-        out += _flac_frame(frame, fi, blocksize, lpc_order)
+        out += _flac_frame(frame, fi, blocksize, lpc_order, max_porder)
     return bytes(out)
 
 
@@ -577,7 +578,11 @@ def _flac_utf8_frame_number(fi: int) -> bytes:
 
 
 def _flac_frame(
-    frame: np.ndarray, fi: int, nominal_bs: int, lpc_order: int | None = 8
+    frame: np.ndarray,
+    fi: int,
+    nominal_bs: int,
+    lpc_order: int | None = 8,
+    max_porder: int = 4,
 ) -> bytes:
     n = len(frame)
     w = _BitWriter()
@@ -601,15 +606,15 @@ def _flac_frame(
     # (integer difference predictors) vs one Levinson-Durbin LPC fit —
     # the same competition a production encoder runs, so LPC is chosen
     # exactly where its fractional coefficients pay for their header
-    candidates = []  # (bits, sf_type_code, order, resid, lpc_extras)
+    candidates = []  # (bits, sf_type_code, order, plan, lpc_extras)
     for order in range(0, 3):
         if n <= order:
             continue
         resid = frame[order:].copy()
         for j, c in enumerate(_FIXED_COEFS[order]):
             resid = resid - c * frame[order - 1 - j : n - 1 - j]
-        bits = 16 * order + _rice_choice(resid)[4]
-        candidates.append((bits, 8 + order, order, resid, None))
+        plan = _plan_residual(resid, n, order, max_porder)
+        candidates.append((16 * order + plan[3], 8 + order, order, plan, None))
     fit = _fit_lpc(frame, lpc_order) if lpc_order else None
     if fit is not None:
         qc, shift, prec = fit
@@ -621,9 +626,10 @@ def _flac_frame(
         # well-defined for negatives where numpy's >> is C-inherited
         pred = np.floor_divide(pred, 1 << shift)
         resid = frame[m:] - pred
-        bits = 16 * m + 4 + 5 + prec * m + _rice_choice(resid)[4]
-        candidates.append((bits, 32 + m - 1, m, resid, (qc, shift, prec)))
-    _, sf_code, order, resid, lpc = min(candidates, key=lambda t: t[0])
+        plan = _plan_residual(resid, n, m, max_porder)
+        bits = 16 * m + 4 + 5 + prec * m + plan[3]
+        candidates.append((bits, 32 + m - 1, m, plan, (qc, shift, prec)))
+    _, sf_code, order, plan, lpc = min(candidates, key=lambda t: t[0])
     w.write(0, 1)
     w.write(sf_code, 6)
     w.write(0, 1)  # no wasted bits
@@ -635,43 +641,85 @@ def _flac_frame(
         w.write(shift, 5)
         for c in qc:
             w.write(c & ((1 << prec) - 1), prec)
-    # residual: method 0 (4-bit rice), partition order 0
+    # residual: method 0 (4-bit rice params), partitioned
+    u, porder, parts, _ = plan
     w.write(0, 2)
-    w.write(0, 4)
-    u, param, raw_bits, use_escape, _ = _rice_choice(resid)
-    if use_escape:
-        w.write(0xF, 4)  # escape: raw n-bit residuals
-        w.write(raw_bits, 5)
-        for v in resid:
-            w.write(int(v) & ((1 << raw_bits) - 1), raw_bits)
-    else:
-        w.write(param, 4)
-        # one write per symbol: q implicit leading zeros + the
-        # terminating 1 + the param-bit remainder, as a single value
-        mask = (1 << param) - 1
-        qs = (u >> param).tolist()
-        rems = (u & mask).tolist()
-        for q, rem in zip(qs, rems):
-            w.write((1 << param) | rem, q + 1 + param)
+    w.write(porder, 4)
+    for kind, val, off, cnt in parts:
+        if kind == "esc":
+            w.write(0xF, 4)  # escape: raw fixed-width residuals
+            w.write(val, 5)
+            if val:
+                for v in u[off : off + cnt]:
+                    # un-zigzag back to signed, then two's complement
+                    s = (int(v) >> 1) ^ -(int(v) & 1)
+                    w.write(s & ((1 << val) - 1), val)
+        else:
+            w.write(val, 4)
+            # one write per symbol: q implicit leading zeros + the
+            # terminating 1 + the param-bit remainder, as one value
+            mask = (1 << val) - 1
+            pu = u[off : off + cnt]
+            for q, rem in zip((pu >> val).tolist(), (pu & mask).tolist()):
+                w.write((1 << val) | rem, q + 1 + val)
     w.align()
     data = w.bytes()
     return data + struct.pack(">H", _crc16(data))
 
 
-def _rice_choice(resid: np.ndarray):
-    """(zigzag, rice param, raw width, use_escape, total residual bits)
-    for a partition-order-0 residual block — one shared costing used
-    both to pick the winning subframe and to write it, so the two can
-    never drift."""
-    u = (resid << 1) ^ (resid >> 63)  # zigzag via arithmetic shift
+def _rice_param_bits(u: np.ndarray) -> tuple[int, int]:
+    """(best rice param, payload bits) for one partition: mean-based
+    seed, then neighbor probe — the mean picks within 1 of optimal for
+    geometric-ish residuals but drifts on heavy tails."""
     mean = int(u.mean()) if len(u) else 0
     param = max(0, min(14, mean.bit_length() - 1)) if mean else 0
-    rice_bits = int((u >> param).sum()) + len(u) * (1 + param)
-    maxu = int(u.max()) if len(u) else 0
-    raw_bits = max(maxu.bit_length() + 1, 1)  # signed raw width
-    use_escape = rice_bits > len(u) * raw_bits + 5
-    total = 4 + ((5 + len(u) * raw_bits) if use_escape else rice_bits)
-    return u, param, raw_bits, use_escape, total
+    bits = int((u >> param).sum()) + len(u) * (1 + param)
+    for cand in (param - 1, param + 1, param + 2):
+        if 0 <= cand <= 14:
+            b = int((u >> cand).sum()) + len(u) * (1 + cand)
+            if b < bits:
+                param, bits = cand, b
+    return param, bits
+
+
+def _plan_residual(resid: np.ndarray, blocksize: int, order: int, max_porder: int = 4):
+    """(zigzag, porder, parts, total_bits) minimizing the residual
+    section's cost over partition orders 0..max_porder — per-partition
+    rice parameters are the format's main compression lever (a quiet
+    half and a loud half each get their own param instead of one
+    compromise). parts entries are ('rice', param, off, cnt) or
+    ('esc', raw_width, off, cnt) with offsets into the zigzag array;
+    one shared plan drives both subframe selection and the write, so
+    costing and emission can never drift."""
+    u = (resid << 1) ^ (resid >> 63)  # zigzag via arithmetic shift
+    best = None
+    for porder in range(0, max_porder + 1):
+        nparts = 1 << porder
+        # partition counts must divide the blocksize and leave the
+        # first partition non-empty; both constraints are monotone in
+        # porder, so the first failure ends the search
+        if blocksize % nparts or (blocksize >> porder) <= order:
+            break
+        plen = blocksize >> porder
+        total = 4  # the porder field
+        parts = []
+        off = 0
+        for p in range(nparts):
+            cnt = plen - (order if p == 0 else 0)
+            pu = u[off : off + cnt]
+            param, rice_bits = _rice_param_bits(pu)
+            maxu = int(pu.max()) if len(pu) else 0
+            raw_bits = max(maxu.bit_length() + 1, 1)  # signed raw width
+            if 5 + cnt * raw_bits < rice_bits:
+                parts.append(("esc", raw_bits, off, cnt))
+                total += 4 + 5 + cnt * raw_bits
+            else:
+                parts.append(("rice", param, off, cnt))
+                total += 4 + rice_bits
+            off += cnt
+        if best is None or total < best[3]:
+            best = (u, porder, parts, total)
+    return best
 
 
 def _fit_lpc(frame: np.ndarray, max_order: int, precision: int = 12):

@@ -1107,6 +1107,53 @@ def test_flac_lpc_round_trip_property(n, freq, amp, order, seed):
     assert np.array_equal(got, s)
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 6000),
+    split=st.floats(0.1, 0.9),
+    loud=st.integers(100, 30000),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_partitioned_rice_round_trip(n, split, loud, seed):
+    """Nonstationary frames (quiet half, loud half) push the encoder to
+    partition orders > 0 — per-partition rice params are the format's
+    main compression lever, and this exercises the decoder's
+    partitioned-residual path through real streams."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _flac_samples,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(seed)
+    cut = int(n * split)
+    s = np.concatenate(
+        [rng.randint(-5, 6, cut), rng.randint(-loud, loud + 1, n - cut)]
+    ).astype(np.int16)
+    got, _, _ = _flac_samples(encode_flac(s))
+    assert np.array_equal(got, s)
+
+
+def test_flac_partitioning_compresses_nonstationary():
+    """On a quiet|loud frame the partitioned stream is measurably
+    smaller than the same encoder pinned to one partition — and both
+    round-trip exactly."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _flac_samples,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(11)
+    s = np.concatenate(
+        [rng.randint(-3, 4, 2048), rng.randint(-2000, 2001, 2048)]
+    ).astype(np.int16)
+    multi = encode_flac(s, lpc_order=None)
+    single = encode_flac(s, lpc_order=None, max_porder=0)
+    assert len(multi) < 0.85 * len(single)
+    for payload in (multi, single):
+        got, _, _ = _flac_samples(payload)
+        assert np.array_equal(got, s)
+
+
 def test_flac_lpc_wins_on_sinusoids():
     """Cost competition picks LPC where it genuinely compresses better:
     a pure tone obeys s[i] = 2cos(w)s[i-1] - s[i-2] with a fractional
