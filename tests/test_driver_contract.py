@@ -123,18 +123,21 @@ def test_fitted_line_always_parses_within_budget():
     }
     out["floor_runs"] = [12.1, 12.5]
     out["git_head"] = "a" * 40
+    out["cpu_probe_sec"] = 0.41
     line = bench.fitted_line(out)
     assert len(line) <= bench.TAIL_BUDGET
     parsed = json.loads(line)
     assert parsed["queries"].keys() == queries.keys()
     assert parsed["value"] == 12.3
     # floor_runs must SURVIVE fitting (r7 verdict #7: it's how
-    # bench_compare separates noise from drift); git_head is droppable.
+    # bench_compare separates noise from drift); git_head is droppable,
+    # cpu_probe_sec (r8 box-speed fingerprint) is dropped last.
     assert parsed["floor_runs"] == [12.1, 12.5]
     # a small payload keeps everything
     small = dict(out, queries={"q01": 1.0}, adjudicated={}, errors={})
     parsed_small = json.loads(bench.fitted_line(small))
     assert "methodology" in parsed_small and "cold_total" in parsed_small
+    assert parsed_small["cpu_probe_sec"] == 0.41
 
 
 def test_floor_runs_inherit_only_at_same_commit():
