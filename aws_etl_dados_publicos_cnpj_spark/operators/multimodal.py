@@ -166,6 +166,10 @@ def _aiff_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
         raise ValueError("AIFF missing COMM/SSND")
     n_ch, n_frames, samp_size = struct.unpack_from(">hIh", payload, comm[0])
     rate = int(round(_f80_decode(payload[comm[0] + 8 : comm[0] + 18])))
+    if n_ch < 1:
+        # numChannels is signed in the spec; <1 would make the frombuffer
+        # count negative (= read-to-end) and return garbage with ok=True.
+        raise ValueError(f"invalid AIFF channel count {n_ch}")
     if samp_size != 16:
         raise ValueError(f"unsupported AIFF sample size {samp_size}")
     offset, _blocksize = struct.unpack_from(">II", payload, ssnd[0])
@@ -350,7 +354,11 @@ def _flac_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
     if n_ch != 1 or bps != 16:
         raise ValueError(f"unsupported FLAC layout ({n_ch} ch, {bps}-bit)")
     out: list[int] = []
-    while len(out) < total:
+    # STREAMINFO total_samples=0 means "unknown" per the spec (streaming
+    # encoders can't know it up front) — decode frames to end-of-payload
+    # instead of treating it as an empty stream.
+    unknown_total = total == 0
+    while pos < len(payload) if unknown_total else len(out) < total:
         frame_start = pos
         r = _BitReader(payload, pos)
         if r.read(14) != 0x3FFE:
@@ -401,7 +409,7 @@ def _flac_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
         sf_type = r.read(6)
         if r.read(1):
             raise ValueError("wasted bits unsupported")
-        n = min(blocksize, total - len(out))
+        n = blocksize if unknown_total else min(blocksize, total - len(out))
         if sf_type == 0:  # CONSTANT
             val = _sign_extend(r.read(16), 16)
             samples = [val] * blocksize
@@ -2093,7 +2101,7 @@ def _mp4_video_track_impl(payload: bytes) -> dict:
     raise ValueError("MP4 has no video track")
 
 
-def _mp4_video_stats(payload: bytes) -> dict:
+def _mp4_video_stats(payload: bytes, trk: dict | None = None) -> dict:
     """Video stats from a REAL ISO-BMFF (MP4) container walk — see
     ``_mp4_video_track``. For a non-JPEG codec this is as deep as the
     container honestly goes here: the H.264/HEVC bitstream needs codec
@@ -2105,7 +2113,8 @@ def _mp4_video_stats(payload: bytes) -> dict:
     Parity anchor: the reference has no video path; this extends the
     decode_media family (same dict shape as ``decode_avi_mjpeg``,
     minus pixel means which require sample decode)."""
-    trk = _mp4_video_track(payload)
+    if trk is None:
+        trk = _mp4_video_track(payload)
     return {
         "kind": "video",
         "n_frames": trk["n_frames"],
@@ -2136,6 +2145,13 @@ def _mp4_sample_ranges_impl(payload: bytes, trk: dict) -> list[tuple[int, int]]:
     stbl, stsz = trk["stbl"], trk["stsz"]
     (uniform, n_samples) = struct.unpack_from(">II", payload, stsz[0] + 4)
     if uniform:
+        # Bound the allocation BEFORE building the list: samples are
+        # disjoint byte ranges of the file, so uniform * n_samples can
+        # never legitimately exceed the payload — a hostile 2^32-1 count
+        # would otherwise materialize a multi-GB list ahead of the
+        # per-sample range check.
+        if uniform * n_samples > len(payload):
+            raise ValueError("uniform stsz sizes exceed file size")
         sizes = [uniform] * n_samples
     else:
         if stsz[0] + 12 + 4 * n_samples > stsz[1]:
@@ -2189,14 +2205,15 @@ def _mp4_sample_ranges_impl(payload: bytes, trk: dict) -> list[tuple[int, int]]:
     return ranges
 
 
-def _mp4_mjpeg_frames(payload: bytes) -> list[bytes]:
+def _mp4_mjpeg_frames(payload: bytes, trk: dict | None = None) -> list[bytes]:
     """JPEG frame payloads of an MJPEG-in-MP4 file — the ISO-BMFF
     twin of ``_avi_mjpeg_frames``: resolve the video trak's sample
     tables to byte ranges and return each sample, which for the
     'jpeg' sample-entry fourcc is a complete baseline JPEG. Any other
     codec raises NotImplementedError (H.264/HEVC need codec libraries
     absent here) and quarantines upstream."""
-    trk = _mp4_video_track(payload)
+    if trk is None:
+        trk = _mp4_video_track(payload)
     if trk["codec"] != "jpeg":
         raise NotImplementedError(
             f"MP4 sample decode for codec {trk['codec']!r} requires codec "
@@ -2214,14 +2231,18 @@ def _mp4_mjpeg_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
-def decode_mp4_mjpeg(payload: bytes) -> dict:
+def decode_mp4_mjpeg(payload: bytes, trk: dict | None = None) -> dict:
     """Full video stats for MJPEG-in-MP4 — same shape as
     ``decode_avi_mjpeg`` (real frame decode: count, first-frame dims,
-    mean RGB) plus the container's codec/duration metadata."""
-    frames = _mp4_mjpeg_frames(payload)
+    mean RGB) plus the container's codec/duration metadata. The track
+    dict is parsed once and threaded through (the box walk + sample
+    tables would otherwise be re-parsed per layer)."""
+    if trk is None:
+        trk = _mp4_video_track(payload)
+    frames = _mp4_mjpeg_frames(payload, trk)
     px = _jpeg_pixels(frames[0])
     mean_rgb = px.reshape(-1, 3).mean(axis=0) if px.size else np.zeros(3)
-    meta = _mp4_video_stats(payload)
+    meta = _mp4_video_stats(payload, trk)
     return {
         **meta,
         "n_frames": len(frames),
@@ -2257,10 +2278,12 @@ def decode_media(payload: bytes, mime: str) -> dict:
     if mime in ("video/mp4", "video/quicktime"):
         # MJPEG samples decode for real through the sample tables +
         # the JPEG codec; any other codec gets the container-level
-        # stats (full metadata, no pixel means).
-        if _mp4_video_track(payload)["codec"] == "jpeg":
-            return decode_mp4_mjpeg(payload)
-        return _mp4_video_stats(payload)
+        # stats (full metadata, no pixel means). One box walk serves
+        # routing, stats, and frame resolution.
+        trk = _mp4_video_track(payload)
+        if trk["codec"] == "jpeg":
+            return decode_mp4_mjpeg(payload, trk)
+        return _mp4_video_stats(payload, trk)
     raise NotImplementedError(
         f"media decode for {mime!r} requires codec libraries not present; "
         "extract_features uses the deterministic byte-level fallback"

@@ -469,7 +469,11 @@ def inherit_floor_runs(prev: dict, out: dict) -> list[float]:
     floor = [t for t in prev.get("floor_runs", []) if isinstance(t, (int, float))]
     if isinstance(prev.get("value"), (int, float)):
         floor.append(prev["value"])
-    return sorted(floor)[:7]
+    # Cap by RECENCY, not speed: keeping the 7 fastest would silently
+    # drop legitimate slow runs and shrink the recorded noise band over
+    # repeated runs — the exact misattribution floor_runs exists to
+    # prevent. The list is chronological (oldest first), so keep the tail.
+    return floor[-7:]
 
 
 _ENGINE_PATHS = ["aws_etl_dados_publicos_cnpj_spark", "bench.py", "__spark_entry__.py"]

@@ -802,6 +802,36 @@ def test_mp4_mjpeg_sample_layer_round_trip():
     assert (px[:, 2 * 8 : 3 * 8] == raw[(8 * 3 + 2) % len(raw)]).all()
 
 
+def test_mp4_uniform_stsz_bounds_checked_before_allocation():
+    """A hostile uniform-size stsz (sample_size=1, count=2^32-1) must
+    raise BEFORE materializing the sizes list — the allocation alone
+    would be ~34 GB and OOM the executor, violating the 'one poison
+    blob must not kill a 100 TB pass' contract. A legitimate uniform
+    stsz (all frames equal size) must still resolve samples exactly."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mjpeg_frames_for_text,
+        _mp4_mjpeg_container,
+        _mp4_mjpeg_frames,
+    )
+
+    frames = _mjpeg_frames_for_text(b"uniform stsz coverage", 3)
+    payload = _mp4_mjpeg_container(frames)
+    idx = payload.index(b"stsz")
+    # stsz body: version/flags(4) sample_size(4) sample_count(4)
+    bomb = bytearray(payload)
+    struct.pack_into(">II", bomb, idx + 8, 1, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="exceed file size"):
+        _mp4_mjpeg_frames(bytes(bomb))
+    # legitimate uniform sizes (Huffman makes multi-frame sizes vary, so
+    # pin the branch with a single frame) still resolve exactly
+    one = _mjpeg_frames_for_text(b"single frame", 1)
+    payload = _mp4_mjpeg_container(one)
+    idx = payload.index(b"stsz")
+    legit = bytearray(payload)
+    struct.pack_into(">I", legit, idx + 8, len(one[0]))
+    assert _mp4_mjpeg_frames(bytes(legit)) == one
+
+
 def test_mp4_non_jpeg_codec_quarantines_frame_access():
     """Frame access on an avc1 MP4 raises NotImplementedError (codec
     libs absent) while decode_media still returns container stats."""
@@ -958,6 +988,15 @@ def test_aiff_corrupt_payloads_quarantine():
     struct.pack_into(">I", bad, idx + 4, 1 << 20)
     with pytest.raises(ValueError, match="overruns"):
         _aiff_samples(bytes(bad))
+    # numChannels is a SIGNED short: negative would make the frombuffer
+    # count negative (= read-to-end garbage with ok=True), zero would
+    # yield ok=True zero-stats — both must quarantine instead
+    idx = good.index(b"COMM")
+    for n_ch in (-1, 0):
+        bad = bytearray(good)
+        struct.pack_into(">h", bad, idx + 8, n_ch)
+        with pytest.raises(ValueError, match="channel count"):
+            _aiff_samples(bytes(bad))
 
 
 # --- GIF (r8): real LZW, third compression family ---------------------
@@ -1131,6 +1170,31 @@ def test_flac_partitioned_rice_round_trip(n, split, loud, seed):
     ).astype(np.int16)
     got, _, _ = _flac_samples(encode_flac(s))
     assert np.array_equal(got, s)
+
+
+def test_flac_total_samples_zero_means_unknown():
+    """STREAMINFO total_samples=0 means 'unknown' per the spec (live /
+    pipe encoders can't know it up front) — the decoder must walk
+    frames to end-of-payload, not return an empty ok=True stream."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _flac_samples,
+        decode_flac,
+        encode_flac,
+    )
+
+    s = ((np.arange(700) * 13) % 3000 - 1500).astype(np.int16)
+    payload = bytearray(encode_flac(s, rate=8000))
+    # STREAMINFO body starts at 8 (fLaC + 4-byte block header); the
+    # 36-bit total_samples field spans the low nibble of body[13] and
+    # body[14:18]
+    body = 8
+    payload[body + 13] &= 0xF0
+    payload[body + 14 : body + 18] = b"\x00\x00\x00\x00"
+    got, rate, nch = _flac_samples(bytes(payload))
+    assert rate == 8000 and nch == 1
+    assert np.array_equal(got, s)
+    out = decode_flac(bytes(payload))
+    assert out["n_frames"] == len(s) and out["duration_s"] > 0
 
 
 def test_flac_partitioning_compresses_nonstationary():
