@@ -879,10 +879,19 @@ def _png_pixels(payload: bytes) -> np.ndarray:
         pos += 12 + length  # length + type + data + crc32
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    raw = zlib.decompress(b"".join(idat))
     ch = 3 if color_type == 2 else 4
     stride = width * ch
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    comp = b"".join(idat)
+    # DEFLATE's max expansion is ~1032:1, so a lying IHDR cannot demand
+    # more output than the compressed bytes can back; decompressing with
+    # max_length then bounds the allocation even for a crafted bomb
+    # whose header matches its own inflated size — a plain
+    # zlib.decompress() here would materialize the whole bomb first.
+    if expected > 1032 * len(comp) + (1 << 15):
+        raise ValueError("PNG pixel data size mismatch")
+    raw = zlib.decompressobj().decompress(comp, expected + 1)
+    if len(raw) != expected:
         raise ValueError("PNG pixel data size mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     out = np.zeros((height, stride), dtype=np.int64)
@@ -1272,13 +1281,26 @@ def _jpeg_pixels_impl(payload: bytes) -> np.ndarray:
 
     def _alloc() -> None:
         nonlocal hmax, vmax, mcux, mcuy
+        # validate sampling factors BEFORE any division: a zero factor
+        # would raise ZeroDivisionError, which is outside the decoder's
+        # ValueError quarantine contract
         hmax = max(c["h"] for c in comps)
         vmax = max(c["v"] for c in comps)
-        mcux = -(-w // (8 * hmax))
-        mcuy = -(-h // (8 * vmax))
         for c in comps:
             if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
                 raise ValueError("non-integer JPEG sampling ratio")
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        # Bound the coefficient-state allocation against the payload:
+        # every block costs >= 1 bit in the (DC) entropy stream, so a
+        # lying 16-bit SOF (65535x65535 would want ~100 GB of int64
+        # state) cannot demand blocks the stream can't back.
+        total_blocks = sum(
+            (mcuy * c["v"]) * (mcux * c["h"]) for c in comps
+        )
+        if total_blocks > 8 * len(payload):
+            raise ValueError("JPEG dimensions exceed what the stream can encode")
+        for c in comps:
             # zigzag-ordered coefficient state, accumulated across
             # scans (one scan for baseline, many for progressive)
             c["coef"] = np.zeros(
@@ -1871,8 +1893,15 @@ def _gif_pixels_impl(payload: bytes) -> np.ndarray:
             ln = payload[pos]
             chunks.append(payload[pos + 1 : pos + 1 + ln])
             pos += 1 + ln
+        data = b"".join(chunks)
+        # Each LZW code is >= 3 bits and emits <= 4096 pixels (the
+        # 12-bit table cap), so a lying 16-bit w*h cannot demand more
+        # output than the stream can back — bound the decoded-list
+        # growth before entering the symbol loop.
+        if w * h > (len(data) * 8 // 3) * 4096:
+            raise ValueError("GIF dimensions exceed what the stream can encode")
         idx = np.asarray(
-            _gif_lzw_decode(b"".join(chunks), min_code, w * h), dtype=np.int64
+            _gif_lzw_decode(data, min_code, w * h), dtype=np.int64
         )
         if (idx >= len(palette)).any():
             raise ValueError("GIF pixel index out of palette range")

@@ -1058,6 +1058,63 @@ def test_gif_corrupt_payloads_quarantine():
         _gif_pixels(bytes(bad[:-10]) + b"\x00\x3b")
 
 
+def test_image_header_bombs_are_bounded_before_allocation():
+    """Lying size headers must raise BEFORE materializing output: a GIF
+    or JPEG claiming 65535x65535 around a few hundred real bytes, and a
+    PNG whose zlib stream inflates far past its IHDR claim, would
+    otherwise allocate tens of GB ahead of any per-pixel check —
+    violating the poison-blob contract the MP4 stsz fix pinned."""
+    import zlib
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _gif_pixels,
+        _jpeg_pixels,
+        _png_pixels,
+        encode_jpeg,
+    )
+
+    # GIF: huge descriptor, 2-entry palette, 2-byte LZW stream
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80, 0, 0) + bytes(6)
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+    lzw = bytes([2, 2, 0x4C, 0x01, 0]) + b"\x3b"
+    with pytest.raises(ValueError, match="exceed"):
+        _gif_pixels(hdr + desc + lzw)
+
+    # JPEG: patch the SOF dims of a real tiny stream to 65535x65535
+    good = encode_jpeg(np.full((8, 8, 3), 99, dtype=np.uint8))
+    idx = good.index(b"\xff\xc0")
+    bomb = bytearray(good)
+    struct.pack_into(">HH", bomb, idx + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="exceed"):
+        _jpeg_pixels(bytes(bomb))
+
+    # PNG #1: IHDR claims dims no compressed byte count could back
+    big_dims = bytearray(make_png(np.zeros((2, 2, 3), dtype=np.uint8)))
+    struct.pack_into(">II", big_dims, 16, 30000, 30000)
+    with pytest.raises(ValueError, match="size mismatch"):
+        _png_pixels(bytes(big_dims))
+
+    # PNG #2: a real 50 MB zlib bomb behind an IHDR claiming 10 MB —
+    # the bounded decompress must stop at the claim, not inflate it all
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    comp = zlib.compress(bytes(50_000_000))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 333, 10000, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", comp)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        _png_pixels(png)
+
+
 def test_mixed_image_fixture_same_pixels_both_containers(spark):
     """BMP and GIF arms decode to IDENTICAL RGB pixels for the same
     text, so ahash values (and the near-dup join's key entropy) are
