@@ -89,13 +89,18 @@ _WAV_DTYPES = {1: np.uint8, 2: np.int16, 4: np.int32}
 
 def decode_wav(payload: bytes) -> dict:
     """Decode RIFF PCM audio with the stdlib ``wave`` module: stream
-    properties + amplitude stats. No external codec required."""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        n_ch = w.getnchannels()
-        sampwidth = w.getsampwidth()
-        rate = w.getframerate()
-        n_frames = w.getnframes()
-        raw = w.readframes(n_frames)
+    properties + amplitude stats. No external codec required. Corrupt
+    containers surface as ValueError (the module-wide quarantine
+    contract) rather than leaking ``wave.Error``/``EOFError``."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_ch = w.getnchannels()
+            sampwidth = w.getsampwidth()
+            rate = w.getframerate()
+            n_frames = w.getnframes()
+            raw = w.readframes(n_frames)
+    except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
+        raise ValueError(f"corrupt WAV container ({exc})") from exc
     dtype = _WAV_DTYPES.get(sampwidth)
     if dtype is None:
         raise ValueError(f"unsupported WAV sample width {sampwidth}")
@@ -129,7 +134,12 @@ def _f80_decode(b: bytes) -> float:
     se, mant = struct.unpack(">HQ", b[:10])
     if se == 0 and mant == 0:
         return 0.0
-    val = mant / (1 << 63) * 2.0 ** ((se & 0x7FFF) - 16383)
+    exp = (se & 0x7FFF) - 16383
+    # 0x7FFF exponent encodes inf/NaN, and anything past float64's
+    # range overflows 2.0**exp — no real sample rate is near either
+    if exp > 1023:
+        raise ValueError(f"AIFF extended-float exponent out of range ({exp})")
+    val = mant / (1 << 63) * 2.0**exp
     return -val if se & 0x8000 else val
 
 
@@ -207,8 +217,11 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         return _aiff_samples(payload)[0]
     if payload[:4] == b"fLaC":
         return _flac_samples(payload)[0]
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
+        raise ValueError(f"corrupt WAV container ({exc})") from exc
     return np.frombuffer(raw, dtype=np.int16)
 
 
@@ -324,8 +337,10 @@ def _flac_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
         raise ValueError("not a FLAC stream")
     try:
         return _flac_samples_impl(payload)
-    except (struct.error, IndexError) as exc:
-        raise ValueError(f"corrupt FLAC stream ({exc})") from exc
+    except (struct.error, IndexError, OverflowError) as exc:
+        # OverflowError: corrupt LPC coefficients/shifts can grow the
+        # exact-int recurrence past what np.asarray accepts
+        raise ValueError(f"corrupt FLAC stream ({type(exc).__name__}: {exc})") from exc
 
 
 def _flac_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
@@ -800,12 +815,19 @@ def _bmp_pixels(payload: bytes) -> np.ndarray:
     BMP — pure struct/numpy header parse, no codec library."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
-    data_offset = struct.unpack_from("<I", payload, 10)[0]
-    width, height = struct.unpack_from("<ii", payload, 18)
-    bpp = struct.unpack_from("<H", payload, 28)[0]
-    compression = struct.unpack_from("<I", payload, 30)[0]
+    try:
+        data_offset = struct.unpack_from("<I", payload, 10)[0]
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+    except struct.error as exc:
+        raise ValueError(f"corrupt BMP header ({exc})") from exc
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    if width <= 0 or height == 0:
+        # width is signed in the header; non-positive would turn the
+        # frombuffer count negative (= read-to-end garbage)
+        raise ValueError(f"invalid BMP dimensions ({width}x{height})")
     row_size = (width * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
     px = (
         np.frombuffer(payload, dtype=np.uint8, offset=data_offset, count=row_size * abs(height))
@@ -854,6 +876,15 @@ def _png_pixels(payload: bytes) -> np.ndarray:
 
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
+    try:
+        return _png_pixels_impl(payload)
+    except (struct.error, zlib.error, IndexError) as exc:
+        raise ValueError(f"corrupt PNG stream ({type(exc).__name__}: {exc})") from exc
+
+
+def _png_pixels_impl(payload: bytes) -> np.ndarray:
+    import zlib
+
     pos = 8
     width = height = color_type = None
     idat: list[bytes] = []
@@ -1790,6 +1821,11 @@ def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list[int]:
     dictionary, EOI terminates. The third real compression family in
     this module (DEFLATE via zlib for PNG, huffman+DCT for JPEG, LZW
     here) — decoded from the spec (GIF89a appendix F), no codec lib."""
+    if not 2 <= min_code <= 8:
+        # GIF89a: LZW minimum code size is 2..8 (palette <= 256); an
+        # unvalidated byte here sizes the initial table as 1 << min_code
+        # — a mutated 0xF9 would try to build a 2^249-entry list
+        raise ValueError(f"invalid GIF LZW minimum code size {min_code}")
     clear = 1 << min_code
     eoi = clear + 1
     out: list[int] = []

@@ -65,6 +65,29 @@ def test_decode_bmp_pixels():
     assert out["mean_b"] == pytest.approx((0 + 0 + 255 + 255) / 4)
 
 
+def test_wav_bmp_corrupt_payloads_quarantine_as_value_error():
+    """Corrupt WAV/BMP must surface as ValueError like every other
+    decoder — stdlib wave raises wave.Error/EOFError/bare RuntimeError
+    on mangled chunk framing, and a truncated or negative-width BMP
+    header leaked struct.error / read-to-end garbage (fuzz findings)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import _bmp_pixels
+
+    good_wav = make_wav([1000, -1000] * 50)
+    # mangle the fmt chunk size so wave's chunk walk seeks past EOF
+    bad = bytearray(good_wav)
+    struct.pack_into("<I", bad, 16, 0xB8FF1A7A)
+    with pytest.raises(ValueError, match="corrupt WAV"):
+        decode_wav(bytes(bad[:40]))
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good_bmp = make_bmp(px)
+    with pytest.raises(ValueError, match="corrupt BMP header"):
+        _bmp_pixels(good_bmp[:9])
+    neg = bytearray(good_bmp)
+    struct.pack_into("<i", neg, 18, -2)
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        _bmp_pixels(bytes(neg))
+
+
 def test_decode_features_mixed_media_and_quarantine(spark):
     wav = make_wav([500] * 100)
     bmp = make_bmp(np.full((3, 5, 3), 128, dtype=np.uint8))
@@ -997,6 +1020,12 @@ def test_aiff_corrupt_payloads_quarantine():
         struct.pack_into(">h", bad, idx + 8, n_ch)
         with pytest.raises(ValueError, match="channel count"):
             _aiff_samples(bytes(bad))
+    # a corrupt 80-bit rate with a float64-overflowing exponent must
+    # quarantine as ValueError, not leak OverflowError (fuzz finding)
+    bad = bytearray(good)
+    struct.pack_into(">H", bad, idx + 16, 0x7FFE)
+    with pytest.raises(ValueError, match="exponent out of range"):
+        _aiff_samples(bytes(bad))
 
 
 # --- GIF (r8): real LZW, third compression family ---------------------
@@ -1056,6 +1085,16 @@ def test_gif_corrupt_payloads_quarantine():
     # zero out the sub-block data so the stream ends before w*h pixels
     with pytest.raises(ValueError):
         _gif_pixels(bytes(bad[:-10]) + b"\x00\x3b")
+    # a mutated LZW minimum-code-size byte sizes the initial table as
+    # 1 << min_code — 0xF9 would try to build a 2^249-entry list
+    # before any data is read (fuzz finding); spec range is 2..8
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _gif_lzw_decode,
+    )
+
+    for bad_mc in (0, 1, 9, 0xF9):
+        with pytest.raises(ValueError, match="minimum code size"):
+            _gif_lzw_decode(b"\x4c\x01", bad_mc, 16)
 
 
 def test_image_header_bombs_are_bounded_before_allocation():
