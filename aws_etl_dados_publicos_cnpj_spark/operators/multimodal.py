@@ -829,6 +829,11 @@ def _bmp_pixels(payload: bytes) -> np.ndarray:
         # frombuffer count negative (= read-to-end garbage)
         raise ValueError(f"invalid BMP dimensions ({width}x{height})")
     row_size = (width * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    # explicit bound (not just frombuffer's own buffer check): corrupt
+    # 32-bit dims can push offset+count past C ssize_t, which surfaces
+    # as OverflowError instead of the quarantine ValueError
+    if data_offset + row_size * abs(height) > len(payload):
+        raise ValueError("BMP pixel data truncated")
     px = (
         np.frombuffer(payload, dtype=np.uint8, offset=data_offset, count=row_size * abs(height))
         .reshape(abs(height), row_size)[:, : width * 3]

@@ -86,6 +86,12 @@ def test_wav_bmp_corrupt_payloads_quarantine_as_value_error():
     struct.pack_into("<i", neg, 18, -2)
     with pytest.raises(ValueError, match="invalid BMP dimensions"):
         _bmp_pixels(bytes(neg))
+    # corrupt 32-bit dims can push offset+count past C ssize_t, where
+    # frombuffer raises OverflowError instead of ValueError (fuzz find)
+    huge = bytearray(good_bmp)
+    struct.pack_into("<ii", huge, 18, 0x7FFFFFFF, 0x7FFFFFFF)
+    with pytest.raises(ValueError, match="truncated"):
+        _bmp_pixels(bytes(huge))
 
 
 def test_decode_features_mixed_media_and_quarantine(spark):

@@ -102,13 +102,13 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
 
 
 _DECODERS = {
-    "png": [mm._png_pixels, mm.decode_png],
+    "png": [mm._png_pixels, mm.decode_png, mm._image_pixels],
     "gif": [mm._gif_pixels, mm.decode_gif],
     "jpeg": [mm._jpeg_pixels, mm.decode_jpeg],
-    "bmp": [mm._bmp_pixels, mm.decode_bmp],
-    "flac": [mm._flac_samples, mm.decode_flac],
-    "wav": [mm.decode_wav],
-    "aiff": [mm._aiff_samples, mm.decode_aiff],
+    "bmp": [mm._bmp_pixels, mm.decode_bmp, mm._image_pixels],
+    "flac": [mm._flac_samples, mm.decode_flac, mm._pcm16_samples],
+    "wav": [mm.decode_wav, mm._pcm16_samples],
+    "aiff": [mm._aiff_samples, mm.decode_aiff, mm._pcm16_samples],
     "avi": [mm._avi_mjpeg_frames, mm.decode_avi_mjpeg],
     "mp4": [mm._mp4_video_stats, mm._mp4_mjpeg_frames, mm.decode_mp4_mjpeg],
 }
