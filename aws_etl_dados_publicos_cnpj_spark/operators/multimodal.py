@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import functools
 import io
+import math
 import struct
 import wave
 from collections.abc import Iterator
@@ -136,10 +137,14 @@ def _f80_decode(b: bytes) -> float:
         return 0.0
     exp = (se & 0x7FFF) - 16383
     # 0x7FFF exponent encodes inf/NaN, and anything past float64's
-    # range overflows 2.0**exp — no real sample rate is near either
+    # range overflows 2.0**exp — no real sample rate is near either.
+    # exp == 1023 with a near-2.0 mantissa still reaches inf, so the
+    # result is checked too (int(round(inf)) would leak OverflowError).
     if exp > 1023:
         raise ValueError(f"AIFF extended-float exponent out of range ({exp})")
     val = mant / (1 << 63) * 2.0**exp
+    if not math.isfinite(val):
+        raise ValueError("AIFF extended-float value out of range")
     return -val if se & 0x8000 else val
 
 
@@ -828,6 +833,10 @@ def _bmp_pixels(payload: bytes) -> np.ndarray:
         # width is signed in the header; non-positive would turn the
         # frombuffer count negative (= read-to-end garbage)
         raise ValueError(f"invalid BMP dimensions ({width}x{height})")
+    if data_offset < 54:
+        # pixel data cannot start inside the 14+40-byte headers; a
+        # lying offset would silently decode header bytes as pixels
+        raise ValueError(f"invalid BMP data offset ({data_offset})")
     row_size = (width * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
     # explicit bound (not just frombuffer's own buffer check): corrupt
     # 32-bit dims can push offset+count past C ssize_t, which surfaces
@@ -926,8 +935,12 @@ def _png_pixels_impl(payload: bytes) -> np.ndarray:
     # zlib.decompress() here would materialize the whole bomb first.
     if expected > 1032 * len(comp) + (1 << 15):
         raise ValueError("PNG pixel data size mismatch")
-    raw = zlib.decompressobj().decompress(comp, expected + 1)
-    if len(raw) != expected:
+    d = zlib.decompressobj()
+    raw = d.decompress(comp, expected + 1)
+    # d.eof preserves the integrity check plain zlib.decompress gave:
+    # a stream truncated at its adler32 trailer otherwise yields full
+    # output with no error
+    if len(raw) != expected or not d.eof:
         raise ValueError("PNG pixel data size mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     out = np.zeros((height, stride), dtype=np.int64)
@@ -1327,14 +1340,18 @@ def _jpeg_pixels_impl(payload: bytes) -> np.ndarray:
                 raise ValueError("non-integer JPEG sampling ratio")
         mcux = -(-w // (8 * hmax))
         mcuy = -(-h // (8 * vmax))
-        # Bound the coefficient-state allocation against the payload:
-        # every block costs >= 1 bit in the (DC) entropy stream, so a
-        # lying 16-bit SOF (65535x65535 would want ~100 GB of int64
-        # state) cannot demand blocks the stream can't back.
+        # Bound the coefficient-state allocation: every block costs
+        # >= 1 bit in the (DC) entropy stream, so a lying 16-bit SOF
+        # (65535x65535 would want ~100 GB of int64 state) cannot demand
+        # blocks the stream can't back — and because each block holds
+        # 512 bytes of int64 state (a ~4096x amplification of that
+        # 1-bit floor), an absolute cap keeps even a stream-backed
+        # claim inside ~2 GB. ~84 Mpixel ceiling; a corpus of genuinely
+        # larger images wants a real codec, like the PNG Paeth note.
         total_blocks = sum(
             (mcuy * c["v"]) * (mcux * c["h"]) for c in comps
         )
-        if total_blocks > 8 * len(payload):
+        if total_blocks > 8 * len(payload) or total_blocks > (1 << 22):
             raise ValueError("JPEG dimensions exceed what the stream can encode")
         for c in comps:
             # zigzag-ordered coefficient state, accumulated across

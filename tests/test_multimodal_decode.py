@@ -92,6 +92,12 @@ def test_wav_bmp_corrupt_payloads_quarantine_as_value_error():
     struct.pack_into("<ii", huge, 18, 0x7FFFFFFF, 0x7FFFFFFF)
     with pytest.raises(ValueError, match="truncated"):
         _bmp_pixels(bytes(huge))
+    # a data offset pointing inside the 54-byte headers would silently
+    # decode header bytes as pixels
+    inhdr = bytearray(good_bmp)
+    struct.pack_into("<I", inhdr, 10, 0)
+    with pytest.raises(ValueError, match="data offset"):
+        _bmp_pixels(bytes(inhdr))
 
 
 def test_decode_features_mixed_media_and_quarantine(spark):
@@ -1032,6 +1038,12 @@ def test_aiff_corrupt_payloads_quarantine():
     struct.pack_into(">H", bad, idx + 16, 0x7FFE)
     with pytest.raises(ValueError, match="exponent out of range"):
         _aiff_samples(bytes(bad))
+    # boundary case: exp == 1023 with a near-2.0 mantissa still reaches
+    # float inf — int(round(inf)) would leak OverflowError downstream
+    bad = bytearray(good)
+    struct.pack_into(">HQ", bad, idx + 16, 16383 + 1023, 0xFFFFFFFFFFFFFFFF)
+    with pytest.raises(ValueError, match="out of range"):
+        _aiff_samples(bytes(bad))
 
 
 # --- GIF (r8): real LZW, third compression family ---------------------
@@ -1158,6 +1170,33 @@ def test_image_header_bombs_are_bounded_before_allocation():
     )
     with pytest.raises(ValueError, match="size mismatch"):
         _png_pixels(png)
+
+    # JPEG absolute cap: a big-enough payload satisfies the stream-bit
+    # bound for huge SOF dims, but the int64 coefficient state would
+    # still be ~100 GB — the block-count ceiling must refuse it
+    padded = bytearray(good + bytes(3_000_000))
+    struct.pack_into(">HH", padded, idx + 5, 20000, 20000)
+    with pytest.raises(ValueError, match="exceed"):
+        _jpeg_pixels(bytes(padded))
+
+    # the bounded PNG decompress must keep zlib.decompress's stream
+    # integrity: a deflate stream truncated at its adler32 trailer
+    # otherwise returns full output with no error
+    px2 = np.zeros((2, 2, 3), dtype=np.uint8)
+    ok_png = make_png(px2)
+    i = ok_png.index(b"IDAT") - 4
+    (idat_len,) = struct.unpack_from(">I", ok_png, i)
+    body = ok_png[i + 8 : i + 8 + idat_len][:-4]  # drop the adler32
+    cut = (
+        ok_png[: i]
+        + struct.pack(">I", len(body))
+        + b"IDAT"
+        + body
+        + struct.pack(">I", zlib.crc32(b"IDAT" + body))
+        + ok_png[i + 12 + idat_len :]
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        _png_pixels(cut)
 
 
 def test_mixed_image_fixture_same_pixels_both_containers(spark):

@@ -40,11 +40,23 @@ from aws_etl_dados_publicos_cnpj_spark.operators import multimodal as mm
 
 ALLOWED = (ValueError, NotImplementedError)
 
-# cap the bytes any single decode may return/allocate implicitly — the
-# guards added in r8 make header-driven allocations data-backed, so a
-# fuzz input of a few KB must never take more than a second or produce
-# hundreds of MB; a hang or MemoryError here is a real finding
-MAX_PAYLOAD = 1 << 16
+# cap the bytes any single decode may RETURN: the r8 guards make
+# header-driven allocations data-backed, so a fuzz input of a few KB
+# returning >64 MB of pixels/samples is an amplification finding even
+# when it's fast enough to beat the watchdog
+MAX_RESULT_BYTES = 1 << 26
+
+
+def _result_nbytes(obj) -> int:
+    if isinstance(obj, np.ndarray):
+        return obj.nbytes
+    if isinstance(obj, (bytes, bytearray)):
+        return len(obj)
+    if isinstance(obj, (list, tuple)):
+        return sum(_result_nbytes(v) for v in obj)
+    if isinstance(obj, dict):
+        return sum(_result_nbytes(v) for v in obj.values())
+    return 8
 
 
 def _encode_png(px: np.ndarray) -> bytes:
@@ -168,9 +180,17 @@ def fuzz_quarantine(seconds: float, seed: int, per_decode: float = 10.0) -> int:
                 mutated, ops = _mutate(good, rng)
                 for dec in _DECODERS[fmt]:
                     trials += 1
+                    out = None
+                    # the timer is disarmed in an INNER finally so a
+                    # late alarm (firing between dec() returning and
+                    # the disarm) surfaces as the outer _DecodeHang
+                    # report, not an uncaught crash
                     signal.setitimer(signal.ITIMER_REAL, per_decode)
                     try:
-                        dec(mutated)
+                        try:
+                            out = dec(mutated)
+                        finally:
+                            signal.setitimer(signal.ITIMER_REAL, 0)
                     except ALLOWED:
                         pass
                     except _DecodeHang:
@@ -187,8 +207,13 @@ def fuzz_quarantine(seconds: float, seed: int, per_decode: float = 10.0) -> int:
                         )
                         traceback.print_exc()
                         return 1
-                    finally:
-                        signal.setitimer(signal.ITIMER_REAL, 0)
+                    if out is not None and _result_nbytes(out) > MAX_RESULT_BYTES:
+                        print(
+                            f"AMPLIFICATION (> {MAX_RESULT_BYTES} bytes out of "
+                            f"{len(mutated)} in) fmt={fmt} decoder={dec.__name__} "
+                            f"seed={seed} ops={ops} payload_hex={mutated.hex()}"
+                        )
+                        return 1
     finally:
         signal.signal(signal.SIGALRM, old)
     print(f"quarantine fuzz OK: {trials} decode trials, 0 violations")
