@@ -159,7 +159,7 @@ def _aiff_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
         raise ValueError("not an AIFF container")
     try:
         return _aiff_samples_impl(payload)
-    except struct.error as exc:
+    except (struct.error, IndexError) as exc:
         raise ValueError(f"corrupt AIFF container ({exc})") from exc
 
 
@@ -2129,7 +2129,7 @@ def _mp4_video_track(payload: bytes) -> dict:
         raise ValueError("not an ISO-BMFF (MP4) container")
     try:
         return _mp4_video_track_impl(payload)
-    except struct.error as exc:
+    except (struct.error, IndexError) as exc:
         raise ValueError(f"corrupt MP4 container ({exc})") from exc
 
 
@@ -2224,7 +2224,7 @@ def _mp4_sample_ranges(payload: bytes, trk: dict) -> list[tuple[int, int]]:
     ValueError instead of leaking struct.error."""
     try:
         return _mp4_sample_ranges_impl(payload, trk)
-    except struct.error as exc:
+    except (struct.error, IndexError) as exc:
         raise ValueError(f"corrupt MP4 sample tables ({exc})") from exc
 
 
@@ -2934,7 +2934,7 @@ def _avi_mjpeg_frames(payload: bytes) -> list[bytes]:
         raise ValueError("not an AVI container")
     try:
         return _avi_mjpeg_frames_impl(payload)
-    except struct.error as exc:
+    except (struct.error, IndexError) as exc:
         raise ValueError(f"corrupt AVI container ({exc})") from exc
 
 
