@@ -179,6 +179,13 @@ def _aiff_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
         pos += 8 + cksz + (cksz & 1)  # IFF pads chunks to even
     if comm is None or ssnd is None:
         raise ValueError("AIFF missing COMM/SSND")
+    # A lying small cksz would make the fixed-field unpacks below read
+    # the NEXT chunk's bytes (garbage-in-garbage-out with ok=True), so
+    # validate the declared sizes before touching the fields.
+    if comm[1] - comm[0] < 18:
+        raise ValueError("AIFF COMM chunk truncated")
+    if ssnd[1] - ssnd[0] < 8:
+        raise ValueError("AIFF SSND chunk truncated")
     n_ch, n_frames, samp_size = struct.unpack_from(">hIh", payload, comm[0])
     rate = int(round(_f80_decode(payload[comm[0] + 8 : comm[0] + 18])))
     if n_ch < 1:
@@ -224,6 +231,12 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         return _flac_samples(payload)[0]
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                # Match the AIFF/FLAC arms: reinterpreting 8/24-bit
+                # frames as int16 would fingerprint garbage with ok=True.
+                raise ValueError(
+                    f"unsupported WAV sample width {w.getsampwidth()}"
+                )
             raw = w.readframes(w.getnframes())
     except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
         raise ValueError(f"corrupt WAV container ({exc})") from exc
@@ -2133,7 +2146,10 @@ def _mp4_video_track(payload: bytes) -> dict:
         raise ValueError(f"corrupt MP4 container ({exc})") from exc
 
 
-def _mp4_video_track_impl(payload: bytes) -> dict:
+def _mp4_traks(payload: bytes, handler: bytes) -> Iterator[tuple[int, int, tuple[int, int]]]:
+    """(trak_start, trak_end, mdia bounds) of every trak whose hdlr
+    matches ``handler`` (b'vide' / b'soun') — the shared trak-selection
+    walk under the video AND audio track parsers."""
     moov = _mp4_child(payload, 0, len(payload), b"moov")
     if moov is None:
         raise ValueError("MP4 has no moov box")
@@ -2144,27 +2160,42 @@ def _mp4_video_track_impl(payload: bytes) -> dict:
         if mdia is None:
             continue
         hdlr = _mp4_child(payload, *mdia, b"hdlr")
-        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != handler:
             continue
+        yield tb, te, mdia
+
+
+def _mp4_mdhd(payload: bytes, mdia: tuple[int, int], what: str) -> tuple[int, int]:
+    """(timescale, duration) from the trak's mdhd — v0 32-bit and v1
+    64-bit field layouts."""
+    mdhd = _mp4_child(payload, *mdia, b"mdhd")
+    if mdhd is None:
+        raise ValueError(f"{what} trak missing mdhd")
+    if payload[mdhd[0]] == 1:
+        timescale, duration = struct.unpack_from(">IQ", payload, mdhd[0] + 20)
+    else:
+        timescale, duration = struct.unpack_from(">II", payload, mdhd[0] + 12)
+    return int(timescale), int(duration)
+
+
+def _mp4_stbl(payload: bytes, mdia: tuple[int, int], what: str) -> tuple[int, int]:
+    stbl_scope = _mp4_child(payload, *mdia, b"minf")
+    stbl = _mp4_child(payload, *stbl_scope, b"stbl") if stbl_scope else None
+    if stbl is None:
+        raise ValueError(f"{what} trak missing minf/stbl")
+    return stbl
+
+
+def _mp4_video_track_impl(payload: bytes) -> dict:
+    for tb, te, mdia in _mp4_traks(payload, b"vide"):
         # tkhd: width/height as 16.16 fixed point at the tail.
         tkhd = _mp4_child(payload, tb, te, b"tkhd")
         if tkhd is None:
             raise ValueError("video trak missing tkhd")
         (tw,) = struct.unpack_from(">I", payload, tkhd[1] - 8)
         (th,) = struct.unpack_from(">I", payload, tkhd[1] - 4)
-        # mdhd: timescale + duration (v0: 32-bit, v1: 64-bit fields).
-        mdhd = _mp4_child(payload, *mdia, b"mdhd")
-        if mdhd is None:
-            raise ValueError("video trak missing mdhd")
-        v = payload[mdhd[0]]
-        if v == 1:
-            timescale, duration = struct.unpack_from(">IQ", payload, mdhd[0] + 20)
-        else:
-            timescale, duration = struct.unpack_from(">II", payload, mdhd[0] + 12)
-        stbl_scope = _mp4_child(payload, *mdia, b"minf")
-        stbl = _mp4_child(payload, *stbl_scope, b"stbl") if stbl_scope else None
-        if stbl is None:
-            raise ValueError("video trak missing minf/stbl")
+        timescale, duration = _mp4_mdhd(payload, mdia, "video")
+        stbl = _mp4_stbl(payload, mdia, "video")
         stsd = _mp4_child(payload, *stbl, b"stsd")
         codec = "unknown"
         if stsd is not None:
@@ -2180,12 +2211,84 @@ def _mp4_video_track_impl(payload: bytes) -> dict:
             "width": tw >> 16,
             "height": th >> 16,
             "codec": codec,
-            "timescale": int(timescale),
-            "duration": int(duration),
+            "timescale": timescale,
+            "duration": duration,
             "stbl": stbl,
             "stsz": stsz,
         }
     raise ValueError("MP4 has no video track")
+
+
+def _mp4_audio_track(payload: bytes) -> dict:
+    """Parsed header fields of the first 'soun'-handler trak — the
+    audio twin of ``_mp4_video_track`` (r8 verdict #4): mdhd
+    timescale+duration, stsd AudioSampleEntry fourcc + channelcount +
+    sample size + 16.16 sample rate, stsz sample count. This is the
+    metadata-before-decode routing an MP4 audio corpus triages on;
+    the mp4a (AAC) SAMPLE payload needs codec libraries absent here
+    and stays behind the NotImplementedError quarantine."""
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (MP4) container")
+    try:
+        return _mp4_audio_track_impl(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt MP4 container ({exc})") from exc
+
+
+def _mp4_audio_track_impl(payload: bytes) -> dict:
+    for _tb, _te, mdia in _mp4_traks(payload, b"soun"):
+        timescale, duration = _mp4_mdhd(payload, mdia, "audio")
+        stbl = _mp4_stbl(payload, mdia, "audio")
+        stsd = _mp4_child(payload, *stbl, b"stsd")
+        codec, n_ch, samp_size, rate = "unknown", 0, 0, 0
+        if stsd is not None:
+            (n_entries,) = struct.unpack_from(">I", payload, stsd[0] + 4)
+            entry = stsd[0] + 8
+            if n_entries >= 1 and entry + 8 <= stsd[1]:
+                (esz,) = struct.unpack_from(">I", payload, entry)
+                codec = payload[entry + 4 : entry + 8].decode("ascii", "replace")
+                # AudioSampleEntry: 8B SampleEntry header fields, 8B
+                # reserved, then channelcount/samplesize u16s, 2+2B
+                # pre_defined/reserved, samplerate as 16.16 — present
+                # only when the entry declares (and the box holds) the
+                # full 36-byte fixed layout.
+                if esz >= 36 and entry + 36 <= stsd[1]:
+                    n_ch, samp_size = struct.unpack_from(">HH", payload, entry + 24)
+                    (rate_fx,) = struct.unpack_from(">I", payload, entry + 32)
+                    rate = rate_fx >> 16
+        stsz = _mp4_child(payload, *stbl, b"stsz")
+        if stsz is None:
+            raise ValueError("audio trak missing stsz")
+        (n_samples,) = struct.unpack_from(">I", payload, stsz[0] + 8)
+        return {
+            "codec": codec,
+            "n_channels": int(n_ch),
+            "sample_size": int(samp_size),
+            "sample_rate": int(rate),
+            "n_samples": int(n_samples),
+            "timescale": timescale,
+            "duration": duration,
+        }
+    raise ValueError("MP4 has no audio track")
+
+
+def _mp4_audio_stats(payload: bytes, trk: dict | None = None) -> dict:
+    """Audio stats from the ISO-BMFF walk — the same dict shape as
+    ``decode_wav`` minus rms/peak (those need the AAC sample decode
+    the environment can't do), plus the codec fourcc the triage pass
+    routes on."""
+    if trk is None:
+        trk = _mp4_audio_track(payload)
+    return {
+        "kind": "audio",
+        "n_channels": trk["n_channels"],
+        "sample_rate": trk["sample_rate"],
+        "n_frames": trk["n_samples"],
+        "codec": trk["codec"],
+        "duration_s": (
+            trk["duration"] / trk["timescale"] if trk["timescale"] else 0.0
+        ),
+    }
 
 
 def _mp4_video_stats(payload: bytes, trk: dict | None = None) -> dict:
@@ -2270,6 +2373,12 @@ def _mp4_sample_ranges_impl(payload: bytes, trk: dict) -> list[tuple[int, int]]:
     ]  # (first_chunk 1-based, samples_per_chunk)
     if not runs or runs[0][0] != 1:
         raise ValueError("stsc must start at chunk 1")
+    # first_chunk must be strictly increasing (spec) — a 0 or repeated
+    # value would Python-negative-index offsets[] below and silently
+    # resolve sample ranges from the wrong chunk with ok=True.
+    for ri in range(1, len(runs)):
+        if runs[ri][0] <= runs[ri - 1][0]:
+            raise ValueError("stsc first_chunk not strictly increasing")
     ranges: list[tuple[int, int]] = []
     s = 0
     for ri, (first, spc) in enumerate(runs):
@@ -2352,6 +2461,11 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_aiff(payload)
     if mime in ("audio/flac", "audio/x-flac"):
         return decode_flac(payload)
+    if mime in ("audio/mp4", "audio/x-m4a", "audio/m4a"):
+        # Same metadata-before-decode routing the video trak gets: the
+        # container walk is real; the mp4a/AAC sample payload is not
+        # decodable without codec libraries and quarantines on access.
+        return _mp4_audio_stats(payload)
     if mime in ("image/bmp", "image/x-bmp"):
         return decode_bmp(payload)
     if mime == "image/png":
@@ -3203,7 +3317,13 @@ def video_frame_hashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Parse the video container (REAL offset walk — VID0, Motion-JPEG
     AVI, or MJPEG-in-MP4, sniffed by magic), decode every frame (REAL
     BMP or baseline-JPEG parse), and emit one aHash row per frame —
-    the 1→N frame fingerprint table video dedup joins on."""
+    the 1→N frame fingerprint table video dedup joins on.
+
+    Corrupt or codec-unsupported payloads quarantine per-payload (the
+    doc simply emits no frame rows — an unfingerprintable video can't
+    participate in frame-join dedup anyway) instead of killing the
+    whole pass; ``decode_features`` is the surface that reports WHY a
+    payload failed."""
 
     def _frame_pixels(buf: bytes) -> list[np.ndarray]:
         if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
@@ -3224,7 +3344,11 @@ def video_frame_hashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in it:
             ids, fids, hashes = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                for f, px in enumerate(_frame_pixels(bytes(payload))):
+                try:
+                    frames = _frame_pixels(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue  # quarantine: corrupt/undecodable → no rows
+                for f, px in enumerate(frames):
                     gray3 = px.reshape(-1, 3).sum(axis=1).astype(np.int64)[:AHASH_BITS]
                     total = int(gray3.sum())
                     bits = (AHASH_BITS * gray3 > total).astype(np.int64)

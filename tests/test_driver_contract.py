@@ -167,6 +167,12 @@ def test_floor_runs_inherit_only_at_same_commit():
     assert bench.inherit_floor_runs(
         dict(prev, git_head=None), dict(same, git_head=None)
     ) == []
+    # When the previous artifact carries BOTH run_total (raw) and value
+    # (floor-of-runs headline, r8 verdict #2), the RAW run must enter
+    # the floor chain — appending the headline would duplicate the
+    # floor and erase the slow run from the noise band.
+    floored = dict(prev, value=43.4, run_total=51.7)
+    assert bench.inherit_floor_runs(floored, same) == [43.9, 51.7]
 
 
 def test_stale_cohort_fits_check_budget():

@@ -1474,3 +1474,202 @@ def test_flac_in_mixed_audio_fixture(spark):
     assert d["n_frames"] == len("one text for every container kind".encode())
     hashes = {r.doc_id: r.ehash for r in audio_energy_hash(mixed).collect()}
     assert len(set(hashes.values())) == 1
+
+
+# --- r9 hardening: advisor-flagged edge cases ------------------------
+
+
+def test_aiff_lying_small_comm_or_ssnd_size_raises():
+    """A COMM chunk whose declared size is < 18 (or SSND < 8) must
+    raise a clean 'truncated' ValueError instead of unpacking the
+    NEXT chunk's bytes as channel/frame/rate fields (garbage-in-
+    garbage-out with ok=True)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _aiff_payload,
+        _aiff_samples,
+    )
+
+    good = _aiff_payload(b"abcdef")
+    # Rebuild with a small-but-consistent COMM so the chunk WALK still
+    # succeeds (ids line up) and only the field unpack is at stake.
+    comm_idx = good.index(b"COMM")
+    ssnd_idx = good.index(b"SSND")
+    small_comm = b"COMM" + struct.pack(">I", 10) + good[comm_idx + 8 : comm_idx + 18]
+    form = b"AIFF" + small_comm + good[ssnd_idx:]
+    bad = b"FORM" + struct.pack(">I", len(form)) + form
+    with pytest.raises(ValueError, match="COMM chunk truncated"):
+        _aiff_samples(bad)
+    small_ssnd = b"SSND" + struct.pack(">I", 4) + bytes(4)
+    form = b"AIFF" + good[comm_idx : comm_idx + 26] + small_ssnd
+    bad = b"FORM" + struct.pack(">I", len(form)) + form
+    with pytest.raises(ValueError, match="SSND chunk truncated"):
+        _aiff_samples(bad)
+
+
+def test_pcm16_rejects_non_16bit_wav():
+    """The WAV arm of _pcm16_samples must reject 8-bit payloads like
+    the AIFF/FLAC arms do, not reinterpret the frames as int16."""
+    import wave as _wave
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _pcm16_samples,
+    )
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes(range(64)))
+    with pytest.raises(ValueError, match="sample width"):
+        _pcm16_samples(buf.getvalue())
+
+
+def test_mp4_stsc_nonmonotonic_first_chunk_raises():
+    """An stsc run referencing chunk 0 (or repeating a first_chunk)
+    would Python-negative-index the offsets table and resolve sample
+    ranges from the wrong chunk — must raise, not decode garbage."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mjpeg_frames_for_text,
+        _mp4_mjpeg_container,
+        _mp4_mjpeg_frames,
+    )
+
+    good = _mp4_mjpeg_container(
+        _mjpeg_frames_for_text(b"stsc monotonicity", 5), samples_per_chunk=2
+    )
+    idx = good.index(b"stsc")
+    # stsc body: ver/flags(4) entry_count(4) then 12-byte runs; with
+    # spc=2 over 5 frames there are >= 2 runs. Corrupt run 1's
+    # first_chunk (at idx+4+8+12) to 0, then to run 0's value.
+    (n_runs,) = struct.unpack_from(">I", good, idx + 8)
+    assert n_runs >= 2, "fixture must produce a multi-run stsc"
+    for forged in (0, struct.unpack_from(">I", good, idx + 12)[0]):
+        bad = bytearray(good)
+        struct.pack_into(">I", bad, idx + 24, forged)
+        with pytest.raises(ValueError, match="strictly increasing"):
+            _mp4_mjpeg_frames(bytes(bad))
+
+
+def test_video_frame_hashes_quarantines_per_payload(spark):
+    """One corrupt (ValueError) or codec-unsupported
+    (NotImplementedError) payload must not kill the whole frame-hash
+    pass: the bad doc emits no rows, every good doc still hashes."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        synthesize_mixed_video_from_text,
+        video_frame_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} payload text") for i in range(3)],
+        "doc_id long, text string",
+    )
+    rows = synthesize_mixed_video_from_text(docs).collect()
+    avc1 = _make_mp4(codec=b"avc1", n_frames=2)  # NotImplementedError path
+    data = [
+        (r.doc_id, bytearray(r.payload), r.mime) for r in rows
+    ] + [(97, bytearray(avc1), "video/mp4"), (98, bytearray(b"\x00" * 16), "video/x-frames")]
+    mixed = spark.createDataFrame(
+        [(i, bytes(p), m) for i, p, m in data],
+        "doc_id long, payload binary, mime string",
+    )
+    out = video_frame_hashes(mixed).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, 0)
+        by_doc[r.doc_id] += 1
+    assert 97 not in by_doc and 98 not in by_doc
+    assert set(by_doc) == {0, 1, 2} and all(v > 0 for v in by_doc.values())
+
+
+def _make_m4a(
+    n_samples=44,
+    codec=b"mp4a",
+    channels=2,
+    samp_size=16,
+    rate=44100,
+    timescale=44100,
+    duration=88200,
+    entry_bytes=36,
+) -> bytes:
+    """Audio-only ISO-BMFF container: one 'soun' trak with a full
+    AudioSampleEntry (channelcount/samplesize/16.16 samplerate)."""
+    mdhd = _box(
+        b"mdhd", bytes(4) + bytes(8) + struct.pack(">II", timescale, duration) + bytes(4)
+    )
+    hdlr = _box(b"hdlr", bytes(4) + bytes(4) + b"soun" + bytes(12))
+    entry = (
+        struct.pack(">I", entry_bytes)
+        + codec
+        + bytes(8)  # SampleEntry reserved + data_reference_index
+        + bytes(8)  # AudioSampleEntry reserved
+        + struct.pack(">HHHH", channels, samp_size, 0, 0)
+        + struct.pack(">I", rate << 16)
+    )[:entry_bytes]
+    stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+    stsz = _box(b"stsz", bytes(4) + struct.pack(">II", 0, n_samples))
+    stbl = _box(b"stbl", stsd + stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", mdia)
+    return (
+        _box(b"ftyp", b"M4A " + bytes(4) + b"isomM4A ")
+        + _box(b"moov", trak)
+        + _box(b"mdat", b"\x00" * 16)
+    )
+
+
+def test_mp4_audio_track_metadata_routing():
+    """decode_media routes audio/mp4 through the real 'soun' trak walk
+    (r9): AudioSampleEntry channel count, 16.16 sample rate, stsz
+    sample count, mdhd duration — metadata-before-decode triage; the
+    AAC sample payload itself stays undecodable (no codec libs)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp4_audio_track,
+        _mp4_video_track,
+        decode_media,
+    )
+
+    out = decode_media(_make_m4a(), "audio/mp4")
+    assert out == {
+        "kind": "audio",
+        "n_channels": 2,
+        "sample_rate": 44100,
+        "n_frames": 44,
+        "codec": "mp4a",
+        "duration_s": 2.0,
+    }
+    # a short (pre-AudioSampleEntry-fields) entry degrades to zeros,
+    # never reads past the declared entry
+    short = decode_media(_make_m4a(entry_bytes=16), "audio/x-m4a")
+    assert short["codec"] == "mp4a" and short["n_channels"] == 0
+    # an audio-only MP4 still has NO video track; a video-only MP4 has
+    # no audio track — the walks don't cross-match handlers
+    with pytest.raises(ValueError, match="no video track"):
+        _mp4_video_track(_make_m4a())
+    with pytest.raises(ValueError, match="no audio track"):
+        _mp4_audio_track(_make_mp4())
+    # video+audio in one container: both walks find their own trak
+    soun_trak = _make_m4a()
+    moov_start = soun_trak.index(b"moov")
+    trak = soun_trak[moov_start + 4 : soun_trak.index(b"mdat") - 4]
+    both = _make_mp4(extra_trak=trak, n_frames=5)
+    assert _mp4_video_track(both)["n_frames"] == 5
+    assert _mp4_audio_track(both)["n_samples"] == 44
+
+
+def test_mp4_audio_corrupt_payloads_quarantine():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp4_audio_track,
+    )
+
+    with pytest.raises(ValueError, match="not an ISO-BMFF"):
+        _mp4_audio_track(b"\x00" * 32)
+    good = _make_m4a()
+    for cut in (len(good) - 30, len(good) // 2, 20):
+        try:
+            _mp4_audio_track(good[:cut])
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
