@@ -580,7 +580,12 @@ def encode_flac(
     predicts from prior ORIGINAL samples, which equal the decoder's
     reconstructed ones — so the text-byte oracles hash-check the full
     round trip through ``_flac_samples``."""
-    s = np.asarray(samples, dtype=np.int64)
+    s = np.asarray(samples)
+    # r9 encoder fuzz: NaN/inf would cast to INT64_MIN with a silent
+    # RuntimeWarning; reject explicitly before the integer cast.
+    if np.issubdtype(s.dtype, np.floating) and not np.isfinite(s).all():
+        raise ValueError("encode_flac: non-finite sample values")
+    s = s.astype(np.int64)
     if s.ndim != 1:
         raise ValueError("encode_flac takes mono 1-D samples")
     if s.size and (s.max() > 32767 or s.min() < -32768):
@@ -1701,6 +1706,23 @@ def encode_jpeg(
     # garbage int64. Reject both instead of emitting a wrong stream.
     if not ((qtable >= 1).all() and (qtable <= 255).all()):
         raise ValueError("qtable entries must be in [1, 255]")
+    # Input validation (r9 encoder fuzz): anything but a non-empty
+    # finite (h,w) or (h,w,3) array would leak IndexError from the
+    # channel split / produce NaN coefficients that cast to garbage.
+    px = np.asarray(px)
+    if not (px.ndim == 2 or (px.ndim == 3 and px.shape[2] == 3)):
+        raise ValueError(
+            f"encode_jpeg takes (h,w) grayscale or (h,w,3) RGB, got {px.shape}"
+        )
+    if px.size == 0:
+        raise ValueError("encode_jpeg: empty image")
+    if np.issubdtype(px.dtype, np.floating) and not np.isfinite(px).all():
+        raise ValueError("encode_jpeg: non-finite pixel values")
+    # Baseline JPEG is defined for 8-bit samples: out-of-range values
+    # can push AC coefficients past magnitude 1023, whose run/size has
+    # no Annex-K code (r9 encoder fuzz: KeyError at qtable=1, px=768).
+    if px.dtype != np.uint8 and px.size and (px.min() < 0 or px.max() > 255):
+        raise ValueError("encode_jpeg: pixel values outside [0, 255]")
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if gray:
@@ -2006,9 +2028,18 @@ def encode_gif(px: np.ndarray, interlace: bool = False) -> bytes:
     dictionary growth/reset, optional interlacing. Lossless for any
     image that fits a palette, so the text-byte oracles hash-check the
     full round trip."""
-    px = np.asarray(px, dtype=np.uint8)
+    px = np.asarray(px)
+    # r9 encoder fuzz: a NaN/inf float input would cast to an
+    # UNDEFINED uint8 value and encode garbage pixels with ok=True.
+    if np.issubdtype(px.dtype, np.floating) and not np.isfinite(px).all():
+        raise ValueError("encode_gif: non-finite pixel values")
+    px = px.astype(np.uint8)
     if px.ndim == 2:
         px = np.repeat(px[:, :, None], 3, axis=2)
+    if px.ndim != 3 or px.shape[2] != 3 or px.size == 0:
+        raise ValueError(
+            f"encode_gif takes a non-empty (h,w) or (h,w,3) image, got {px.shape}"
+        )
     h, w = px.shape[:2]
     flat = px.reshape(-1, 3)
     colors, idx = np.unique(flat, axis=0, return_inverse=True)

@@ -1673,3 +1673,40 @@ def test_mp4_audio_corrupt_payloads_quarantine():
             pass
         except Exception as exc:  # noqa: BLE001
             raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+
+
+def test_encoder_input_validation_fuzz_findings():
+    """r9 encoder-input fuzz campaign regressions: encoders must
+    refuse hostile inputs with ValueError, never leak IndexError /
+    KeyError / silent NaN casts into a garbage-but-ok stream."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        encode_flac,
+        encode_gif,
+        encode_jpeg,
+    )
+
+    # 4-d input leaked IndexError from the RGB channel split
+    with pytest.raises(ValueError, match="encode_jpeg takes"):
+        encode_jpeg(np.zeros((4, 4, 3, 2), dtype=np.uint8))
+    # out-of-8-bit values + qtable=1 pushed an AC coefficient past
+    # magnitude 1023 — no Annex-K run/size code exists → KeyError
+    hot = np.full((32, 1), 768, dtype=np.int32)
+    with pytest.raises(ValueError, match=r"\[0, 255\]"):
+        encode_jpeg(hot, qtable=np.ones(64, dtype=np.int64))
+    with pytest.raises(ValueError, match="empty"):
+        encode_jpeg(np.zeros((0, 5), dtype=np.uint8))
+    with pytest.raises(ValueError, match="non-finite"):
+        encode_jpeg(np.full((8, 8), np.nan))
+    # NaN silently cast to an undefined uint8 → garbage GIF with ok=True
+    with pytest.raises(ValueError, match="non-finite"):
+        encode_gif(np.full((4, 4, 3), np.nan))
+    with pytest.raises(ValueError, match="encode_gif takes"):
+        encode_gif(np.zeros((4, 4, 3, 2), dtype=np.uint8))
+    # NaN cast to INT64_MIN with only a RuntimeWarning before the
+    # range check; now rejected explicitly
+    with pytest.raises(ValueError, match="non-finite"):
+        encode_flac(np.asarray([0.0, np.nan]))
+    # valid inputs still encode
+    assert encode_jpeg(np.full((8, 8), 200.0)).startswith(b"\xff\xd8")
+    assert encode_gif(np.zeros((4, 4, 3), dtype=np.uint8)).startswith(b"GIF89a")
+    assert encode_flac(np.zeros(16, dtype=np.int16)).startswith(b"fLaC")

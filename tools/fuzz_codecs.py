@@ -250,15 +250,180 @@ def fuzz_round_trip(seconds: float, seed: int) -> int:
     return 0
 
 
+def _rand_image(rng: random.Random) -> np.ndarray:
+    """Adversarial image-ish array: hostile shapes (0-d..4-d, empty
+    dims, 1/2/3/4 channels), dtypes (bool..float64), and value ranges
+    (negatives, >255, NaN/inf for floats)."""
+    shape_kind = rng.randrange(8)
+    h, w = rng.randrange(0, 40), rng.randrange(0, 40)
+    shape = {
+        0: (),
+        1: (h,),
+        2: (h, w),
+        3: (h, w, 3),
+        4: (h, w, 4),
+        5: (h, w, 2),
+        6: (h, w, 3, 2),
+        7: (0, w, 3),
+    }[shape_kind]
+    dtype = rng.choice(
+        [np.uint8, np.int16, np.int32, np.int64, np.float32, np.float64, np.bool_]
+    )
+    n = int(np.prod(shape)) if shape else 1
+    if np.issubdtype(dtype, np.floating):
+        vals = [
+            rng.choice((rng.uniform(-300, 600), float("nan"), float("inf"), -0.5))
+            for _ in range(n)
+        ]
+    elif dtype is np.bool_:
+        vals = [rng.randrange(2) for _ in range(n)]
+    else:
+        vals = [rng.randrange(-512, 768) for _ in range(n)]
+    arr = np.asarray(vals, dtype=dtype).reshape(shape)
+    if rng.randrange(4) == 0 and np.issubdtype(arr.dtype, np.integer):
+        arr = np.clip(arr, 0, 255).astype(np.uint8)  # sometimes clean
+    return arr
+
+
+def _rand_samples(rng: random.Random) -> np.ndarray:
+    kind = rng.randrange(6)
+    n = rng.randrange(0, 3000)
+    if kind == 0:  # clean int16 mono
+        return np.asarray(
+            [rng.randrange(-32768, 32768) for _ in range(n)], dtype=np.int16
+        )
+    if kind == 1:  # out-of-16-bit-range int64
+        return np.asarray(
+            [rng.randrange(-(1 << 40), 1 << 40) for _ in range(max(n, 1))],
+            dtype=np.int64,
+        )
+    if kind == 2:  # floats incl. NaN/inf
+        return np.asarray(
+            [
+                rng.choice((rng.uniform(-4e4, 4e4), float("nan"), float("inf")))
+                for _ in range(max(n, 1))
+            ]
+        )
+    if kind == 3:  # wrong rank
+        m = max(n, 2)
+        return np.zeros((m // 2, 2), dtype=np.int16)
+    if kind == 4:  # 0-d
+        return np.asarray(7, dtype=np.int16)
+    return np.zeros(0, dtype=np.int16)  # empty
+
+
+def fuzz_encoders(seconds: float, seed: int, per_encode: float = 10.0) -> int:
+    """Encoder-INPUT fuzz (r8 verdict #5): encode_flac / encode_gif /
+    encode_jpeg over adversarial shapes, dtypes, value ranges, and
+    kwargs. Contract: an encoder either raises ValueError or returns a
+    stream its own decoder twin accepts — any other exception type
+    (encode OR decode of an accepted input's output) is a finding, as
+    is a >per_encode-second CPU bomb. Clean inputs must round-trip
+    exactly for the lossless families."""
+    rng = random.Random(seed ^ 0xE4C0DE)
+    deadline = time.monotonic() + seconds
+    trials = 0
+
+    def _on_alarm(signum, frame):
+        raise _DecodeHang()
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+
+    def _guarded(fn, *args, **kwargs):
+        signal.setitimer(signal.ITIMER_REAL, per_encode)
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0)
+
+    try:
+        while time.monotonic() < deadline:
+            fam = rng.choice(("flac", "gif", "jpeg"))
+            if fam == "flac":
+                arr = _rand_samples(rng)
+                kwargs = {
+                    "rate": rng.choice((8000, 44100, 0, 1, (1 << 20) - 1)),
+                    "blocksize": rng.choice((4096, 16, 1, 192, 65535)),
+                    "lpc_order": rng.choice((None, 0, 1, 8, 32)),
+                    "max_porder": rng.choice((0, 2, 4, 8)),
+                }
+                enc, dec = mm.encode_flac, lambda b: mm._flac_samples(b)[0]
+            elif fam == "gif":
+                arr = _rand_image(rng)
+                kwargs = {"interlace": rng.randrange(2) == 1}
+                enc, dec = mm.encode_gif, mm._gif_pixels
+            else:
+                arr = _rand_image(rng)
+                qkind = rng.randrange(6)
+                qtable = {
+                    0: None,
+                    1: np.full(64, rng.randrange(1, 256), dtype=np.int64),
+                    2: np.zeros(64, dtype=np.int64),
+                    3: np.full(64, 300, dtype=np.int64),
+                    4: np.full(63, 8, dtype=np.int64),
+                    5: np.full(64, -3, dtype=np.int64),
+                }[qkind]
+                kwargs = {
+                    "qtable": qtable,
+                    "restart_interval": rng.choice((0, 1, 5)),
+                    "subsampling": rng.choice(("444", "420", "422", "")),
+                    "progressive": rng.randrange(2) == 1,
+                }
+                enc, dec = mm.encode_jpeg, mm._jpeg_pixels
+            trials += 1
+            desc = f"fmt={fam} seed={seed} shape={getattr(arr, 'shape', '?')} dtype={getattr(arr, 'dtype', '?')} kwargs={ {k: (v.tolist() if isinstance(v, np.ndarray) else v) for k, v in kwargs.items()} }"
+            try:
+                out = _guarded(enc, arr, **kwargs)
+            except ValueError:
+                continue  # the one allowed refusal
+            except _DecodeHang:
+                print(f"SLOW ENCODE (>{per_encode}s) {desc}")
+                return 1
+            except Exception:
+                print(f"ENCODER CONTRACT VIOLATION {desc}")
+                traceback.print_exc()
+                return 1
+            try:
+                back = _guarded(dec, out)
+            except _DecodeHang:
+                print(f"SLOW DECODE of own encoder output {desc}")
+                return 1
+            except Exception:
+                print(f"UNDECODABLE ENCODER OUTPUT {desc}")
+                traceback.print_exc()
+                return 1
+            if _result_nbytes(back) > MAX_RESULT_BYTES:
+                print(f"AMPLIFICATION via encoder {desc}")
+                return 1
+            # exact round-trip where the family is lossless and the
+            # accepted input has one canonical decoded form
+            if fam == "flac" and arr.ndim == 1 and arr.size:
+                want = np.asarray(arr, dtype=np.int64)
+                if not np.array_equal(np.asarray(back, dtype=np.int64), want):
+                    print(f"FLAC ENCODER ROUND-TRIP MISMATCH {desc}")
+                    return 1
+            if fam == "gif" and arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8 and arr.size:
+                if not np.array_equal(back, arr):
+                    print(f"GIF ENCODER ROUND-TRIP MISMATCH {desc}")
+                    return 1
+    finally:
+        signal.signal(signal.SIGALRM, old)
+    print(f"encoder fuzz OK: {trials} encode trials, 0 violations")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=60.0)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
-    rc = fuzz_quarantine(args.seconds * 0.7, args.seed)
+    rc = fuzz_quarantine(args.seconds * 0.5, args.seed)
     if rc:
         return rc
-    return fuzz_round_trip(args.seconds * 0.3, args.seed)
+    rc = fuzz_encoders(args.seconds * 0.3, args.seed)
+    if rc:
+        return rc
+    return fuzz_round_trip(args.seconds * 0.2, args.seed)
 
 
 if __name__ == "__main__":
