@@ -2113,6 +2113,203 @@ def _gif_lzw_encode(indices: list[int], min_code: int) -> bytes:
     return bytes(out)
 
 
+def _gif_frames(payload: bytes) -> list[np.ndarray]:
+    """Composed (sh, sw, 3) RGB frames of a GIF87a/89a ANIMATION —
+    full GIF89a playback semantics the first-frame path ignores
+    (r9 depth on the r8 codec): each image block draws at its
+    (left, top) offset onto the logical-screen canvas; the preceding
+    Graphic Control Extension supplies the transparent palette index
+    (those pixels leave the canvas unchanged — the inter-frame delta
+    encoding real animations use) and the disposal method (1 leave /
+    2 restore-to-background / 3 restore-to-previous). One composed
+    canvas snapshot per image block, so animated GIFs fingerprint
+    frame-by-frame exactly like VID0/AVI/MP4 video."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    try:
+        return _gif_frames_impl(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt GIF container ({exc})") from exc
+
+
+def _gif_frames_impl(payload: bytes) -> list[np.ndarray]:
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gpalette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gpalette = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    # The canvas allocation must be data-backed like a frame's pixels
+    # (a lying 65535x65535 screen would be a 12.8 GB bomb): every LZW
+    # code in the whole file is >= 3 bits and emits <= 4096 pixels.
+    if sw * sh > max((len(payload) * 8 // 3) * 4096, 1 << 16):
+        raise ValueError("GIF screen dimensions exceed what the file can back")
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    if gpalette is not None and bg < len(gpalette):
+        canvas[:, :] = gpalette[bg]
+    frames: list[np.ndarray] = []
+    transparent = None  # palette index from the pending GCE, if any
+    disposal = 0
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos + 1]
+            ext_start = pos + 2
+            pos = ext_start
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            if label == 0xF9 and payload[ext_start] >= 4:  # GCE
+                flags = payload[ext_start + 1]
+                disposal = (flags >> 2) & 0x07
+                transparent = payload[ext_start + 4] if flags & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame rectangle outside the logical screen")
+        palette = gpalette
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image has no color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos]:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1  # sub-block terminator
+        data = b"".join(chunks)
+        if w * h > (len(data) * 8 // 3) * 4096:
+            raise ValueError("GIF dimensions exceed what the stream can encode")
+        idx = np.asarray(_gif_lzw_decode(data, min_code, w * h), dtype=np.int64)
+        if (idx >= len(palette)).any():
+            raise ValueError("GIF pixel index out of palette range")
+        idx = idx.reshape(h, w)
+        if ipacked & 0x40:
+            rows = [r for start, step in _GIF_INTERLACE_PASSES for r in range(start, h, step)]
+            out = np.empty_like(idx)
+            out[rows] = idx
+            idx = out
+        before = canvas[top : top + h, left : left + w].copy()
+        region = palette[idx].astype(np.uint8)
+        if transparent is not None:
+            mask = idx == transparent
+            region = np.where(mask[:, :, None], before, region)
+        canvas[top : top + h, left : left + w] = region
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore to background
+            fill = (
+                gpalette[bg]
+                if gpalette is not None and bg < len(gpalette)
+                else np.zeros(3, dtype=np.uint8)
+            )
+            canvas[top : top + h, left : left + w] = fill
+        elif disposal == 3:  # restore to previous
+            canvas[top : top + h, left : left + w] = before
+        transparent, disposal = None, 0
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return frames
+
+
+def encode_gif_animation(
+    frames: list[np.ndarray], delay_cs: int = 10
+) -> bytes:
+    """Animated-GIF89a encoder twin of ``_gif_frames`` (the fixture
+    discipline: a real encoder so playback composition is exercised
+    end-to-end). Frame 1 is a full image block; every later frame is
+    the real production shape — a bounding-box DELTA patch whose
+    unchanged pixels are the GCE transparent index, so the decoder's
+    transparency compositing is what reconstructs the full frame.
+    Global palette from the union of frame colors + one spare slot
+    for the transparent index (<= 255 distinct colors or ValueError)."""
+    if not frames:
+        raise ValueError("encode_gif_animation needs at least one frame")
+    fr = []
+    for f in frames:
+        f = np.asarray(f)
+        if np.issubdtype(f.dtype, np.floating) and not np.isfinite(f).all():
+            raise ValueError("encode_gif_animation: non-finite pixel values")
+        f = f.astype(np.uint8)
+        if f.ndim == 2:
+            f = np.repeat(f[:, :, None], 3, axis=2)
+        if f.ndim != 3 or f.shape[2] != 3 or f.size == 0:
+            raise ValueError("encode_gif_animation takes (h,w[,3]) frames")
+        fr.append(f)
+    if any(f.shape != fr[0].shape for f in fr):
+        raise ValueError("all frames must share one shape")
+    h, w = fr[0].shape[:2]
+    colors = np.unique(np.concatenate([f.reshape(-1, 3) for f in fr]), axis=0)
+    if len(colors) > 255:  # one slot reserved for the transparent index
+        raise ValueError(f"GIF palette overflow: {len(colors)} distinct colors")
+    depth = max(2, int(len(colors)).bit_length())  # +1 slot => no -1
+    table = np.zeros((1 << depth, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    tindex = len(colors)  # the spare slot
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+
+    def indices_of(f: np.ndarray) -> np.ndarray:
+        flat = f.reshape(-1, 3)
+        return np.asarray([lut[tuple(p)] for p in flat], dtype=np.int64).reshape(
+            f.shape[:2]
+        )
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += table.tobytes()
+    # NETSCAPE2.0 looping application extension — real-world framing
+    # the decoder's extension skipper must walk over
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    prev = None
+    for f in fr:
+        idx = indices_of(f)
+        if prev is None:
+            left = top = 0
+            patch = idx
+            trans_flag = 0
+        else:
+            diff = (f != prev).any(axis=2)
+            if not diff.any():  # identical frame: 1x1 transparent patch
+                left = top = 0
+                patch = np.full((1, 1), tindex, dtype=np.int64)
+            else:
+                ys, xs = np.nonzero(diff)
+                top, left = int(ys.min()), int(xs.min())
+                y2, x2 = int(ys.max()) + 1, int(xs.max()) + 1
+                patch = np.where(
+                    diff[top:y2, left:x2],
+                    idx[top:y2, left:x2],
+                    tindex,
+                )
+            trans_flag = 1
+        out += b"\x21\xf9\x04" + bytes(
+            [(1 << 2) | trans_flag]
+        ) + struct.pack("<H", delay_cs) + bytes([tindex, 0])
+        ph, pw = patch.shape
+        out += struct.pack("<BHHHHB", 0x2C, left, top, pw, ph, 0)
+        min_code = depth
+        out.append(min_code)
+        data = _gif_lzw_encode(patch.reshape(-1).tolist(), min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+        prev = f
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _image_pixels(payload: bytes) -> np.ndarray:
     """(h, w, 3) RGB pixels of any really-decodable image format,
     sniffed by magic: 24-bit BMP (BGR converted here), 8-bit RGB/RGBA
@@ -3361,6 +3558,9 @@ def video_frame_hashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             return [_jpeg_pixels(f) for f in _avi_mjpeg_frames(buf)]
         if buf[4:8] == b"ftyp":
             return [_jpeg_pixels(f) for f in _mp4_mjpeg_frames(buf)]
+        if buf[:6] in (b"GIF87a", b"GIF89a"):
+            # animated GIF = a video: composed playback frames (r9)
+            return _gif_frames(buf)
         if buf[:4] != _VIDEO_MAGIC:
             raise ValueError("not a VID0, AVI, or MP4 container")
         (nf,) = struct.unpack_from("<I", buf, 4)

@@ -1710,3 +1710,139 @@ def test_encoder_input_validation_fuzz_findings():
     assert encode_jpeg(np.full((8, 8), 200.0)).startswith(b"\xff\xd8")
     assert encode_gif(np.zeros((4, 4, 3), dtype=np.uint8)).startswith(b"GIF89a")
     assert encode_flac(np.zeros(16, dtype=np.int16)).startswith(b"fLaC")
+
+
+# --- GIF animation playback (r9 depth on the r8 codec) ---------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(2, 20),
+    w=st.integers(2, 20),
+    nf=st.integers(1, 5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_animation_round_trip_property(h, w, nf, seed):
+    """encode_gif_animation writes frame 2+ as bounding-box delta
+    patches with a transparent index for unchanged pixels — so equality
+    after decode proves the decoder's offset placement, transparency
+    compositing, and canvas carry-over are all correct."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _gif_frames,
+        encode_gif_animation,
+    )
+
+    rng = np.random.RandomState(seed)
+    base = (rng.randint(0, 4, (h, w, 3)) * 80).astype(np.uint8)
+    frames = [base]
+    for _ in range(nf - 1):
+        nxt = frames[-1].copy()
+        if rng.rand() < 0.8:  # mutate a sub-rectangle (sometimes none)
+            y0, x0 = rng.randint(0, h), rng.randint(0, w)
+            y1, x1 = rng.randint(y0, h) + 1, rng.randint(x0, w) + 1
+            nxt[y0:y1, x0:x1] = (rng.randint(0, 4, (y1 - y0, x1 - x0, 3)) * 80).astype(
+                np.uint8
+            )
+        frames.append(nxt)
+    got = _gif_frames(encode_gif_animation(frames))
+    assert len(got) == len(frames)
+    for i, (g, f) in enumerate(zip(got, frames)):
+        assert (g == f).all(), f"frame {i}"
+
+
+def test_gif_animation_disposal_and_first_frame_compat():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _gif_frames,
+        _gif_pixels,
+        encode_gif,
+        encode_gif_animation,
+    )
+
+    # single-frame animation == the plain encoder's single image,
+    # and _gif_pixels (first-frame fast path) agrees with playback
+    px = (np.arange(48, dtype=np.uint8).reshape(4, 4, 3) * 5).astype(np.uint8)
+    anim = encode_gif_animation([px])
+    assert (_gif_frames(anim)[0] == px).all()
+    assert (_gif_frames(encode_gif(px))[0] == _gif_pixels(encode_gif(px))).all()
+
+    # disposal=2 (restore to background) between frames: craft a GIF
+    # whose frame 2 is a transparent 1x1 patch — after disposal the
+    # canvas region must show the BACKGROUND color, not frame 1
+    import struct as _s
+
+    pal = b"\x10\x20\x30" + b"\xaa\xbb\xcc" + b"\x00" * 6  # bg=idx0
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", 2, 1, 0x80 | 0x01, 0, 0)  # 4-color global, bg=0
+    out += pal
+    # frame 1: both pixels color 1, disposal=2
+    out += b"\x21\xf9\x04" + bytes([(2 << 2) | 0]) + b"\x00\x00\x00\x00"
+    out += _s.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _gif_lzw_encode,
+    )
+
+    out.append(2)
+    data = _gif_lzw_encode([1, 1], 2)
+    out += bytes([len(data)]) + data + b"\x00"
+    # frame 2: 1x1 patch at (0,0), transparent index 3 → shows what
+    # disposal left underneath (the background color)
+    out += b"\x21\xf9\x04" + bytes([(0 << 2) | 1]) + b"\x00\x00\x03\x00"
+    out += _s.pack("<BHHHHB", 0x2C, 0, 0, 1, 1, 0)
+    out.append(2)
+    data = _gif_lzw_encode([3], 2)
+    out += bytes([len(data)]) + data + b"\x00"
+    out += b"\x3b"
+    f = _gif_frames(bytes(out))
+    assert (f[0][0, 0] == [0xAA, 0xBB, 0xCC]).all()
+    assert (f[1][0, 0] == [0x10, 0x20, 0x30]).all()  # bg restored, transparent
+
+
+def test_gif_animation_hostile_payloads_quarantine():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _gif_frames,
+        encode_gif_animation,
+    )
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_gif_animation([px, px])
+    # lying 65535x65535 logical screen must raise before the 12.8 GB
+    # canvas allocation
+    bad = bytearray(good)
+    struct.pack_into("<HH", bad, 6, 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError, match="screen dimensions"):
+        _gif_frames(bytes(bad))
+    # frame rectangle outside the screen must raise, not write OOB
+    idx = good.index(b"\x2c", 20)
+    bad = bytearray(good)
+    struct.pack_into("<HH", bad, idx + 1, 100, 100)
+    with pytest.raises(ValueError, match="outside the logical screen"):
+        _gif_frames(bytes(bad))
+    for cut in (len(good) - 3, len(good) // 2, 14):
+        try:
+            _gif_frames(good[:cut])
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+
+
+def test_video_frame_hashes_accepts_animated_gif(spark):
+    """An animated GIF routes through the same frame-fingerprint path
+    as VID0/AVI/MP4 — one aHash row per composed playback frame."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        encode_gif_animation,
+        video_frame_hashes,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = [
+        (rng.randint(0, 3, (8, 8, 3)) * 100).astype(np.uint8) for _ in range(3)
+    ]
+    payload = encode_gif_animation(frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), "image/gif")],
+        "doc_id long, payload binary, mime string",
+    )
+    rows = video_frame_hashes(df).collect()
+    assert len(rows) == 3
+    assert sorted(r.frame_id for r in rows) == [0, 1, 2]
