@@ -261,6 +261,17 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
 # through real compression choices, not a forced flag.
 
 
+def _check_u8_pixels(px: np.ndarray, who: str) -> None:
+    """Reject pixel arrays that cannot be cast to uint8 without
+    surprises: NaN/inf casts to an UNDEFINED value, finite values
+    outside [0, 255] silently wrap — either way the encoder would emit
+    a garbage-but-valid stream with ok=True (r9 fuzz + review)."""
+    if np.issubdtype(px.dtype, np.floating) and not np.isfinite(px).all():
+        raise ValueError(f"{who}: non-finite pixel values")
+    if px.dtype != np.uint8 and px.size and (px.min() < 0 or px.max() > 255):
+        raise ValueError(f"{who}: pixel values outside [0, 255]")
+
+
 def _crc_table(poly: int, width: int) -> tuple[int, ...]:
     """256-entry table for the MSB-first CRC the two functions below
     compute bytewise — profiling showed the bit-at-a-time form was 37%
@@ -595,10 +606,15 @@ def encode_flac(
     reconstructed ones — so the text-byte oracles hash-check the full
     round trip through ``_flac_samples``."""
     s = np.asarray(samples)
-    # r9 encoder fuzz: NaN/inf would cast to INT64_MIN with a silent
-    # RuntimeWarning; reject explicitly before the integer cast.
-    if np.issubdtype(s.dtype, np.floating) and not np.isfinite(s).all():
-        raise ValueError("encode_flac: non-finite sample values")
+    # r9 encoder fuzz + review: NaN/inf would cast to INT64_MIN with a
+    # silent RuntimeWarning, and fractional floats would silently
+    # TRUNCATE (lossy encode with ok=True) — reject both before the
+    # integer cast.
+    if np.issubdtype(s.dtype, np.floating):
+        if not np.isfinite(s).all():
+            raise ValueError("encode_flac: non-finite sample values")
+        if (s != np.floor(s)).any():
+            raise ValueError("encode_flac: non-integral sample values")
     s = s.astype(np.int64)
     if s.ndim != 1:
         raise ValueError("encode_flac takes mono 1-D samples")
@@ -1730,13 +1746,10 @@ def encode_jpeg(
         )
     if px.size == 0:
         raise ValueError("encode_jpeg: empty image")
-    if np.issubdtype(px.dtype, np.floating) and not np.isfinite(px).all():
-        raise ValueError("encode_jpeg: non-finite pixel values")
     # Baseline JPEG is defined for 8-bit samples: out-of-range values
     # can push AC coefficients past magnitude 1023, whose run/size has
     # no Annex-K code (r9 encoder fuzz: KeyError at qtable=1, px=768).
-    if px.dtype != np.uint8 and px.size and (px.min() < 0 or px.max() > 255):
-        raise ValueError("encode_jpeg: pixel values outside [0, 255]")
+    _check_u8_pixels(px, "encode_jpeg")
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if gray:
@@ -2007,6 +2020,10 @@ def _gif_pixels_impl(payload: bytes) -> np.ndarray:
         # growth before entering the symbol loop.
         if w * h > (len(data) * 8 // 3) * 4096:
             raise ValueError("GIF dimensions exceed what the stream can encode")
+        if w * h > _GIF_MAX_CANVAS_PIXELS:
+            # the data-backed bound is loose by LZW's 4096x dictionary
+            # factor (r9 review) — cap absolutely before the index list
+            raise ValueError(f"GIF image {w}x{h} exceeds the decode cap")
         idx = np.asarray(
             _gif_lzw_decode(data, min_code, w * h), dtype=np.int64
         )
@@ -2043,10 +2060,10 @@ def encode_gif(px: np.ndarray, interlace: bool = False) -> bytes:
     image that fits a palette, so the text-byte oracles hash-check the
     full round trip."""
     px = np.asarray(px)
-    # r9 encoder fuzz: a NaN/inf float input would cast to an
-    # UNDEFINED uint8 value and encode garbage pixels with ok=True.
-    if np.issubdtype(px.dtype, np.floating) and not np.isfinite(px).all():
-        raise ValueError("encode_gif: non-finite pixel values")
+    # r9 encoder fuzz + review: a NaN/inf float would cast to an
+    # UNDEFINED uint8 value, and finite out-of-[0,255] values would
+    # silently WRAP — both encode garbage pixels with ok=True.
+    _check_u8_pixels(px, "encode_gif")
     px = px.astype(np.uint8)
     if px.ndim == 2:
         px = np.repeat(px[:, :, None], 3, axis=2)
@@ -2127,6 +2144,17 @@ def _gif_lzw_encode(indices: list[int], min_code: int) -> bytes:
     return bytes(out)
 
 
+# Absolute decode-resource caps for the GIF surface (r9 review): the
+# data-backed bounds are loose by LZW's 4096x dictionary factor, and
+# animation composition legitimately amplifies small delta patches
+# into full-canvas frames — so both the canvas and the total composed
+# output get hard ceilings (67M pixels ≈ 201 MB RGB canvas; 256 MB of
+# frames), far above any real corpus GIF but small enough that one
+# hostile payload cannot OOM an executor.
+_GIF_MAX_CANVAS_PIXELS = 1 << 26
+_GIF_MAX_OUTPUT_BYTES = 1 << 28
+
+
 def _gif_frames(payload: bytes) -> list[np.ndarray]:
     """Composed (sh, sw, 3) RGB frames of a GIF87a/89a ANIMATION —
     full GIF89a playback semantics the first-frame path ignores
@@ -2156,9 +2184,17 @@ def _gif_frames_impl(payload: bytes) -> list[np.ndarray]:
         pos += 3 * n
     # The canvas allocation must be data-backed like a frame's pixels
     # (a lying 65535x65535 screen would be a 12.8 GB bomb): every LZW
-    # code in the whole file is >= 3 bits and emits <= 4096 pixels.
+    # code in the whole file is >= 3 bits and emits <= 4096 pixels —
+    # AND absolutely capped (r9 review: the data-backed bound alone is
+    # loose by the 4096x dictionary factor, so a ~400 KB payload could
+    # still clear it at 65535x65535).
     if sw * sh > max((len(payload) * 8 // 3) * 4096, 1 << 16):
         raise ValueError("GIF screen dimensions exceed what the file can back")
+    if sw * sh > _GIF_MAX_CANVAS_PIXELS:
+        raise ValueError(
+            f"GIF screen {sw}x{sh} exceeds the decode cap "
+            f"({_GIF_MAX_CANVAS_PIXELS} pixels)"
+        )
     canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
     if gpalette is not None and bg < len(gpalette):
         canvas[:, :] = gpalette[bg]
@@ -2185,6 +2221,11 @@ def _gif_frames_impl(payload: bytes) -> list[np.ndarray]:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
         pos += 10
+        if w == 0 or h == 0:
+            # zero-area blocks cost ~12 bytes each but would append a
+            # full canvas copy per block — the free-amplification
+            # vector the r9 review found (24 KB payload -> 393 MB out)
+            raise ValueError("GIF image block has zero area")
         if left + w > sw or top + h > sh:
             raise ValueError("GIF frame rectangle outside the logical screen")
         palette = gpalette
@@ -2220,6 +2261,13 @@ def _gif_frames_impl(payload: bytes) -> list[np.ndarray]:
             mask = idx == transparent
             region = np.where(mask[:, :, None], before, region)
         canvas[top : top + h, left : left + w] = region
+        if (len(frames) + 1) * canvas.nbytes > _GIF_MAX_OUTPUT_BYTES:
+            # composition legitimately amplifies (delta patches, full
+            # canvas out) — bound the TOTAL, not per-frame, so a long
+            # hostile animation can't OOM the executor
+            raise ValueError(
+                f"GIF animation output exceeds {_GIF_MAX_OUTPUT_BYTES} bytes"
+            )
         frames.append(canvas.copy())
         if disposal == 2:  # restore to background
             fill = (
@@ -2252,8 +2300,7 @@ def encode_gif_animation(
     fr = []
     for f in frames:
         f = np.asarray(f)
-        if np.issubdtype(f.dtype, np.floating) and not np.isfinite(f).all():
-            raise ValueError("encode_gif_animation: non-finite pixel values")
+        _check_u8_pixels(f, "encode_gif_animation")
         f = f.astype(np.uint8)
         if f.ndim == 2:
             f = np.repeat(f[:, :, None], 3, axis=2)
@@ -2263,20 +2310,17 @@ def encode_gif_animation(
     if any(f.shape != fr[0].shape for f in fr):
         raise ValueError("all frames must share one shape")
     h, w = fr[0].shape[:2]
-    colors = np.unique(np.concatenate([f.reshape(-1, 3) for f in fr]), axis=0)
+    # one vectorized palette build + per-pixel index for ALL frames
+    # (r9 review: the per-pixel dict lookup was an interpreter loop)
+    allpx = np.concatenate([f.reshape(-1, 3) for f in fr])
+    colors, inv = np.unique(allpx, axis=0, return_inverse=True)
     if len(colors) > 255:  # one slot reserved for the transparent index
         raise ValueError(f"GIF palette overflow: {len(colors)} distinct colors")
     depth = max(2, int(len(colors)).bit_length())  # +1 slot => no -1
     table = np.zeros((1 << depth, 3), dtype=np.uint8)
     table[: len(colors)] = colors
     tindex = len(colors)  # the spare slot
-    lut = {tuple(c): i for i, c in enumerate(colors)}
-
-    def indices_of(f: np.ndarray) -> np.ndarray:
-        flat = f.reshape(-1, 3)
-        return np.asarray([lut[tuple(p)] for p in flat], dtype=np.int64).reshape(
-            f.shape[:2]
-        )
+    per_frame_idx = inv.reshape(len(fr), h, w).astype(np.int64)
 
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
@@ -2285,8 +2329,8 @@ def encode_gif_animation(
     # the decoder's extension skipper must walk over
     out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
     prev = None
-    for f in fr:
-        idx = indices_of(f)
+    for fi, f in enumerate(fr):
+        idx = per_frame_idx[fi]
         if prev is None:
             left = top = 0
             patch = idx
@@ -2938,6 +2982,47 @@ def _aiff_payload(raw: bytes, rate: int = 8000) -> bytes:
     return b"FORM" + struct.pack(">I", len(form)) + form
 
 
+def _m4a_payload(
+    n_samples: int = 44,
+    codec: bytes = b"mp4a",
+    channels: int = 2,
+    samp_size: int = 16,
+    rate: int = 44100,
+    timescale: int = 44100,
+    duration: int = 88200,
+    entry_bytes: int = 36,
+) -> bytes:
+    """Audio-only ISO-BMFF container: one 'soun' trak with an
+    AudioSampleEntry — the synthesizer twin of ``_mp4_audio_track``
+    (r9), shared by the unit tests and the fuzz-seed corpus.
+    ``entry_bytes`` < 36 truncates the sample entry to exercise the
+    short-entry degradation path."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mdhd = box(
+        b"mdhd", bytes(12) + struct.pack(">II", timescale, duration) + bytes(4)
+    )
+    hdlr = box(b"hdlr", bytes(8) + b"soun" + bytes(12))
+    entry = (
+        struct.pack(">I", entry_bytes)
+        + codec
+        + bytes(8)  # SampleEntry reserved + data_reference_index
+        + bytes(8)  # AudioSampleEntry reserved
+        + struct.pack(">HHHH", channels, samp_size, 0, 0)
+        + struct.pack(">I", rate << 16)
+    )[:entry_bytes]
+    stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+    stsz = box(b"stsz", bytes(4) + struct.pack(">II", 0, n_samples))
+    mdia = box(b"mdia", mdhd + hdlr + box(b"minf", box(b"stbl", stsd + stsz)))
+    return (
+        box(b"ftyp", b"M4A " + bytes(4) + b"isomM4A ")
+        + box(b"moov", box(b"trak", mdia))
+        + box(b"mdat", bytes(16))
+    )
+
+
 def _flac_payload(raw: bytes, rate: int = 8000) -> bytes:
     """The SAME sample contract as ``_wav_payload`` through the real
     FLAC encoder (fixed predictors + rice) — lossless, so decoded
@@ -3204,18 +3289,24 @@ def image_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     order independent) so no float mean sits on a threshold tie —
     engine-identical by construction. 60 bits (first 60 row-major
     pixels) keeps the signature sign-safe in a BIGINT, matching the
-    SimHash convention so the same pigeonhole block join applies."""
+    SimHash convention so the same pigeonhole block join applies.
+    Undecodable payloads quarantine per-payload (no row), matching
+    the video_frame_hashes discipline (r9 review)."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for payload in pdf["payload"]:
-                px = _image_pixels(bytes(payload))
+            ids, out = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    px = _image_pixels(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue  # quarantine: unfingerprintable → no row
                 gray3 = px.reshape(-1, 3).sum(axis=1).astype(np.int64)[:AHASH_BITS]
                 total = int(gray3.sum())
                 bits = (AHASH_BITS * gray3 > total).astype(np.int64)
+                ids.append(doc_id)
                 out.append(int((bits << np.arange(AHASH_BITS)).sum()))
-            yield pd.DataFrame({"doc_id": pdf[id_col], "ahash": out})
+            yield pd.DataFrame({"doc_id": ids, "ahash": out})
 
     return df.mapInPandas(_batches, "doc_id long, ahash long")
 
@@ -3632,13 +3723,19 @@ def audio_energy_hash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     squared samples — exact int64) exceeds the stream mean, compared as
     ``60·E_k > ΣE`` so no float mean sits on a tie. The audio member of
     the cross-modality dedup triad (SimHash text / aHash image / this),
-    all sharing the same pigeonhole Hamming block join."""
+    all sharing the same pigeonhole Hamming block join. Undecodable
+    payloads quarantine per-payload (no row — an unfingerprintable
+    doc can't join; ``decode_features`` reports why), matching the
+    video_frame_hashes discipline (r9 review)."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for payload in pdf["payload"]:
-                s = _pcm16_samples(bytes(payload)).astype(np.int64)
+            ids, out = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    s = _pcm16_samples(bytes(payload)).astype(np.int64)
+                except (ValueError, NotImplementedError):
+                    continue  # quarantine: unfingerprintable → no row
                 n = len(s)
                 base, extra = divmod(n, AHASH_BITS)
                 energies = np.zeros(AHASH_BITS, dtype=np.int64)
@@ -3649,8 +3746,9 @@ def audio_energy_hash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     pos += ln
                 total = int(energies.sum())
                 bits = (AHASH_BITS * energies > total).astype(np.int64)
+                ids.append(doc_id)
                 out.append(int((bits << np.arange(AHASH_BITS)).sum()))
-            yield pd.DataFrame({"doc_id": pdf[id_col], "ehash": out})
+            yield pd.DataFrame({"doc_id": ids, "ehash": out})
 
     return df.mapInPandas(_batches, "doc_id long, ehash long")
 

@@ -1582,41 +1582,14 @@ def test_video_frame_hashes_quarantines_per_payload(spark):
     assert set(by_doc) == {0, 1, 2} and all(v > 0 for v in by_doc.values())
 
 
-def _make_m4a(
-    n_samples=44,
-    codec=b"mp4a",
-    channels=2,
-    samp_size=16,
-    rate=44100,
-    timescale=44100,
-    duration=88200,
-    entry_bytes=36,
-) -> bytes:
-    """Audio-only ISO-BMFF container: one 'soun' trak with a full
-    AudioSampleEntry (channelcount/samplesize/16.16 samplerate)."""
-    mdhd = _box(
-        b"mdhd", bytes(4) + bytes(8) + struct.pack(">II", timescale, duration) + bytes(4)
+def _make_m4a(**kwargs) -> bytes:
+    """Canonical audio-only ISO-BMFF builder — shared engine-side
+    synthesizer (also the fuzz-seed corpus), see ``_m4a_payload``."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _m4a_payload,
     )
-    hdlr = _box(b"hdlr", bytes(4) + bytes(4) + b"soun" + bytes(12))
-    entry = (
-        struct.pack(">I", entry_bytes)
-        + codec
-        + bytes(8)  # SampleEntry reserved + data_reference_index
-        + bytes(8)  # AudioSampleEntry reserved
-        + struct.pack(">HHHH", channels, samp_size, 0, 0)
-        + struct.pack(">I", rate << 16)
-    )[:entry_bytes]
-    stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
-    stsz = _box(b"stsz", bytes(4) + struct.pack(">II", 0, n_samples))
-    stbl = _box(b"stbl", stsd + stsz)
-    minf = _box(b"minf", stbl)
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    trak = _box(b"trak", mdia)
-    return (
-        _box(b"ftyp", b"M4A " + bytes(4) + b"isomM4A ")
-        + _box(b"moov", trak)
-        + _box(b"mdat", b"\x00" * 16)
-    )
+
+    return _m4a_payload(**kwargs)
 
 
 def test_mp4_audio_track_metadata_routing():
@@ -1846,3 +1819,99 @@ def test_video_frame_hashes_accepts_animated_gif(spark):
     rows = video_frame_hashes(df).collect()
     assert len(rows) == 3
     assert sorted(r.frame_id for r in rows) == [0, 1, 2]
+
+
+def test_gif_playback_resource_bounds_review_findings():
+    """r9 self-review regressions: (a) zero-area image blocks were a
+    free frame-amplification vector (24 KB payload -> 393 MB of
+    canvas copies) and now raise; (b) the data-backed screen bound is
+    loose by LZW's 4096x dictionary factor, so a large-but-plausible
+    payload declaring 65535x65535 must hit the ABSOLUTE canvas cap
+    before the 12.8 GB allocation; (c) a long animation's total
+    output is capped."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _gif_frames,
+        encode_gif_animation,
+    )
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_gif_animation([px, px])
+    # (a) zero-area block
+    idx = good.index(b"\x2c", 20)
+    bad = bytearray(good)
+    struct.pack_into("<HH", bad, idx + 5, 0, 0)  # w=h=0
+    with pytest.raises(ValueError, match="zero area"):
+        _gif_frames(bytes(bad))
+    # (b) 65535x65535 screen with enough trailing bytes to clear the
+    # data-backed bound must still raise on the absolute cap
+    big = bytearray(good) + bytes(400_000)
+    struct.pack_into("<HH", big, 6, 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError, match="decode cap"):
+        _gif_frames(bytes(big))
+    # (c) total-output cap: patch the cap down so the case stays fast
+    # while exercising the real guard (n_frames * canvas > cap)
+    from aws_etl_dados_publicos_cnpj_spark.operators import multimodal as mm
+
+    frames = [np.zeros((64, 64, 3), dtype=np.uint8)] * 8  # 8 x 12 KB
+    payload = encode_gif_animation(frames)
+    saved = mm._GIF_MAX_OUTPUT_BYTES
+    try:
+        mm._GIF_MAX_OUTPUT_BYTES = 4 * 64 * 64 * 3
+        with pytest.raises(ValueError, match="output exceeds"):
+            _gif_frames(payload)
+    finally:
+        mm._GIF_MAX_OUTPUT_BYTES = saved
+    assert len(_gif_frames(payload)) == 8  # under the real cap: fine
+
+
+def test_encoders_reject_out_of_range_and_lossy_inputs():
+    """r9 self-review: encode_gif wrapped finite out-of-range values
+    via the uint8 cast (300 -> 44, -5.0 -> UB) and encode_flac
+    silently truncated fractional samples — both now refuse."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        encode_flac,
+        encode_gif,
+        encode_gif_animation,
+    )
+
+    with pytest.raises(ValueError, match=r"\[0, 255\]"):
+        encode_gif(np.full((2, 2, 3), 300))
+    with pytest.raises(ValueError, match=r"\[0, 255\]"):
+        encode_gif(np.full((2, 2, 3), -5.0))
+    with pytest.raises(ValueError, match=r"\[0, 255\]"):
+        encode_gif_animation([np.full((2, 2, 3), 300)])
+    with pytest.raises(ValueError, match="non-integral"):
+        encode_flac(np.asarray([100.7, -3.9]))
+    # integral floats remain accepted (lossless cast)
+    assert encode_flac(np.asarray([100.0, -3.0])).startswith(b"fLaC")
+
+
+def test_audio_and_image_hashes_quarantine_per_payload(spark):
+    """r9 self-review: one undecodable payload must not kill the
+    audio/image fingerprint passes (same contract video_frame_hashes
+    got earlier this round) — the bad doc emits no row, good docs
+    still hash."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        audio_energy_hash,
+        image_ahash,
+        synthesize_bmp_from_text,
+        synthesize_mixed_audio_from_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    audio = synthesize_mixed_audio_from_text(docs).collect()
+    rows = [(r.doc_id, bytes(r.payload), r.mime) for r in audio]
+    rows.append((99, b"\x00" * 32, "audio/wav"))
+    mixed = spark.createDataFrame(rows, "doc_id long, payload binary, mime string")
+    got = {r.doc_id for r in audio_energy_hash(mixed).collect()}
+    assert got == {0, 1, 2}
+
+    imgs = synthesize_bmp_from_text(docs).collect()
+    rows = [(r.doc_id, bytes(r.payload)) for r in imgs]
+    rows.append((99, b"BM" + b"\x00" * 10))
+    mixed = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id for r in image_ahash(mixed).collect()}
+    assert got == {0, 1, 2}

@@ -100,9 +100,12 @@ def main() -> None:
     # run-to-run noise band on this co-tenanted box. A total delta
     # inside that band is noise, not drift, and the report says so
     # without anyone having to re-read SCALE.md prose.
+    # run_total (r9) is the artifact's RAW current-run measurement;
+    # value may be the floor-of-runs headline (min), which would
+    # collapse the band to 0 and misreport real noise as drift.
     floor = [
         t
-        for t in pb.get("floor_runs", []) + [pb.get("value")]
+        for t in pb.get("floor_runs", []) + [pb.get("run_total", pb.get("value"))]
         if isinstance(t, (int, float))
     ]
     if len(floor) >= 2:

@@ -84,33 +84,6 @@ def _encode_png(px: np.ndarray) -> bytes:
     )
 
 
-def _encode_m4a(rng: random.Random) -> bytes:
-    """Minimal audio-only ISO-BMFF ('soun' trak, mp4a AudioSampleEntry)
-    — fuzz-seed twin for the r9 audio-track walk; the engine parses
-    metadata only (AAC samples need absent codec libs)."""
-    import struct
-
-    def box(btype: bytes, payload: bytes) -> bytes:
-        return struct.pack(">I", 8 + len(payload)) + btype + payload
-
-    rate = rng.choice((8000, 44100, 48000))
-    mdhd = box(b"mdhd", bytes(12) + struct.pack(">II", rate, rate * 2) + bytes(4))
-    hdlr = box(b"hdlr", bytes(8) + b"soun" + bytes(12))
-    entry = (
-        struct.pack(">I", 36) + b"mp4a" + bytes(16)
-        + struct.pack(">HHHH", rng.choice((1, 2)), 16, 0, 0)
-        + struct.pack(">I", rate << 16)
-    )
-    stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
-    stsz = box(b"stsz", bytes(4) + struct.pack(">II", 0, rng.randrange(1, 500)))
-    mdia = box(b"mdia", mdhd + hdlr + box(b"minf", box(b"stbl", stsd + stsz)))
-    return (
-        box(b"ftyp", b"M4A " + bytes(4) + b"isomM4A ")
-        + box(b"moov", box(b"trak", mdia))
-        + box(b"mdat", bytes(rng.randrange(0, 64)))
-    )
-
-
 def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
     """Valid payloads per format, regenerated each call so mutations
     explore different image/audio content."""
@@ -136,7 +109,14 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("aiff", mm._aiff_payload(raw8)),
         ("avi", mm._avi_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
         ("mp4", mm._mp4_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
-        ("m4a", _encode_m4a(rng)),
+        (
+            "m4a",
+            mm._m4a_payload(
+                n_samples=rng.randrange(1, 500),
+                channels=rng.choice((1, 2)),
+                rate=rng.choice((8000, 44100, 48000)),
+            ),
+        ),
         (
             "gifanim",
             mm.encode_gif_animation(
