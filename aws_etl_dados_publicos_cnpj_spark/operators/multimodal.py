@@ -918,12 +918,17 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def _png_pixels(payload: bytes) -> np.ndarray:
-    """Pixel array (height, width, 3 RGB) of an 8-bit RGB/RGBA PNG —
-    pure stdlib ``zlib`` + the five scanline filters inverted here; no
-    codec library (r5 verdict item #5: PNG is zlib + per-scanline
-    filters, both expressible without PIL). Alpha, if present, is
-    parsed and dropped. Unsupported variants (16-bit, palette,
-    interlaced) raise and quarantine like any bad payload.
+    """Pixel array (height, width, 3 RGB) of a PNG — pure stdlib
+    ``zlib`` + the five scanline filters inverted here; no codec
+    library (r5 verdict item #5: PNG is zlib + per-scanline filters,
+    both expressible without PIL). r9 widens coverage to every
+    sub-16-bit variant: color types 0 (grayscale, depths 1/2/4/8),
+    2 (RGB), 3 (palette via PLTE, depths 1/2/4/8), 4 (gray+alpha),
+    6 (RGBA), and Adam7 interlacing (each of the 7 passes is its own
+    filtered sub-image, deinterleaved here). Alpha, if present, is
+    parsed and dropped; grayscale is bit-exactly expanded
+    (255/85/17/1 scale factors). Only 16-bit channels remain
+    unsupported and raise/quarantine.
 
     Performance caveat (r6 advice, reworked r8): None/Up/Sub unfilter
     vectorized (Sub as per-channel cumsum mod 256); Average/Paeth run
@@ -944,11 +949,94 @@ def _png_pixels(payload: bytes) -> np.ndarray:
         raise ValueError(f"corrupt PNG stream ({type(exc).__name__}: {exc})") from exc
 
 
+# PNG channel count per color type; depths < 8 only exist for the
+# single-channel types (grayscale, palette) per the spec.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(arr: np.ndarray, stride: int, fu: int) -> np.ndarray:
+    """Invert the five PNG scanline filters over one filtered region
+    (one whole image, or one Adam7 pass). ``fu`` is the left-neighbor
+    byte distance — bytes-per-pixel rounded up to >= 1, per spec.
+
+    Performance (r6 advice, reworked r8): None/Up/Sub unfilter
+    vectorized (Sub as per-channel cumsum mod 256); Average/Paeth run
+    a per-scanline running recurrence over plain Python ints (their
+    predictor is a NONLINEAR function of the just-decoded left
+    neighbor, so the chain is inherently serial — no exact numpy
+    closed form)."""
+    height = arr.shape[0]
+    out = np.zeros((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        f = int(arr[y, 0])
+        line = arr[y, 1:].astype(np.int64)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up — vectorizable (no left dependence)
+            cur = (line + prev) & 0xFF
+        elif f == 1:  # Sub — per-channel prefix sum; mod 256 commutes
+            # with addition, so cumsum-then-mask is exact and avoids
+            # the per-pixel Python scan on the most common filter
+            cur = np.empty(stride, dtype=np.int64)
+            for c in range(fu):
+                cur[c::fu] = np.cumsum(line[c::fu]) & 0xFF
+        elif f in (3, 4):  # Average/Paeth: nonlinear left dependence
+            # serial recurrence over plain Python ints (r8 rewrite:
+            # measured 2-3x the per-element numpy-scalar loop)
+            lineL = line.tolist()
+            prevL = prev.tolist()
+            curL = [0] * stride
+            if f == 3:
+                for x in range(stride):
+                    a = curL[x - fu] if x >= fu else 0
+                    curL[x] = (lineL[x] + ((a + prevL[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = curL[x - fu] if x >= fu else 0
+                    b = prevL[x]
+                    c = prevL[x - fu] if x >= fu else 0
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    curL[x] = (lineL[x] + pred) & 0xFF
+            cur = np.asarray(curL, dtype=np.int64)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def _png_expand_samples(
+    bytes_out: np.ndarray, pw: int, depth: int, channels: int
+) -> np.ndarray:
+    """(rows, pw, channels) samples from unfiltered scanline bytes —
+    depth-8 bytes pass through; sub-byte depths unpack big-endian
+    within each byte (single-channel types only, per spec)."""
+    rows = bytes_out.shape[0]
+    if depth == 8:
+        return bytes_out[:, : pw * channels].reshape(rows, pw, channels)
+    bits = np.unpackbits(bytes_out.astype(np.uint8), axis=1)
+    per = bits.shape[1] // depth
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits[:, : per * depth].reshape(rows, per, depth) * weights).sum(axis=2)
+    return vals[:, :pw].reshape(rows, pw, 1)
+
+
 def _png_pixels_impl(payload: bytes) -> np.ndarray:
     import zlib
 
     pos = 8
     width = height = color_type = None
+    plte = None
     idat: list[bytes] = []
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -960,11 +1048,18 @@ def _png_pixels_impl(payload: bytes) -> np.ndarray:
             width, height, depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color_type not in (2, 6) or interlace != 0:
+            ok = (depth == 8 and color_type in _PNG_CHANNELS) or (
+                depth in (1, 2, 4) and color_type in (0, 3)
+            )
+            if not ok or interlace not in (0, 1):
                 raise ValueError(
                     f"unsupported PNG variant (depth={depth}, "
                     f"color_type={color_type}, interlace={interlace})"
                 )
+        elif ctype == b"PLTE":
+            if length % 3 or length > 256 * 3:
+                raise ValueError("malformed PNG PLTE chunk")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -972,9 +1067,22 @@ def _png_pixels_impl(payload: bytes) -> np.ndarray:
         pos += 12 + length  # length + type + data + crc32
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    ch = 3 if color_type == 2 else 4
-    stride = width * ch
-    expected = height * (stride + 1)
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    channels = _PNG_CHANNELS[color_type]
+    bpp_bits = depth * channels
+    fu = max(1, bpp_bits // 8)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1)]
+    else:
+        passes = list(_PNG_ADAM7)
+    dims = []
+    for xs, ys, xstep, ystep in passes:
+        pw = (width - xs + xstep - 1) // xstep if width > xs else 0
+        ph = (height - ys + ystep - 1) // ystep if height > ys else 0
+        stride = (pw * bpp_bits + 7) // 8
+        dims.append((pw, ph, stride))
+    expected = sum(ph * (stride + 1) for pw, ph, stride in dims if pw and ph)
     comp = b"".join(idat)
     # DEFLATE's max expansion is ~1032:1, so a lying IHDR cannot demand
     # more output than the compressed bytes can back; decompressing with
@@ -990,56 +1098,31 @@ def _png_pixels_impl(payload: bytes) -> np.ndarray:
     # output with no error
     if len(raw) != expected or not d.eof:
         raise ValueError("PNG pixel data size mismatch")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    out = np.zeros((height, stride), dtype=np.int64)
-    prev = np.zeros(stride, dtype=np.int64)
-    for y in range(height):
-        f = int(arr[y, 0])
-        line = arr[y, 1:].astype(np.int64)
-        if f == 0:  # None
-            cur = line
-        elif f == 2:  # Up — vectorizable (no left dependence)
-            cur = (line + prev) & 0xFF
-        elif f == 1:  # Sub — per-channel prefix sum; mod 256 commutes
-            # with addition, so cumsum-then-mask is exact and avoids
-            # the per-pixel Python scan on the most common filter
-            cur = np.empty(stride, dtype=np.int64)
-            for c in range(ch):
-                cur[c::ch] = np.cumsum(line[c::ch]) & 0xFF
-        elif f in (3, 4):  # Average/Paeth: nonlinear left dependence
-            # The predictor is a nonlinear (floor-average / min-select)
-            # function of the JUST-decoded left neighbor, so the
-            # scanline recurrence is inherently serial — no exact
-            # numpy closed form (the mod-256 wrap breaks the halving
-            # argument that would otherwise bound Average's left
-            # influence). r8: the recurrence runs over plain Python
-            # ints on pre-converted lists instead of per-element numpy
-            # scalar extraction/assignment — measured 256×256: Average
-            # 0.154→0.047 s, Paeth 0.167→0.082 s; exact by construction.
-            lineL = line.tolist()
-            prevL = prev.tolist()
-            curL = [0] * stride
-            if f == 3:
-                for x in range(stride):
-                    a = curL[x - ch] if x >= ch else 0
-                    curL[x] = (lineL[x] + ((a + prevL[x]) >> 1)) & 0xFF
-            else:
-                for x in range(stride):
-                    a = curL[x - ch] if x >= ch else 0
-                    b = prevL[x]
-                    c = prevL[x - ch] if x >= ch else 0
-                    p = a + b - c
-                    pa = p - a if p >= a else a - p
-                    pb = p - b if p >= b else b - p
-                    pc = p - c if p >= c else c - p
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    curL[x] = (lineL[x] + pred) & 0xFF
-            cur = np.asarray(curL, dtype=np.int64)
-        else:
-            raise ValueError(f"bad PNG filter type {f}")
-        out[y] = cur
-        prev = cur
-    return out.astype(np.uint8).reshape(height, width, ch)[:, :, :3]
+    samples = np.zeros((height, width, channels), dtype=np.int64)
+    offset = 0
+    for (xs, ys, xstep, ystep), (pw, ph, stride) in zip(passes, dims):
+        if not pw or not ph:
+            continue
+        block = raw[offset : offset + ph * (stride + 1)]
+        offset += ph * (stride + 1)
+        arr = np.frombuffer(block, dtype=np.uint8).reshape(ph, stride + 1)
+        sub = _png_expand_samples(_png_unfilter(arr, stride, fu), pw, depth, channels)
+        samples[
+            (ys + ystep * np.arange(ph))[:, None],
+            (xs + xstep * np.arange(pw))[None, :],
+        ] = sub
+    # → RGB
+    if color_type in (2, 6):
+        return samples.astype(np.uint8)[:, :, :3]
+    if color_type == 3:
+        idx = samples[:, :, 0]
+        if (idx >= len(plte)).any():
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
+    # grayscale (0) / gray+alpha (4): bit-exact expansion to 8-bit
+    scale = {1: 255, 2: 85, 4: 17, 8: 1}[depth]
+    gray = (samples[:, :, 0] * scale).astype(np.uint8)
+    return np.repeat(gray[:, :, None], 3, axis=2)
 
 
 def decode_png(payload: bytes) -> dict:

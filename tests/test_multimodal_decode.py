@@ -291,10 +291,22 @@ def test_png_unsupported_variants_raise():
     bad_depth[24] = 16
     with pytest.raises(ValueError, match="unsupported PNG variant"):
         _png_pixels(bytes(bad_depth))
+    # interlace=1 is SUPPORTED since r9 (Adam7): flipping the flag on
+    # sequential data now fails the stream-size integrity check (the
+    # pass layout expects different byte counts), still ValueError
     bad_interlace = bytearray(good)
     bad_interlace[28] = 1
-    with pytest.raises(ValueError, match="unsupported PNG variant"):
+    with pytest.raises(ValueError, match="size mismatch"):
         _png_pixels(bytes(bad_interlace))
+    # invalid color type, and sub-byte depth on a multi-channel type
+    bad_ct = bytearray(good)
+    bad_ct[25] = 7
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        _png_pixels(bytes(bad_ct))
+    bad_combo = bytearray(good)
+    bad_combo[24] = 4  # depth 4 with color_type 2 (RGB) is illegal
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        _png_pixels(bytes(bad_combo))
 
 
 # --- JPEG (baseline sequential, encoder/decoder twins) ---------------------
@@ -1915,3 +1927,143 @@ def test_audio_and_image_hashes_quarantine_per_payload(spark):
     mixed = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r.doc_id for r in image_ahash(mixed).collect()}
     assert got == {0, 1, 2}
+
+
+# --- PNG color-type / Adam7 coverage (r9) ----------------------------
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def make_png_any(samples, color_type, depth, palette=None, interlace=0):
+    """Generic PNG builder (filter-0 scanlines): any color type,
+    sub-byte depths bit-packed big-endian, optional Adam7 layout."""
+    import zlib
+
+    samples = np.asarray(samples)
+    if samples.ndim == 2:
+        samples = samples[:, :, None]
+    h, w, ch = samples.shape
+    bpp_bits = depth * ch
+
+    def pack_rows(sub):
+        out = b""
+        for y in range(sub.shape[0]):
+            vals = sub[y].reshape(-1)
+            if depth == 8:
+                row = vals.astype(np.uint8).tobytes()
+            else:
+                bits = [
+                    (int(v) >> b) & 1
+                    for v in vals
+                    for b in range(depth - 1, -1, -1)
+                ]
+                while len(bits) % 8:
+                    bits.append(0)
+                row = np.packbits(np.asarray(bits, dtype=np.uint8)).tobytes()
+            out += b"\x00" + row
+        return out
+
+    if interlace == 0:
+        raw = pack_rows(samples)
+    else:
+        raw = b"".join(
+            pack_rows(samples[ys::yst, xs::xst])
+            for xs, ys, xst, yst in _ADAM7
+            if samples[ys::yst, xs::xst].size
+        )
+
+    def chunk(ctype, data):
+        import struct as _s
+
+        return (
+            _s.pack(">I", len(data))
+            + ctype
+            + data
+            + _s.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import _PNG_MAGIC
+
+    out = _PNG_MAGIC + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    )
+    if palette is not None:
+        out += chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    ct=st.sampled_from([0, 2, 3, 4, 6]),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    interlace=st.sampled_from([0, 1]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_all_color_types_and_adam7_decode_exact(h, w, ct, depth, interlace, seed):
+    """Property: every supported (color_type, depth, interlace) combo
+    decodes bit-exactly to its defined RGB expansion — grayscale
+    scale factors, palette lookup, alpha dropped, Adam7 passes
+    deinterleaved to the same pixels as the sequential layout."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import _png_pixels
+
+    if depth != 8 and ct not in (0, 3):
+        depth = 8  # sub-byte depths only exist for gray/palette
+    rng = np.random.RandomState(seed)
+    maxval = (1 << depth) - 1
+    if ct == 0:
+        g = rng.randint(0, maxval + 1, (h, w))
+        payload = make_png_any(g, 0, depth, interlace=interlace)
+        want = np.repeat(
+            (g * {1: 255, 2: 85, 4: 17, 8: 1}[depth]).astype(np.uint8)[:, :, None],
+            3,
+            axis=2,
+        )
+    elif ct == 2:
+        px = rng.randint(0, 256, (h, w, 3))
+        payload = make_png_any(px, 2, 8, interlace=interlace)
+        want = px.astype(np.uint8)
+    elif ct == 3:
+        ncol = min(maxval + 1, 7)
+        palette = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+        idx = rng.randint(0, ncol, (h, w))
+        payload = make_png_any(idx, 3, depth, palette=palette, interlace=interlace)
+        want = palette[idx]
+    elif ct == 4:
+        ga = rng.randint(0, 256, (h, w, 2))
+        payload = make_png_any(ga, 4, 8, interlace=interlace)
+        want = np.repeat(ga[:, :, :1].astype(np.uint8), 3, axis=2)
+    else:
+        px = rng.randint(0, 256, (h, w, 4))
+        payload = make_png_any(px, 6, 8, interlace=interlace)
+        want = px[:, :, :3].astype(np.uint8)
+    got = _png_pixels(payload)
+    assert got.shape == want.shape
+    assert (got == want).all()
+
+
+def test_png_palette_edge_cases():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import _png_pixels
+
+    palette = np.asarray([[250, 1, 2], [3, 250, 4]], dtype=np.uint8)
+    idx = np.asarray([[0, 1], [1, 0]])
+    # palette index past PLTE length must raise, not wrap
+    payload = make_png_any(np.asarray([[0, 1], [1, 3]]), 3, 8, palette=palette)
+    with pytest.raises(ValueError, match="palette index out of range"):
+        _png_pixels(payload)
+    # missing PLTE on a palette image
+    good = make_png_any(idx, 3, 8, palette=palette)
+    plte_at = good.index(b"PLTE") - 4
+    plte_len = 8 + 2 * 3 + 4
+    no_plte = good[:plte_at] + good[plte_at + plte_len :]
+    with pytest.raises(ValueError, match="missing PLTE"):
+        _png_pixels(no_plte)
+    # malformed PLTE length
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, plte_at, 5)
+    with pytest.raises(ValueError):
+        _png_pixels(bytes(bad))

@@ -84,6 +84,69 @@ def _encode_png(px: np.ndarray) -> bytes:
     )
 
 
+def _encode_png_variant(rng: random.Random) -> bytes:
+    """Seed twin for the r9 PNG coverage: grayscale / palette /
+    gray+alpha color types, sub-byte depths, optional Adam7."""
+    import struct
+    import zlib
+
+    h, w = rng.randrange(1, 16), rng.randrange(1, 16)
+    ct = rng.choice((0, 3, 4))
+    depth = rng.choice((1, 2, 4, 8)) if ct in (0, 3) else 8
+    ch = {0: 1, 3: 1, 4: 2}[ct]
+    maxv = (1 << depth) - 1
+    ncol = min(maxv + 1, 6)
+    samples = [
+        [rng.randrange((ncol if ct == 3 else maxv + 1)) for _ in range(w * ch)]
+        for _ in range(h)
+    ]
+    interlace = rng.randrange(2)
+    adam7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    def pack_rows(rows_vals: list[list[int]]) -> bytes:
+        out = b""
+        for vals in rows_vals:
+            if depth == 8:
+                row = bytes(vals)
+            else:
+                bits = [(v >> b) & 1 for v in vals for b in range(depth - 1, -1, -1)]
+                while len(bits) % 8:
+                    bits.append(0)
+                row = np.packbits(np.asarray(bits, dtype=np.uint8)).tobytes()
+            out += b"\x00" + row
+        return out
+
+    if interlace == 0:
+        raw = pack_rows(samples)
+    else:
+        raw = b""
+        for xs, ys, xst, yst in adam7:
+            rows = [
+                [samples[y][x * ch + c] for x in range(xs, w, xst) for c in range(ch)]
+                for y in range(ys, h, yst)
+            ]
+            if rows and rows[0]:
+                raw += pack_rows(rows)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, interlace)
+    )
+    if ct == 3:
+        out += chunk(
+            b"PLTE", bytes(rng.randrange(256) for _ in range(ncol * 3))
+        )
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
 def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
     """Valid payloads per format, regenerated each call so mutations
     explore different image/audio content."""
@@ -101,6 +164,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
     raw8 = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 200)))
     out = [
         ("png", _encode_png(px)),
+        ("pngv", _encode_png_variant(rng)),
         ("gif", mm.encode_gif(gif_px)),
         ("jpeg", mm.encode_jpeg(px)),
         ("bmp", mm._bmp_payload(raw8)),
@@ -133,6 +197,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
 
 _DECODERS = {
     "png": [mm._png_pixels, mm.decode_png, mm._image_pixels],
+    "pngv": [mm._png_pixels, mm.decode_png],
     "gif": [mm._gif_pixels, mm.decode_gif],
     "jpeg": [mm._jpeg_pixels, mm.decode_jpeg],
     "bmp": [mm._bmp_pixels, mm.decode_bmp, mm._image_pixels],
