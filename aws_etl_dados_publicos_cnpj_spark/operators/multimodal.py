@@ -924,11 +924,12 @@ def _png_pixels(payload: bytes) -> np.ndarray:
     both expressible without PIL). r9 widens coverage to every
     sub-16-bit variant: color types 0 (grayscale, depths 1/2/4/8),
     2 (RGB), 3 (palette via PLTE, depths 1/2/4/8), 4 (gray+alpha),
-    6 (RGBA), and Adam7 interlacing (each of the 7 passes is its own
-    filtered sub-image, deinterleaved here). Alpha, if present, is
-    parsed and dropped; grayscale is bit-exactly expanded
-    (255/85/17/1 scale factors). Only 16-bit channels remain
-    unsupported and raise/quarantine.
+    6 (RGBA), 16-bit channels (exact round-to-nearest 16→8, not the
+    >>8 truncation shortcut), and Adam7 interlacing (each of the 7
+    passes is its own filtered sub-image, deinterleaved here). Alpha,
+    if present, is parsed and dropped; grayscale is bit-exactly
+    expanded (255/85/17/1 scale factors). The full IHDR matrix the
+    spec defines is therefore decodable.
 
     Performance caveat (r6 advice, reworked r8): None/Up/Sub unfilter
     vectorized (Sub as per-channel cumsum mod 256); Average/Paeth run
@@ -1024,6 +1025,10 @@ def _png_expand_samples(
     rows = bytes_out.shape[0]
     if depth == 8:
         return bytes_out[:, : pw * channels].reshape(rows, pw, channels)
+    if depth == 16:  # big-endian byte pairs
+        b = bytes_out.reshape(rows, -1, 2)
+        vals = (b[:, :, 0] << 8) | b[:, :, 1]
+        return vals[:, : pw * channels].reshape(rows, pw, channels)
     bits = np.unpackbits(bytes_out.astype(np.uint8), axis=1)
     per = bits.shape[1] // depth
     weights = 1 << np.arange(depth - 1, -1, -1)
@@ -1048,8 +1053,10 @@ def _png_pixels_impl(payload: bytes) -> np.ndarray:
             width, height, depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            ok = (depth == 8 and color_type in _PNG_CHANNELS) or (
-                depth in (1, 2, 4) and color_type in (0, 3)
+            ok = (
+                (depth == 8 and color_type in _PNG_CHANNELS)
+                or (depth in (1, 2, 4) and color_type in (0, 3))
+                or (depth == 16 and color_type in (0, 2, 4, 6))
             )
             if not ok or interlace not in (0, 1):
                 raise ValueError(
@@ -1112,16 +1119,21 @@ def _png_pixels_impl(payload: bytes) -> np.ndarray:
             (xs + xstep * np.arange(pw))[None, :],
         ] = sub
     # → RGB
-    if color_type in (2, 6):
-        return samples.astype(np.uint8)[:, :, :3]
-    if color_type == 3:
+    if color_type == 3:  # palette indices are raw, never scaled
         idx = samples[:, :, 0]
         if (idx >= len(plte)).any():
             raise ValueError("PNG palette index out of range")
         return plte[idx]
-    # grayscale (0) / gray+alpha (4): bit-exact expansion to 8-bit
-    scale = {1: 255, 2: 85, 4: 17, 8: 1}[depth]
-    gray = (samples[:, :, 0] * scale).astype(np.uint8)
+    if depth == 16:
+        # exact round-to-nearest 16→8 (v*255/65535), not the >>8
+        # truncation shortcut — keeps the expansion bit-pinnable
+        samples = (samples * 255 + 32767) // 65535
+    elif depth < 8:  # single-channel types only; bit-exact expansion
+        samples = samples * {1: 255, 2: 85, 4: 17}[depth]
+    if color_type in (2, 6):
+        return samples.astype(np.uint8)[:, :, :3]
+    # grayscale (0) / gray+alpha (4)
+    gray = samples[:, :, 0].astype(np.uint8)
     return np.repeat(gray[:, :, None], 3, axis=2)
 
 

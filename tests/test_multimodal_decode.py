@@ -286,10 +286,16 @@ def test_png_unsupported_variants_raise():
 
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     good = make_png(px)
-    # flip IHDR bit depth to 16 (offset: 8 magic + 4 len + 4 type + 8 w/h)
+    # depth 16 is SUPPORTED since r9 — an ILLEGAL depth (3) still
+    # raises (offset: 8 magic + 4 len + 4 type + 8 w/h)
     bad_depth = bytearray(good)
-    bad_depth[24] = 16
+    bad_depth[24] = 3
     with pytest.raises(ValueError, match="unsupported PNG variant"):
+        _png_pixels(bytes(bad_depth))
+    # flipping a REAL 8-bit stream's header to 16 fails the stream
+    # integrity check instead (still quarantines as ValueError)
+    bad_depth[24] = 16
+    with pytest.raises(ValueError, match="size mismatch"):
         _png_pixels(bytes(bad_depth))
     # interlace=1 is SUPPORTED since r9 (Adam7): flipping the flag on
     # sequential data now fails the stream-size integrity check (the
@@ -1952,7 +1958,9 @@ def make_png_any(samples, color_type, depth, palette=None, interlace=0):
         out = b""
         for y in range(sub.shape[0]):
             vals = sub[y].reshape(-1)
-            if depth == 8:
+            if depth == 16:
+                row = vals.astype(">u2").tobytes()
+            elif depth == 8:
                 row = vals.astype(np.uint8).tobytes()
             else:
                 bits = [
@@ -2067,3 +2075,34 @@ def test_png_palette_edge_cases():
     struct.pack_into(">I", bad, plte_at, 5)
     with pytest.raises(ValueError):
         _png_pixels(bytes(bad))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    ct=st.sampled_from([0, 2, 4, 6]),
+    interlace=st.sampled_from([0, 1]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_16bit_channels_decode_exact(h, w, ct, interlace, seed):
+    """16-bit PNGs (all four 16-bit-capable color types, both
+    layouts) decode with exact round-to-nearest 16->8 conversion."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import _png_pixels
+
+    rng = np.random.RandomState(seed)
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    samples = rng.randint(0, 65536, (h, w, ch))
+    payload = make_png_any(samples, ct, 16, interlace=interlace)
+    scaled = (samples * 255 + 32767) // 65535
+    if ct in (2, 6):
+        want = scaled[:, :, :3].astype(np.uint8)
+    else:
+        want = np.repeat(scaled[:, :, :1].astype(np.uint8), 3, axis=2)
+    got = _png_pixels(payload)
+    assert got.shape == want.shape and (got == want).all()
+    # boundary exactness: 0xFFFF -> 255, 0x0000 -> 0, 0x8000 -> 128
+    edge = np.asarray([[[0xFFFF], [0x0000]], [[0x8000], [0x7FFF]]])
+    got = _png_pixels(make_png_any(edge, 0, 16))
+    assert got[0, 0, 0] == 255 and got[0, 1, 0] == 0
+    assert got[1, 0, 0] == 128 and got[1, 1, 0] == 127

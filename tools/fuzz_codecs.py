@@ -92,7 +92,9 @@ def _encode_png_variant(rng: random.Random) -> bytes:
 
     h, w = rng.randrange(1, 16), rng.randrange(1, 16)
     ct = rng.choice((0, 3, 4))
-    depth = rng.choice((1, 2, 4, 8)) if ct in (0, 3) else 8
+    depth = rng.choice((1, 2, 4, 8, 16)) if ct == 0 else (
+        rng.choice((1, 2, 4, 8)) if ct == 3 else rng.choice((8, 16))
+    )
     ch = {0: 1, 3: 1, 4: 2}[ct]
     maxv = (1 << depth) - 1
     ncol = min(maxv + 1, 6)
@@ -107,7 +109,9 @@ def _encode_png_variant(rng: random.Random) -> bytes:
     def pack_rows(rows_vals: list[list[int]]) -> bytes:
         out = b""
         for vals in rows_vals:
-            if depth == 8:
+            if depth == 16:
+                row = b"".join(v.to_bytes(2, "big") for v in vals)
+            elif depth == 8:
                 row = bytes(vals)
             else:
                 bits = [(v >> b) & 1 for v in vals for b in range(depth - 1, -1, -1)]
