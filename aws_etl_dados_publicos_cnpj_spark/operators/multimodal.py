@@ -102,12 +102,17 @@ def decode_wav(payload: bytes) -> dict:
             raw = w.readframes(n_frames)
     except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
         raise ValueError(f"corrupt WAV container ({exc})") from exc
-    dtype = _WAV_DTYPES.get(sampwidth)
-    if dtype is None:
-        raise ValueError(f"unsupported WAV sample width {sampwidth}")
-    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-    if sampwidth == 1:  # 8-bit WAV is unsigned, center it
-        samples -= 128.0
+    if sampwidth == 3:  # 24-bit: no numpy dtype — assemble + sign-extend
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        samples = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.float64)
+    else:
+        dtype = _WAV_DTYPES.get(sampwidth)
+        if dtype is None:
+            raise ValueError(f"unsupported WAV sample width {sampwidth}")
+        samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if sampwidth == 1:  # 8-bit WAV is unsigned, center it
+            samples -= 128.0
     rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
     peak = float(np.max(np.abs(samples))) if samples.size else 0.0
     return {

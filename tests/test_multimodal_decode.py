@@ -2106,3 +2106,29 @@ def test_png_16bit_channels_decode_exact(h, w, ct, interlace, seed):
     got = _png_pixels(make_png_any(edge, 0, 16))
     assert got[0, 0, 0] == 255 and got[0, 1, 0] == 0
     assert got[1, 0, 0] == 128 and got[1, 1, 0] == 127
+
+
+def test_wav_24bit_stats_decode():
+    """24-bit WAV stats (r9): sampwidth 3 has no numpy dtype, so the
+    bytes assemble little-endian with sign extension — verified
+    against known values, stereo included."""
+    import wave as _wave
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import decode_wav
+
+    vals = [0, 1, -1, (1 << 23) - 1, -(1 << 23), 123456, -654321, 42]
+    raw = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(3)
+        w.setframerate(48000)
+        w.writeframes(raw)
+    out = decode_wav(buf.getvalue())
+    assert out["n_channels"] == 2 and out["sample_rate"] == 48000
+    assert out["n_frames"] == len(vals) // 2
+    arr = np.asarray(vals, dtype=np.float64)
+    assert out["peak"] == float(np.max(np.abs(arr)))
+    assert abs(out["rms"] - float(np.sqrt(np.mean(arr**2)))) < 1e-9
