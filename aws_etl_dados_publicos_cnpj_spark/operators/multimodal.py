@@ -869,19 +869,48 @@ def decode_flac(payload: bytes) -> dict:
 
 
 def _bmp_pixels(payload: bytes) -> np.ndarray:
-    """Pixel array (height, width, 3 BGR) of an uncompressed 24-bit
-    BMP — pure struct/numpy header parse, no codec library."""
+    """Pixel array (height, width, 3 BGR) of a BMP — pure struct/numpy
+    header parse, no codec library. r9 widens beyond 24-bit BI_RGB to
+    the other common DIB layouts: 32-bit BGRA (alpha dropped), 8-bit
+    and 4-bit paletted (BGRA color table after the info header,
+    biClrUsed honored), and RLE8 compression (encoded runs, absolute
+    mode, EOL/EOF/delta escapes). Anything else (RLE4, BITFIELDS,
+    16-bit) raises and quarantines."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     try:
-        data_offset = struct.unpack_from("<I", payload, 10)[0]
-        width, height = struct.unpack_from("<ii", payload, 18)
-        bpp = struct.unpack_from("<H", payload, 28)[0]
-        compression = struct.unpack_from("<I", payload, 30)[0]
-    except struct.error as exc:
+        return _bmp_pixels_impl(payload)
+    except (struct.error, IndexError) as exc:
         raise ValueError(f"corrupt BMP header ({exc})") from exc
-    if bpp != 24 or compression != 0:
-        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+
+
+def _bmp_palette(payload: bytes, bpp: int) -> np.ndarray:
+    """(n, 3) BGR color table following the info header."""
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    clr_used = (
+        struct.unpack_from("<I", payload, 46)[0] if header_size >= 40 else 0
+    )
+    n = clr_used or (1 << bpp)
+    if n > 1 << bpp:
+        raise ValueError(f"BMP color table too large ({n})")
+    start = 14 + header_size
+    if start + 4 * n > len(payload):
+        raise ValueError("BMP color table truncated")
+    return np.frombuffer(payload, np.uint8, 4 * n, start).reshape(n, 4)[:, :3]
+
+
+def _bmp_pixels_impl(payload: bytes) -> np.ndarray:
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    supported = (bpp in (24, 32, 8, 4) and compression == 0) or (
+        bpp == 8 and compression == 1
+    )
+    if not supported:
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression})"
+        )
     if width <= 0 or height == 0:
         # width is signed in the header; non-positive would turn the
         # frombuffer count negative (= read-to-end garbage)
@@ -890,20 +919,90 @@ def _bmp_pixels(payload: bytes) -> np.ndarray:
         # pixel data cannot start inside the 14+40-byte headers; a
         # lying offset would silently decode header bytes as pixels
         raise ValueError(f"invalid BMP data offset ({data_offset})")
-    row_size = (width * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    if compression == 1:  # RLE8 (spec: always bottom-up)
+        if height < 0:
+            raise ValueError("RLE8 BMP cannot be top-down")
+        palette = _bmp_palette(payload, bpp)
+        idx = _bmp_rle8_indices(payload, data_offset, width, height)
+        px = palette[idx]
+        return px[::-1]
+    nch = bpp // 8 if bpp >= 8 else 1  # bytes per pixel for stride math
+    bits_per_row = width * bpp
+    row_size = (bits_per_row + 31) // 32 * 4  # rows pad to 4-byte boundaries
     # explicit bound (not just frombuffer's own buffer check): corrupt
     # 32-bit dims can push offset+count past C ssize_t, which surfaces
     # as OverflowError instead of the quarantine ValueError
     if data_offset + row_size * abs(height) > len(payload):
         raise ValueError("BMP pixel data truncated")
-    px = (
-        np.frombuffer(payload, dtype=np.uint8, offset=data_offset, count=row_size * abs(height))
-        .reshape(abs(height), row_size)[:, : width * 3]
-        .reshape(abs(height), width, 3)
-    )
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, offset=data_offset, count=row_size * abs(height)
+    ).reshape(abs(height), row_size)
+    if bpp in (24, 32):
+        px = rows[:, : width * nch].reshape(abs(height), width, nch)[:, :, :3]
+    else:
+        palette = _bmp_palette(payload, bpp)
+        if bpp == 8:
+            idx = rows[:, :width].astype(np.int64)
+        else:  # 4-bit: high nibble first
+            nib = np.empty((abs(height), row_size * 2), dtype=np.int64)
+            nib[:, 0::2] = rows >> 4
+            nib[:, 1::2] = rows & 0x0F
+            idx = nib[:, :width]
+        if (idx >= len(palette)).any():
+            raise ValueError("BMP palette index out of range")
+        px = palette[idx]
     if height > 0:  # positive height = bottom-up row order
         px = px[::-1]
     return px
+
+
+def _bmp_rle8_indices(
+    payload: bytes, pos: int, width: int, height: int
+) -> np.ndarray:
+    """(height, width) palette indices of an RLE8 stream — encoded
+    runs (count, value), absolute mode (word-aligned literal spans),
+    and the 0-escapes (end-of-line, end-of-bitmap, position delta),
+    every write bounds-checked so a hostile stream raises instead of
+    writing out of the grid."""
+    # The grid allocation must be data-backed (r9 fuzz: a smashed
+    # height/width field otherwise allocates gigabytes before the
+    # stream is read): each 2-byte RLE pair emits at most 255 pixels.
+    if width * height > max(((len(payload) - pos) // 2) * 255, 1 << 16):
+        raise ValueError("RLE8 dimensions exceed what the stream can encode")
+    out = np.zeros((height, width), dtype=np.int64)
+    x = y = 0
+    n = len(payload)
+    while pos + 2 <= n:
+        count, val = payload[pos], payload[pos + 1]
+        pos += 2
+        if count:  # encoded run
+            if y >= height or x + count > width:
+                raise ValueError("RLE8 run outside the bitmap")
+            out[y, x : x + count] = val
+            x += count
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta
+            if pos + 2 > n:
+                raise ValueError("RLE8 delta truncated")
+            x += payload[pos]
+            y += payload[pos + 1]
+            pos += 2
+            if x > width or y > height:
+                raise ValueError("RLE8 delta outside the bitmap")
+        else:  # absolute mode: val literal indices, word-aligned
+            span = val
+            end = pos + span + (span & 1)
+            if end > n:
+                raise ValueError("RLE8 absolute run truncated")
+            if y >= height or x + span > width:
+                raise ValueError("RLE8 absolute run outside the bitmap")
+            out[y, x : x + span] = np.frombuffer(payload, np.uint8, span, pos)
+            x += span
+            pos = end
+    raise ValueError("RLE8 stream missing end-of-bitmap")
 
 
 def decode_bmp(payload: bytes) -> dict:

@@ -2132,3 +2132,91 @@ def test_wav_24bit_stats_decode():
     arr = np.asarray(vals, dtype=np.float64)
     assert out["peak"] == float(np.max(np.abs(arr)))
     assert abs(out["rms"] - float(np.sqrt(np.mean(arr**2)))) < 1e-9
+
+
+# --- BMP DIB variants (r9) --------------------------------------------
+
+
+def _bmp_header(width, height, bpp, compression, n_colors, data_size):
+    off = 54 + 4 * n_colors
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + data_size, 0, 0, off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bpp, compression,
+            data_size, 0, 0, n_colors, 0,
+        )
+    )
+
+
+def test_bmp_palette_variants_decode_exact():
+    """8-bit and 4-bit paletted BMPs decode through the BGRA color
+    table; 32-bit drops alpha; out-of-range palette index raises."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import _bmp_pixels
+
+    pal = [(10, 20, 30, 0), (200, 150, 100, 0), (1, 2, 3, 0)]
+    pal_bytes = b"".join(bytes(c) for c in pal)
+    # 8-bit, 3x2, bottom-up; rows pad to 4 bytes
+    rows = [bytes([0, 1, 2]) + b"\x00", bytes([2, 2, 0]) + b"\x00"]
+    payload = _bmp_header(3, 2, 8, 0, 3, 8) + pal_bytes + b"".join(rows)
+    px = _bmp_pixels(payload)
+    assert px.shape == (2, 3, 3)
+    assert (px[0] == [[1, 2, 3], [1, 2, 3], [10, 20, 30]]).all()  # top = row 2
+    assert (px[1] == [[10, 20, 30], [200, 150, 100], [1, 2, 3]]).all()
+    # out-of-range index
+    bad = _bmp_header(3, 2, 8, 0, 3, 8) + pal_bytes + bytes([0, 1, 7, 0]) + rows[1]
+    with pytest.raises(ValueError, match="palette index"):
+        _bmp_pixels(bad)
+    # 4-bit: nibbles high-first, 4 pixels -> 2 bytes, padded to 4
+    nib_rows = bytes([0x01, 0x20]) + b"\x00\x00"
+    payload = _bmp_header(3, 1, 4, 0, 3, 4) + pal_bytes + nib_rows
+    px = _bmp_pixels(payload)
+    assert (px[0] == [[10, 20, 30], [200, 150, 100], [1, 2, 3]]).all()
+    # 32-bit BGRA, alpha dropped
+    row = bytes([5, 6, 7, 99, 8, 9, 10, 99])
+    payload = _bmp_header(2, 1, 32, 0, 0, 8) + row
+    px = _bmp_pixels(payload)
+    assert (px[0] == [[5, 6, 7], [8, 9, 10]]).all()
+
+
+def test_bmp_rle8_decode_and_hostile_streams():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import _bmp_pixels
+
+    pal_bytes = b"".join(bytes(c) for c in [(9, 9, 9, 0), (50, 60, 70, 0)])
+    # 4x2 bottom-up: row0(bottom)=run of 4 idx1; row1=abs mode [0,1,0]+pad, then 1 idx1
+    rle = bytes(
+        [4, 1, 0, 0]  # run 4x idx1, EOL
+        + [0, 3, 0, 1, 0, 0]  # absolute 3: 0,1,0 (padded to word)
+        + [1, 1]  # run 1x idx1
+        + [0, 1]  # EOF
+    )
+    payload = _bmp_header(4, 2, 8, 1, 2, len(rle)) + pal_bytes + rle
+    px = _bmp_pixels(payload)
+    assert (px[1] == [[50, 60, 70]] * 4).all()  # bottom row flipped to index 1
+    assert (px[0] == [[9, 9, 9], [50, 60, 70], [9, 9, 9], [50, 60, 70]]).all()
+    # hostile: run past row width
+    bad = _bmp_header(4, 2, 8, 1, 2, 4) + pal_bytes + bytes([200, 1, 0, 1])
+    with pytest.raises(ValueError, match="outside the bitmap"):
+        _bmp_pixels(bad)
+    # hostile: missing EOF
+    bad = _bmp_header(4, 2, 8, 1, 2, 2) + pal_bytes + bytes([2, 1])
+    with pytest.raises(ValueError, match="missing end-of-bitmap"):
+        _bmp_pixels(bad)
+    # hostile: delta escaping the grid
+    bad = _bmp_header(4, 2, 8, 1, 2, 6) + pal_bytes + bytes([0, 2, 200, 200, 0, 1])
+    with pytest.raises(ValueError, match="outside the bitmap"):
+        _bmp_pixels(bad)
+
+
+def test_bmp_rle8_dimension_bomb_raises():
+    """r9 fuzz findings: a smashed RLE8 width/height field allocated
+    the full grid (gigabytes) before reading the stream — dimensions
+    must be data-backed (each 2-byte pair emits <= 255 pixels)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import _bmp_pixels
+
+    pal = bytes(8)
+    rle = bytes([2, 1, 0, 1])
+    for w, h in ((0x0B, 2_097_153), (0x9E4B760B // 2, 3)):
+        payload = _bmp_header(w, h, 8, 1, 2, len(rle)) + pal + rle
+        with pytest.raises(ValueError, match="exceed what the stream"):
+            _bmp_pixels(payload)

@@ -151,6 +151,59 @@ def _encode_png_variant(rng: random.Random) -> bytes:
     return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
 
 
+
+def _encode_bmp_variant(rng: random.Random) -> bytes:
+    """Seed twin for the r9 BMP widening: 8/4-bit paletted, RLE8,
+    and 32-bit BGRA layouts."""
+    import struct
+
+    w, h = rng.randrange(1, 12), rng.randrange(1, 10)
+    kind = rng.randrange(4)
+    ncol = rng.randrange(2, 8)
+    pal = bytes(rng.randrange(256) for _ in range(4 * ncol))
+
+    def header(bpp, compression, n_colors, data_size):
+        off = 54 + 4 * n_colors
+        return (
+            b"BM"
+            + struct.pack("<IHHI", off + data_size, 0, 0, off)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                data_size, 0, 0, n_colors, 0,
+            )
+        )
+
+    if kind == 0:  # 8-bit palette
+        row = (w + 3) // 4 * 4
+        data = bytes(
+            rng.randrange(ncol) if x < w else 0
+            for _ in range(h)
+            for x in range(row)
+        )
+        return header(8, 0, ncol, len(data)) + pal + data
+    if kind == 1:  # 4-bit palette
+        row = ((w * 4 + 31) // 32) * 4
+        data = bytes(rng.randrange(256) for _ in range(row * h))
+        # clamp nibbles into palette range
+        data = bytes((b % ncol) << 4 | (b % ncol) for b in data)
+        return header(4, 0, ncol, len(data)) + pal + data
+    if kind == 2:  # 32-bit BGRA
+        row = w * 4
+        data = bytes(rng.randrange(256) for _ in range(row * h))
+        return header(32, 0, 0, len(data)) + data
+    # RLE8: simple encoded rows
+    out = bytearray()
+    for _ in range(h):
+        x = 0
+        while x < w:
+            run = min(rng.randrange(1, 5), w - x)
+            out += bytes([run, rng.randrange(ncol)])
+            x += run
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"  # EOF
+    return header(8, 1, ncol, len(out)) + pal + bytes(out)
+
+
 def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
     """Valid payloads per format, regenerated each call so mutations
     explore different image/audio content."""
@@ -172,6 +225,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("gif", mm.encode_gif(gif_px)),
         ("jpeg", mm.encode_jpeg(px)),
         ("bmp", mm._bmp_payload(raw8)),
+        ("bmpv", _encode_bmp_variant(rng)),
         ("flac", mm.encode_flac(samples)),
         ("wav", mm._wav_payload(raw8)),
         ("aiff", mm._aiff_payload(raw8)),
@@ -205,6 +259,7 @@ _DECODERS = {
     "gif": [mm._gif_pixels, mm.decode_gif],
     "jpeg": [mm._jpeg_pixels, mm.decode_jpeg],
     "bmp": [mm._bmp_pixels, mm.decode_bmp, mm._image_pixels],
+    "bmpv": [mm._bmp_pixels, mm.decode_bmp],
     "flac": [mm._flac_samples, mm.decode_flac, mm._pcm16_samples],
     "wav": [mm.decode_wav, mm._pcm16_samples],
     "aiff": [mm._aiff_samples, mm.decode_aiff, mm._pcm16_samples],
