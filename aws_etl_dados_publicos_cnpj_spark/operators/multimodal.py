@@ -88,11 +88,14 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 _WAV_DTYPES = {1: np.uint8, 2: np.int16, 4: np.int32}
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Decode RIFF PCM audio with the stdlib ``wave`` module: stream
-    properties + amplitude stats. No external codec required. Corrupt
-    containers surface as ValueError (the module-wide quarantine
-    contract) rather than leaking ``wave.Error``/``EOFError``."""
+def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """(float64 samples, n_channels, rate, n_frames) of any PCM WAV
+    width the stdlib container can carry — 8-bit (unsigned, centered),
+    16/32-bit, and 24-bit (no numpy dtype: little-endian byte assembly
+    + sign extension). Shared by ``decode_wav`` and
+    ``sample_audio_frames`` so their support matrices can't drift
+    (r9 review: the sampler KeyError'd on a width the stats path had
+    just learned). Corrupt containers raise ValueError."""
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
             n_ch = w.getnchannels()
@@ -113,6 +116,15 @@ def decode_wav(payload: bytes) -> dict:
         samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
         if sampwidth == 1:  # 8-bit WAV is unsigned, center it
             samples -= 128.0
+    return samples, n_ch, rate, n_frames
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode RIFF PCM audio with the stdlib ``wave`` module: stream
+    properties + amplitude stats. No external codec required. Corrupt
+    containers surface as ValueError (the module-wide quarantine
+    contract) rather than leaking ``wave.Error``/``EOFError``."""
+    samples, n_ch, rate, n_frames = _wav_samples_f64(payload)
     rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
     peak = float(np.max(np.abs(samples))) if samples.size else 0.0
     return {
@@ -915,8 +927,16 @@ def _bmp_pixels_impl(payload: bytes) -> np.ndarray:
         # width is signed in the header; non-positive would turn the
         # frombuffer count negative (= read-to-end garbage)
         raise ValueError(f"invalid BMP dimensions ({width}x{height})")
-    if data_offset < 54:
-        # pixel data cannot start inside the 14+40-byte headers; a
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    min_offset = 14 + max(header_size, 40)
+    if bpp <= 8:
+        # paletted layouts: pixel data must also clear the color table
+        # (r9 review: a lying offset would decode PALETTE bytes as
+        # pixel indices with ok=True)
+        clr_used = struct.unpack_from("<I", payload, 46)[0]
+        min_offset += 4 * (clr_used or (1 << bpp))
+    if data_offset < min_offset:
+        # pixel data cannot start inside the headers/color table; a
         # lying offset would silently decode header bytes as pixels
         raise ValueError(f"invalid BMP data offset ({data_offset})")
     if compression == 1:  # RLE8 (spec: always bottom-up)
@@ -924,9 +944,10 @@ def _bmp_pixels_impl(payload: bytes) -> np.ndarray:
             raise ValueError("RLE8 BMP cannot be top-down")
         palette = _bmp_palette(payload, bpp)
         idx = _bmp_rle8_indices(payload, data_offset, width, height)
-        px = palette[idx]
+        if (idx >= len(palette)).any():
+            raise ValueError("BMP palette index out of range")
+        px = palette[idx.astype(np.int64)]
         return px[::-1]
-    nch = bpp // 8 if bpp >= 8 else 1  # bytes per pixel for stride math
     bits_per_row = width * bpp
     row_size = (bits_per_row + 31) // 32 * 4  # rows pad to 4-byte boundaries
     # explicit bound (not just frombuffer's own buffer check): corrupt
@@ -938,19 +959,20 @@ def _bmp_pixels_impl(payload: bytes) -> np.ndarray:
         payload, dtype=np.uint8, offset=data_offset, count=row_size * abs(height)
     ).reshape(abs(height), row_size)
     if bpp in (24, 32):
+        nch = bpp // 8
         px = rows[:, : width * nch].reshape(abs(height), width, nch)[:, :, :3]
     else:
         palette = _bmp_palette(payload, bpp)
         if bpp == 8:
-            idx = rows[:, :width].astype(np.int64)
+            idx = rows[:, :width]
         else:  # 4-bit: high nibble first
-            nib = np.empty((abs(height), row_size * 2), dtype=np.int64)
+            nib = np.empty((abs(height), row_size * 2), dtype=np.uint8)
             nib[:, 0::2] = rows >> 4
             nib[:, 1::2] = rows & 0x0F
             idx = nib[:, :width]
         if (idx >= len(palette)).any():
             raise ValueError("BMP palette index out of range")
-        px = palette[idx]
+        px = palette[idx.astype(np.int64)]
     if height > 0:  # positive height = bottom-up row order
         px = px[::-1]
     return px
@@ -964,12 +986,16 @@ def _bmp_rle8_indices(
     and the 0-escapes (end-of-line, end-of-bitmap, position delta),
     every write bounds-checked so a hostile stream raises instead of
     writing out of the grid."""
-    # The grid allocation must be data-backed (r9 fuzz: a smashed
+    # The grid allocation must be bounded (r9 fuzz: a smashed
     # height/width field otherwise allocates gigabytes before the
-    # stream is read): each 2-byte RLE pair emits at most 255 pixels.
-    if width * height > max(((len(payload) - pos) // 2) * 255, 1 << 16):
+    # stream is read). Each 2-byte RLE pair emits at most 255 explicit
+    # pixels, but EOL/EOF/delta escapes legally leave arbitrarily many
+    # pixels at the background index (sparse sprites/masks), so the
+    # stream-backed bound carries a generous absolute floor instead of
+    # rejecting spec-legal sparse images (r9 review).
+    if width * height > max(((len(payload) - pos) // 2) * 255, 1 << 22):
         raise ValueError("RLE8 dimensions exceed what the stream can encode")
-    out = np.zeros((height, width), dtype=np.int64)
+    out = np.zeros((height, width), dtype=np.uint8)
     x = y = 0
     n = len(payload)
     while pos + 2 <= n:
@@ -1054,6 +1080,12 @@ def _png_pixels(payload: bytes) -> np.ndarray:
         raise ValueError(f"corrupt PNG stream ({type(exc).__name__}: {exc})") from exc
 
 
+# Absolute image-pixel decode cap shared by the PNG path (and the
+# GIF caps above follow the same discipline): 67M pixels ≈ an
+# 8192x8192 image — far beyond any fingerprinting corpus image, small
+# enough that one hostile header cannot OOM an executor.
+_IMG_MAX_PIXELS = 1 << 26
+
 # PNG channel count per color type; depths < 8 only exist for the
 # single-channel types (grayscale, palette) per the spec.
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -1076,7 +1108,10 @@ def _png_unfilter(arr: np.ndarray, stride: int, fu: int) -> np.ndarray:
     neighbor, so the chain is inherently serial — no exact numpy
     closed form)."""
     height = arr.shape[0]
-    out = np.zeros((height, stride), dtype=np.int64)
+    # the grid stores plain bytes — uint8 keeps a capped-size image's
+    # unfilter buffer at 1x raw instead of 8x (r9 review); per-line
+    # arithmetic still runs in int64
+    out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(height):
         f = int(arr[y, 0])
@@ -1130,13 +1165,15 @@ def _png_expand_samples(
     if depth == 8:
         return bytes_out[:, : pw * channels].reshape(rows, pw, channels)
     if depth == 16:  # big-endian byte pairs
-        b = bytes_out.reshape(rows, -1, 2)
+        b = bytes_out.reshape(rows, -1, 2).astype(np.uint16)
         vals = (b[:, :, 0] << 8) | b[:, :, 1]
         return vals[:, : pw * channels].reshape(rows, pw, channels)
-    bits = np.unpackbits(bytes_out.astype(np.uint8), axis=1)
+    bits = np.unpackbits(bytes_out, axis=1)
     per = bits.shape[1] // depth
-    weights = 1 << np.arange(depth - 1, -1, -1)
-    vals = (bits[:, : per * depth].reshape(rows, per, depth) * weights).sum(axis=2)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits[:, : per * depth].reshape(rows, per, depth) * weights).sum(
+        axis=2, dtype=np.uint16
+    )
     return vals[:, :pw].reshape(rows, pw, 1)
 
 
@@ -1178,6 +1215,14 @@ def _png_pixels_impl(payload: bytes) -> np.ndarray:
         pos += 12 + length  # length + type + data + crc32
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    # Absolute pixel cap (r9 review): DEFLATE legitimately expands
+    # ~1000:1, so data-backing alone lets a 1 MB depth-1 payload
+    # demand a multi-GB samples grid; capping w*h here bounds the raw
+    # stream, the unfilter grid, and the samples array all at once.
+    if width * height > _IMG_MAX_PIXELS:
+        raise ValueError(
+            f"PNG {width}x{height} exceeds the decode cap ({_IMG_MAX_PIXELS} px)"
+        )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     channels = _PNG_CHANNELS[color_type]
@@ -1209,7 +1254,7 @@ def _png_pixels_impl(payload: bytes) -> np.ndarray:
     # output with no error
     if len(raw) != expected or not d.eof:
         raise ValueError("PNG pixel data size mismatch")
-    samples = np.zeros((height, width, channels), dtype=np.int64)
+    samples = np.zeros((height, width, channels), dtype=np.uint16)
     offset = 0
     for (xs, ys, xstep, ystep), (pw, ph, stride) in zip(passes, dims):
         if not pw or not ph:
@@ -1231,9 +1276,9 @@ def _png_pixels_impl(payload: bytes) -> np.ndarray:
     if depth == 16:
         # exact round-to-nearest 16→8 (v*255/65535), not the >>8
         # truncation shortcut — keeps the expansion bit-pinnable
-        samples = (samples * 255 + 32767) // 65535
+        samples = (samples.astype(np.uint32) * 255 + 32767) // 65535
     elif depth < 8:  # single-channel types only; bit-exact expansion
-        samples = samples * {1: 255, 2: 85, 4: 17}[depth]
+        samples = samples * np.uint16({1: 255, 2: 85, 4: 17}[depth])
     if color_type in (2, 6):
         return samples.astype(np.uint8)[:, :, :3]
     # grayscale (0) / gray+alpha (4)
@@ -3076,12 +3121,10 @@ def sample_audio_frames(df: DataFrame, every_n: int = 1000, id_col: str = "doc_i
         for pdf in it:
             ids, idxs, vals = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                    sampwidth = w.getsampwidth()
-                    raw = w.readframes(w.getnframes())
-                samples = np.frombuffer(raw, dtype=_WAV_DTYPES[sampwidth]).astype(np.float64)
-                if sampwidth == 1:
-                    samples -= 128.0
+                try:
+                    samples = _wav_samples_f64(bytes(payload))[0]
+                except (ValueError, NotImplementedError):
+                    continue  # quarantine: undecodable → no rows
                 picked = samples[::every_n]
                 ids.extend([doc_id] * len(picked))
                 idxs.extend(range(len(picked)))

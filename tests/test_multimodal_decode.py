@@ -1163,10 +1163,11 @@ def test_image_header_bombs_are_bounded_before_allocation():
     with pytest.raises(ValueError, match="exceed"):
         _jpeg_pixels(bytes(bomb))
 
-    # PNG #1: IHDR claims dims no compressed byte count could back
+    # PNG #1: IHDR claims dims no compressed byte count could back —
+    # since r9 the ABSOLUTE pixel cap fires first for 900M pixels
     big_dims = bytearray(make_png(np.zeros((2, 2, 3), dtype=np.uint8)))
     struct.pack_into(">II", big_dims, 16, 30000, 30000)
-    with pytest.raises(ValueError, match="size mismatch"):
+    with pytest.raises(ValueError, match="size mismatch|decode cap"):
         _png_pixels(bytes(big_dims))
 
     # PNG #2: a real 50 MB zlib bomb behind an IHDR claiming 10 MB —
@@ -1937,9 +1938,8 @@ def test_audio_and_image_hashes_quarantine_per_payload(spark):
 
 # --- PNG color-type / Adam7 coverage (r9) ----------------------------
 
-_ADAM7 = (
-    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+    _PNG_ADAM7 as _ADAM7,
 )
 
 
@@ -2220,3 +2220,70 @@ def test_bmp_rle8_dimension_bomb_raises():
         payload = _bmp_header(w, h, 8, 1, 2, len(rle)) + pal + rle
         with pytest.raises(ValueError, match="exceed what the stream"):
             _bmp_pixels(payload)
+
+
+def test_second_review_pass_regressions(spark):
+    """r9 second self-review: PNG absolute pixel cap, sparse-legal
+    RLE8, RLE8 palette-index labeling, 24-bit-aware audio sampler
+    with per-payload quarantine, paletted data_offset bound."""
+    import wave as _wave
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _bmp_pixels,
+        _png_pixels,
+        sample_audio_frames,
+    )
+
+    # (1) a depth-1 PNG declaring dims past the cap raises before any
+    # grid allocation — data-backing alone is beaten by deflate's
+    # ~1000:1 expansion
+    import zlib
+
+    payload = make_png_any(np.zeros((1, 1)), 0, 1)
+    big = bytearray(payload)
+    struct.pack_into(">II", big, 16, 100_000, 100_000)
+    with pytest.raises(ValueError, match="decode cap"):
+        _png_pixels(bytes(big))
+
+    # (2) spec-legal SPARSE RLE8 (delta + EOF leave pixels at the
+    # background index) must DECODE, not be rejected as a bomb
+    pal = bytes([7, 8, 9, 0]) + bytes([1, 2, 3, 0])
+    rle = bytes([0, 2, 200, 100]) + bytes([3, 1]) + bytes([0, 1])
+    payload = _bmp_header(1000, 1000, 8, 1, 2, len(rle)) + pal + rle
+    px = _bmp_pixels(payload)
+    assert px.shape == (1000, 1000, 3)
+    assert (px[1000 - 1 - 100, 200] == [1, 2, 3]).all()  # the delta'd run
+    assert (px[0, 0] == [7, 8, 9]).all()  # background index 0
+
+    # (3) RLE8 out-of-palette index gets the explicit message, not a
+    # rewrapped numpy IndexError blaming the header
+    bad = _bmp_header(4, 1, 8, 1, 2, 4) + pal + bytes([2, 200, 0, 1])
+    with pytest.raises(ValueError, match="palette index out of range"):
+        _bmp_pixels(bad)
+
+    # (5) paletted data_offset inside the color table must raise
+    rows = bytes([0, 1, 0, 0])
+    good = _bmp_header(2, 1, 8, 0, 2, 4) + pal + rows
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 10, 54)  # points INTO the palette
+    with pytest.raises(ValueError, match="invalid BMP data offset"):
+        _bmp_pixels(bytes(bad))
+
+    # (4) sample_audio_frames handles the widths decode_wav handles
+    # (24-bit included) and quarantines corrupt payloads per-row
+    vals = [1000, -2000, 300000, -400000]
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(raw)
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"\x00" * 16))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_audio_frames(df, every_n=1).collect()
+    got = {r.doc_id for r in rows}
+    assert got == {1}
+    assert sorted(r.sample for r in rows) == sorted(float(v) for v in vals)

@@ -103,8 +103,7 @@ def _encode_png_variant(rng: random.Random) -> bytes:
         for _ in range(h)
     ]
     interlace = rng.randrange(2)
-    adam7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    adam7 = mm._PNG_ADAM7
 
     def pack_rows(rows_vals: list[list[int]]) -> bytes:
         out = b""
@@ -141,7 +140,7 @@ def _encode_png_variant(rng: random.Random) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data))
         )
 
-    out = b"\x89PNG\r\n\x1a\n" + chunk(
+    out = mm._PNG_MAGIC + chunk(
         b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, interlace)
     )
     if ct == 3:
