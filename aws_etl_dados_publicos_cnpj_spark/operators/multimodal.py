@@ -1044,6 +1044,410 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+# --- TIFF: baseline 6.0 (r9) — IFD walk + LZW/PackBits strips ---------
+#
+# The fourth image container family (BMP, PNG, JPEG, GIF, now TIFF —
+# the scanned-document corpus staple). Implemented from the public
+# TIFF 6.0 spec: both byte orders, first-IFD tag walk, strip-based
+# storage, compression 1 (none) / 5 (LZW, MSB-first with early
+# change — NOT the GIF variant) / 32773 (PackBits), photometric
+# 0/1 (bilevel+gray, WhiteIsZero inverted) / 2 (RGB, alpha dropped)
+# / 3 (palette, 16-bit colormap scaled >>8). No codec library.
+
+
+def _tiff_lzw_decode(data: bytes, max_bytes: int) -> bytes:
+    """TIFF-variant LZW: MSB-first bit packing, 9-bit initial width,
+    Clear=256 / EOI=257, and the spec's EARLY CHANGE (the width bumps
+    one code sooner than GIF's table-full point)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    next_code = 258
+    prev: bytes | None = None
+    acc = bits = pos = 0
+    while len(out) < max_bytes:
+        while bits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            bits += 8
+            pos += 1
+        bits -= width
+        code = (acc >> bits) & ((1 << width) - 1)
+        if code == 256:  # Clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            next_code = 258
+            prev = None
+            continue
+        if code == 257:  # EOI
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW stream must start with a literal")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"TIFF LZW code {code} out of range")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            # early change, decoder side: the decoder's table lags the
+            # encoder's by exactly one add (it can only reconstruct an
+            # entry after seeing the NEXT code), so it must widen one
+            # slot earlier than the encoder's 2^w - 1 point — the
+            # classic TIFF-LZW off-by-one (r9 encoder fuzz caught the
+            # = -1 version desynchronizing on high-entropy input).
+            if next_code == (1 << width) - 2 and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:max_bytes])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Encoder twin of ``_tiff_lzw_decode`` — real dictionary growth,
+    early-change width bumps, table reset at the spec's 4094 cap."""
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, bits
+        acc = (acc << width) | code
+        bits += width
+        while bits >= 8:
+            bits -= 8
+            out.append((acc >> bits) & 0xFF)
+
+    def reset() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = reset()
+    emit(256, width)  # leading Clear, per spec
+    buf = b""
+    for byte in data:
+        trial = buf + bytes([byte])
+        if trial in table:
+            buf = trial
+            continue
+        emit(table[buf], width)
+        table[trial] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(256, width)
+            table, next_code, width = reset()
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf], width)
+    emit(257, width)  # EOI
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, max_bytes: int) -> bytes:
+    """PackBits (TIFF compression 32773): n in 0..127 → n+1 literal
+    bytes; n in -127..-1 (two's complement) → next byte repeated
+    1-n times; -128 is a no-op."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < max_bytes:
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run
+            if pos + n + 1 > len(data):
+                raise ValueError("PackBits literal run truncated")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:  # repeat run of 257-n
+            if pos >= len(data):
+                raise ValueError("PackBits repeat run truncated")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    return bytes(out[:max_bytes])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Encoder twin: repeat runs >= 3 bytes become (257-len, byte),
+    everything else literal spans (<= 128 each)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def flush_literal(end: int) -> None:
+        j = lit_start
+        while j < end:
+            span = min(128, end - j)
+            out.append(span - 1)
+            out.extend(data[j : j + span])
+            j += span
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_literal(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literal(n)
+    return bytes(out)
+
+
+_TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _tiff_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) RGB pixels of a baseline TIFF — see the section
+    comment for the supported matrix. Corrupt containers raise
+    ValueError (the module quarantine contract)."""
+    if payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF payload")
+    try:
+        return _tiff_pixels_impl(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt TIFF container ({exc})") from exc
+
+
+def _tiff_tag_values(payload: bytes, e: str, entry_off: int) -> tuple[int, list[int]]:
+    """(tag, values) of one 12-byte IFD entry — BYTE/SHORT/LONG only
+    (what the baseline tags use); inline when they fit in the 4-byte
+    value slot, at the pointed offset otherwise."""
+    tag, typ, count = struct.unpack_from(f"{e}HHI", payload, entry_off)
+    size = _TIFF_TYPE_SIZES.get(typ)
+    if size is None:
+        return tag, []  # unsupported value type: caller treats as absent
+    if count > 1 << 20:
+        raise ValueError(f"TIFF tag {tag} count {count} implausible")
+    total = size * count
+    if total <= 4:
+        base = entry_off + 8
+    else:
+        (base,) = struct.unpack_from(f"{e}I", payload, entry_off + 8)
+        if base + total > len(payload):
+            raise ValueError(f"TIFF tag {tag} values out of bounds")
+    fmt = {1: "B", 3: "H", 4: "I"}[typ]
+    return tag, list(struct.unpack_from(f"{e}{count}{fmt}", payload, base))
+
+
+def _tiff_pixels_impl(payload: bytes) -> np.ndarray:
+    e = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(f"{e}I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF IFD offset out of bounds")
+    (n_entries,) = struct.unpack_from(f"{e}H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n_entries > len(payload):
+        raise ValueError("TIFF IFD truncated")
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        tag, vals = _tiff_tag_values(payload, e, ifd_off + 2 + 12 * i)
+        if vals:
+            tags[tag] = vals
+    try:
+        width = tags[256][0]
+        height = tags[257][0]
+        photometric = tags[262][0]
+        strip_offsets = tags[273]
+        strip_counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag {exc}") from exc
+    bps_list = tags.get(258, [1])
+    spp = tags.get(277, [1])[0]
+    compression = tags.get(259, [1])[0]
+    rows_per_strip = tags.get(278, [height])[0] or height
+    planar = tags.get(284, [1])[0]
+    if planar != 1:
+        raise ValueError(f"unsupported TIFF planar configuration {planar}")
+    bps = bps_list[0]
+    if any(b != bps for b in bps_list):
+        raise ValueError(f"unsupported mixed TIFF bits-per-sample {bps_list}")
+    supported = (
+        (photometric in (0, 1) and spp == 1 and bps in (1, 8))
+        or (photometric == 2 and spp in (3, 4) and bps == 8)
+        or (photometric == 3 and spp == 1 and bps in (4, 8))
+    )
+    if not supported or compression not in (1, 5, 32773):
+        raise ValueError(
+            f"unsupported TIFF variant (photometric={photometric}, "
+            f"spp={spp}, bps={bps}, compression={compression})"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid TIFF dimensions ({width}x{height})")
+    if width * height > _IMG_MAX_PIXELS:
+        raise ValueError(f"TIFF {width}x{height} exceeds the decode cap")
+    if len(strip_offsets) != len(strip_counts):
+        raise ValueError("TIFF strip offset/count tables disagree")
+    stride = (width * bps * spp + 7) // 8
+    rows = []
+    row_total = 0
+    for si, (off, cnt) in enumerate(zip(strip_offsets, strip_counts)):
+        if off + cnt > len(payload):
+            raise ValueError("TIFF strip data out of bounds")
+        n_rows = min(rows_per_strip, height - row_total)
+        if n_rows <= 0:
+            break
+        raw = payload[off : off + cnt]
+        if compression == 5:
+            raw = _tiff_lzw_decode(raw, n_rows * stride)
+        elif compression == 32773:
+            raw = _packbits_decode(raw, n_rows * stride)
+        if len(raw) < n_rows * stride:
+            raise ValueError(f"TIFF strip {si} shorter than its rows")
+        rows.append(
+            np.frombuffer(raw, np.uint8, n_rows * stride).reshape(n_rows, stride)
+        )
+        row_total += n_rows
+    if row_total < height:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+    grid = np.concatenate(rows, axis=0)
+    if bps == 8:
+        samples = grid[:, : width * spp].reshape(height, width, spp)
+    else:
+        bits = np.unpackbits(grid, axis=1)
+        per = bits.shape[1] // bps
+        weights = (1 << np.arange(bps - 1, -1, -1)).astype(np.uint8)
+        samples = (
+            (bits[:, : per * bps].reshape(height, per, bps) * weights)
+            .sum(axis=2, dtype=np.uint16)[:, :width]
+            .reshape(height, width, 1)
+        )
+    if photometric == 2:
+        return samples[:, :, :3].astype(np.uint8)
+    if photometric == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * (1 << bps):
+            raise ValueError("palette TIFF missing/short ColorMap")
+        n = 1 << bps
+        # ColorMap is 16-bit per channel, all reds then greens then blues
+        table = (
+            np.asarray(cmap[: 3 * n], dtype=np.uint32).reshape(3, n).T >> 8
+        ).astype(np.uint8)
+        idx = samples[:, :, 0].astype(np.int64)
+        return table[idx]
+    # photometric 0/1: grayscale; 0 = WhiteIsZero inverts
+    maxval = (1 << bps) - 1
+    gray = samples[:, :, 0].astype(np.int64)
+    if photometric == 0:
+        gray = maxval - gray
+    gray = (gray * (255 // maxval)).astype(np.uint8) if bps < 8 else gray.astype(np.uint8)
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def decode_tiff(payload: bytes) -> dict:
+    px = _tiff_pixels(payload)
+    mean_rgb = px.reshape(-1, 3).mean(axis=0) if px.size else np.zeros(3)
+    return {
+        "kind": "image",
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "mean_r": float(mean_rgb[0]),
+        "mean_g": float(mean_rgb[1]),
+        "mean_b": float(mean_rgb[2]),
+    }
+
+
+def encode_tiff(
+    px: np.ndarray, compression: int = 1, rows_per_strip: int | None = None
+) -> bytes:
+    """Baseline-TIFF encoder twin (fixture discipline): grayscale
+    (h,w) or RGB (h,w,3) uint8, little-endian, strip-based with real
+    LZW (early change) or PackBits when asked. Lossless, so the
+    text-byte oracles can hash-check the round trip."""
+    px = np.asarray(px)
+    _check_u8_pixels(px, "encode_tiff")
+    px = px.astype(np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3) or px.size == 0:
+        raise ValueError("encode_tiff takes a non-empty (h,w) or (h,w,3) image")
+    if compression not in (1, 5, 32773):
+        raise ValueError(f"unsupported TIFF compression {compression}")
+    h, w, spp = px.shape
+    photometric = 1 if spp == 1 else 2
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = px[y0 : y0 + rps].tobytes()
+        if compression == 5:
+            raw = _tiff_lzw_encode(raw)
+        elif compression == 32773:
+            raw = _packbits_encode(raw)
+        strips.append(raw)
+    n_strips = len(strips)
+
+    entries = []  # (tag, type, count, value_or_bytes)
+
+    def entry(tag: int, typ: int, vals: list[int]) -> None:
+        entries.append((tag, typ, vals))
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [compression])
+    entry(262, 3, [photometric])
+    entry(277, 3, [spp])
+    entry(278, 4, [rps])
+    # strip offsets are back-patched once the header size is known
+    entry(273, 4, [0] * n_strips)
+    entry(279, 4, [len(s) for s in strips])
+    entries.sort(key=lambda t: t[0])
+
+    fmt = {3: "H", 4: "I"}
+    size = {3: 2, 4: 4}
+    # layout: header(8) + count(2) + 12*n + next(4), then overflow
+    # value arrays, then strip data
+    ifd_off = 8
+    overflow_off = ifd_off + 2 + 12 * len(entries) + 4
+    overflow = bytearray()
+    fixed = []
+    for tag, typ, vals in entries:
+        total = size[typ] * len(vals)
+        if total <= 4:
+            val_bytes = struct.pack(f"<{len(vals)}{fmt[typ]}", *vals).ljust(4, b"\0")
+            fixed.append((tag, typ, len(vals), val_bytes, None))
+        else:
+            fixed.append((tag, typ, len(vals), None, overflow_off + len(overflow)))
+            overflow += struct.pack(f"<{len(vals)}{fmt[typ]}", *vals)
+    data_off = overflow_off + len(overflow)
+    offsets = []
+    pos = data_off
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    # back-patch tag 273 with the real strip offsets
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", len(fixed))
+    for tag, typ, count, val_bytes, ptr in fixed:
+        out += struct.pack("<HHI", tag, typ, count)
+        if tag == 273:
+            if count * 4 <= 4:
+                out += struct.pack("<I", offsets[0])
+            else:
+                out += struct.pack("<I", ptr)
+                struct.pack_into(
+                    f"<{count}I", overflow, ptr - overflow_off, *offsets
+                )
+        elif val_bytes is not None:
+            out += val_bytes
+        else:
+            out += struct.pack("<I", ptr)
+    out += struct.pack("<I", 0)  # no next IFD
+    out += overflow
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
@@ -2621,6 +3025,8 @@ def _image_pixels(payload: bytes) -> np.ndarray:
         return _bmp_pixels(payload)[:, :, ::-1]
     if payload[:8] == _PNG_MAGIC:
         return _png_pixels(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff_pixels(payload)
     if payload[:2] == b"\xff\xd8":
         return _jpeg_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -3002,6 +3408,8 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_png(payload)
     if mime == "image/gif":
         return decode_gif(payload)
+    if mime in ("image/tiff", "image/tif"):
+        return decode_tiff(payload)
     if mime in ("image/jpeg", "image/jpg"):
         return decode_jpeg(payload)
     if mime in ("video/x-msvideo", "video/avi"):

@@ -2287,3 +2287,176 @@ def test_second_review_pass_regressions(spark):
     got = {r.doc_id for r in rows}
     assert got == {1}
     assert sorted(r.sample for r in rows) == sorted(float(v) for v in vals)
+
+
+# --- TIFF baseline (r9): fourth image container family ----------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    gray=st.booleans(),
+    comp=st.sampled_from([1, 5, 32773]),
+    rps=st.integers(1, 25),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_round_trip_property(h, w, gray, comp, rps, seed):
+    """encode_tiff -> _tiff_pixels is lossless across compressions
+    (none / LZW early-change / PackBits), strip layouts, gray and
+    RGB — the encoder exercises real dictionary growth and runs."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_pixels,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    # low-entropy patches so LZW/PackBits hit their run/dictionary paths
+    px = (rng.randint(0, 4, shape) * 80).astype(np.uint8)
+    t = encode_tiff(px, compression=comp, rows_per_strip=rps)
+    got = _tiff_pixels(t)
+    want = px if px.ndim == 3 else np.repeat(px[:, :, None], 3, axis=2)
+    assert (got == want).all()
+
+
+def _tiff_ifd(entries, e="<", data=b""):
+    """Hand-build a one-IFD TIFF: entries = [(tag, typ, vals)] with
+    values fitting inline; `data` appended after the IFD."""
+    out = bytearray((b"II*\x00" if e == "<" else b"MM\x00*"))
+    out += struct.pack(f"{e}I", 8)
+    out += struct.pack(f"{e}H", len(entries))
+    fmt = {3: "H", 4: "I"}
+    overflow = bytearray()
+    overflow_off = 8 + 2 + 12 * len(entries) + 4
+    fixed = bytearray()
+    for tag, typ, vals in sorted(entries):
+        fixed += struct.pack(f"{e}HHI", tag, typ, len(vals))
+        total = {3: 2, 4: 4}[typ] * len(vals)
+        if total <= 4:
+            fixed += struct.pack(f"{e}{len(vals)}{fmt[typ]}", *vals).ljust(4, b"\0")
+        else:
+            fixed += struct.pack(f"{e}I", overflow_off + len(overflow))
+            overflow += struct.pack(f"{e}{len(vals)}{fmt[typ]}", *vals)
+    out += fixed + struct.pack(f"{e}I", 0) + overflow + data
+    return bytes(out), overflow_off + len(overflow)
+
+
+def test_tiff_palette_bilevel_whitezero_and_bigendian():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_pixels,
+        decode_media,
+    )
+
+    # palette: 4-entry ColorMap (16-bit, planes reds|greens|blues)
+    cmap = [0x1100, 0x2200, 0x3300, 0x4400] + [0x5500] * 4 + [0x9900] * 4
+    idx_rows = bytes([0, 1, 3, 2])  # 2x2, bps 8
+    base = [
+        (256, 4, [2]), (257, 4, [2]), (258, 3, [8]), (259, 3, [1]),
+        (262, 3, [3]), (277, 3, [1]), (278, 4, [2]), (279, 4, [4]),
+    ]
+    # ColorMap needs 3*256 for bps 8 — use bps 4 to keep it small:
+    cmap16 = [(i << 12) for i in range(16)] * 3
+    nib = bytes([0x01, 0x32])  # indices 0,1 / 3,2
+    entries = [
+        (256, 4, [2]), (257, 4, [2]), (258, 3, [4]), (259, 3, [1]),
+        (262, 3, [3]), (277, 3, [1]), (278, 4, [2]), (279, 4, [2]),
+        (320, 3, cmap16),
+    ]
+    payload, data_off = _tiff_ifd(entries + [(273, 4, [0])])
+    # patch strip offset (tag 273 inline) to the data position
+    payload = bytearray(payload + nib)
+    # find the 273 entry and set its value to len(payload)-2
+    for i in range(struct.unpack_from("<H", payload, 8)[0]):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", payload, off)[0] == 273:
+            struct.pack_into("<I", payload, off + 8, len(payload) - 2)
+    px = _tiff_pixels(bytes(payload))
+    # index k maps to 16-bit (k<<12) -> 8-bit (k<<12)>>8 = k*16
+    assert px.shape == (2, 2, 3)
+    assert (px[0, 0] == [0, 0, 0]).all() and (px[0, 1] == [16, 16, 16]).all()
+    assert (px[1, 0] == [48, 48, 48]).all() and (px[1, 1] == [32, 32, 32]).all()
+
+    # 1-bit WhiteIsZero (photometric 0): bit 0 -> white 255
+    bits = bytes([0b10100000])  # row of 3 pixels: 1,0,1
+    entries = [
+        (256, 4, [3]), (257, 4, [1]), (258, 3, [1]), (259, 3, [1]),
+        (262, 3, [0]), (277, 3, [1]), (278, 4, [1]), (279, 4, [1]),
+        (273, 4, [0]),
+    ]
+    payload, _ = _tiff_ifd(entries)
+    payload = bytearray(payload + bits)
+    for i in range(struct.unpack_from("<H", payload, 8)[0]):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", payload, off)[0] == 273:
+            struct.pack_into("<I", payload, off + 8, len(payload) - 1)
+    px = _tiff_pixels(bytes(payload))
+    assert (px[0, :, 0] == [0, 255, 0]).all()  # 1->black, 0->white
+
+    # big-endian: same gray image via MM byte order
+    gray_row = bytes([10, 200])
+    entries = [
+        (256, 4, [2]), (257, 4, [1]), (258, 3, [8]), (259, 3, [1]),
+        (262, 3, [1]), (277, 3, [1]), (278, 4, [1]), (279, 4, [2]),
+        (273, 4, [0]),
+    ]
+    payload, _ = _tiff_ifd(entries, e=">")
+    payload = bytearray(payload + gray_row)
+    for i in range(struct.unpack_from(">H", payload, 8)[0]):
+        off = 10 + 12 * i
+        if struct.unpack_from(">H", payload, off)[0] == 273:
+            struct.pack_into(">I", payload, off + 8, len(payload) - 2)
+    px = _tiff_pixels(bytes(payload))
+    assert (px[0, :, 0] == [10, 200]).all()
+    out = decode_media(bytes(payload), "image/tiff")
+    assert out["kind"] == "image" and out["width"] == 2
+
+
+def test_tiff_hostile_payloads_quarantine():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_pixels,
+        encode_tiff,
+    )
+
+    with pytest.raises(ValueError, match="not a TIFF"):
+        _tiff_pixels(b"XX" * 8)
+    good = encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8), compression=5)
+    # truncations must raise ValueError, never leak struct/IndexError
+    for cut in (5, 11, len(good) // 2, len(good) - 2):
+        try:
+            _tiff_pixels(good[:cut])
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+    # dimension bomb past the absolute cap
+    bomb = bytearray(good)
+    for i in range(struct.unpack_from("<H", bomb, 8)[0]):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", bomb, off)[0] in (256, 257):
+            struct.pack_into("<I", bomb, off + 8, 100_000)
+    with pytest.raises(ValueError, match="decode cap"):
+        _tiff_pixels(bytes(bomb))
+    # implausible tag count must raise before allocating values
+    bomb = bytearray(good)
+    struct.pack_into("<I", bomb, 10 + 4, 1 << 28)  # first entry's count
+    with pytest.raises(ValueError, match="implausible|out of bounds|truncated|missing"):
+        _tiff_pixels(bytes(bomb))
+
+
+def test_tiff_lzw_early_change_across_width_bumps():
+    """r9 encoder-fuzz regression: the decoder's table lags the
+    encoder's by one add, so early change must widen one slot earlier
+    on the decode side — high-entropy images crossing the 511/1023/
+    2047 boundaries desynchronized ('code out of range') before the
+    fix. This image's stream crosses every width bump and the 4094
+    table reset."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_pixels,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(123)
+    px = rng.randint(0, 256, (120, 120, 3)).astype(np.uint8)
+    t = encode_tiff(px, compression=5)
+    assert (_tiff_pixels(t) == px).all()

@@ -239,6 +239,14 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
             ),
         ),
         (
+            "tiff",
+            mm.encode_tiff(
+                gif_px,
+                compression=rng.choice((1, 5, 32773)),
+                rows_per_strip=rng.randrange(1, 20),
+            ),
+        ),
+        (
             "gifanim",
             mm.encode_gif_animation(
                 [gif_px]
@@ -266,6 +274,7 @@ _DECODERS = {
     "mp4": [mm._mp4_video_stats, mm._mp4_mjpeg_frames, mm.decode_mp4_mjpeg],
     "m4a": [mm._mp4_audio_track, mm._mp4_audio_stats],
     "gifanim": [mm._gif_frames, mm._gif_pixels, mm.decode_gif],
+    "tiff": [mm._tiff_pixels, mm.decode_tiff, mm._image_pixels],
 }
 
 
@@ -481,7 +490,7 @@ def fuzz_encoders(seconds: float, seed: int, per_encode: float = 10.0) -> int:
 
     try:
         while time.monotonic() < deadline:
-            fam = rng.choice(("flac", "gif", "jpeg"))
+            fam = rng.choice(("flac", "gif", "jpeg", "tiff"))
             if fam == "flac":
                 arr = _rand_samples(rng)
                 kwargs = {
@@ -495,6 +504,13 @@ def fuzz_encoders(seconds: float, seed: int, per_encode: float = 10.0) -> int:
                 arr = _rand_image(rng)
                 kwargs = {"interlace": rng.randrange(2) == 1}
                 enc, dec = mm.encode_gif, mm._gif_pixels
+            elif fam == "tiff":
+                arr = _rand_image(rng)
+                kwargs = {
+                    "compression": rng.choice((1, 5, 32773, 4, -1)),
+                    "rows_per_strip": rng.choice((None, 1, 3, 1000)),
+                }
+                enc, dec = mm.encode_tiff, mm._tiff_pixels
             else:
                 arr = _rand_image(rng)
                 qkind = rng.randrange(6)
