@@ -3774,21 +3774,27 @@ def synthesize_mixed_image_from_text(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Container-diverse image fixture: doc_id parity picks 24-bit BMP
-    or GIF89a (LZW, local color table) carrying the SAME decoded-RGB
-    pixels — pixel k = (raw[(3k+2)%n], raw[(3k+1)%n], raw[(3k)%n]) —
-    so both decode paths run under one unchanged text-byte oracle.
-    8×8 fixtures have ≤64 distinct colors, comfortably in-palette."""
+    """Container-diverse image fixture: doc_id % 3 picks 24-bit BMP,
+    GIF89a (LZW, local color table), or TIFF (r9: TIFF-variant LZW
+    strips) carrying the SAME decoded-RGB pixels — pixel k =
+    (raw[(3k+2)%n], raw[(3k+1)%n], raw[(3k)%n]) — so all three decode
+    paths run under one unchanged text-byte oracle. 8×8 fixtures have
+    ≤64 distinct colors, comfortably in-palette."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads, mimes = [], []
             for doc_id, t in zip(pdf[id_col], pdf[text_col]):
                 raw = t.encode("utf-8")
-                if int(doc_id) % 2:
+                kind = int(doc_id) % 3
+                if kind == 1:
                     rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
                     payloads.append(encode_gif(rgb))
                     mimes.append("image/gif")
+                elif kind == 2:
+                    rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
+                    payloads.append(encode_tiff(rgb, compression=5))
+                    mimes.append("image/tiff")
                 else:
                     payloads.append(_bmp_payload(raw, width, height))
                     mimes.append("image/bmp")

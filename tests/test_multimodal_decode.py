@@ -1219,23 +1219,24 @@ def test_image_header_bombs_are_bounded_before_allocation():
 
 
 def test_mixed_image_fixture_same_pixels_both_containers(spark):
-    """BMP and GIF arms decode to IDENTICAL RGB pixels for the same
-    text, so ahash values (and the near-dup join's key entropy) are
-    container-independent."""
+    """BMP, GIF, and TIFF arms (r9) decode to IDENTICAL RGB pixels
+    for the same text, so ahash values (and the near-dup join's key
+    entropy) are container-independent."""
     from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
         image_ahash,
         synthesize_mixed_image_from_text,
     )
 
     docs = spark.createDataFrame(
-        [(i, "one text shared by every doc") for i in range(4)],
+        [(i, "one text shared by every doc") for i in range(6)],
         "doc_id long, text string",
     )
     mixed = synthesize_mixed_image_from_text(docs)
     mimes = {r.doc_id: r.mime for r in mixed.collect()}
     assert mimes[0] == "image/bmp" and mimes[1] == "image/gif"
+    assert mimes[2] == "image/tiff" and mimes[5] == "image/tiff"
     hashes = {r.doc_id: r.ahash for r in image_ahash(mixed).collect()}
-    assert len(set(hashes.values())) == 1
+    assert len(hashes) == 6 and len(set(hashes.values())) == 1
 
 
 # --- FLAC (r8): rice + fixed predictors, fourth compression family ----
