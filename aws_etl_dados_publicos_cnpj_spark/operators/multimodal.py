@@ -1074,6 +1074,8 @@ def _tiff_lzw_decode(data: bytes, max_bytes: int) -> bytes:
             pos += 1
         bits -= width
         code = (acc >> bits) & ((1 << width) - 1)
+        acc &= (1 << bits) - 1  # unmasked, acc grows with the stream
+        # and every shift goes quadratic (r9 review: 480x480 -> hours)
         if code == 256:  # Clear
             table = [bytes([i]) for i in range(256)] + [b"", b""]
             width = 9
@@ -1121,6 +1123,7 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         while bits >= 8:
             bits -= 8
             out.append((acc >> bits) & 0xFF)
+        acc &= (1 << bits) - 1  # keep the accumulator bounded
 
     def reset() -> tuple[dict[bytes, int], int, int]:
         return {bytes([i]): i for i in range(256)}, 258, 9
@@ -1375,6 +1378,8 @@ def encode_tiff(
     h, w, spp = px.shape
     photometric = 1 if spp == 1 else 2
     rps = rows_per_strip or h
+    if rps < 1:
+        raise ValueError(f"invalid TIFF rows_per_strip {rps}")
     strips = []
     for y0 in range(0, h, rps):
         raw = px[y0 : y0 + rps].tobytes()

@@ -2349,14 +2349,7 @@ def test_tiff_palette_bilevel_whitezero_and_bigendian():
         decode_media,
     )
 
-    # palette: 4-entry ColorMap (16-bit, planes reds|greens|blues)
-    cmap = [0x1100, 0x2200, 0x3300, 0x4400] + [0x5500] * 4 + [0x9900] * 4
-    idx_rows = bytes([0, 1, 3, 2])  # 2x2, bps 8
-    base = [
-        (256, 4, [2]), (257, 4, [2]), (258, 3, [8]), (259, 3, [1]),
-        (262, 3, [3]), (277, 3, [1]), (278, 4, [2]), (279, 4, [4]),
-    ]
-    # ColorMap needs 3*256 for bps 8 — use bps 4 to keep it small:
+    # palette via bps 4 (ColorMap needs only 3*16 entries):
     cmap16 = [(i << 12) for i in range(16)] * 3
     nib = bytes([0x01, 0x32])  # indices 0,1 / 3,2
     entries = [
@@ -2461,3 +2454,25 @@ def test_tiff_lzw_early_change_across_width_bumps():
     px = rng.randint(0, 256, (120, 120, 3)).astype(np.uint8)
     t = encode_tiff(px, compression=5)
     assert (_tiff_pixels(t) == px).all()
+
+
+def test_tiff_lzw_accumulator_stays_bounded():
+    """r9 third-review regression: the MSB-first accumulator was never
+    masked, so acc grew with the stream and every shift went quadratic
+    (a 0.7 MB strip took hours). Large high-entropy strips must decode
+    in linear time — bound the wall clock generously."""
+    import time
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_pixels,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, (300, 300, 3)).astype(np.uint8)
+    t0 = time.perf_counter()
+    t = encode_tiff(px, compression=5)
+    assert (_tiff_pixels(t) == px).all()
+    assert time.perf_counter() - t0 < 30  # was minutes when quadratic
+    with pytest.raises(ValueError, match="rows_per_strip"):
+        encode_tiff(px, rows_per_strip=-1)

@@ -565,6 +565,11 @@ def fuzz_encoders(seconds: float, seed: int, per_encode: float = 10.0) -> int:
                 if not np.array_equal(back, arr):
                     print(f"GIF ENCODER ROUND-TRIP MISMATCH {desc}")
                     return 1
+            if fam == "tiff" and arr.dtype == np.uint8 and arr.size and arr.ndim in (2, 3):
+                want = arr if arr.ndim == 3 else np.repeat(arr[:, :, None], 3, axis=2)
+                if want.shape[-1] == 3 and not np.array_equal(back, want):
+                    print(f"TIFF ENCODER ROUND-TRIP MISMATCH {desc}")
+                    return 1
     finally:
         signal.signal(signal.SIGALRM, old)
     print(f"encoder fuzz OK: {trials} encode trials, 0 violations")
