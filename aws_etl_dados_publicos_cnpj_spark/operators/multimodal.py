@@ -88,6 +88,60 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 _WAV_DTYPES = {1: np.uint8, 2: np.int16, 4: np.int32}
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(µ-law, A-law) byte→int16 expansion tables — the canonical
+    CCITT G.711 decode (the classic Sun reference formulas): µ-law
+    ±32124 max via BIAS-132 segments, A-law ±32256 with the sign bit
+    meaning POSITIVE after the 0x55 toggle. Computed once at import,
+    pure integer; silence bytes pin the orientation (µ-law 0xFF → 0,
+    A-law 0x55 → -8 / 0xD5 → +8)."""
+    ulaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+        ulaw[b] = (0x84 - t) if u & 0x80 else (t - 0x84)
+    alaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = b ^ 0x55
+        seg = (u >> 4) & 7
+        t = (u & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[b] = t if u & 0x80 else -t
+    return ulaw, alaw
+
+
+_G711_ULAW, _G711_ALAW = _g711_tables()
+
+
+def _riff_fmt_and_data(payload: bytes) -> tuple[tuple, bytes] | None:
+    """((fmt_tag, n_ch, rate, bits), data bytes) from a raw RIFF/WAVE
+    walk, or None when the container isn't parseable this way — used
+    to route the G.711 format tags the stdlib ``wave`` module rejects."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csz,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + csz > len(payload):
+            return None
+        if cid == b"fmt " and csz >= 16:
+            tag, n_ch, rate = struct.unpack_from("<HHI", payload, pos + 8)
+            (bits,) = struct.unpack_from("<H", payload, pos + 22)
+            fmt = (tag, n_ch, rate, bits)
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + csz]
+        pos += 8 + csz + (csz & 1)
+    if fmt is None or data is None:
+        return None
+    return fmt, data
+
+
 def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     """(float64 samples, n_channels, rate, n_frames) of any PCM WAV
     width the stdlib container can carry — 8-bit (unsigned, centered),
@@ -95,7 +149,20 @@ def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     + sign extension). Shared by ``decode_wav`` and
     ``sample_audio_frames`` so their support matrices can't drift
     (r9 review: the sampler KeyError'd on a width the stats path had
-    just learned). Corrupt containers raise ValueError."""
+    just learned). G.711 µ-law/A-law WAVs (format tags 7/6 — the
+    telephony-corpus staple the stdlib module rejects) expand through
+    the public spec tables to 16-bit. Corrupt containers raise
+    ValueError."""
+    probed = _riff_fmt_and_data(payload)
+    if probed is not None and probed[0][0] in (6, 7):
+        (tag, n_ch, rate, bits), data = probed
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        if n_ch < 1:
+            raise ValueError(f"invalid WAV channel count {n_ch}")
+        table = _G711_ULAW if tag == 7 else _G711_ALAW
+        samples = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float64)
+        return samples, n_ch, rate, len(data) // n_ch
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
             n_ch = w.getnchannels()
@@ -1271,6 +1338,9 @@ def _tiff_pixels_impl(payload: bytes) -> np.ndarray:
     planar = tags.get(284, [1])[0]
     if planar != 1:
         raise ValueError(f"unsupported TIFF planar configuration {planar}")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     bps = bps_list[0]
     if any(b != bps for b in bps_list):
         raise ValueError(f"unsupported mixed TIFF bits-per-sample {bps_list}")
@@ -1313,7 +1383,16 @@ def _tiff_pixels_impl(payload: bytes) -> np.ndarray:
     if row_total < height:
         raise ValueError("TIFF strips cover fewer rows than ImageLength")
     grid = np.concatenate(rows, axis=0)
-    if bps == 8:
+    if predictor == 2:
+        # horizontal differencing (tag 317 — libtiff's default with
+        # LZW): each sample stores the delta from the previous pixel's
+        # same channel; invert with a per-channel cumsum mod 256
+        if bps != 8:
+            raise ValueError("TIFF predictor 2 requires 8-bit samples")
+        und = grid[:, : width * spp].reshape(height, width, spp)
+        und = np.cumsum(und, axis=1, dtype=np.int64) & 0xFF
+        samples = und.astype(np.uint8)
+    elif bps == 8:
         samples = grid[:, : width * spp].reshape(height, width, spp)
     else:
         bits = np.unpackbits(grid, axis=1)
@@ -1360,7 +1439,10 @@ def decode_tiff(payload: bytes) -> dict:
 
 
 def encode_tiff(
-    px: np.ndarray, compression: int = 1, rows_per_strip: int | None = None
+    px: np.ndarray,
+    compression: int = 1,
+    rows_per_strip: int | None = None,
+    predictor: int = 1,
 ) -> bytes:
     """Baseline-TIFF encoder twin (fixture discipline): grayscale
     (h,w) or RGB (h,w,3) uint8, little-endian, strip-based with real
@@ -1380,9 +1462,16 @@ def encode_tiff(
     rps = rows_per_strip or h
     if rps < 1:
         raise ValueError(f"invalid TIFF rows_per_strip {rps}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    data_px = px
+    if predictor == 2:  # horizontal differencing before compression
+        d = px.astype(np.int64)
+        d[:, 1:] = (d[:, 1:] - d[:, :-1]) & 0xFF
+        data_px = d.astype(np.uint8)
     strips = []
     for y0 in range(0, h, rps):
-        raw = px[y0 : y0 + rps].tobytes()
+        raw = data_px[y0 : y0 + rps].tobytes()
         if compression == 5:
             raw = _tiff_lzw_encode(raw)
         elif compression == 32773:
@@ -1402,6 +1491,8 @@ def encode_tiff(
     entry(262, 3, [photometric])
     entry(277, 3, [spp])
     entry(278, 4, [rps])
+    if predictor == 2:
+        entry(317, 3, [2])
     # strip offsets are back-patched once the header size is known
     entry(273, 4, [0] * n_strips)
     entry(279, 4, [len(s) for s in strips])
@@ -2420,6 +2511,8 @@ def encode_jpeg(
             samp = [(1, 1)] * 3
         elif subsampling == "420":
             samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "422":  # r9: horizontal-only chroma halving
+            samp = [(2, 1), (1, 1), (1, 1)]
         else:
             raise ValueError(f"unsupported subsampling {subsampling!r}")
     hmax = max(s[0] for s in samp)

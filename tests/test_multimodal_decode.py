@@ -2476,3 +2476,113 @@ def test_tiff_lzw_accumulator_stays_bounded():
     assert time.perf_counter() - t0 < 30  # was minutes when quadratic
     with pytest.raises(ValueError, match="rows_per_strip"):
         encode_tiff(px, rows_per_strip=-1)
+
+
+# --- r9 batch 2: TIFF predictor, G.711 WAV, JPEG 4:2:2 ----------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    gray=st.booleans(),
+    comp=st.sampled_from([1, 5, 32773]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_predictor2_round_trip(h, w, gray, comp, seed):
+    """Horizontal differencing (tag 317, libtiff's default with LZW)
+    round-trips exactly through encode->decode and actually helps
+    compression on smooth content."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_pixels,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = (np.cumsum(rng.randint(0, 3, shape), axis=1) % 256).astype(np.uint8)
+    t = encode_tiff(px, compression=comp, predictor=2, rows_per_strip=4)
+    got = _tiff_pixels(t)
+    want = px if px.ndim == 3 else np.repeat(px[:, :, None], 3, axis=2)
+    assert (got == want).all()
+
+
+def test_tiff_predictor2_compresses_gradients():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import encode_tiff
+
+    grad = np.tile(np.arange(256, dtype=np.uint8), (64, 1))
+    assert len(encode_tiff(grad, 5, predictor=2)) < len(encode_tiff(grad, 5)) / 4
+    with pytest.raises(ValueError, match="predictor"):
+        encode_tiff(grad, 5, predictor=3)
+
+
+def _g711_wav(tag, data, n_ch=1, rate=8000):
+    fmt = struct.pack("<HHIIHH", tag, n_ch, rate, rate * n_ch, n_ch, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_g711_ulaw_alaw_wav_decode():
+    """G.711 µ-law (tag 7) and A-law (tag 6) WAVs — the telephony
+    format the stdlib wave module rejects — decode through the
+    canonical CCITT tables, pinned to the classic reference values."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _G711_ALAW,
+        _G711_ULAW,
+        decode_wav,
+        sample_audio_frames,
+    )
+
+    # reference pins (Sun/CCITT): silence and full-scale both signs
+    assert _G711_ULAW[0xFF] == 0 and _G711_ULAW[0x7F] == 0
+    assert _G711_ULAW[0x00] == -32124 and _G711_ULAW[0x80] == 32124
+    assert _G711_ALAW[0x55] == -8 and _G711_ALAW[0xD5] == 8
+    assert _G711_ALAW[0x2A] == -32256 and _G711_ALAW[0xAA] == 32256
+
+    out = decode_wav(_g711_wav(7, bytes([0xFF, 0x00, 0x80])))
+    assert out["kind"] == "audio" and out["n_frames"] == 3
+    assert out["peak"] == 32124.0
+    out = decode_wav(_g711_wav(6, bytes([0x55, 0xD5, 0x2A, 0xAA]), n_ch=2, rate=16000))
+    assert out["n_channels"] == 2 and out["sample_rate"] == 16000
+    assert out["peak"] == 32256.0
+    # stereo frame count = samples / channels
+    assert out["n_frames"] == 2
+    # non-8-bit G.711 is malformed
+    bad = bytearray(_g711_wav(7, bytes(4)))
+    struct.pack_into("<H", bad, bad.index(b"fmt ") + 22, 16)
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_wav(bytes(bad))
+
+
+def test_g711_wav_through_spark_sampler(spark):
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _G711_ULAW,
+        sample_audio_frames,
+    )
+
+    payload = _g711_wav(7, bytes([0x00, 0xFF, 0x80]))
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    rows = sample_audio_frames(df, every_n=1).collect()
+    assert [r.sample for r in rows] == [-32124.0, 0.0, 32124.0]
+
+
+def test_jpeg_422_subsampling_round_trip():
+    """4:2:2 (horizontal-only chroma halving): decoder handles the
+    (2,1) factors generically; constant color is exact, random chroma
+    error sits between 4:4:4 and 4:2:0."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg,
+    )
+
+    flat = np.full((16, 24, 3), 77, dtype=np.uint8)
+    assert (_jpeg_pixels(encode_jpeg(flat, subsampling="422")) == flat).all()
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (13, 21, 3)).astype(np.uint8)
+    errs = {}
+    for ss in ("444", "422", "420"):
+        got = _jpeg_pixels(encode_jpeg(px, subsampling=ss))
+        assert got.shape == px.shape
+        errs[ss] = int(np.abs(got.astype(int) - px.astype(int)).max())
+    assert errs["444"] <= errs["422"] <= errs["420"] + 40

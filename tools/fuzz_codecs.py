@@ -203,6 +203,20 @@ def _encode_bmp_variant(rng: random.Random) -> bytes:
     return header(8, 1, ncol, len(out)) + pal + bytes(out)
 
 
+def _encode_g711(rng: random.Random) -> bytes:
+    """Seed twin for the r9 G.711 path: µ-law/A-law RIFF container."""
+    import struct
+
+    tag = rng.choice((6, 7))
+    n_ch = rng.choice((1, 2))
+    rate = rng.choice((8000, 16000))
+    data = bytes(rng.randrange(256) for _ in range(rng.randrange(2, 200) * n_ch))
+    fmt = struct.pack("<HHIIHH", tag, n_ch, rate, rate * n_ch, n_ch, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
     """Valid payloads per format, regenerated each call so mutations
     explore different image/audio content."""
@@ -228,6 +242,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("flac", mm.encode_flac(samples)),
         ("wav", mm._wav_payload(raw8)),
         ("aiff", mm._aiff_payload(raw8)),
+        ("g711", _encode_g711(rng)),
         ("avi", mm._avi_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
         ("mp4", mm._mp4_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
         (
@@ -244,6 +259,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
                 gif_px,
                 compression=rng.choice((1, 5, 32773)),
                 rows_per_strip=rng.randrange(1, 20),
+                predictor=rng.choice((1, 2)),
             ),
         ),
         (
@@ -270,6 +286,7 @@ _DECODERS = {
     "flac": [mm._flac_samples, mm.decode_flac, mm._pcm16_samples],
     "wav": [mm.decode_wav, mm._pcm16_samples],
     "aiff": [mm._aiff_samples, mm.decode_aiff, mm._pcm16_samples],
+    "g711": [mm.decode_wav, lambda p: mm._wav_samples_f64(p)[0]],
     "avi": [mm._avi_mjpeg_frames, mm.decode_avi_mjpeg],
     "mp4": [mm._mp4_video_stats, mm._mp4_mjpeg_frames, mm.decode_mp4_mjpeg],
     "m4a": [mm._mp4_audio_track, mm._mp4_audio_stats],
@@ -508,7 +525,8 @@ def fuzz_encoders(seconds: float, seed: int, per_encode: float = 10.0) -> int:
                 arr = _rand_image(rng)
                 kwargs = {
                     "compression": rng.choice((1, 5, 32773, 4, -1)),
-                    "rows_per_strip": rng.choice((None, 1, 3, 1000)),
+                    "rows_per_strip": rng.choice((None, 1, 3, 1000, 0, -2)),
+                    "predictor": rng.choice((1, 2, 0, 3)),
                 }
                 enc, dec = mm.encode_tiff, mm._tiff_pixels
             else:
@@ -525,7 +543,7 @@ def fuzz_encoders(seconds: float, seed: int, per_encode: float = 10.0) -> int:
                 kwargs = {
                     "qtable": qtable,
                     "restart_interval": rng.choice((0, 1, 5)),
-                    "subsampling": rng.choice(("444", "420", "422", "")),
+                    "subsampling": rng.choice(("444", "420", "422", "411", "")),
                     "progressive": rng.randrange(2) == 1,
                 }
                 enc, dec = mm.encode_jpeg, mm._jpeg_pixels
