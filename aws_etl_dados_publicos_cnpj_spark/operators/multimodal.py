@@ -161,8 +161,12 @@ def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
         if n_ch < 1:
             raise ValueError(f"invalid WAV channel count {n_ch}")
         table = _G711_ULAW if tag == 7 else _G711_ALAW
+        n_frames = len(data) // n_ch
+        # whole frames only — the stdlib PCM arm never returns a
+        # ragged tail, so the two container arms must agree (r9 review)
+        data = data[: n_frames * n_ch]
         samples = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float64)
-        return samples, n_ch, rate, len(data) // n_ch
+        return samples, n_ch, rate, n_frames
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
             n_ch = w.getnchannels()
@@ -313,6 +317,12 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         return _aiff_samples(payload)[0]
     if payload[:4] == b"fLaC":
         return _flac_samples(payload)[0]
+    probed = _riff_fmt_and_data(payload)
+    if probed is not None and probed[0][0] in (6, 7):
+        # G.711 expands to exact int16 — the fingerprint contract —
+        # so the stats and fingerprint families share one support
+        # matrix (r9 review: drift is the sampler-KeyError bug class)
+        return _wav_samples_f64(payload)[0].astype(np.int16)
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
             if w.getsampwidth() != 2:
@@ -1459,7 +1469,7 @@ def encode_tiff(
         raise ValueError(f"unsupported TIFF compression {compression}")
     h, w, spp = px.shape
     photometric = 1 if spp == 1 else 2
-    rps = rows_per_strip or h
+    rps = h if rows_per_strip is None else rows_per_strip
     if rps < 1:
         raise ValueError(f"invalid TIFF rows_per_strip {rps}")
     if predictor not in (1, 2):

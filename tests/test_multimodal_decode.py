@@ -2531,7 +2531,6 @@ def test_g711_ulaw_alaw_wav_decode():
         _G711_ALAW,
         _G711_ULAW,
         decode_wav,
-        sample_audio_frames,
     )
 
     # reference pins (Sun/CCITT): silence and full-scale both signs
@@ -2557,7 +2556,6 @@ def test_g711_ulaw_alaw_wav_decode():
 
 def test_g711_wav_through_spark_sampler(spark):
     from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
-        _G711_ULAW,
         sample_audio_frames,
     )
 
@@ -2586,3 +2584,25 @@ def test_jpeg_422_subsampling_round_trip():
         assert got.shape == px.shape
         errs[ss] = int(np.abs(got.astype(int) - px.astype(int)).max())
     assert errs["444"] <= errs["422"] <= errs["420"] + 40
+
+
+def test_g711_consistency_review_regressions():
+    """r9 fourth-review: (a) ragged stereo tails truncate to whole
+    frames like the PCM arm; (b) the fingerprint family accepts G.711
+    (it expands to exact int16) so the stats/fingerprint support
+    matrices can't drift; (c) encode_tiff rejects rows_per_strip=0
+    instead of silently defaulting."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _pcm16_samples,
+        decode_wav,
+        encode_tiff,
+    )
+
+    ragged = _g711_wav(6, bytes([0x55, 0xD5, 0x2A, 0xAA, 0x55]), n_ch=2)
+    out = decode_wav(ragged)
+    assert out["n_frames"] == 2
+    assert out["peak"] == 32256.0  # orphan byte excluded from stats
+    s = _pcm16_samples(_g711_wav(7, bytes([0x00, 0xFF, 0x80])))
+    assert s.dtype == np.int16 and list(s) == [-32124, 0, 32124]
+    with pytest.raises(ValueError, match="rows_per_strip"):
+        encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8), rows_per_strip=0)
