@@ -1337,10 +1337,20 @@ def _tiff_pixels_impl(payload: bytes) -> np.ndarray:
         width = tags[256][0]
         height = tags[257][0]
         photometric = tags[262][0]
-        strip_offsets = tags[273]
-        strip_counts = tags[279]
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag {exc}") from exc
+    tiled = 322 in tags or 324 in tags
+    if tiled:
+        try:
+            tile_w, tile_h = tags[322][0], tags[323][0]
+            seg_offsets, seg_counts = tags[324], tags[325]
+        except KeyError as exc:
+            raise ValueError(f"tiled TIFF missing tag {exc}") from exc
+    else:
+        try:
+            seg_offsets, seg_counts = tags[273], tags[279]
+        except KeyError as exc:
+            raise ValueError(f"TIFF missing required tag {exc}") from exc
     bps_list = tags.get(258, [1])
     spp = tags.get(277, [1])[0]
     compression = tags.get(259, [1])[0]
@@ -1368,51 +1378,86 @@ def _tiff_pixels_impl(payload: bytes) -> np.ndarray:
         raise ValueError(f"invalid TIFF dimensions ({width}x{height})")
     if width * height > _IMG_MAX_PIXELS:
         raise ValueError(f"TIFF {width}x{height} exceeds the decode cap")
-    if len(strip_offsets) != len(strip_counts):
-        raise ValueError("TIFF strip offset/count tables disagree")
-    stride = (width * bps * spp + 7) // 8
-    rows = []
-    row_total = 0
-    for si, (off, cnt) in enumerate(zip(strip_offsets, strip_counts)):
-        if off + cnt > len(payload):
-            raise ValueError("TIFF strip data out of bounds")
-        n_rows = min(rows_per_strip, height - row_total)
-        if n_rows <= 0:
-            break
-        raw = payload[off : off + cnt]
+    if len(seg_offsets) != len(seg_counts):
+        raise ValueError("TIFF segment offset/count tables disagree")
+
+    def _decompress(raw: bytes, want: int, label: str) -> np.ndarray:
         if compression == 5:
-            raw = _tiff_lzw_decode(raw, n_rows * stride)
+            raw = _tiff_lzw_decode(raw, want)
         elif compression == 32773:
-            raw = _packbits_decode(raw, n_rows * stride)
-        if len(raw) < n_rows * stride:
-            raise ValueError(f"TIFF strip {si} shorter than its rows")
-        rows.append(
-            np.frombuffer(raw, np.uint8, n_rows * stride).reshape(n_rows, stride)
-        )
-        row_total += n_rows
-    if row_total < height:
-        raise ValueError("TIFF strips cover fewer rows than ImageLength")
-    grid = np.concatenate(rows, axis=0)
-    if predictor == 2:
-        # horizontal differencing (tag 317 — libtiff's default with
-        # LZW): each sample stores the delta from the previous pixel's
-        # same channel; invert with a per-channel cumsum mod 256
-        if bps != 8:
-            raise ValueError("TIFF predictor 2 requires 8-bit samples")
-        und = grid[:, : width * spp].reshape(height, width, spp)
-        und = np.cumsum(und, axis=1, dtype=np.int64) & 0xFF
-        samples = und.astype(np.uint8)
-    elif bps == 8:
-        samples = grid[:, : width * spp].reshape(height, width, spp)
-    else:
+            raw = _packbits_decode(raw, want)
+        if len(raw) < want:
+            raise ValueError(f"TIFF {label} shorter than its rows")
+        return np.frombuffer(raw, np.uint8, want)
+
+    def _expand(grid: np.ndarray, rows_n: int, w: int) -> np.ndarray:
+        """(rows_n, w, spp) samples from unpredicted scanline bytes —
+        the predictor resets per segment row, so this runs per strip
+        grid or per TILE, never across segment boundaries."""
+        if predictor == 2:
+            # horizontal differencing (tag 317 — libtiff's default
+            # with LZW): invert with a per-channel cumsum mod 256
+            if bps != 8:
+                raise ValueError("TIFF predictor 2 requires 8-bit samples")
+            und = grid[:, : w * spp].reshape(rows_n, w, spp)
+            return (np.cumsum(und, axis=1, dtype=np.int64) & 0xFF).astype(np.uint8)
+        if bps == 8:
+            return grid[:, : w * spp].reshape(rows_n, w, spp)
         bits = np.unpackbits(grid, axis=1)
         per = bits.shape[1] // bps
         weights = (1 << np.arange(bps - 1, -1, -1)).astype(np.uint8)
-        samples = (
-            (bits[:, : per * bps].reshape(height, per, bps) * weights)
-            .sum(axis=2, dtype=np.uint16)[:, :width]
-            .reshape(height, width, 1)
+        return (
+            (bits[:, : per * bps].reshape(rows_n, per, bps) * weights)
+            .sum(axis=2, dtype=np.uint16)[:, :w]
+            .reshape(rows_n, w, 1)
         )
+
+    if tiled:
+        if tile_w < 1 or tile_h < 1:
+            raise ValueError(f"invalid TIFF tile size {tile_w}x{tile_h}")
+        if tile_w * tile_h > _IMG_MAX_PIXELS:
+            # the per-tile buffer allocates at FULL tile size before
+            # cropping, so a lying huge tile size is its own bomb
+            raise ValueError(f"TIFF tile {tile_w}x{tile_h} exceeds the decode cap")
+        across = (width + tile_w - 1) // tile_w
+        down = (height + tile_h - 1) // tile_h
+        if len(seg_offsets) < across * down:
+            raise ValueError("TIFF tile table smaller than the tile grid")
+        tile_stride = (tile_w * bps * spp + 7) // 8
+        dtype = np.uint16 if bps != 8 else np.uint8
+        samples = np.zeros((height, width, spp), dtype=dtype)
+        for ti, (off, cnt) in enumerate(
+            zip(seg_offsets[: across * down], seg_counts)
+        ):
+            if off + cnt > len(payload):
+                raise ValueError("TIFF tile data out of bounds")
+            grid = _decompress(
+                payload[off : off + cnt], tile_h * tile_stride, f"tile {ti}"
+            ).reshape(tile_h, tile_stride)
+            sub = _expand(grid, tile_h, tile_w)
+            y0 = (ti // across) * tile_h
+            x0 = (ti % across) * tile_w
+            ch = min(tile_h, height - y0)
+            cw = min(tile_w, width - x0)
+            samples[y0 : y0 + ch, x0 : x0 + cw] = sub[:ch, :cw]
+    else:
+        stride = (width * bps * spp + 7) // 8
+        rows = []
+        row_total = 0
+        for si, (off, cnt) in enumerate(zip(seg_offsets, seg_counts)):
+            if off + cnt > len(payload):
+                raise ValueError("TIFF strip data out of bounds")
+            n_rows = min(rows_per_strip, height - row_total)
+            if n_rows <= 0:
+                break
+            grid = _decompress(
+                payload[off : off + cnt], n_rows * stride, f"strip {si}"
+            ).reshape(n_rows, stride)
+            rows.append(grid)
+            row_total += n_rows
+        if row_total < height:
+            raise ValueError("TIFF strips cover fewer rows than ImageLength")
+        samples = _expand(np.concatenate(rows, axis=0), height, width)
     if photometric == 2:
         return samples[:, :, :3].astype(np.uint8)
     if photometric == 3:
@@ -1453,6 +1498,7 @@ def encode_tiff(
     compression: int = 1,
     rows_per_strip: int | None = None,
     predictor: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Baseline-TIFF encoder twin (fixture discipline): grayscale
     (h,w) or RGB (h,w,3) uint8, little-endian, strip-based with real
@@ -1474,19 +1520,35 @@ def encode_tiff(
         raise ValueError(f"invalid TIFF rows_per_strip {rps}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
-    data_px = px
-    if predictor == 2:  # horizontal differencing before compression
-        d = px.astype(np.int64)
+    def _diff(block: np.ndarray) -> np.ndarray:
+        if predictor != 2:
+            return block
+        d = block.astype(np.int64)
         d[:, 1:] = (d[:, 1:] - d[:, :-1]) & 0xFF
-        data_px = d.astype(np.uint8)
-    strips = []
-    for y0 in range(0, h, rps):
-        raw = data_px[y0 : y0 + rps].tobytes()
+        return d.astype(np.uint8)
+
+    def _compress(raw: bytes) -> bytes:
         if compression == 5:
-            raw = _tiff_lzw_encode(raw)
-        elif compression == 32773:
-            raw = _packbits_encode(raw)
-        strips.append(raw)
+            return _tiff_lzw_encode(raw)
+        if compression == 32773:
+            return _packbits_encode(raw)
+        return raw
+
+    strips = []
+    if tile is not None:
+        tw, th = tile
+        if tw < 1 or th < 1:
+            raise ValueError(f"invalid TIFF tile size {tw}x{th}")
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                block = np.zeros((th, tw, spp), dtype=np.uint8)
+                sub = px[y0 : y0 + th, x0 : x0 + tw]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                strips.append(_compress(_diff(block).tobytes()))
+    else:
+        data_px = _diff(px)
+        for y0 in range(0, h, rps):
+            strips.append(_compress(data_px[y0 : y0 + rps].tobytes()))
     n_strips = len(strips)
 
     entries = []  # (tag, type, count, value_or_bytes)
@@ -1500,12 +1562,18 @@ def encode_tiff(
     entry(259, 3, [compression])
     entry(262, 3, [photometric])
     entry(277, 3, [spp])
-    entry(278, 4, [rps])
+    if tile is not None:
+        entry(322, 4, [tile[0]])
+        entry(323, 4, [tile[1]])
+        loc_tag, cnt_tag = 324, 325
+    else:
+        entry(278, 4, [rps])
+        loc_tag, cnt_tag = 273, 279
     if predictor == 2:
         entry(317, 3, [2])
-    # strip offsets are back-patched once the header size is known
-    entry(273, 4, [0] * n_strips)
-    entry(279, 4, [len(s) for s in strips])
+    # segment offsets are back-patched once the header size is known
+    entry(loc_tag, 4, [0] * n_strips)
+    entry(cnt_tag, 4, [len(s) for s in strips])
     entries.sort(key=lambda t: t[0])
 
     fmt = {3: "H", 4: "I"}
@@ -1535,7 +1603,7 @@ def encode_tiff(
     out += struct.pack("<H", len(fixed))
     for tag, typ, count, val_bytes, ptr in fixed:
         out += struct.pack("<HHI", tag, typ, count)
-        if tag == 273:
+        if tag == loc_tag:
             if count * 4 <= 4:
                 out += struct.pack("<I", offsets[0])
             else:

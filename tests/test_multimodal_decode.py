@@ -2606,3 +2606,58 @@ def test_g711_consistency_review_regressions():
     assert s.dtype == np.int16 and list(s) == [-32124, 0, 32124]
     with pytest.raises(ValueError, match="rows_per_strip"):
         encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8), rows_per_strip=0)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 30),
+    w=st.integers(1, 30),
+    tw=st.integers(1, 12),
+    th=st.integers(1, 12),
+    comp=st.sampled_from([1, 5, 32773]),
+    pred=st.sampled_from([1, 2]),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_tiled_round_trip(h, w, tw, th, comp, pred, gray, seed):
+    """Tiled TIFFs (tags 322-325, the pyramidal layout): full-size
+    edge-padded tiles decode, crop, and assemble exactly, with the
+    predictor resetting per tile row — across every compression."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_pixels,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = (rng.randint(0, 4, shape) * 80).astype(np.uint8)
+    t = encode_tiff(px, compression=comp, predictor=pred, tile=(tw, th))
+    got = _tiff_pixels(t)
+    want = px if px.ndim == 3 else np.repeat(px[:, :, None], 3, axis=2)
+    assert (got == want).all()
+
+
+def test_tiff_tiled_hostile_payloads():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_pixels,
+        encode_tiff,
+    )
+
+    good = encode_tiff(np.zeros((8, 8, 3), dtype=np.uint8), tile=(4, 4))
+    # lying huge tile size must hit the cap before the tile buffer
+    bomb = bytearray(good)
+    n = struct.unpack_from("<H", bomb, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", bomb, off)[0] in (322, 323):
+            struct.pack_into("<I", bomb, off + 8, 1 << 18)
+    with pytest.raises(ValueError, match="decode cap"):
+        _tiff_pixels(bytes(bomb))
+    # truncations stay in the ValueError family
+    for cut in (len(good) // 2, len(good) - 4, 30):
+        try:
+            _tiff_pixels(good[:cut])
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
