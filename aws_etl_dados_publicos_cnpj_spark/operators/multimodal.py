@@ -1424,8 +1424,7 @@ def _tiff_pixels_impl(payload: bytes) -> np.ndarray:
         if len(seg_offsets) < across * down:
             raise ValueError("TIFF tile table smaller than the tile grid")
         tile_stride = (tile_w * bps * spp + 7) // 8
-        dtype = np.uint16 if bps != 8 else np.uint8
-        samples = np.zeros((height, width, spp), dtype=dtype)
+        samples = None
         for ti, (off, cnt) in enumerate(
             zip(seg_offsets[: across * down], seg_counts)
         ):
@@ -1435,6 +1434,11 @@ def _tiff_pixels_impl(payload: bytes) -> np.ndarray:
                 payload[off : off + cnt], tile_h * tile_stride, f"tile {ti}"
             ).reshape(tile_h, tile_stride)
             sub = _expand(grid, tile_h, tile_w)
+            if samples is None:
+                # buffer dtype follows _expand's output (uint8 at 8 bps,
+                # uint16 below) so the sub-assignment can never silently
+                # wrap; the grid is >= 1x1 so the loop always allocates
+                samples = np.zeros((height, width, spp), dtype=sub.dtype)
             y0 = (ti // across) * tile_h
             x0 = (ti % across) * tile_w
             ch = min(tile_h, height - y0)
@@ -1499,6 +1503,7 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
+    _nonspec_tiles: bool = False,
 ) -> bytes:
     """Baseline-TIFF encoder twin (fixture discipline): grayscale
     (h,w) or RGB (h,w,3) uint8, little-endian, strip-based with real
@@ -1539,6 +1544,14 @@ def encode_tiff(
         tw, th = tile
         if tw < 1 or th < 1:
             raise ValueError(f"invalid TIFF tile size {tw}x{th}")
+        if (tw % 16 or th % 16) and not _nonspec_tiles:
+            # TIFF 6.0 requires TileWidth/TileLength to be multiples of
+            # 16; emitted fixtures must stay readable by libtiff-family
+            # tools. _nonspec_tiles is a decoder-test escape hatch only
+            # (our decoder is deliberately liberal about tile geometry).
+            raise ValueError(
+                f"TIFF tile dims must be multiples of 16, got {tw}x{th}"
+            )
         for y0 in range(0, h, th):
             for x0 in range(0, w, tw):
                 block = np.zeros((th, tw, spp), dtype=np.uint8)

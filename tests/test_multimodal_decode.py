@@ -2612,8 +2612,8 @@ def test_g711_consistency_review_regressions():
 @given(
     h=st.integers(1, 30),
     w=st.integers(1, 30),
-    tw=st.integers(1, 12),
-    th=st.integers(1, 12),
+    tw=st.sampled_from([1, 3, 5, 8, 12, 16]),
+    th=st.sampled_from([1, 3, 5, 8, 12, 16]),
     comp=st.sampled_from([1, 5, 32773]),
     pred=st.sampled_from([1, 2]),
     gray=st.booleans(),
@@ -2631,7 +2631,12 @@ def test_tiff_tiled_round_trip(h, w, tw, th, comp, pred, gray, seed):
     rng = np.random.RandomState(seed)
     shape = (h, w) if gray else (h, w, 3)
     px = (rng.randint(0, 4, shape) * 80).astype(np.uint8)
-    t = encode_tiff(px, compression=comp, predictor=pred, tile=(tw, th))
+    # _nonspec_tiles: the DECODER is liberal about tile geometry (real
+    # files violate the multiple-of-16 rule); the encoder is strict by
+    # default so emitted fixtures stay libtiff-readable
+    t = encode_tiff(
+        px, compression=comp, predictor=pred, tile=(tw, th), _nonspec_tiles=True
+    )
     got = _tiff_pixels(t)
     want = px if px.ndim == 3 else np.repeat(px[:, :, None], 3, axis=2)
     assert (got == want).all()
@@ -2643,7 +2648,10 @@ def test_tiff_tiled_hostile_payloads():
         encode_tiff,
     )
 
-    good = encode_tiff(np.zeros((8, 8, 3), dtype=np.uint8), tile=(4, 4))
+    # TIFF 6.0: tile dims must be multiples of 16 — strict by default
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(np.zeros((8, 8, 3), dtype=np.uint8), tile=(5, 3))
+    good = encode_tiff(np.zeros((24, 24, 3), dtype=np.uint8), tile=(16, 16))
     # lying huge tile size must hit the cap before the tile buffer
     bomb = bytearray(good)
     n = struct.unpack_from("<H", bomb, 8)[0]

@@ -260,7 +260,8 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
                 compression=rng.choice((1, 5, 32773)),
                 rows_per_strip=rng.randrange(1, 20),
                 predictor=rng.choice((1, 2)),
-                tile=rng.choice((None, (5, 3), (8, 8))),
+                tile=rng.choice((None, (5, 3), (16, 16))),
+                _nonspec_tiles=True,
             ),
         ),
         (
@@ -528,7 +529,7 @@ def fuzz_encoders(seconds: float, seed: int, per_encode: float = 10.0) -> int:
                     "compression": rng.choice((1, 5, 32773, 4, -1)),
                     "rows_per_strip": rng.choice((None, 1, 3, 1000, 0, -2)),
                     "predictor": rng.choice((1, 2, 0, 3)),
-                    "tile": rng.choice((None, (4, 4), (1, 9), (0, 4))),
+                    "tile": rng.choice((None, (16, 16), (4, 4), (1, 9), (0, 4))),
                 }
                 enc, dec = mm.encode_tiff, mm._tiff_pixels
             else:
