@@ -345,7 +345,10 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
 # with UTF-8-coded frame numbers and CRC-8, subframes with CONSTANT /
 # VERBATIM / FIXED(0-4) / LPC(1-32) predictors, partitioned rice
 # residuals with escape codes, frame CRC-16. Scope is honest: 16-bit
-# mono. LPC subframes (r8, second pass): the encoder fits coefficients
+# mono and stereo (r9: all four channel assignments — independent,
+# left/side, side/right, mid/side — with the spec's 17-bit side
+# channel, encoder cost-competing the four per frame).
+# LPC subframes (r8, second pass): the encoder fits coefficients
 # by autocorrelation + Levinson-Durbin, quantizes them with
 # error-feedback rounding (precision 12), and cost-competes LPC
 # against FIXED 0-2 on actual residual bit counts — on text-byte
@@ -468,8 +471,11 @@ _FIXED_COEFS = {  # prediction[i] = sum(c * s[i-1-j]) for j, c in enumerate(...)
 
 
 def _flac_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """(int16 samples, rate, n_channels) of a 16-bit mono FLAC — real
-    bitstream decode per the format spec, CRCs verified."""
+    """(int16 samples, rate, n_channels) of a 16-bit mono or stereo
+    FLAC — real bitstream decode per the format spec, CRCs verified.
+    Stereo frames decode all four channel assignments (independent,
+    left/side, side/right, mid/side — the side channel at 17 bits)
+    and return interleaved L,R like the AIFF/WAV multichannel paths."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     try:
@@ -503,14 +509,15 @@ def _flac_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
             break
     if rate is None:
         raise ValueError("FLAC missing STREAMINFO")
-    if n_ch != 1 or bps != 16:
+    if n_ch not in (1, 2) or bps != 16:
         raise ValueError(f"unsupported FLAC layout ({n_ch} ch, {bps}-bit)")
-    out: list[int] = []
+    chunks: list[np.ndarray] = []
+    done = 0  # inter-channel (per-channel) samples decoded so far
     # STREAMINFO total_samples=0 means "unknown" per the spec (streaming
     # encoders can't know it up front) — decode frames to end-of-payload
     # instead of treating it as an empty stream.
     unknown_total = total == 0
-    while pos < len(payload) if unknown_total else len(out) < total:
+    while pos < len(payload) if unknown_total else done < total:
         frame_start = pos
         r = _BitReader(payload, pos)
         if r.read(14) != 0x3FFE:
@@ -546,8 +553,14 @@ def _flac_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
             r.read(8)
         elif rate_code in (13, 14):
             r.read(16)
-        if ch_code != 0:
+        # channel assignment: 0-7 = that many+1 independent channels,
+        # 8/9/10 = the spec's stereo decorrelation modes where the SIDE
+        # (difference) channel carries one extra bit of depth
+        if ch_code not in _FLAC_CH_DEPTHS:
             raise ValueError("unsupported FLAC channel layout")
+        depths = _FLAC_CH_DEPTHS[ch_code]
+        if len(depths) != n_ch:
+            raise ValueError("FLAC frame channel count disagrees with STREAMINFO")
         if bps_code not in (0, 4):  # from-STREAMINFO or 16-bit
             raise ValueError("unsupported FLAC frame bit depth")
         if r.bit:  # header fields are whole bytes by construction
@@ -555,71 +568,127 @@ def _flac_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
         if _crc8(payload[frame_start : r.byte]) != payload[r.byte]:
             raise ValueError("FLAC frame header CRC mismatch")
         r.read(8)  # consume crc8
-        # one subframe (mono)
-        if r.read(1):
-            raise ValueError("bad subframe padding bit")
-        sf_type = r.read(6)
-        if r.read(1):
-            raise ValueError("wasted bits unsupported")
-        n = blocksize if unknown_total else min(blocksize, total - len(out))
-        if sf_type == 0:  # CONSTANT
-            val = _sign_extend(r.read(16), 16)
-            samples = [val] * blocksize
-        elif sf_type == 1:  # VERBATIM
-            samples = [_sign_extend(r.read(16), 16) for _ in range(blocksize)]
-        elif 8 <= sf_type <= 12:  # FIXED order 0-4
-            order = sf_type - 8
-            warm = [_sign_extend(r.read(16), 16) for _ in range(order)]
-            resid = _flac_read_residual(r, blocksize, order)
-            # FIXED prediction of order k is the k-th finite difference:
-            # integrate the residual k times (cumsum), seeding each
-            # level with the warmup's j-th difference — exact in int64
-            # and vectorized (the per-sample recurrence was the decode
-            # hot spot)
-            x = np.asarray(resid, dtype=np.int64)
-            w_arr = np.asarray(warm, dtype=np.int64)
-            diffs = [w_arr]
-            for _ in range(order):
-                diffs.append(np.diff(diffs[-1]))
-            for j in range(order - 1, -1, -1):
-                x = diffs[j][-1] + np.cumsum(x)
-            samples = np.concatenate([w_arr, x]).tolist()
-        elif 32 <= sf_type <= 63:  # LPC order 1-32
-            order = sf_type - 31
-            warm = [_sign_extend(r.read(16), 16) for _ in range(order)]
-            prec_code = r.read(4)
-            if prec_code == 0xF:
-                raise ValueError("invalid FLAC LPC precision code")
-            prec = prec_code + 1
-            shift = _sign_extend(r.read(5), 5)
-            if shift < 0:
-                raise ValueError("negative FLAC LPC shift")
-            coefs = [_sign_extend(r.read(prec), prec) for _ in range(order)]
-            resid = _flac_read_residual(r, blocksize, order)
-            # the LPC recurrence feeds each prediction from RECONSTRUCTED
-            # samples — a true IIR, inherently serial like the rice
-            # symbol loop (same entropy-stage shape as the JPEG/PNG
-            # notes); O(order) int ops per sample, Python ints so the
-            # >> is the arithmetic shift the spec requires
-            hist = [int(v) for v in warm]
-            for e in resid:
-                acc = 0
-                for j, c in enumerate(coefs):
-                    acc += c * hist[-1 - j]
-                hist.append(e + (acc >> shift))
-            samples = hist
-        else:
-            raise ValueError(f"reserved FLAC subframe type {sf_type}")
+        subframes = [_flac_subframe(r, blocksize, d) for d in depths]
         r.align()
         (frame_crc,) = struct.unpack_from(">H", payload, r.byte)
         if _crc16(payload[frame_start : r.byte]) != frame_crc:
             raise ValueError("FLAC frame CRC mismatch")
         pos = r.byte + 2
-        out.extend(samples[:n])
-    arr = np.asarray(out, dtype=np.int64)
-    if (arr > 32767).any() or (arr < -32768).any():
+        n = blocksize if unknown_total else min(blocksize, total - done)
+        if ch_code == 0:
+            frame_samples = subframes[0]
+        else:
+            # stereo reconstruction — exact int identities of the
+            # spec's decorrelation: side = L - R, mid = (L + R) >> 1;
+            # (L+R) and side share parity, so (mid << 1) | (side & 1)
+            # recovers L+R losslessly
+            ch0, ch1 = subframes
+            if ch_code == 8:  # left/side
+                left, right = ch0, ch0 - ch1
+            elif ch_code == 9:  # side/right
+                left, right = ch1 + ch0, ch1
+            elif ch_code == 10:  # mid/side
+                total_lr = (ch0 << 1) | (ch1 & 1)
+                left = (total_lr + ch1) >> 1
+                right = (total_lr - ch1) >> 1
+            else:  # 1: two independent channels
+                left, right = ch0, ch1
+            frame_samples = np.stack([left, right], axis=1).reshape(-1)
+        chunks.append(frame_samples[: n * n_ch])
+        done += n
+    arr = (
+        np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
+    )
+    if arr.size and ((arr > 32767).any() or (arr < -32768).any()):
         raise ValueError("FLAC sample out of 16-bit range")
-    return arr.astype(np.int16), rate, 1
+    return arr.astype(np.int16), rate, n_ch
+
+
+# frame-header channel-assignment code -> per-subframe bit depths for a
+# 16-bit stream (side channels are bps+1 per the spec)
+_FLAC_CH_DEPTHS = {
+    0: (16,),  # mono
+    1: (16, 16),  # independent stereo
+    8: (16, 17),  # left/side
+    9: (17, 16),  # side/right
+    10: (16, 17),  # mid/side
+}
+
+
+def _flac_subframe(r: "_BitReader", blocksize: int, bps: int) -> np.ndarray:
+    """One decoded subframe at the given bit depth (int64 array of
+    ``blocksize`` samples) — CONSTANT / VERBATIM / FIXED / LPC, shared
+    by the mono path and every stereo channel (the side channel calls
+    it at ``bps + 1``). Wasted bits (r9): a set flag is followed by
+    k-1 in unary; the subframe stores ``bps - k``-bit samples that
+    shift left by k on output — the spec's optimization for content
+    whose low bits are uniformly zero (e.g. 8-bit audio stored as
+    16-bit)."""
+    if r.read(1):
+        raise ValueError("bad subframe padding bit")
+    sf_type = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.read_unary() + 1
+        if wasted >= bps:
+            raise ValueError("FLAC wasted bits exceed the sample depth")
+    out = _flac_subframe_body(r, blocksize, sf_type, bps - wasted)
+    return out << wasted if wasted else out
+
+
+def _flac_subframe_body(
+    r: "_BitReader", blocksize: int, sf_type: int, bps: int
+) -> np.ndarray:
+    if sf_type == 0:  # CONSTANT
+        val = _sign_extend(r.read(bps), bps)
+        return np.full(blocksize, val, dtype=np.int64)
+    if sf_type == 1:  # VERBATIM
+        return np.asarray(
+            [_sign_extend(r.read(bps), bps) for _ in range(blocksize)],
+            dtype=np.int64,
+        )
+    if 8 <= sf_type <= 12:  # FIXED order 0-4
+        order = sf_type - 8
+        warm = [_sign_extend(r.read(bps), bps) for _ in range(order)]
+        resid = _flac_read_residual(r, blocksize, order)
+        # FIXED prediction of order k is the k-th finite difference:
+        # integrate the residual k times (cumsum), seeding each
+        # level with the warmup's j-th difference — exact in int64
+        # and vectorized (the per-sample recurrence was the decode
+        # hot spot)
+        x = np.asarray(resid, dtype=np.int64)
+        w_arr = np.asarray(warm, dtype=np.int64)
+        diffs = [w_arr]
+        for _ in range(order):
+            diffs.append(np.diff(diffs[-1]))
+        for j in range(order - 1, -1, -1):
+            x = diffs[j][-1] + np.cumsum(x)
+        return np.concatenate([w_arr, x])
+    if 32 <= sf_type <= 63:  # LPC order 1-32
+        order = sf_type - 31
+        warm = [_sign_extend(r.read(bps), bps) for _ in range(order)]
+        prec_code = r.read(4)
+        if prec_code == 0xF:
+            raise ValueError("invalid FLAC LPC precision code")
+        prec = prec_code + 1
+        shift = _sign_extend(r.read(5), 5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [_sign_extend(r.read(prec), prec) for _ in range(order)]
+        resid = _flac_read_residual(r, blocksize, order)
+        # the LPC recurrence feeds each prediction from RECONSTRUCTED
+        # samples — a true IIR, inherently serial like the rice
+        # symbol loop (same entropy-stage shape as the JPEG/PNG
+        # notes); O(order) int ops per sample, Python ints so the
+        # >> is the arithmetic shift the spec requires
+        hist = [int(v) for v in warm]
+        for e in resid:
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * hist[-1 - j]
+            hist.append(e + (acc >> shift))
+        return np.asarray(hist, dtype=np.int64)
+    raise ValueError(f"reserved FLAC subframe type {sf_type}")
 
 
 def _sign_extend(v: int, bits: int) -> int:
@@ -689,13 +758,17 @@ def encode_flac(
     blocksize: int = 4096,
     lpc_order: int | None = 8,
     max_porder: int = 4,
+    stereo_mode: str = "auto",
 ) -> bytes:
-    """FLAC encoder twin for fixtures: 16-bit mono, per-frame predictor
-    chosen by actual residual bit cost among FIXED orders 0-2 and a
-    Levinson-Durbin LPC fit up to ``lpc_order`` (None disables LPC),
-    partitioned rice residuals with per-partition parameters chosen
-    over partition orders 0..``max_porder`` (escape to raw where rice
-    would lose), real CRC-8/CRC-16. Lossless by construction — LPC
+    """FLAC encoder twin for fixtures: 16-bit mono (1-D) or stereo
+    ((n, 2)), per-frame predictor chosen by actual residual bit cost
+    among CONSTANT, FIXED orders 0-2, and a Levinson-Durbin LPC fit up
+    to ``lpc_order`` (None disables LPC), partitioned rice residuals
+    with per-partition parameters chosen over partition orders
+    0..``max_porder`` (escape to raw where rice would lose), real
+    CRC-8/CRC-16. Stereo frames cost-compete the spec's four channel
+    assignments (independent / left-side / side-right / mid-side);
+    ``stereo_mode`` pins one for tests. Lossless by construction — LPC
     predicts from prior ORIGINAL samples, which equal the decoder's
     reconstructed ones — so the text-byte oracles hash-check the full
     round trip through ``_flac_samples``."""
@@ -709,12 +782,17 @@ def encode_flac(
             raise ValueError("encode_flac: non-finite sample values")
         if (s != np.floor(s)).any():
             raise ValueError("encode_flac: non-integral sample values")
+    if stereo_mode not in ("auto", "independent", "left_side", "side_right", "mid_side"):
+        raise ValueError(f"unknown FLAC stereo mode {stereo_mode!r}")
     s = s.astype(np.int64)
-    if s.ndim != 1:
-        raise ValueError("encode_flac takes mono 1-D samples")
+    if s.ndim == 2 and s.shape[1] == 1:
+        s = s[:, 0]
+    if s.ndim not in (1, 2) or (s.ndim == 2 and s.shape[1] != 2):
+        raise ValueError("encode_flac takes 1-D mono or (n, 2) stereo samples")
     if s.size and (s.max() > 32767 or s.min() < -32768):
         raise ValueError("samples out of 16-bit range")
-    total = len(s)
+    n_ch = 1 if s.ndim == 1 else 2
+    total = len(s)  # inter-channel (per-channel) sample count
     out = bytearray(b"fLaC")
     info = _BitWriter()
     info.write(blocksize, 16)
@@ -722,14 +800,14 @@ def encode_flac(
     info.write(0, 24)
     info.write(0, 24)
     info.write(rate, 20)
-    info.write(0, 3)  # 1 channel
+    info.write(n_ch - 1, 3)
     info.write(15, 5)  # 16 bps
     info.write(total, 36)
     body = info.bytes() + bytes(16)  # md5 0 = unknown, per spec
     out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
     for fi, start in enumerate(range(0, total, blocksize)):
         frame = s[start : start + blocksize]
-        out += _flac_frame(frame, fi, blocksize, lpc_order, max_porder)
+        out += _flac_frame(frame, fi, blocksize, lpc_order, max_porder, stereo_mode)
     return bytes(out)
 
 
@@ -747,64 +825,78 @@ def _flac_utf8_frame_number(fi: int) -> bytes:
     return bytes([lead, *reversed(tails)])
 
 
-def _flac_frame(
-    frame: np.ndarray,
-    fi: int,
-    nominal_bs: int,
-    lpc_order: int | None = 8,
-    max_porder: int = 4,
-) -> bytes:
-    n = len(frame)
-    w = _BitWriter()
-    w.write(0x3FFE, 14)
-    w.write(0, 2)  # reserved + fixed blocking
-    w.write(0b0111 if n != nominal_bs else 0b1100, 4)  # 16-bit follows / 4096
-    if nominal_bs != 4096 and n == nominal_bs:
-        raise ValueError("encoder nominal blocksize must be 4096")
-    w.write(0, 4)  # rate: from STREAMINFO
-    w.write(0, 4)  # mono
-    w.write(0b100, 3)  # 16-bit
-    w.write(0, 1)
-    for b in _flac_utf8_frame_number(fi):
-        w.write(b, 8)
-    if n != nominal_bs:
-        w.write(n - 1, 16)
-    header = w.out[:]
-    assert w.bits == 0
-    w.write(_crc8(bytes(header)), 8)
-    # candidate subframes, costed in ACTUAL bits: FIXED orders 0-2
-    # (integer difference predictors) vs one Levinson-Durbin LPC fit —
-    # the same competition a production encoder runs, so LPC is chosen
-    # exactly where its fractional coefficients pay for their header
+def _flac_plan_subframe(
+    chan: np.ndarray, bps: int, lpc_order: int | None, max_porder: int
+) -> tuple:
+    """(bits, sf_type_code, order, plan, lpc_extras) minimizing one
+    channel's subframe body cost at the given bit depth — CONSTANT for
+    flat channels (a zero side channel is one bps-bit field), FIXED
+    orders 0-2 (integer difference predictors) vs one Levinson-Durbin
+    LPC fit, the same competition a production encoder runs, so LPC is
+    chosen exactly where its fractional coefficients pay for their
+    header. Wasted bits (r9): when every sample shares k low zero
+    bits, the subframe plans at ``bps - k`` and spends k unary header
+    bits — the returned tuple carries (wasted, shifted channel) for
+    the writer."""
+    n = len(chan)
+    wasted = 0
+    nz = chan[chan != 0]
+    if len(nz):
+        ors = int(np.bitwise_or.reduce(nz))
+        wasted = min((ors & -ors).bit_length() - 1, bps - 1)
+    if wasted:
+        chan = chan >> wasted
+        bps -= wasted
     candidates = []  # (bits, sf_type_code, order, plan, lpc_extras)
+    if n and int(chan.min()) == int(chan.max()):
+        candidates.append((bps, 0, 0, None, None))
     for order in range(0, 3):
         if n <= order:
             continue
-        resid = frame[order:].copy()
+        resid = chan[order:].copy()
         for j, c in enumerate(_FIXED_COEFS[order]):
-            resid = resid - c * frame[order - 1 - j : n - 1 - j]
+            resid = resid - c * chan[order - 1 - j : n - 1 - j]
         plan = _plan_residual(resid, n, order, max_porder)
-        candidates.append((16 * order + plan[3], 8 + order, order, plan, None))
-    fit = _fit_lpc(frame, lpc_order) if lpc_order else None
+        candidates.append((bps * order + plan[3], 8 + order, order, plan, None))
+    fit = _fit_lpc(chan, lpc_order) if lpc_order else None
     if fit is not None:
         qc, shift, prec = fit
         m = len(qc)
         pred = np.zeros(n - m, dtype=np.int64)
         for j, c in enumerate(qc):
-            pred += c * frame[m - 1 - j : n - 1 - j]
+            pred += c * chan[m - 1 - j : n - 1 - j]
         # floor_divide == the spec's arithmetic shift, and is
         # well-defined for negatives where numpy's >> is C-inherited
         pred = np.floor_divide(pred, 1 << shift)
-        resid = frame[m:] - pred
+        resid = chan[m:] - pred
         plan = _plan_residual(resid, n, m, max_porder)
-        bits = 16 * m + 4 + 5 + prec * m + plan[3]
+        bits = bps * m + 4 + 5 + prec * m + plan[3]
         candidates.append((bits, 32 + m - 1, m, plan, (qc, shift, prec)))
-    _, sf_code, order, plan, lpc = min(candidates, key=lambda t: t[0])
+    best = min(candidates, key=lambda t: t[0])
+    # +wasted = the unary suffix's cost (the flag bit is mode-invariant)
+    return (best[0] + wasted, best[1], best[2], best[3], best[4], wasted, chan)
+
+
+def _flac_write_subframe(
+    w: "_BitWriter", chan: np.ndarray, bps: int, sel: tuple
+) -> None:
+    _, sf_code, order, plan, lpc, wasted, shifted = sel
     w.write(0, 1)
     w.write(sf_code, 6)
-    w.write(0, 1)  # no wasted bits
-    for v in frame[:order]:
-        w.write(int(v) & 0xFFFF, 16)
+    if wasted:
+        # flag, then wasted-1 in unary (that many zeros and a 1)
+        w.write(1, 1)
+        w.write(1, wasted)
+        chan = shifted
+        bps -= wasted
+    else:
+        w.write(0, 1)  # no wasted bits
+    mask_bps = (1 << bps) - 1
+    if sf_code == 0:  # CONSTANT: the value is the whole body
+        w.write(int(chan[0]) & mask_bps, bps)
+        return
+    for v in chan[:order]:
+        w.write(int(v) & mask_bps, bps)
     if lpc is not None:
         qc, shift, prec = lpc
         w.write(prec - 1, 4)
@@ -832,6 +924,69 @@ def _flac_frame(
             pu = u[off : off + cnt]
             for q, rem in zip((pu >> val).tolist(), (pu & mask).tolist()):
                 w.write((1 << val) | rem, q + 1 + val)
+
+
+def _flac_frame(
+    frame: np.ndarray,
+    fi: int,
+    nominal_bs: int,
+    lpc_order: int | None = 8,
+    max_porder: int = 4,
+    stereo_mode: str = "auto",
+) -> bytes:
+    n = len(frame)
+    stereo = frame.ndim == 2
+    if stereo:
+        # the format's stereo decorrelation: plan all four channel
+        # streams once, then pick the assignment (independent /
+        # left-side / side-right / mid-side) whose two subframes cost
+        # the fewest ACTUAL bits — correlated channels compress via
+        # the 17-bit side stream, uncorrelated ones stay independent
+        left = frame[:, 0]
+        right = frame[:, 1]
+        side = left - right
+        mid = (left + right) >> 1  # numpy >> on signed = arithmetic
+        p_l = _flac_plan_subframe(left, 16, lpc_order, max_porder)
+        p_r = _flac_plan_subframe(right, 16, lpc_order, max_porder)
+        p_s = _flac_plan_subframe(side, 17, lpc_order, max_porder)
+        p_m = _flac_plan_subframe(mid, 16, lpc_order, max_porder)
+        modes = {
+            "independent": (1, ((left, 16, p_l), (right, 16, p_r))),
+            "left_side": (8, ((left, 16, p_l), (side, 17, p_s))),
+            "side_right": (9, ((side, 17, p_s), (right, 16, p_r))),
+            "mid_side": (10, ((mid, 16, p_m), (side, 17, p_s))),
+        }
+        if stereo_mode == "auto":
+            pick = min(
+                modes, key=lambda k: sum(sel[0] for _, _, sel in modes[k][1])
+            )
+        elif stereo_mode in modes:
+            pick = stereo_mode
+        else:
+            raise ValueError(f"unknown FLAC stereo mode {stereo_mode!r}")
+        ch_field, chan_sel = modes[pick]
+    else:
+        ch_field = 0
+        chan_sel = ((frame, 16, _flac_plan_subframe(frame, 16, lpc_order, max_porder)),)
+    w = _BitWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 2)  # reserved + fixed blocking
+    w.write(0b0111 if n != nominal_bs else 0b1100, 4)  # 16-bit follows / 4096
+    if nominal_bs != 4096 and n == nominal_bs:
+        raise ValueError("encoder nominal blocksize must be 4096")
+    w.write(0, 4)  # rate: from STREAMINFO
+    w.write(ch_field, 4)  # channel assignment
+    w.write(0b100, 3)  # 16-bit
+    w.write(0, 1)
+    for b in _flac_utf8_frame_number(fi):
+        w.write(b, 8)
+    if n != nominal_bs:
+        w.write(n - 1, 16)
+    header = w.out[:]
+    assert w.bits == 0
+    w.write(_crc8(bytes(header)), 8)
+    for chan, bps, sel in chan_sel:
+        _flac_write_subframe(w, chan, bps, sel)
     w.align()
     data = w.bytes()
     return data + struct.pack(">H", _crc16(data))
@@ -1369,7 +1524,8 @@ def _tiff_pixels_impl(payload: bytes) -> np.ndarray:
         or (photometric == 2 and spp in (3, 4) and bps == 8)
         or (photometric == 3 and spp == 1 and bps in (4, 8))
     )
-    if not supported or compression not in (1, 5, 32773):
+    # 8 = Adobe Deflate, 32946 = the older Deflate code — same stream
+    if not supported or compression not in (1, 5, 8, 32773, 32946):
         raise ValueError(
             f"unsupported TIFF variant (photometric={photometric}, "
             f"spp={spp}, bps={bps}, compression={compression})"
@@ -1386,6 +1542,16 @@ def _tiff_pixels_impl(payload: bytes) -> np.ndarray:
             raw = _tiff_lzw_decode(raw, want)
         elif compression == 32773:
             raw = _packbits_decode(raw, want)
+        elif compression in (8, 32946):
+            import zlib
+
+            try:
+                # max_length bounds the inflate at exactly the bytes
+                # the segment geometry needs — a deflate bomb cannot
+                # allocate past `want` (same cap discipline as LZW)
+                raw = zlib.decompressobj().decompress(raw, want)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt TIFF deflate {label} ({exc})") from exc
         if len(raw) < want:
             raise ValueError(f"TIFF {label} shorter than its rows")
         return np.frombuffer(raw, np.uint8, want)
@@ -1507,8 +1673,9 @@ def encode_tiff(
 ) -> bytes:
     """Baseline-TIFF encoder twin (fixture discipline): grayscale
     (h,w) or RGB (h,w,3) uint8, little-endian, strip-based with real
-    LZW (early change) or PackBits when asked. Lossless, so the
-    text-byte oracles can hash-check the round trip."""
+    LZW (early change), Deflate (8, zlib), or PackBits when asked.
+    Lossless, so the text-byte oracles can hash-check the round
+    trip."""
     px = np.asarray(px)
     _check_u8_pixels(px, "encode_tiff")
     px = px.astype(np.uint8)
@@ -1516,7 +1683,7 @@ def encode_tiff(
         px = px[:, :, None]
     if px.ndim != 3 or px.shape[2] not in (1, 3) or px.size == 0:
         raise ValueError("encode_tiff takes a non-empty (h,w) or (h,w,3) image")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}")
     h, w, spp = px.shape
     photometric = 1 if spp == 1 else 2
@@ -1535,6 +1702,10 @@ def encode_tiff(
     def _compress(raw: bytes) -> bytes:
         if compression == 5:
             return _tiff_lzw_encode(raw)
+        if compression == 8:
+            import zlib
+
+            return zlib.compress(raw, 6)
         if compression == 32773:
             return _packbits_encode(raw)
         return raw
@@ -3862,11 +4033,21 @@ def _m4a_payload(
     )
 
 
-def _flac_payload(raw: bytes, rate: int = 8000) -> bytes:
+def _flac_payload(raw: bytes, rate: int = 8000, stereo: bool = False) -> bytes:
     """The SAME sample contract as ``_wav_payload`` through the real
     FLAC encoder (fixed predictors + rice) — lossless, so decoded
-    values and every oracle built on them are identical."""
+    values and every oracle built on them are identical.
+
+    ``stereo`` de-interleaves the byte stream into L = even bytes,
+    R = odd bytes (even-length payloads only — stereo frames need
+    equal channel lengths), so the DECODED interleaved stream is
+    byte-identical to the mono contract while the decode path runs
+    the r9 stereo-decorrelation machinery (the encoder's four-way
+    channel-assignment competition sees two genuinely different
+    channel streams)."""
     samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+    if stereo and len(samples) >= 2 and len(samples) % 2 == 0:
+        samples = samples.reshape(-1, 2)
     return encode_flac(samples, rate)
 
 
@@ -3876,7 +4057,11 @@ def synthesize_mixed_audio_from_text(
     """Container-diverse audio fixture: doc_id % 3 picks RIFF WAV,
     big-endian AIFF, or FLAC (real rice+fixed-predictor compression)
     around the identical byte→sample contract, so all three decode
-    paths run under one unchanged oracle gate."""
+    paths run under one unchanged oracle gate. Half the FLAC docs
+    (doc_id % 6 == 5, even byte length) encode STEREO — even/odd
+    bytes as L/R — so the r9 stereo-decorrelation decode runs under
+    the same gate: the decoded interleaved stream is byte-identical
+    either way."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -3888,7 +4073,9 @@ def synthesize_mixed_audio_from_text(
                     payloads.append(_aiff_payload(raw, rate))
                     mimes.append("audio/aiff")
                 elif kind == 2:
-                    payloads.append(_flac_payload(raw, rate))
+                    payloads.append(
+                        _flac_payload(raw, rate, stereo=int(doc_id) % 6 == 5)
+                    )
                     mimes.append("audio/flac")
                 else:
                     payloads.append(_wav_payload(raw, rate))
@@ -3965,7 +4152,9 @@ def synthesize_mixed_image_from_text(
 ) -> DataFrame:
     """Container-diverse image fixture: doc_id % 3 picks 24-bit BMP,
     GIF89a (LZW, local color table), or TIFF (r9: TIFF-variant LZW
-    strips) carrying the SAME decoded-RGB pixels — pixel k =
+    strips; half the TIFF docs — doc_id % 6 == 5 — use Deflate
+    compression instead, driver-gating the zlib strip path) carrying
+    the SAME decoded-RGB pixels — pixel k =
     (raw[(3k+2)%n], raw[(3k+1)%n], raw[(3k)%n]) — so all three decode
     paths run under one unchanged text-byte oracle. 8×8 fixtures have
     ≤64 distinct colors, comfortably in-palette."""
@@ -3982,7 +4171,8 @@ def synthesize_mixed_image_from_text(
                     mimes.append("image/gif")
                 elif kind == 2:
                     rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
-                    payloads.append(encode_tiff(rgb, compression=5))
+                    comp = 8 if int(doc_id) % 6 == 5 else 5
+                    payloads.append(encode_tiff(rgb, compression=comp))
                     mimes.append("image/tiff")
                 else:
                     payloads.append(_bmp_payload(raw, width, height))

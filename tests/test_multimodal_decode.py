@@ -1496,6 +1496,222 @@ def test_flac_in_mixed_audio_fixture(spark):
     assert len(set(hashes.values())) == 1
 
 
+# --- FLAC stereo (r9): the spec's four channel assignments ------------
+
+
+_FLAC_STEREO_MODES = ("independent", "left_side", "side_right", "mid_side")
+
+
+def _flac_first_frame_ch_code(payload: bytes) -> int:
+    """Channel-assignment nibble of the first frame header (frame
+    byte 3, upper nibble — after the 14-bit sync + 2 flag bits and
+    the blocksize/rate byte)."""
+    pos = 4
+    while True:
+        header = payload[pos]
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        pos += 4 + length
+        if header & 0x80:
+            break
+    return payload[pos + 3] >> 4
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 6000),
+    mode=st.sampled_from(("auto",) + _FLAC_STEREO_MODES),
+    kind=st.sampled_from(["random", "correlated", "flat", "extremes"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_stereo_round_trip_property(n, mode, kind, seed):
+    """Any 16-bit stereo signal round-trips exactly through every
+    channel assignment — including the 17-bit side channel at the
+    int16 extremes, multi-frame streams, and partial final frames."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _flac_samples,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(seed)
+    if kind == "random":
+        s = rng.randint(-32768, 32768, (n, 2))
+    elif kind == "correlated":
+        base = np.cumsum(rng.randint(-40, 41, n)).clip(-20000, 20000)
+        s = np.stack([base, base + rng.randint(-8, 9, n)], axis=1).clip(
+            -32768, 32767
+        )
+    elif kind == "flat":
+        s = np.tile(rng.randint(-32768, 32768, (1, 2)), (n, 1))
+    else:  # extremes: the side channel needs all 17 bits
+        s = rng.choice([-32768, -1, 0, 32767], size=(n, 2))
+    s = s.astype(np.int16)
+    got, rate, nch = _flac_samples(encode_flac(s, rate=8000, stereo_mode=mode))
+    assert rate == 8000 and nch == 2
+    assert np.array_equal(got.reshape(-1, 2), s)
+
+
+def test_flac_stereo_auto_never_loses_to_a_forced_mode():
+    """auto picks per-frame by exact bit cost, so it can't be beaten
+    by pinning any single assignment — and on strongly correlated
+    channels it beats independent outright (the decorrelation payoff)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import encode_flac
+
+    rng = np.random.RandomState(7)
+    base = np.cumsum(rng.randint(-40, 41, 8192)).clip(-20000, 20000)
+    s = (
+        np.stack([base, base + rng.randint(-4, 5, 8192)], axis=1)
+        .clip(-32768, 32767)
+        .astype(np.int16)
+    )
+    auto = encode_flac(s)
+    forced = {m: encode_flac(s, stereo_mode=m) for m in _FLAC_STEREO_MODES}
+    assert all(len(auto) <= len(p) for p in forced.values())
+    assert len(auto) < 0.85 * len(forced["independent"])
+
+
+def test_flac_stereo_every_mode_emits_its_channel_code():
+    """Forced modes actually reach the bitstream (ch codes 1/8/9/10)
+    and each decodes back exactly — pinning all four decoder branches,
+    not just the ones auto happens to choose."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _flac_samples,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(11)
+    s = rng.randint(-3000, 3000, (2000, 2)).astype(np.int16)
+    expected = {"independent": 1, "left_side": 8, "side_right": 9, "mid_side": 10}
+    for mode, code in expected.items():
+        payload = encode_flac(s, stereo_mode=mode)
+        assert _flac_first_frame_ch_code(payload) == code, mode
+        got, _, nch = _flac_samples(payload)
+        assert nch == 2 and np.array_equal(got.reshape(-1, 2), s)
+
+
+def test_flac_stereo_streaminfo_frame_channel_mismatch_detected():
+    """A stream whose STREAMINFO says mono but whose frames carry a
+    stereo assignment (or vice versa) is rejected, not half-decoded."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _flac_samples,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(13)
+    payload = bytearray(
+        encode_flac(rng.randint(-100, 100, (500, 2)).astype(np.int16))
+    )
+    # STREAMINFO channels field: bits 100-102 of the metadata body,
+    # which starts at byte 8 — stereo's 001 lives in byte 20 bit 6
+    assert payload[20] & 0x02
+    payload[20] ^= 0x02  # now claims mono; frames still say stereo
+    with pytest.raises(ValueError, match="disagrees|channel"):
+        _flac_samples(bytes(payload))
+
+
+def test_flac_constant_subframe_round_trip():
+    """Flat channels emit the CONSTANT subframe (one bps-bit value,
+    no residual section) — a flat 5000-sample mono stream fits in
+    under 100 bytes and still round-trips exactly, including a flat
+    17-bit side channel on stereo input."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _flac_samples,
+        encode_flac,
+    )
+
+    mono = np.full(5000, 7, dtype=np.int16)
+    p = encode_flac(mono)
+    assert len(p) < 100
+    got, _, _ = _flac_samples(p)
+    assert np.array_equal(got, mono)
+    stereo = np.stack(
+        [np.full(5000, 123), np.full(5000, -456)], axis=1
+    ).astype(np.int16)
+    for mode in ("auto", "mid_side", "left_side"):
+        got, _, nch = _flac_samples(encode_flac(stereo, stereo_mode=mode))
+        assert nch == 2 and np.array_equal(got.reshape(-1, 2), stereo)
+
+
+def test_flac_wasted_bits_round_trip_and_payoff():
+    """Wasted bits (r9): samples sharing k low zero bits plan at
+    bps-k and shift back on decode — the payload lands within a few
+    header bytes of encoding the same content at full depth, and
+    well under leaving the zeros to rice (which must spend k extra
+    bits per sample)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _flac_samples,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(19)
+    s = ((rng.randint(-4000, 4000, 5000) << 3).clip(-32768, 32767) >> 3 << 3).astype(
+        np.int16
+    )
+    shifted = encode_flac(s)
+    got, _, _ = _flac_samples(shifted)
+    assert np.array_equal(got, s)
+    content = encode_flac((s >> 3).astype(np.int16))
+    assert len(shifted) <= len(content) + 16  # k unary bits per subframe
+    noisy = encode_flac((s | 1).astype(np.int16))  # breaks the shared zeros
+    assert len(shifted) < 0.88 * len(noisy)
+    # extreme: every sample -32768 shares 15 zero bits; depth floors at 1
+    e = np.full(4000, -32768, dtype=np.int16)
+    got, _, _ = _flac_samples(encode_flac(e))
+    assert np.array_equal(got, e)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    k=st.integers(1, 10),
+    n=st.integers(1, 4000),
+    mode=st.sampled_from(("auto",) + _FLAC_STEREO_MODES),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_wasted_bits_stereo_property(k, n, mode, seed):
+    """A stereo stream where one channel carries k wasted bits and
+    the other doesn't round-trips exactly through every channel
+    assignment (per-subframe wasted-bit independence)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _flac_samples,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(seed)
+    hi = 32768 >> k
+    left = (rng.randint(-hi, hi, n) << k).astype(np.int16)
+    right = rng.randint(-32768, 32768, n).astype(np.int16)
+    s = np.stack([left, right], axis=1)
+    got, _, nch = _flac_samples(encode_flac(s, stereo_mode=mode))
+    assert nch == 2 and np.array_equal(got.reshape(-1, 2), s)
+
+
+def test_flac_stereo_in_mixed_audio_fixture(spark):
+    """doc_id % 6 == 5 FLAC rows encode stereo (even byte counts):
+    the decoded interleaved stream equals the byte contract, so the
+    energy hash matches every other container — and decode_media
+    reports 2 channels for the stereo payload."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        audio_energy_hash,
+        decode_media,
+        synthesize_mixed_audio_from_text,
+    )
+
+    text = "an even-length audio fixture text!"  # 34 bytes
+    assert len(text.encode()) % 2 == 0
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(6)], "doc_id long, text string"
+    )
+    mixed = synthesize_mixed_audio_from_text(docs)
+    rows = {r.doc_id: r for r in mixed.collect()}
+    assert rows[5].mime == "audio/flac"
+    d = decode_media(bytes(rows[5].payload), "audio/flac")
+    assert d["n_channels"] == 2
+    assert d["n_frames"] == len(text.encode()) // 2
+    mono_d = decode_media(bytes(rows[2].payload), "audio/flac")
+    assert mono_d["n_channels"] == 1
+    hashes = {r.doc_id: r.ehash for r in audio_energy_hash(mixed).collect()}
+    assert len(hashes) == 6 and len(set(hashes.values())) == 1
+
+
 # --- r9 hardening: advisor-flagged edge cases ------------------------
 
 
@@ -2298,7 +2514,7 @@ def test_second_review_pass_regressions(spark):
     h=st.integers(1, 24),
     w=st.integers(1, 24),
     gray=st.booleans(),
-    comp=st.sampled_from([1, 5, 32773]),
+    comp=st.sampled_from([1, 5, 8, 32773]),
     rps=st.integers(1, 25),
     seed=st.integers(0, 2**31 - 1),
 )
@@ -2486,7 +2702,7 @@ def test_tiff_lzw_accumulator_stays_bounded():
     h=st.integers(1, 20),
     w=st.integers(1, 20),
     gray=st.booleans(),
-    comp=st.sampled_from([1, 5, 32773]),
+    comp=st.sampled_from([1, 5, 8, 32773]),
     seed=st.integers(0, 2**31 - 1),
 )
 def test_tiff_predictor2_round_trip(h, w, gray, comp, seed):
@@ -2614,7 +2830,7 @@ def test_g711_consistency_review_regressions():
     w=st.integers(1, 30),
     tw=st.sampled_from([1, 3, 5, 8, 12, 16]),
     th=st.sampled_from([1, 3, 5, 8, 12, 16]),
-    comp=st.sampled_from([1, 5, 32773]),
+    comp=st.sampled_from([1, 5, 8, 32773]),
     pred=st.sampled_from([1, 2]),
     gray=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
@@ -2669,3 +2885,73 @@ def test_tiff_tiled_hostile_payloads():
             pass
         except Exception as exc:  # noqa: BLE001
             raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+
+
+def test_tiff_deflate_legacy_tag_and_bomb_bound():
+    """Deflate strips (r9): compression 8 and the legacy 32946 alias
+    decode the same zlib stream, corrupt streams quarantine as
+    ValueError, and the inflate is bounded at the segment's geometry
+    so a deflate bomb cannot allocate past the strip size."""
+    import zlib
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_pixels,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(17)
+    px = rng.randint(0, 256, (6, 6, 3)).astype(np.uint8)
+    good = bytearray(encode_tiff(px, compression=8))
+    # retag 8 -> 32946 in place: same stream, older code
+    idx = good.find(struct.pack("<HH", 259, 3))
+    assert idx > 0 and good[idx + 8] == 8
+    struct.pack_into("<H", good, idx + 8, 32946)
+    assert (_tiff_pixels(bytes(good)) == px).all()
+    # corrupt the zlib stream -> ValueError, not zlib.error
+    bad = bytearray(encode_tiff(px, compression=8))
+    bad[-3] ^= 0xFF
+    with pytest.raises(ValueError):
+        _tiff_pixels(bytes(bad))
+    # a strip that inflates to 64 MiB is cut off at the strip's
+    # geometric size (want bytes), then rejected by the row check
+    # if short — never materialized whole
+    one_row = encode_tiff(np.zeros((1, 4), np.uint8), compression=8)
+    bomb_stream = zlib.compress(b"\x00" * (1 << 26))
+    # replace the single strip: find the original stream bytes
+    orig = zlib.compress(np.zeros((1, 4), np.uint8).tobytes(), 6)
+    assert one_row.endswith(orig)
+    patched = bytearray(one_row[: -len(orig)] + bomb_stream)
+    # fix the strip byte-count tag (279) to the new length
+    idx = patched.find(struct.pack("<HH", 279, 4))
+    assert idx > 0
+    struct.pack_into("<I", patched, idx + 8, len(bomb_stream))
+    got = _tiff_pixels(bytes(patched))  # decodes: first 4 bytes are rows
+    assert got.shape == (1, 4, 3) and (got == 0).all()
+
+
+def test_tiff_deflate_in_mixed_image_fixture(spark):
+    """doc_id % 6 == 5 image-fixture rows are Deflate TIFFs; decoded
+    pixels — and therefore the aHash oracle — match the LZW/BMP/GIF
+    arms exactly."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        image_ahash,
+        synthesize_mixed_image_from_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "same text for every image container") for i in range(6)],
+        "doc_id long, text string",
+    )
+    mixed = synthesize_mixed_image_from_text(docs)
+    rows = {r.doc_id: r for r in mixed.collect()}
+    assert rows[2].mime == "image/tiff" and rows[5].mime == "image/tiff"
+    # tag 259: LZW (5) for doc 2, Deflate (8) for doc 5
+    def comp_of(payload):
+        b = bytes(payload)
+        idx = b.find(struct.pack("<HH", 259, 3))
+        return b[idx + 8]
+
+    assert comp_of(rows[2].payload) == 5
+    assert comp_of(rows[5].payload) == 8
+    hashes = {r.doc_id: r.ahash for r in image_ahash(mixed).collect()}
+    assert len(hashes) == 6 and len(set(hashes.values())) == 1

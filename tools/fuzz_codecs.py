@@ -240,6 +240,15 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("bmp", mm._bmp_payload(raw8)),
         ("bmpv", _encode_bmp_variant(rng)),
         ("flac", mm.encode_flac(samples)),
+        (
+            "flac",
+            mm.encode_flac(
+                np.stack([samples, samples[::-1]], axis=1),
+                stereo_mode=rng.choice(
+                    ("auto", "independent", "left_side", "side_right", "mid_side")
+                ),
+            ),
+        ),
         ("wav", mm._wav_payload(raw8)),
         ("aiff", mm._aiff_payload(raw8)),
         ("g711", _encode_g711(rng)),
@@ -257,7 +266,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
             "tiff",
             mm.encode_tiff(
                 gif_px,
-                compression=rng.choice((1, 5, 32773)),
+                compression=rng.choice((1, 5, 8, 32773)),
                 rows_per_strip=rng.randrange(1, 20),
                 predictor=rng.choice((1, 2)),
                 tile=rng.choice((None, (5, 3), (16, 16))),
@@ -417,6 +426,14 @@ def fuzz_round_trip(seconds: float, seed: int) -> int:
         if not np.array_equal(got, samples):
             print(f"FLAC round-trip MISMATCH seed={seed} n={len(samples)}")
             return 1
+        m = rng.randrange(1, 1500)
+        st2 = np.asarray(
+            [rng.randrange(-32768, 32768) for _ in range(2 * m)], dtype=np.int16
+        ).reshape(m, 2)
+        got, _, nch = mm._flac_samples(mm.encode_flac(st2))
+        if nch != 2 or not np.array_equal(got.reshape(-1, 2), st2):
+            print(f"FLAC STEREO round-trip MISMATCH seed={seed} n={m}")
+            return 1
     print(f"round-trip fuzz OK: {trials} encode/decode trials, 0 mismatches")
     return 0
 
@@ -475,9 +492,17 @@ def _rand_samples(rng: random.Random) -> np.ndarray:
                 for _ in range(max(n, 1))
             ]
         )
-    if kind == 3:  # wrong rank
-        m = max(n, 2)
-        return np.zeros((m // 2, 2), dtype=np.int16)
+    if kind == 3:  # stereo (n, 2) — VALID since r9 — or hostile ranks
+        m = max(n, 2) // 2
+        sub = rng.randrange(3)
+        if sub == 0:
+            return np.asarray(
+                [rng.randrange(-32768, 32768) for _ in range(2 * m)],
+                dtype=np.int16,
+            ).reshape(m, 2)
+        if sub == 1:
+            return np.zeros((m, 3), dtype=np.int16)  # 3 channels: reject
+        return np.zeros((m, 2, 1), dtype=np.int16)  # rank 3: reject
     if kind == 4:  # 0-d
         return np.asarray(7, dtype=np.int16)
     return np.zeros(0, dtype=np.int16)  # empty
@@ -517,6 +542,10 @@ def fuzz_encoders(seconds: float, seed: int, per_encode: float = 10.0) -> int:
                     "blocksize": rng.choice((4096, 16, 1, 192, 65535)),
                     "lpc_order": rng.choice((None, 0, 1, 8, 32)),
                     "max_porder": rng.choice((0, 2, 4, 8)),
+                    "stereo_mode": rng.choice(
+                        ("auto", "independent", "left_side", "side_right",
+                         "mid_side", "bogus")
+                    ),
                 }
                 enc, dec = mm.encode_flac, lambda b: mm._flac_samples(b)[0]
             elif fam == "gif":
@@ -526,7 +555,7 @@ def fuzz_encoders(seconds: float, seed: int, per_encode: float = 10.0) -> int:
             elif fam == "tiff":
                 arr = _rand_image(rng)
                 kwargs = {
-                    "compression": rng.choice((1, 5, 32773, 4, -1)),
+                    "compression": rng.choice((1, 5, 8, 32773, 32946, 4, -1)),
                     "rows_per_strip": rng.choice((None, 1, 3, 1000, 0, -2)),
                     "predictor": rng.choice((1, 2, 0, 3)),
                     "tile": rng.choice((None, (16, 16), (4, 4), (1, 9), (0, 4))),
@@ -577,9 +606,15 @@ def fuzz_encoders(seconds: float, seed: int, per_encode: float = 10.0) -> int:
                 return 1
             # exact round-trip where the family is lossless and the
             # accepted input has one canonical decoded form
-            if fam == "flac" and arr.ndim == 1 and arr.size:
-                want = np.asarray(arr, dtype=np.int64)
-                if not np.array_equal(np.asarray(back, dtype=np.int64), want):
+            if (
+                fam == "flac"
+                and arr.size
+                and (arr.ndim == 1 or (arr.ndim == 2 and arr.shape[1] in (1, 2)))
+            ):
+                # stereo decodes interleaved — compare flattened
+                want = np.asarray(arr, dtype=np.int64).reshape(-1)
+                got = np.asarray(back, dtype=np.int64).reshape(-1)
+                if not np.array_equal(got, want):
                     print(f"FLAC ENCODER ROUND-TRIP MISMATCH {desc}")
                     return 1
             if fam == "gif" and arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8 and arr.size:
