@@ -317,6 +317,11 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         return _aiff_samples(payload)[0]
     if payload[:4] == b"fLaC":
         return _flac_samples(payload)[0]
+    if payload[4:8] == b"ftyp":
+        # PCM-in-MP4 fingerprints for real; mp4a/AAC raises
+        # NotImplementedError and quarantines — the stats and
+        # fingerprint families keep one support matrix (r9 review)
+        return _mp4_pcm_samples(payload)[0]
     probed = _riff_fmt_and_data(payload)
     if probed is not None and probed[0][0] in (6, 7):
         # G.711 expands to exact int16 — the fingerprint contract —
@@ -3564,6 +3569,11 @@ def _mp4_audio_track_impl(payload: bytes) -> dict:
             "n_samples": int(n_samples),
             "timescale": timescale,
             "duration": duration,
+            # the sample-table handles _mp4_sample_ranges needs — PCM
+            # ('twos'/'sowt') audio resolves and decodes through the
+            # same machinery as the video trak (r9)
+            "stbl": stbl,
+            "stsz": stsz,
         }
     raise ValueError("MP4 has no audio track")
 
@@ -3584,6 +3594,59 @@ def _mp4_audio_stats(payload: bytes, trk: dict | None = None) -> dict:
         "duration_s": (
             trk["duration"] / trk["timescale"] if trk["timescale"] else 0.0
         ),
+    }
+
+
+def _mp4_pcm_samples(
+    payload: bytes, trk: dict | None = None
+) -> tuple[np.ndarray, int, int]:
+    """(int16 interleaved samples, rate, n_channels) of a raw-PCM
+    audio trak — the audio twin of MJPEG-in-MP4: 'twos' (big-endian)
+    and 'sowt' (little-endian) sample entries carry uncompressed
+    16-bit PCM, so the REAL sample-table resolution (stsz×stsc×stco)
+    yields decodable bytes with no codec library. Anything else
+    (mp4a/AAC, alac, ...) raises NotImplementedError and quarantines
+    upstream, exactly like non-JPEG video codecs."""
+    if trk is None:
+        trk = _mp4_audio_track(payload)
+    codec = trk["codec"]
+    if codec not in ("twos", "sowt"):
+        raise NotImplementedError(
+            f"MP4 audio sample decode for codec {codec!r} requires codec "
+            "libraries not present; only raw PCM ('twos'/'sowt' sample "
+            "entries) decodes here"
+        )
+    n_ch, bits = trk["n_channels"], trk["sample_size"]
+    if n_ch not in (1, 2) or bits != 16:
+        raise ValueError(f"unsupported MP4 PCM layout ({n_ch} ch, {bits}-bit)")
+    buf = bytearray()
+    for off, size in _mp4_sample_ranges(payload, trk):
+        buf += payload[off : off + size]
+    if len(buf) % (2 * n_ch):
+        raise ValueError("MP4 PCM data is not frame-aligned")
+    dt = ">i2" if codec == "twos" else "<i2"
+    samples = np.frombuffer(bytes(buf), dtype=dt).astype(np.int16)
+    return samples, trk["sample_rate"], n_ch
+
+
+def decode_mp4_pcm(payload: bytes, trk: dict | None = None) -> dict:
+    """Full audio stats for PCM-in-MP4 — the same dict shape as
+    ``decode_wav`` (real sample decode: rms/peak) plus the codec
+    fourcc, mirroring ``decode_mp4_mjpeg`` on the video side."""
+    if trk is None:
+        trk = _mp4_audio_track(payload)
+    samples, rate, n_ch = _mp4_pcm_samples(payload, trk)
+    s = samples.astype(np.float64)
+    n_frames = len(samples) // n_ch if n_ch else 0
+    return {
+        "kind": "audio",
+        "n_channels": n_ch,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "codec": trk["codec"],
+        "duration_s": n_frames / rate if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(s**2))) if s.size else 0.0,
+        "peak": float(np.max(np.abs(s))) if s.size else 0.0,
     }
 
 
@@ -3758,10 +3821,16 @@ def decode_media(payload: bytes, mime: str) -> dict:
     if mime in ("audio/flac", "audio/x-flac"):
         return decode_flac(payload)
     if mime in ("audio/mp4", "audio/x-m4a", "audio/m4a"):
-        # Same metadata-before-decode routing the video trak gets: the
-        # container walk is real; the mp4a/AAC sample payload is not
-        # decodable without codec libraries and quarantines on access.
-        return _mp4_audio_stats(payload)
+        # Raw-PCM tracks ('twos'/'sowt') decode samples for real
+        # through the stsz×stsc×stco resolution; anything else gets
+        # the metadata-before-decode routing (the mp4a/AAC payload is
+        # not decodable without codec libraries). One box walk serves
+        # routing, stats, and sample resolution — same shape as the
+        # video arm below.
+        trk = _mp4_audio_track(payload)
+        if trk["codec"] in ("twos", "sowt"):
+            return decode_mp4_pcm(payload, trk)
+        return _mp4_audio_stats(payload, trk)
     if mime in ("image/bmp", "image/x-bmp"):
         return decode_bmp(payload)
     if mime == "image/png":
@@ -4033,6 +4102,80 @@ def _m4a_payload(
     )
 
 
+def _m4a_pcm_payload(
+    raw: bytes,
+    rate: int = 8000,
+    codec: bytes = b"sowt",
+    stereo: bool = False,
+) -> bytes:
+    """The SAME byte→sample contract as ``_wav_payload`` in a real
+    PCM-in-MP4 container: one 'soun' trak whose stsd entry is 'twos'
+    (big-endian) or 'sowt' (little-endian) raw 16-bit PCM, with FULL
+    sample tables — uniform stsz (one audio frame per sample), a
+    multi-run stsc (two chunks of 13 frames, then chunks of 7), and
+    stco offsets into the mdat — so ``_mp4_pcm_samples`` exercises
+    the same stsz×stsc×stco resolution as MJPEG video. ``stereo``
+    de-interleaves even/odd bytes as L/R (even lengths only), like
+    the FLAC fixture arm."""
+    if codec not in (b"twos", b"sowt"):
+        raise ValueError(f"unsupported PCM fourcc {codec!r}")
+    samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+    n_ch = 2 if stereo and len(samples) and len(samples) % 2 == 0 else 1
+    frames = len(samples) // n_ch
+    frame_bytes = 2 * n_ch
+    pcm = samples.astype(">i2" if codec == b"twos" else "<i2").tobytes()
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    chunk_sizes = []
+    rem = frames
+    while rem > 0:
+        spc = 13 if len(chunk_sizes) < 2 else 7
+        chunk_sizes.append(min(spc, rem))
+        rem -= chunk_sizes[-1]
+    runs = [(1, 13)] + ([(3, 7)] if len(chunk_sizes) > 2 else [])
+
+    def moov(offsets: list[int]) -> bytes:
+        mdhd = box(
+            b"mdhd", bytes(12) + struct.pack(">II", rate, frames) + bytes(4)
+        )
+        hdlr = box(b"hdlr", bytes(8) + b"soun" + bytes(12))
+        entry = (
+            struct.pack(">I", 36)
+            + codec
+            + bytes(16)
+            + struct.pack(">HHHH", n_ch, 16, 0, 0)
+            + struct.pack(">I", rate << 16)
+        )
+        stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        stsz = box(b"stsz", bytes(4) + struct.pack(">II", frame_bytes, frames))
+        stsc = box(
+            b"stsc",
+            bytes(4)
+            + struct.pack(">I", len(runs))
+            + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs),
+        )
+        stco = box(
+            b"stco",
+            bytes(4)
+            + struct.pack(">I", len(offsets))
+            + b"".join(struct.pack(">I", o) for o in offsets),
+        )
+        stbl = box(b"stbl", stsd + stsz + stsc + stco)
+        return box(b"moov", box(b"trak", box(b"mdia", mdhd + hdlr + box(b"minf", stbl))))
+
+    ftyp = box(b"ftyp", b"M4A " + bytes(4) + b"isomM4A ")
+    # stco size depends only on the chunk count, so one placeholder
+    # pass fixes the layout and the second writes real offsets
+    data_start = len(ftyp) + len(moov([0] * len(chunk_sizes))) + 8
+    offsets, pos = [], data_start
+    for cs in chunk_sizes:
+        offsets.append(pos)
+        pos += cs * frame_bytes
+    return ftyp + moov(offsets) + box(b"mdat", pcm)
+
+
 def _flac_payload(raw: bytes, rate: int = 8000, stereo: bool = False) -> bytes:
     """The SAME sample contract as ``_wav_payload`` through the real
     FLAC encoder (fixed predictors + rice) — lossless, so decoded
@@ -4061,7 +4204,10 @@ def synthesize_mixed_audio_from_text(
     (doc_id % 6 == 5, even byte length) encode STEREO — even/odd
     bytes as L/R — so the r9 stereo-decorrelation decode runs under
     the same gate: the decoded interleaved stream is byte-identical
-    either way."""
+    either way. Half the WAV docs (doc_id % 6 == 3) ship as
+    PCM-in-MP4 instead ('twos' big-endian mono at doc_id % 12 == 3,
+    'sowt' little-endian stereo at % 12 == 9), driver-gating the
+    ISO-BMFF sample-table audio decode under the same oracle."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -4077,6 +4223,14 @@ def synthesize_mixed_audio_from_text(
                         _flac_payload(raw, rate, stereo=int(doc_id) % 6 == 5)
                     )
                     mimes.append("audio/flac")
+                elif int(doc_id) % 6 == 3:
+                    codec = b"twos" if int(doc_id) % 12 == 3 else b"sowt"
+                    payloads.append(
+                        _m4a_pcm_payload(
+                            raw, rate, codec=codec, stereo=int(doc_id) % 12 == 9
+                        )
+                    )
+                    mimes.append("audio/mp4")
                 else:
                     payloads.append(_wav_payload(raw, rate))
                     mimes.append("audio/wav")

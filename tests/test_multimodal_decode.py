@@ -1884,6 +1884,84 @@ def test_mp4_audio_corrupt_payloads_quarantine():
             raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
 
 
+def test_mp4_pcm_round_trip_and_routing():
+    """PCM-in-MP4 (r9): 'twos'/'sowt' sample entries decode REAL
+    samples through the same stsz×stsc×stco resolution MJPEG video
+    uses — both endiannesses, mono and stereo, multi-chunk stsc —
+    while mp4a keeps the metadata-only stats and the sample layer's
+    NotImplementedError quarantine."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _m4a_pcm_payload,
+        _mp4_audio_track,
+        _mp4_pcm_samples,
+        _mp4_sample_ranges,
+        _pcm16_samples,
+        decode_media,
+    )
+
+    raw = b"0123456789" * 5 + b"abcdef"  # 56 bytes -> 7 chunks, 2 stsc runs
+    want = np.frombuffer(raw, np.uint8).astype(np.int16)
+    for codec in (b"twos", b"sowt"):
+        for stereo in (False, True):
+            p = _m4a_pcm_payload(raw, 8000, codec=codec, stereo=stereo)
+            s, rate, nch = _mp4_pcm_samples(p)
+            assert rate == 8000 and nch == (2 if stereo else 1)
+            assert np.array_equal(s, want)
+            # the container-agnostic fingerprint entry routes ftyp too
+            assert np.array_equal(_pcm16_samples(p), want)
+            d = decode_media(p, "audio/mp4")
+            assert d["codec"] == codec.decode() and "rms" in d
+            assert d["n_frames"] == len(raw) // (2 if stereo else 1)
+    # the fixture exercises a short final chunk and a 2-run stsc
+    p = _m4a_pcm_payload(raw, 8000)
+    trk = _mp4_audio_track(p)
+    assert len(_mp4_sample_ranges(p, trk)) == 56
+    # odd byte counts can't split into stereo frames: mono fallback
+    s, _, nch = _mp4_pcm_samples(_m4a_pcm_payload(raw[:-1], stereo=True))
+    assert nch == 1 and len(s) == 55
+    # mp4a: stats stay metadata-only, sample access quarantines
+    meta = decode_media(_make_m4a(), "audio/mp4")
+    assert meta["codec"] == "mp4a" and "rms" not in meta
+    with pytest.raises(NotImplementedError):
+        _pcm16_samples(_make_m4a())
+    # truncations/corruption stay in the quarantine exception family
+    good = _m4a_pcm_payload(raw, 8000)
+    for cut in (len(good) - 10, len(good) // 2, 40):
+        try:
+            _mp4_pcm_samples(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+
+
+def test_mp4_pcm_in_mixed_audio_fixture(spark):
+    """doc_id % 6 == 3 audio-fixture rows are PCM-in-MP4 ('twos'
+    mono at % 12 == 3, 'sowt' stereo at % 12 == 9); the decoded
+    stream equals the byte contract so the energy hash matches every
+    other container."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        audio_energy_hash,
+        decode_media,
+        synthesize_mixed_audio_from_text,
+    )
+
+    text = "an even-length audio fixture text!"  # 34 bytes
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(3, 15)], "doc_id long, text string"
+    )
+    mixed = synthesize_mixed_audio_from_text(docs)
+    rows = {r.doc_id: r for r in mixed.collect()}
+    assert rows[3].mime == "audio/mp4" and rows[9].mime == "audio/mp4"
+    assert rows[6].mime == "audio/wav" and rows[12].mime == "audio/wav"
+    d3 = decode_media(bytes(rows[3].payload), "audio/mp4")
+    assert d3["codec"] == "twos" and d3["n_channels"] == 1
+    d9 = decode_media(bytes(rows[9].payload), "audio/mp4")
+    assert d9["codec"] == "sowt" and d9["n_channels"] == 2
+    hashes = {r.doc_id: r.ehash for r in audio_energy_hash(mixed).collect()}
+    assert len(hashes) == 12 and len(set(hashes.values())) == 1
+
+
 def test_encoder_input_validation_fuzz_findings():
     """r9 encoder-input fuzz campaign regressions: encoders must
     refuse hostile inputs with ValueError, never leak IndexError /

@@ -263,6 +263,15 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
             ),
         ),
         (
+            "m4a",
+            mm._m4a_pcm_payload(
+                raw8,
+                rate=rng.choice((8000, 44100)),
+                codec=rng.choice((b"twos", b"sowt")),
+                stereo=rng.randrange(2) == 1,
+            ),
+        ),
+        (
             "tiff",
             mm.encode_tiff(
                 gif_px,
@@ -300,7 +309,7 @@ _DECODERS = {
     "g711": [mm.decode_wav, lambda p: mm._wav_samples_f64(p)[0]],
     "avi": [mm._avi_mjpeg_frames, mm.decode_avi_mjpeg],
     "mp4": [mm._mp4_video_stats, mm._mp4_mjpeg_frames, mm.decode_mp4_mjpeg],
-    "m4a": [mm._mp4_audio_track, mm._mp4_audio_stats],
+    "m4a": [mm._mp4_audio_track, mm._mp4_audio_stats, mm._mp4_pcm_samples, mm.decode_mp4_pcm],
     "gifanim": [mm._gif_frames, mm._gif_pixels, mm.decode_gif],
     "tiff": [mm._tiff_pixels, mm.decode_tiff, mm._image_pixels],
 }
