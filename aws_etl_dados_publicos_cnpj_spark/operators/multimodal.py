@@ -3706,6 +3706,13 @@ def _mp4_sample_ranges_impl(payload: bytes, trk: dict) -> list[tuple[int, int]]:
         if stsz[0] + 12 + 4 * n_samples > stsz[1]:
             raise ValueError("stsz table truncated")
         sizes = list(struct.unpack_from(f">{n_samples}I", payload, stsz[0] + 12))
+        # Samples are disjoint byte ranges of the file, so their TOTAL
+        # can never legitimately exceed it either — without this, a
+        # hostile per-sample table whose chunks overlap resolves each
+        # range in-bounds while the concatenated output (MJPEG frame
+        # list, PCM buffer) grows quadratic in the payload size.
+        if sum(sizes) > len(payload):
+            raise ValueError("stsz total exceeds file size")
     stco = _mp4_child(payload, *stbl, b"stco")
     if stco is not None:
         (n_chunks,) = struct.unpack_from(">I", payload, stco[0] + 4)

@@ -1935,6 +1935,34 @@ def test_mp4_pcm_round_trip_and_routing():
             raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
 
 
+def test_mp4_stsz_total_amplification_bounded():
+    """A hostile NON-uniform stsz whose chunks overlap resolves each
+    sample in-bounds while the concatenated output grows quadratic in
+    the payload (the uniform arm was already bounded in r8) — the
+    total-size check rejects it before any range materializes."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp4_sample_ranges,
+    )
+
+    n = 500
+    stsz_body = (
+        bytes(4) + struct.pack(">II", 0, n) + struct.pack(">I", 7000) * n
+    )
+    stsz_box = struct.pack(">I", 8 + len(stsz_body)) + b"stsz" + stsz_body
+    stco_body = bytes(4) + struct.pack(">II", 1, 0)
+    stco_box = struct.pack(">I", 8 + len(stco_body)) + b"stco" + stco_body
+    stsc_body = bytes(4) + struct.pack(">I", 1) + struct.pack(">III", 1, n, 1)
+    stsc_box = struct.pack(">I", 8 + len(stsc_body)) + b"stsc" + stsc_body
+    boxes = stsz_box + stco_box + stsc_box
+    payload = bytes(100) + boxes + bytes(7900)  # each size < len(payload)
+    trk = {
+        "stbl": (100, 100 + len(boxes)),
+        "stsz": (108, 100 + len(stsz_box)),
+    }
+    with pytest.raises(ValueError, match="stsz total"):
+        _mp4_sample_ranges(payload, trk)
+
+
 def test_mp4_pcm_in_mixed_audio_fixture(spark):
     """doc_id % 6 == 3 audio-fixture rows are PCM-in-MP4 ('twos'
     mono at % 12 == 3, 'sowt' stereo at % 12 == 9); the decoded
