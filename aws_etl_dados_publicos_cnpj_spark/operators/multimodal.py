@@ -117,11 +117,184 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
 
 _G711_ULAW, _G711_ALAW = _g711_tables()
 
+# IMA/DVI ADPCM (WAV format tag 0x11) — the classic 4-bit predictive
+# telephony/game-audio codec, decoded from the public IMA spec: the
+# 89-entry step table and the 8-entry index-adjust table are the
+# format's normative constants.
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ],
+    dtype=np.int64,
+)
+_IMA_INDEX_ADJUST = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_decode_nibbles(
+    nibbles: "list[int]", predictor: int, index: int
+) -> list[int]:
+    """Decode one channel's nibble stream given the block header's
+    seed predictor/step-index — the spec's serial recurrence (each
+    output feeds the next prediction, like the FLAC LPC IIR)."""
+    out = []
+    pred = predictor
+    idx = max(0, min(88, index))
+    for n in nibbles:
+        step = int(_IMA_STEPS[idx])
+        delta = step >> 3
+        if n & 1:
+            delta += step >> 2
+        if n & 2:
+            delta += step >> 1
+        if n & 4:
+            delta += step
+        pred = pred - delta if n & 8 else pred + delta
+        pred = max(-32768, min(32767, pred))
+        out.append(pred)
+        idx = max(0, min(88, idx + int(_IMA_INDEX_ADJUST[n & 7])))
+    return out
+
+
+def _ima_adpcm_samples(
+    payload: bytes, probed: tuple | None = None
+) -> tuple[np.ndarray, int, int]:
+    """(int16 interleaved samples, rate, n_channels) of an IMA ADPCM
+    WAV (format tag 0x11, the codec the stdlib ``wave`` module
+    rejects): per-block per-channel 4-byte headers (seed predictor
+    int16 + step index), then 4-bit nibbles — low nibble first, and
+    for stereo interleaved in 4-byte groups per channel. The block
+    header's predictor is sample 0 of the block (the MS convention
+    ``samples_per_block = (block_align - 4·ch)·2/ch + 1`` encodes)."""
+    probed = probed if probed is not None else _riff_fmt_and_data(payload)
+    if probed is None:
+        raise ValueError("not a parseable RIFF/WAVE container")
+    (tag, n_ch, rate, bits, block_align), data = probed
+    if tag != 0x11:
+        raise ValueError(f"not an IMA ADPCM WAV (fmt tag {tag:#x})")
+    if bits != 4:
+        raise ValueError(f"IMA ADPCM must be 4-bit, got {bits}")
+    if n_ch not in (1, 2):
+        raise ValueError(f"unsupported IMA ADPCM channel count {n_ch}")
+    if block_align < 4 * n_ch or block_align % (4 * n_ch):
+        raise ValueError(f"invalid IMA ADPCM block align {block_align}")
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for base in range(0, len(data) - len(data) % block_align, block_align):
+        block = data[base : base + block_align]
+        seeds = []
+        for c in range(n_ch):
+            pred, idx = struct.unpack_from("<hB", block, 4 * c)
+            if idx > 88:
+                raise ValueError(f"IMA ADPCM step index {idx} out of range")
+            seeds.append((pred, idx))
+            chans[c].append(pred)  # the header predictor is sample 0
+        body = block[4 * n_ch :]
+        # nibbles per channel: mono is sequential; stereo alternates
+        # 4-byte (8-nibble) groups between channels
+        for c in range(n_ch):
+            if n_ch == 1:
+                cb = body
+            else:
+                grp = np.frombuffer(body, np.uint8).reshape(-1, 2, 4)
+                cb = grp[:, c, :].tobytes()
+            nibs: list[int] = []
+            for b in cb:
+                nibs.append(b & 0x0F)  # low nibble first per the spec
+                nibs.append(b >> 4)
+            chans[c].extend(_ima_decode_nibbles(nibs, *seeds[c]))
+    arrs = [np.asarray(ch, dtype=np.int16) for ch in chans]
+    if n_ch == 1:
+        return arrs[0], rate, 1
+    return np.stack(arrs, axis=1).reshape(-1), rate, 2
+
+
+def encode_ima_adpcm(
+    samples: np.ndarray, rate: int = 8000, frames_per_block: int = 505
+) -> bytes:
+    """IMA ADPCM encoder twin for tests/fuzz seeds: mono 1-D or
+    stereo (n, 2) int16 in, format-tag-0x11 RIFF out. Deliberately
+    the textbook encoder (quantize the diff against the current
+    step); the codec is lossy, so correctness is pinned by
+    self-consistency with ``_ima_adpcm_samples`` plus an SNR bound,
+    not byte equality."""
+    s = np.asarray(samples)
+    if np.issubdtype(s.dtype, np.floating):
+        if not np.isfinite(s).all() or (s != np.floor(s)).any():
+            raise ValueError("encode_ima_adpcm: non-integral samples")
+    s = s.astype(np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2 or s.shape[1] not in (1, 2):
+        raise ValueError("encode_ima_adpcm takes 1-D mono or (n, 2) stereo")
+    if s.size and (s.max() > 32767 or s.min() < -32768):
+        raise ValueError("samples out of 16-bit range")
+    n_ch = s.shape[1]
+    if frames_per_block < 2 or (frames_per_block - 1) % 8:
+        # nibbles per channel per block must fill whole 4-byte groups
+        raise ValueError(f"invalid frames_per_block {frames_per_block}")
+    block_align = 4 * n_ch + (frames_per_block - 1) * n_ch // 2
+    # pad the tail block with repeated last frames (decoder emits
+    # whole blocks; exactness is not the contract for a lossy codec)
+    n = len(s)
+    blocks = bytearray()
+    idx = [0] * n_ch
+    for base in range(0, n, frames_per_block):
+        frame = s[base : base + frames_per_block]
+        if len(frame) < frames_per_block:
+            pad = np.repeat(frame[-1:], frames_per_block - len(frame), axis=0)
+            frame = np.concatenate([frame, pad])
+        nibs = [[] for _ in range(n_ch)]
+        for c in range(n_ch):
+            pred = int(frame[0, c])
+            blocks += struct.pack("<hBx", pred, idx[c])
+            for v in frame[1:, c]:
+                step = int(_IMA_STEPS[idx[c]])
+                diff = int(v) - pred
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                delta = step >> 3
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                    delta += step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                    delta += step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                    delta += step >> 2
+                pred = pred - delta if nib & 8 else pred + delta
+                pred = max(-32768, min(32767, pred))
+                idx[c] = max(0, min(88, idx[c] + int(_IMA_INDEX_ADJUST[nib & 7])))
+                nibs[c].append(nib)
+        # pack: per channel 8 nibbles -> 4 bytes, channels interleaved
+        for g in range(0, frames_per_block - 1, 8):
+            for c in range(n_ch):
+                for k in range(0, 8, 2):
+                    lo, hi = nibs[c][g + k], nibs[c][g + k + 1]
+                    blocks.append(lo | (hi << 4))
+    fmt = struct.pack(
+        "<HHIIHHH H",
+        0x11, n_ch, rate, rate * block_align // frames_per_block or 1,
+        block_align, 4, 2, frames_per_block,
+    )
+    out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
 
 def _riff_fmt_and_data(payload: bytes) -> tuple[tuple, bytes] | None:
-    """((fmt_tag, n_ch, rate, bits), data bytes) from a raw RIFF/WAVE
-    walk, or None when the container isn't parseable this way — used
-    to route the G.711 format tags the stdlib ``wave`` module rejects."""
+    """((fmt_tag, n_ch, rate, bits, block_align), data bytes) from a
+    raw RIFF/WAVE walk, or None when the container isn't parseable
+    this way — used to route the format tags the stdlib ``wave``
+    module rejects (G.711's 6/7, IMA ADPCM's 0x11)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos, fmt, data = 12, None, None
@@ -132,8 +305,8 @@ def _riff_fmt_and_data(payload: bytes) -> tuple[tuple, bytes] | None:
             return None
         if cid == b"fmt " and csz >= 16:
             tag, n_ch, rate = struct.unpack_from("<HHI", payload, pos + 8)
-            (bits,) = struct.unpack_from("<H", payload, pos + 22)
-            fmt = (tag, n_ch, rate, bits)
+            block_align, bits = struct.unpack_from("<HH", payload, pos + 20)
+            fmt = (tag, n_ch, rate, bits, block_align)
         elif cid == b"data":
             data = payload[pos + 8 : pos + 8 + csz]
         pos += 8 + csz + (csz & 1)
@@ -154,8 +327,11 @@ def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     the public spec tables to 16-bit. Corrupt containers raise
     ValueError."""
     probed = _riff_fmt_and_data(payload)
+    if probed is not None and probed[0][0] == 0x11:
+        s, rate, n_ch = _ima_adpcm_samples(payload, probed)
+        return s.astype(np.float64), n_ch, rate, len(s) // max(n_ch, 1)
     if probed is not None and probed[0][0] in (6, 7):
-        (tag, n_ch, rate, bits), data = probed
+        (tag, n_ch, rate, bits, _ba), data = probed
         if bits != 8:
             raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
         if n_ch < 1:
@@ -323,10 +499,11 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         # fingerprint families keep one support matrix (r9 review)
         return _mp4_pcm_samples(payload)[0]
     probed = _riff_fmt_and_data(payload)
-    if probed is not None and probed[0][0] in (6, 7):
-        # G.711 expands to exact int16 — the fingerprint contract —
-        # so the stats and fingerprint families share one support
-        # matrix (r9 review: drift is the sampler-KeyError bug class)
+    if probed is not None and probed[0][0] in (6, 7, 0x11):
+        # G.711 and IMA ADPCM expand to exact int16 — the fingerprint
+        # contract — so the stats and fingerprint families share one
+        # support matrix (r9 review: drift is the sampler-KeyError
+        # bug class)
         return _wav_samples_f64(payload)[0].astype(np.int16)
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
@@ -1120,11 +1297,12 @@ def decode_flac(payload: bytes) -> dict:
 def _bmp_pixels(payload: bytes) -> np.ndarray:
     """Pixel array (height, width, 3 BGR) of a BMP — pure struct/numpy
     header parse, no codec library. r9 widens beyond 24-bit BI_RGB to
-    the other common DIB layouts: 32-bit BGRA (alpha dropped), 8-bit
-    and 4-bit paletted (BGRA color table after the info header,
-    biClrUsed honored), and RLE8 compression (encoded runs, absolute
-    mode, EOL/EOF/delta escapes). Anything else (RLE4, BITFIELDS,
-    16-bit) raises and quarantines."""
+    every common DIB layout: 32-bit BGRA (alpha dropped), 8-bit and
+    4-bit paletted (BGRA color table after the info header, biClrUsed
+    honored), RLE8 AND RLE4 compression (encoded runs, absolute mode,
+    EOL/EOF/delta escapes), 16-bit 555, and BI_BITFIELDS with
+    arbitrary contiguous non-overlapping channel masks (565, v4/v5
+    header masks) expanded to 8 bits by exact integer rounding."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     try:
@@ -1153,8 +1331,11 @@ def _bmp_pixels_impl(payload: bytes) -> np.ndarray:
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    supported = (bpp in (24, 32, 8, 4) and compression == 0) or (
-        bpp == 8 and compression == 1
+    supported = (
+        (bpp in (24, 32, 16, 8, 4) and compression == 0)
+        or (bpp == 8 and compression == 1)
+        or (bpp == 4 and compression == 2)
+        or (bpp in (16, 32) and compression == 3)
     )
     if not supported:
         raise ValueError(
@@ -1172,15 +1353,21 @@ def _bmp_pixels_impl(payload: bytes) -> np.ndarray:
         # pixel indices with ok=True)
         clr_used = struct.unpack_from("<I", payload, 46)[0]
         min_offset += 4 * (clr_used or (1 << bpp))
+    if compression == 3 and header_size == 40:
+        # BI_BITFIELDS with the classic header: the three DWORD masks
+        # sit between the header and the pixel data
+        min_offset += 12
     if data_offset < min_offset:
         # pixel data cannot start inside the headers/color table; a
         # lying offset would silently decode header bytes as pixels
         raise ValueError(f"invalid BMP data offset ({data_offset})")
-    if compression == 1:  # RLE8 (spec: always bottom-up)
+    if compression in (1, 2):  # RLE8/RLE4 (spec: always bottom-up)
         if height < 0:
-            raise ValueError("RLE8 BMP cannot be top-down")
+            raise ValueError("RLE BMP cannot be top-down")
         palette = _bmp_palette(payload, bpp)
-        idx = _bmp_rle8_indices(payload, data_offset, width, height)
+        idx = _bmp_rle_indices(
+            payload, data_offset, width, height, nibbles=compression == 2
+        )
         if (idx >= len(palette)).any():
             raise ValueError("BMP palette index out of range")
         px = palette[idx.astype(np.int64)]
@@ -1195,7 +1382,42 @@ def _bmp_pixels_impl(payload: bytes) -> np.ndarray:
     rows = np.frombuffer(
         payload, dtype=np.uint8, offset=data_offset, count=row_size * abs(height)
     ).reshape(abs(height), row_size)
-    if bpp in (24, 32):
+    if bpp == 16 or compression == 3:
+        if compression == 3:
+            if len(payload) < 66:
+                raise ValueError("BMP BITFIELDS masks truncated")
+            # v4/v5 headers embed the masks at the same offset the
+            # classic header places its mask block: right after the
+            # 40 fixed bytes
+            mr, mg, mb = struct.unpack_from("<III", payload, 54)
+        else:
+            mr, mg, mb = 0x7C00, 0x03E0, 0x001F  # 16-bit default: 555
+        if (
+            not (mr and mg and mb)
+            or (mr & mg) | (mr & mb) | (mg & mb)
+            or max(mr, mg, mb) >= (1 << bpp)
+        ):
+            raise ValueError(
+                f"invalid BMP channel masks ({mr:#x}/{mg:#x}/{mb:#x})"
+            )
+        sub = np.ascontiguousarray(rows[:, : width * (bpp // 8)])
+        vals = sub.view("<u2" if bpp == 16 else "<u4").reshape(
+            abs(height), width
+        ).astype(np.int64)
+
+        def chan(mask: int) -> np.ndarray:
+            shift = (mask & -mask).bit_length() - 1
+            m = mask >> shift
+            if m != (1 << m.bit_length()) - 1:
+                raise ValueError(f"non-contiguous BMP channel mask {mask:#x}")
+            v = (vals >> shift) & m
+            if m == 255:
+                return v.astype(np.uint8)
+            # expand to 8 bits with exact integer round-to-nearest
+            return ((v * 255 + m // 2) // m).astype(np.uint8)
+
+        px = np.stack([chan(mb), chan(mg), chan(mr)], axis=2)  # stored-BGR
+    elif bpp in (24, 32):
         nch = bpp // 8
         px = rows[:, : width * nch].reshape(abs(height), width, nch)[:, :, :3]
     else:
@@ -1215,13 +1437,15 @@ def _bmp_pixels_impl(payload: bytes) -> np.ndarray:
     return px
 
 
-def _bmp_rle8_indices(
-    payload: bytes, pos: int, width: int, height: int
+def _bmp_rle_indices(
+    payload: bytes, pos: int, width: int, height: int, nibbles: bool = False
 ) -> np.ndarray:
-    """(height, width) palette indices of an RLE8 stream — encoded
-    runs (count, value), absolute mode (word-aligned literal spans),
-    and the 0-escapes (end-of-line, end-of-bitmap, position delta),
-    every write bounds-checked so a hostile stream raises instead of
+    """(height, width) palette indices of an RLE8 (``nibbles=False``)
+    or RLE4 (``nibbles=True``) stream — encoded runs (count, value;
+    RLE4 alternates the value byte's two nibbles), absolute mode
+    (word-aligned literal spans, nibble-packed for RLE4), and the
+    0-escapes (end-of-line, end-of-bitmap, position delta), every
+    write bounds-checked so a hostile stream raises instead of
     writing out of the grid."""
     # The grid allocation must be bounded (r9 fuzz: a smashed
     # height/width field otherwise allocates gigabytes before the
@@ -1230,8 +1454,9 @@ def _bmp_rle8_indices(
     # pixels at the background index (sparse sprites/masks), so the
     # stream-backed bound carries a generous absolute floor instead of
     # rejecting spec-legal sparse images (r9 review).
+    kind = "RLE4" if nibbles else "RLE8"
     if width * height > max(((len(payload) - pos) // 2) * 255, 1 << 22):
-        raise ValueError("RLE8 dimensions exceed what the stream can encode")
+        raise ValueError(f"{kind} dimensions exceed what the stream can encode")
     out = np.zeros((height, width), dtype=np.uint8)
     x = y = 0
     n = len(payload)
@@ -1240,8 +1465,14 @@ def _bmp_rle8_indices(
         pos += 2
         if count:  # encoded run
             if y >= height or x + count > width:
-                raise ValueError("RLE8 run outside the bitmap")
-            out[y, x : x + count] = val
+                raise ValueError(f"{kind} run outside the bitmap")
+            if nibbles:  # the value byte's nibbles alternate, high first
+                pattern = np.empty(count, dtype=np.uint8)
+                pattern[0::2] = val >> 4
+                pattern[1::2] = val & 0x0F
+                out[y, x : x + count] = pattern
+            else:
+                out[y, x : x + count] = val
             x += count
         elif val == 0:  # end of line
             x, y = 0, y + 1
@@ -1249,23 +1480,31 @@ def _bmp_rle8_indices(
             return out
         elif val == 2:  # delta
             if pos + 2 > n:
-                raise ValueError("RLE8 delta truncated")
+                raise ValueError(f"{kind} delta truncated")
             x += payload[pos]
             y += payload[pos + 1]
             pos += 2
             if x > width or y > height:
-                raise ValueError("RLE8 delta outside the bitmap")
+                raise ValueError(f"{kind} delta outside the bitmap")
         else:  # absolute mode: val literal indices, word-aligned
             span = val
-            end = pos + span + (span & 1)
+            data_bytes = (span + 1) // 2 if nibbles else span
+            end = pos + data_bytes + (data_bytes & 1)
             if end > n:
-                raise ValueError("RLE8 absolute run truncated")
+                raise ValueError(f"{kind} absolute run truncated")
             if y >= height or x + span > width:
-                raise ValueError("RLE8 absolute run outside the bitmap")
-            out[y, x : x + span] = np.frombuffer(payload, np.uint8, span, pos)
+                raise ValueError(f"{kind} absolute run outside the bitmap")
+            raw = np.frombuffer(payload, np.uint8, data_bytes, pos)
+            if nibbles:
+                nib = np.empty(data_bytes * 2, dtype=np.uint8)
+                nib[0::2] = raw >> 4
+                nib[1::2] = raw & 0x0F
+                out[y, x : x + span] = nib[:span]
+            else:
+                out[y, x : x + span] = raw
             x += span
             pos = end
-    raise ValueError("RLE8 stream missing end-of-bitmap")
+    raise ValueError(f"{kind} stream missing end-of-bitmap")
 
 
 def decode_bmp(payload: bytes) -> dict:

@@ -2545,6 +2545,165 @@ def test_bmp_rle8_dimension_bomb_raises():
             _bmp_pixels(payload)
 
 
+def test_ima_adpcm_decode_and_routing():
+    """IMA/DVI ADPCM WAVs (fmt tag 0x11 — the 4-bit predictive codec
+    the stdlib module rejects) decode for real: per-block seed
+    headers, low-nibble-first streams, stereo 4-byte group
+    interleave. Lossy, so correctness is self-consistency with the
+    textbook encoder twin plus an SNR floor; stats, sampler, and
+    fingerprint all route it (one support matrix)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _ima_adpcm_samples,
+        _pcm16_samples,
+        decode_wav,
+        encode_ima_adpcm,
+    )
+
+    t = np.arange(4000)
+    s = (8000 * np.sin(2 * np.pi * t / 200)).astype(np.int16)
+    p = encode_ima_adpcm(s, 8000)
+    dec, rate, nch = _ima_adpcm_samples(p)
+    assert rate == 8000 and nch == 1 and len(dec) >= len(s)
+    err = dec[: len(s)].astype(np.float64) - s
+    snr = 10 * np.log10((s.astype(np.float64) ** 2).mean() / (err**2).mean())
+    assert snr > 30, snr
+    # stereo: channels decode independently from interleaved groups
+    st = np.stack(
+        [s // 2, (3000 * np.sin(2 * np.pi * t / 90 + 1)).astype(np.int16)],
+        axis=1,
+    )
+    dec2, _, nch2 = _ima_adpcm_samples(encode_ima_adpcm(st, 8000))
+    assert nch2 == 2
+    got = dec2.reshape(-1, 2)[: len(st)].astype(np.float64)
+    snr2 = 10 * np.log10(
+        (st.astype(np.float64) ** 2).mean() / ((got - st) ** 2).mean()
+    )
+    assert snr2 > 30, snr2
+    # one support matrix: stats + fingerprint both route tag 0x11
+    d = decode_wav(p)
+    assert d["n_channels"] == 1 and d["sample_rate"] == 8000
+    assert np.array_equal(_pcm16_samples(p), dec)
+    # hostile: out-of-range step index, bad block align, truncations
+    bad = bytearray(p)
+    di = bytes(bad).find(b"data") + 8
+    bad[di + 2] = 200  # step index byte of the first block header
+    with pytest.raises(ValueError, match="step index"):
+        _ima_adpcm_samples(bytes(bad))
+    bad = bytearray(p)
+    fi = bytes(bad).find(b"fmt ") + 8
+    struct.pack_into("<H", bad, fi + 12, 6)  # block_align not 4-aligned
+    with pytest.raises(ValueError, match="block align"):
+        _ima_adpcm_samples(bytes(bad))
+    for cut in (len(p) // 2, len(p) - 5, 30):
+        try:
+            _ima_adpcm_samples(p[:cut])
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+
+
+def test_bmp_16bit_and_bitfields_decode_exact():
+    """16-bit 555 (BI_RGB default masks), 565/arbitrary BI_BITFIELDS,
+    and 32-bit BITFIELDS decode with exact integer round-to-nearest
+    channel expansion; hostile masks (overlapping, non-contiguous,
+    zero, past-bpp) raise."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import _bmp_pixels
+
+    rng = np.random.RandomState(23)
+    w, h = 5, 3
+    row = (w * 2 + 3) // 4 * 4
+
+    def rows16(vals):
+        grid = np.zeros((h, row), np.uint8)
+        grid[:, : w * 2] = vals.astype("<u2").view(np.uint8).reshape(h, w * 2)
+        return np.flipud(grid).tobytes()
+
+    # 555 via plain BI_RGB 16-bit
+    r5, g5, b5 = (rng.randint(0, 32, (h, w)) for _ in range(3))
+    payload = _bmp_header(w, h, 16, 0, 0, row * h) + rows16(
+        (r5 << 10) | (g5 << 5) | b5
+    )
+    px = _bmp_pixels(payload)
+    expand5 = lambda v: (v * 255 + 15) // 31  # noqa: E731
+    assert (px[:, :, 2] == expand5(r5)).all()
+    assert (px[:, :, 1] == expand5(g5)).all()
+    assert (px[:, :, 0] == expand5(b5)).all()
+    # 565 via BITFIELDS (classic header: masks between header and data)
+    g6 = rng.randint(0, 64, (h, w))
+    vals = (r5 << 11) | (g6 << 5) | b5
+    hdr = _bmp_header(w, h, 16, 3, 0, row * h)
+    hdr = hdr[:10] + struct.pack("<I", 66) + hdr[14:]  # data offset past masks
+    payload = hdr + struct.pack("<III", 0xF800, 0x07E0, 0x001F) + rows16(vals)
+    px = _bmp_pixels(payload)
+    assert (px[:, :, 2] == expand5(r5)).all()
+    assert (px[:, :, 1] == (g6 * 255 + 31) // 63).all()
+    assert (px[:, :, 0] == expand5(b5)).all()
+    # 32-bit BITFIELDS with byte-aligned 8-bit masks: identity
+    rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    v32 = (
+        (rgb[:, :, 0].astype(np.uint32) << 16)
+        | (rgb[:, :, 1].astype(np.uint32) << 8)
+        | rgb[:, :, 2]
+    )
+    row32 = w * 4
+    grid = np.flipud(
+        v32.astype("<u4").view(np.uint8).reshape(h, row32)
+    ).tobytes()
+    hdr = _bmp_header(w, h, 32, 3, 0, row32 * h)
+    hdr = hdr[:10] + struct.pack("<I", 66) + hdr[14:]
+    payload = hdr + struct.pack("<III", 0xFF0000, 0x00FF00, 0x0000FF) + grid
+    px = _bmp_pixels(payload)
+    assert (px[:, :, 2] == rgb[:, :, 0]).all()
+    assert (px[:, :, 0] == rgb[:, :, 2]).all()
+    # hostile masks
+    for bad in (
+        (0xF800, 0x07E0, 0x07E0),  # overlapping
+        (0xF0F0, 0x0F00, 0x000F),  # non-contiguous
+        (0, 0x07E0, 0x001F),  # zero channel
+        (0x1F800, 0x07E0, 0x001F),  # past bpp for 16-bit
+    ):
+        hdr = _bmp_header(w, h, 16, 3, 0, row * h)
+        hdr = hdr[:10] + struct.pack("<I", 66) + hdr[14:]
+        p = hdr + struct.pack("<III", *bad) + rows16(vals)
+        with pytest.raises(ValueError, match="mask"):
+            _bmp_pixels(p)
+
+
+def test_bmp_rle4_decode_and_hostile_streams():
+    """RLE4 (the last BMP compression): encoded runs alternate the
+    value byte's nibbles, absolute spans are nibble-packed and
+    word-aligned; out-of-grid writes and truncations raise."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import _bmp_pixels
+
+    idx = np.array(
+        [[1, 2, 1, 2, 1, 2, 1], [3, 3, 3, 3, 0, 0, 0], [4, 5, 6, 7, 8, 9, 10]],
+        np.uint8,
+    )
+    stream = bytes(
+        [7, 0x12, 0, 0, 4, 0x33, 0, 0, 0, 7, 0x45, 0x67, 0x89, 0xA0, 0, 1]
+    )
+    pal = b"".join(bytes([i * 10, i * 5, i * 3, 0]) for i in range(16))
+    payload = _bmp_header(7, 3, 4, 2, 16, len(stream)) + pal + stream
+    px = _bmp_pixels(payload)
+    pal_arr = np.frombuffer(pal, np.uint8).reshape(16, 4)[:, :3]
+    assert np.array_equal(px, pal_arr[idx][::-1])  # bottom-up
+    # hostile: run past the row, truncated absolute span, missing EOF
+    for bad in (
+        bytes([9, 0x11, 0, 1]),  # run wider than the bitmap
+        bytes([0, 7, 0x45, 0x67]),  # absolute span truncated
+        bytes([2, 0x11]),  # no end-of-bitmap
+        bytes([0, 2, 200, 200, 0, 1]),  # delta outside
+    ):
+        p = _bmp_header(7, 3, 4, 2, 16, len(bad)) + pal + bad
+        with pytest.raises(ValueError):
+            _bmp_pixels(p)
+    # top-down RLE is spec-invalid
+    p = _bmp_header(7, -3, 4, 2, 16, len(stream)) + pal + stream
+    with pytest.raises(ValueError, match="top-down"):
+        _bmp_pixels(p)
+
+
 def test_second_review_pass_regressions(spark):
     """r9 second self-review: PNG absolute pixel cap, sparse-legal
     RLE8, RLE8 palette-index labeling, 24-bit-aware audio sampler

@@ -153,16 +153,16 @@ def _encode_png_variant(rng: random.Random) -> bytes:
 
 def _encode_bmp_variant(rng: random.Random) -> bytes:
     """Seed twin for the r9 BMP widening: 8/4-bit paletted, RLE8,
-    and 32-bit BGRA layouts."""
+    RLE4, 16-bit 555, BITFIELDS, and 32-bit BGRA layouts."""
     import struct
 
     w, h = rng.randrange(1, 12), rng.randrange(1, 10)
-    kind = rng.randrange(4)
+    kind = rng.randrange(7)
     ncol = rng.randrange(2, 8)
     pal = bytes(rng.randrange(256) for _ in range(4 * ncol))
 
-    def header(bpp, compression, n_colors, data_size):
-        off = 54 + 4 * n_colors
+    def header(bpp, compression, n_colors, data_size, mask_bytes=0):
+        off = 54 + 4 * n_colors + mask_bytes
         return (
             b"BM"
             + struct.pack("<IHHI", off + data_size, 0, 0, off)
@@ -190,6 +190,47 @@ def _encode_bmp_variant(rng: random.Random) -> bytes:
         row = w * 4
         data = bytes(rng.randrange(256) for _ in range(row * h))
         return header(32, 0, 0, len(data)) + data
+    if kind == 3:  # 16-bit 555
+        row = (w * 2 + 3) // 4 * 4
+        data = bytes(rng.randrange(256) for _ in range(row * h))
+        return header(16, 0, 0, len(data)) + data
+    if kind == 4:  # BITFIELDS (565 / 555 / 8-bit-per-channel 32)
+        bpp, masks = rng.choice(
+            (
+                (16, (0xF800, 0x07E0, 0x001F)),
+                (16, (0x7C00, 0x03E0, 0x001F)),
+                (32, (0xFF0000, 0x00FF00, 0x0000FF)),
+            )
+        )
+        row = (w * (bpp // 8) + 3) // 4 * 4
+        data = bytes(rng.randrange(256) for _ in range(row * h))
+        return (
+            header(bpp, 3, 0, len(data), mask_bytes=12)
+            + struct.pack("<III", *masks)
+            + data
+        )
+    if kind == 5:  # RLE4: encoded rows + occasional absolute spans
+        out = bytearray()
+        for _ in range(h):
+            x = 0
+            while x < w:
+                run = min(rng.randrange(1, 6), w - x)
+                if run >= 3 and rng.randrange(2):
+                    nib = [(rng.randrange(ncol)) for _ in range(run)]
+                    packed = bytearray()
+                    for i in range(0, run, 2):
+                        lo = nib[i + 1] if i + 1 < run else 0
+                        packed.append((nib[i] << 4) | lo)
+                    if len(packed) & 1:
+                        packed.append(0)
+                    out += bytes([0, run]) + bytes(packed)
+                else:
+                    v = rng.randrange(ncol)
+                    out += bytes([run, (v << 4) | v])
+                x += run
+            out += b"\x00\x00"  # EOL
+        out += b"\x00\x01"  # EOF
+        return header(4, 2, ncol, len(out)) + pal + bytes(out)
     # RLE8: simple encoded rows
     out = bytearray()
     for _ in range(h):
@@ -201,6 +242,21 @@ def _encode_bmp_variant(rng: random.Random) -> bytes:
         out += b"\x00\x00"  # EOL
     out += b"\x00\x01"  # EOF
     return header(8, 1, ncol, len(out)) + pal + bytes(out)
+
+
+def _encode_ima_variant(rng: random.Random) -> bytes:
+    """Seed twin for the IMA ADPCM path (WAV fmt tag 0x11): mono or
+    stereo, assorted block sizes."""
+    ch = rng.choice((1, 1, 2))
+    n = rng.randrange(1, 300)
+    vals = np.asarray(
+        [rng.randrange(-32768, 32768) for _ in range(n * ch)], dtype=np.int16
+    ).reshape(n, ch)
+    return mm.encode_ima_adpcm(
+        vals[:, 0] if ch == 1 else vals,
+        rate=rng.choice((8000, 44100)),
+        frames_per_block=rng.choice((9, 17, 505)),
+    )
 
 
 def _encode_g711(rng: random.Random) -> bytes:
@@ -250,6 +306,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
             ),
         ),
         ("wav", mm._wav_payload(raw8)),
+        ("wav", _encode_ima_variant(rng)),
         ("aiff", mm._aiff_payload(raw8)),
         ("g711", _encode_g711(rng)),
         ("avi", mm._avi_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
