@@ -214,6 +214,204 @@ def _ima_adpcm_samples(
     return np.stack(arrs, axis=1).reshape(-1), rate, 2
 
 
+# MS ADPCM (WAV format tag 2) — the other classic 4-bit WAV codec:
+# a 2-tap fixed-point linear predictor chosen per block from the
+# format's 7 canonical coefficient pairs, plus a per-nibble delta
+# adaptation table. Both tables are normative constants of the spec.
+_MS_ADPCM_COEFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208),
+    (392, -232),
+)
+_MS_ADPCM_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307,
+    230, 230, 230,
+)
+
+
+def _ms_decode_nibbles(
+    nibbles: "list[int]", coefs: tuple, s1: int, s2: int, delta: int
+) -> list[int]:
+    """One channel's MS ADPCM recurrence: sample2/sample1 seed the
+    2-tap predictor, the 4-bit code is a signed multiple of the
+    adaptive delta. Serial like the IMA/FLAC-LPC recurrences."""
+    c1, c2 = coefs
+    out = [s2, s1]  # the header samples are the block's first outputs
+    for n in nibbles:
+        pred = (s1 * c1 + s2 * c2) >> 8
+        signed = n - 16 if n >= 8 else n
+        pred = max(-32768, min(32767, pred + signed * delta))
+        out.append(pred)
+        s2, s1 = s1, pred
+        delta = max(16, (_MS_ADPCM_ADAPT[n] * delta) >> 8)
+    return out
+
+
+def _ms_adpcm_samples(
+    payload: bytes, probed: tuple | None = None
+) -> tuple[np.ndarray, int, int]:
+    """(int16 interleaved samples, rate, n_channels) of an MS ADPCM
+    WAV (format tag 2): per-block headers carry a per-channel
+    predictor index, initial delta, and the two seed samples
+    (grouped field-by-field across channels), then 4-bit codes —
+    high nibble first, channels alternating per nibble for stereo.
+    Custom coefficient tables in the fmt extension are honored."""
+    probed = probed if probed is not None else _riff_fmt_and_data(payload)
+    if probed is None:
+        raise ValueError("not a parseable RIFF/WAVE container")
+    (tag, n_ch, rate, bits, block_align), data = probed
+    if tag != 2:
+        raise ValueError(f"not an MS ADPCM WAV (fmt tag {tag:#x})")
+    if bits != 4:
+        raise ValueError(f"MS ADPCM must be 4-bit, got {bits}")
+    if n_ch not in (1, 2):
+        raise ValueError(f"unsupported MS ADPCM channel count {n_ch}")
+    if block_align < 7 * n_ch + n_ch // 2:
+        raise ValueError(f"invalid MS ADPCM block align {block_align}")
+    coef_table, spb = _ms_fmt_extension(payload)
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for base in range(0, len(data) - len(data) % block_align, block_align):
+        block = data[base : base + block_align]
+        preds, deltas, s1s, s2s = [], [], [], []
+        for c in range(n_ch):
+            pi = block[c]
+            if pi >= len(coef_table):
+                raise ValueError(f"MS ADPCM predictor index {pi} out of range")
+            preds.append(coef_table[pi])
+        for c in range(n_ch):
+            deltas.append(struct.unpack_from("<h", block, n_ch + 2 * c)[0])
+            s1s.append(struct.unpack_from("<h", block, 3 * n_ch + 2 * c)[0])
+            s2s.append(struct.unpack_from("<h", block, 5 * n_ch + 2 * c)[0])
+        body = block[7 * n_ch :]
+        nibs: list[list[int]] = [[] for _ in range(n_ch)]
+        ch = 0
+        for b in body:
+            for n in (b >> 4, b & 0x0F):  # high nibble first
+                nibs[ch].append(n)
+                ch = (ch + 1) % n_ch
+        for c in range(n_ch):
+            dec = _ms_decode_nibbles(nibs[c], preds[c], s1s[c], s2s[c], deltas[c])
+            chans[c].extend(dec[:spb] if spb else dec)
+    arrs = [np.asarray(c, dtype=np.int16) for c in chans]
+    if n_ch == 1:
+        return arrs[0], rate, 1
+    if len(arrs[0]) != len(arrs[1]):
+        raise ValueError("MS ADPCM channels decoded to different lengths")
+    return np.stack(arrs, axis=1).reshape(-1), rate, 2
+
+
+def _ms_fmt_extension(payload: bytes) -> tuple[tuple, int]:
+    """(coefficient table, samples_per_block) from the fmt chunk's
+    ADPCM extension — falls back to the 7 canonical pairs / 0 when
+    the extension is absent or truncated (liberal read; every value
+    that matters downstream is validated there)."""
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csz,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + csz > len(payload):
+            break
+        if cid == b"fmt ":
+            if csz < 22:
+                break
+            spb, ncoef = struct.unpack_from("<HH", payload, pos + 8 + 18)
+            if ncoef < 1 or ncoef > 256 or csz < 22 + 4 * ncoef:
+                break
+            table = tuple(
+                struct.unpack_from("<hh", payload, pos + 8 + 22 + 4 * i)
+                for i in range(ncoef)
+            )
+            return table, spb
+        pos += 8 + csz + (csz & 1)
+    return _MS_ADPCM_COEFS, 0
+
+
+def encode_ms_adpcm(
+    samples: np.ndarray, rate: int = 8000, frames_per_block: int = 500
+) -> bytes:
+    """MS ADPCM encoder twin for tests/fuzz seeds: mono 1-D or
+    stereo (n, 2) int16 in, format-tag-2 RIFF out. Textbook encode:
+    trial-encode the block against all 7 canonical predictors and
+    keep the one with the least squared error. Lossy — correctness
+    is self-consistency with ``_ms_adpcm_samples`` plus an SNR
+    bound."""
+    s = np.asarray(samples)
+    if np.issubdtype(s.dtype, np.floating):
+        if not np.isfinite(s).all() or (s != np.floor(s)).any():
+            raise ValueError("encode_ms_adpcm: non-integral samples")
+    s = s.astype(np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2 or s.shape[1] not in (1, 2):
+        raise ValueError("encode_ms_adpcm takes 1-D mono or (n, 2) stereo")
+    if s.size and (s.max() > 32767 or s.min() < -32768):
+        raise ValueError("samples out of 16-bit range")
+    n_ch = s.shape[1]
+    if frames_per_block < 4 or ((frames_per_block - 2) * n_ch) % 2:
+        raise ValueError(f"invalid frames_per_block {frames_per_block}")
+    block_align = 7 * n_ch + (frames_per_block - 2) * n_ch // 2
+
+    def enc_channel(frame: np.ndarray, pi: int) -> tuple[int, int, list[int]]:
+        c1, c2 = _MS_ADPCM_COEFS[pi]
+        s2, s1 = int(frame[0]), int(frame[1])
+        diffs = np.abs(np.diff(frame))
+        delta = max(16, int(diffs.mean()) // 4 if len(diffs) else 16)
+        idelta = delta
+        err = 0
+        nibs = []
+        for v in frame[2:]:
+            pred = (s1 * c1 + s2 * c2) >> 8
+            diff = int(v) - pred
+            q = min(abs(diff) // delta, 8 if diff < 0 else 7)
+            n = (16 - q) & 0xF if diff < 0 else q
+            signed = n - 16 if n >= 8 else n
+            rec = max(-32768, min(32767, pred + signed * delta))
+            err += (int(v) - rec) ** 2
+            nibs.append(n)
+            s2, s1 = s1, rec
+            delta = max(16, (_MS_ADPCM_ADAPT[n] * delta) >> 8)
+        return err, idelta, nibs
+
+    n = len(s)
+    blocks = bytearray()
+    for base in range(0, n, frames_per_block):
+        frame = s[base : base + frames_per_block]
+        if len(frame) < frames_per_block:
+            pad = np.repeat(frame[-1:], frames_per_block - len(frame), axis=0)
+            frame = np.concatenate([frame, pad]) if len(frame) else np.zeros(
+                (frames_per_block, n_ch), dtype=np.int64
+            )
+        picks = []
+        for c in range(n_ch):
+            best = min(
+                (enc_channel(frame[:, c], pi) + (pi,) for pi in range(7)),
+                key=lambda t: t[0],
+            )
+            picks.append(best)
+        for _e, _d, _nb, pi in picks:
+            blocks.append(pi)
+        for e_d in picks:
+            blocks += struct.pack("<h", e_d[1])
+        for c in range(n_ch):
+            blocks += struct.pack("<h", int(frame[1, c]))
+        for c in range(n_ch):
+            blocks += struct.pack("<h", int(frame[0, c]))
+        # interleave channels per nibble, high nibble first
+        flat: list[int] = []
+        for i in range(frames_per_block - 2):
+            for c in range(n_ch):
+                flat.append(picks[c][2][i])
+        for i in range(0, len(flat), 2):
+            blocks.append((flat[i] << 4) | flat[i + 1])
+    fmt = struct.pack("<HHIIHHHHH", 2, n_ch, rate,
+                      rate * block_align // frames_per_block or 1,
+                      block_align, 4, 4 + 4 * 7, frames_per_block, 7)
+    for c1, c2 in _MS_ADPCM_COEFS:
+        fmt += struct.pack("<hh", c1, c2)
+    out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+
 def encode_ima_adpcm(
     samples: np.ndarray, rate: int = 8000, frames_per_block: int = 505
 ) -> bytes:
@@ -327,8 +525,9 @@ def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     the public spec tables to 16-bit. Corrupt containers raise
     ValueError."""
     probed = _riff_fmt_and_data(payload)
-    if probed is not None and probed[0][0] == 0x11:
-        s, rate, n_ch = _ima_adpcm_samples(payload, probed)
+    if probed is not None and probed[0][0] in (0x11, 2):
+        dec = _ima_adpcm_samples if probed[0][0] == 0x11 else _ms_adpcm_samples
+        s, rate, n_ch = dec(payload, probed)
         return s.astype(np.float64), n_ch, rate, len(s) // max(n_ch, 1)
     if probed is not None and probed[0][0] in (6, 7):
         (tag, n_ch, rate, bits, _ba), data = probed
@@ -499,11 +698,11 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         # fingerprint families keep one support matrix (r9 review)
         return _mp4_pcm_samples(payload)[0]
     probed = _riff_fmt_and_data(payload)
-    if probed is not None and probed[0][0] in (6, 7, 0x11):
-        # G.711 and IMA ADPCM expand to exact int16 — the fingerprint
-        # contract — so the stats and fingerprint families share one
-        # support matrix (r9 review: drift is the sampler-KeyError
-        # bug class)
+    if probed is not None and probed[0][0] in (6, 7, 0x11, 2):
+        # G.711 and IMA/MS ADPCM expand to exact int16 — the
+        # fingerprint contract — so the stats and fingerprint
+        # families share one support matrix (r9 review: drift is the
+        # sampler-KeyError bug class)
         return _wav_samples_f64(payload)[0].astype(np.int16)
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:

@@ -245,15 +245,22 @@ def _encode_bmp_variant(rng: random.Random) -> bytes:
 
 
 def _encode_ima_variant(rng: random.Random) -> bytes:
-    """Seed twin for the IMA ADPCM path (WAV fmt tag 0x11): mono or
-    stereo, assorted block sizes."""
+    """Seed twin for the ADPCM paths (WAV fmt tags 0x11 and 2): mono
+    or stereo, assorted block sizes, both codecs."""
     ch = rng.choice((1, 1, 2))
     n = rng.randrange(1, 300)
     vals = np.asarray(
         [rng.randrange(-32768, 32768) for _ in range(n * ch)], dtype=np.int16
     ).reshape(n, ch)
+    sig = vals[:, 0] if ch == 1 else vals
+    if rng.randrange(2):
+        return mm.encode_ms_adpcm(
+            sig,
+            rate=rng.choice((8000, 44100)),
+            frames_per_block=rng.choice((4, 18, 500)),
+        )
     return mm.encode_ima_adpcm(
-        vals[:, 0] if ch == 1 else vals,
+        sig,
         rate=rng.choice((8000, 44100)),
         frames_per_block=rng.choice((9, 17, 505)),
     )
