@@ -184,6 +184,11 @@ def _ima_adpcm_samples(
         raise ValueError(f"unsupported IMA ADPCM channel count {n_ch}")
     if block_align < 4 * n_ch or block_align % (4 * n_ch):
         raise ValueError(f"invalid IMA ADPCM block align {block_align}")
+    # honor the fmt extension's samples_per_block like the MS path
+    # does: the final (or every) block's trailing nibbles may be
+    # padding, not samples — decoding them inflates n_frames and
+    # skews rms/peak on externally-encoded WAVs (r9 ADVICE).
+    spb = _ima_fmt_extension(payload)
     chans: list[list[int]] = [[] for _ in range(n_ch)]
     for base in range(0, len(data) - len(data) % block_align, block_align):
         block = data[base : base + block_align]
@@ -193,7 +198,6 @@ def _ima_adpcm_samples(
             if idx > 88:
                 raise ValueError(f"IMA ADPCM step index {idx} out of range")
             seeds.append((pred, idx))
-            chans[c].append(pred)  # the header predictor is sample 0
         body = block[4 * n_ch :]
         # nibbles per channel: mono is sequential; stereo alternates
         # 4-byte (8-nibble) groups between channels
@@ -207,11 +211,34 @@ def _ima_adpcm_samples(
             for b in cb:
                 nibs.append(b & 0x0F)  # low nibble first per the spec
                 nibs.append(b >> 4)
-            chans[c].extend(_ima_decode_nibbles(nibs, *seeds[c]))
+            # the header predictor is sample 0 of the block
+            block_out = [seeds[c][0]] + _ima_decode_nibbles(nibs, *seeds[c])
+            chans[c].extend(block_out[:spb] if spb else block_out)
     arrs = [np.asarray(ch, dtype=np.int16) for ch in chans]
     if n_ch == 1:
         return arrs[0], rate, 1
     return np.stack(arrs, axis=1).reshape(-1), rate, 2
+
+
+def _ima_fmt_extension(payload: bytes) -> int:
+    """samples_per_block from the fmt chunk's IMA ADPCM extension
+    (cbSize >= 2), 0 when absent or truncated — the same liberal-read
+    discipline as ``_ms_fmt_extension`` (a bogus huge value only makes
+    the truncation a no-op; a bogus small one is the encoder's claim
+    of how many real samples each block holds, which we honor)."""
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csz,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + csz > len(payload):
+            break
+        if cid == b"fmt ":
+            if csz < 20:
+                break
+            (spb,) = struct.unpack_from("<H", payload, pos + 8 + 18)
+            return spb
+        pos += 8 + csz + (csz & 1)
+    return 0
 
 
 # MS ADPCM (WAV format tag 2) — the other classic 4-bit WAV codec:
@@ -228,6 +255,15 @@ _MS_ADPCM_ADAPT = (
 )
 
 
+def _trunc_div256(p: int) -> int:
+    """C-style truncating division by 256 (toward zero). The MS ADPCM
+    spec pseudocode and reference decoders (ffmpeg) divide the
+    predictor sum with C integer division; Python's ``>> 8`` floors,
+    which is 1 LSB off for negative sums — and the error feeds the
+    IIR predictor state (r9 ADVICE)."""
+    return p // 256 if p >= 0 else -((-p) // 256)
+
+
 def _ms_decode_nibbles(
     nibbles: "list[int]", coefs: tuple, s1: int, s2: int, delta: int
 ) -> list[int]:
@@ -237,7 +273,7 @@ def _ms_decode_nibbles(
     c1, c2 = coefs
     out = [s2, s1]  # the header samples are the block's first outputs
     for n in nibbles:
-        pred = (s1 * c1 + s2 * c2) >> 8
+        pred = _trunc_div256(s1 * c1 + s2 * c2)
         signed = n - 16 if n >= 8 else n
         pred = max(-32768, min(32767, pred + signed * delta))
         out.append(pred)
@@ -359,7 +395,7 @@ def encode_ms_adpcm(
         err = 0
         nibs = []
         for v in frame[2:]:
-            pred = (s1 * c1 + s2 * c2) >> 8
+            pred = _trunc_div256(s1 * c1 + s2 * c2)
             diff = int(v) - pred
             q = min(abs(diff) // delta, 8 if diff < 0 else 7)
             n = (16 - q) & 0xF if diff < 0 else q
@@ -748,6 +784,14 @@ def _check_u8_pixels(px: np.ndarray, who: str) -> None:
         raise ValueError(f"{who}: non-finite pixel values")
     if px.dtype != np.uint8 and px.size and (px.min() < 0 or px.max() > 255):
         raise ValueError(f"{who}: pixel values outside [0, 255]")
+    if np.issubdtype(px.dtype, np.floating) and px.size and (
+        px != np.floor(px)
+    ).any():
+        # astype(np.uint8) would silently truncate 3.7 -> 3: a lossy
+        # encode with ok=True on hash-checked-lossless encoders (the
+        # FLAC/ADPCM encoders already reject this; r9 ADVICE aligned
+        # the image encoders)
+        raise ValueError(f"{who}: non-integral pixel values")
 
 
 def _crc_table(poly: int, width: int) -> tuple[int, ...]:

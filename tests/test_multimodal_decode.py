@@ -2664,6 +2664,78 @@ def test_ms_adpcm_decode_and_routing():
             raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
 
 
+def test_ms_adpcm_negative_predictor_truncating_division():
+    """The MS ADPCM predictor divides with C-style truncation toward
+    zero, not Python's floor: for s1=-1, s2=0, coefs (460, -208) the
+    sum is -460 and the prediction is -1 (ffmpeg/spec), not -2
+    (``-460 >> 8``). The error would feed the IIR state, drifting
+    every later sample on externally-encoded WAVs (r9 ADVICE)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _ms_decode_nibbles,
+        _trunc_div256,
+    )
+
+    assert _trunc_div256(-460) == -1
+    assert _trunc_div256(460) == 1
+    assert _trunc_div256(-256) == -1 and _trunc_div256(-255) == 0
+    # nibble 0 contributes no delta, so out[2] IS the prediction
+    out = _ms_decode_nibbles([0], (460, -208), -1, 0, 16)
+    assert out == [0, -1, -1]
+
+
+def test_ima_adpcm_honors_samples_per_block():
+    """The fmt extension's samples_per_block truncates each block's
+    per-channel output, exactly like the MS path: an external encoder
+    that pads its final block flags the padding via spb, and decoding
+    the pad as samples inflates n_frames and skews rms (r9 ADVICE)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _ima_adpcm_samples,
+        encode_ima_adpcm,
+    )
+
+    s = (1000 * np.sin(np.arange(9) / 3)).astype(np.int16)
+    p = encode_ima_adpcm(s, 8000, frames_per_block=9)  # one block
+    dec, _, _ = _ima_adpcm_samples(p)
+    assert len(dec) == 9  # spb == frames_per_block: truncation no-op
+    # patch the fmt extension's wSamplesPerBlock down to 5
+    buf = bytearray(p)
+    fi = bytes(buf).find(b"fmt ") + 8
+    struct.pack_into("<H", buf, fi + 18, 5)
+    dec5, _, _ = _ima_adpcm_samples(bytes(buf))
+    assert len(dec5) == 5
+    assert np.array_equal(dec5, dec[:5])
+    # stereo: per-channel truncation, interleave preserved
+    st = np.stack([s, -s], axis=1)
+    p2 = encode_ima_adpcm(st, 8000, frames_per_block=9)
+    buf2 = bytearray(p2)
+    fi2 = bytes(buf2).find(b"fmt ") + 8
+    struct.pack_into("<H", buf2, fi2 + 18, 5)
+    dec2, _, nch2 = _ima_adpcm_samples(bytes(buf2))
+    assert nch2 == 2 and len(dec2) == 10
+    full, _, _ = _ima_adpcm_samples(p2)
+    assert np.array_equal(dec2.reshape(-1, 2), full.reshape(-1, 2)[:5])
+
+
+def test_image_encoders_reject_fractional_floats():
+    """encode_gif/encode_tiff/encode_jpeg contract lossless (or
+    deterministic) pixel round trips — a finite fractional float like
+    3.7 must raise, not silently truncate through astype(uint8),
+    matching the FLAC/ADPCM encoders' discipline (r9 ADVICE)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        encode_gif,
+        encode_jpeg,
+        encode_tiff,
+    )
+
+    px = np.full((8, 8), 3.7)
+    for enc in (encode_gif, encode_tiff, encode_jpeg):
+        with pytest.raises(ValueError, match="non-integral"):
+            enc(px)
+    # integral-valued floats still encode
+    for enc in (encode_gif, encode_tiff, encode_jpeg):
+        enc(np.full((8, 8), 3.0))
+
+
 def test_bmp_16bit_and_bitfields_decode_exact():
     """16-bit 555 (BI_RGB default masks), 565/arbitrary BI_BITFIELDS,
     and 32-bit BITFIELDS decode with exact integer round-to-nearest
