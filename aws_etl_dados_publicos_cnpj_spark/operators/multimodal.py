@@ -558,13 +558,16 @@ def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     (r9 review: the sampler KeyError'd on a width the stats path had
     just learned). G.711 µ-law/A-law WAVs (format tags 7/6 — the
     telephony-corpus staple the stdlib module rejects) expand through
-    the public spec tables to 16-bit. Corrupt containers raise
-    ValueError."""
+    the public spec tables to 16-bit; IEEE-float WAVs (tag 3, also
+    stdlib-rejected) expand to the int16 grid via
+    ``_float_wav_expand``. Corrupt containers raise ValueError."""
     probed = _riff_fmt_and_data(payload)
     if probed is not None and probed[0][0] in (0x11, 2):
         dec = _ima_adpcm_samples if probed[0][0] == 0x11 else _ms_adpcm_samples
         s, rate, n_ch = dec(payload, probed)
         return s.astype(np.float64), n_ch, rate, len(s) // max(n_ch, 1)
+    if probed is not None and probed[0][0] == 3:
+        return _float_wav_expand(probed)
     if probed is not None and probed[0][0] in (6, 7):
         (tag, n_ch, rate, bits, _ba), data = probed
         if bits != 8:
@@ -598,6 +601,34 @@ def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
         samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
         if sampwidth == 1:  # 8-bit WAV is unsigned, center it
             samples -= 128.0
+    return samples, n_ch, rate, n_frames
+
+
+def _float_wav_expand(probed: tuple) -> tuple[np.ndarray, int, int, int]:
+    """IEEE-float WAV (format tag 3 — the common DAW-export layout the
+    stdlib module rejects) expanded to the int16 sample grid, the same
+    discipline as the G.711/ADPCM arms: float is a NORMALIZED encoding
+    (full scale ±1.0) whose canonical integerization is
+    ``round(clip(v, -1, 1) · 32767)``, so stats, sampler, and
+    fingerprint share one grid (and the fixture oracles hold
+    unchanged). Out-of-range values clip exactly like every integer
+    renderer; non-finite values raise — they would poison rms and
+    rounding them is undefined."""
+    (_tag, n_ch, rate, bits, _ba), data = probed
+    if bits not in (32, 64):
+        raise ValueError(f"float WAV must be 32- or 64-bit, got {bits}")
+    if n_ch < 1:
+        raise ValueError(f"invalid WAV channel count {n_ch}")
+    width = bits // 8
+    n_frames = len(data) // (width * n_ch)
+    # whole frames only — same ragged-tail rule as the G.711 arm
+    data = data[: n_frames * width * n_ch]
+    v = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8").astype(
+        np.float64
+    )
+    if v.size and not np.isfinite(v).all():
+        raise ValueError("float WAV contains non-finite samples")
+    samples = np.rint(np.clip(v, -1.0, 1.0) * 32767.0)
     return samples, n_ch, rate, n_frames
 
 
@@ -734,23 +765,33 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         # fingerprint families keep one support matrix (r9 review)
         return _mp4_pcm_samples(payload)[0]
     probed = _riff_fmt_and_data(payload)
-    if probed is not None and probed[0][0] in (6, 7, 0x11, 2):
-        # G.711 and IMA/MS ADPCM expand to exact int16 — the
-        # fingerprint contract — so the stats and fingerprint
-        # families share one support matrix (r9 review: drift is the
-        # sampler-KeyError bug class)
+    if probed is not None and probed[0][0] in (3, 6, 7, 0x11, 2):
+        # G.711, IMA/MS ADPCM, and IEEE-float WAVs all expand to the
+        # exact int16 grid — the fingerprint contract — so the stats
+        # and fingerprint families share one support matrix (r9
+        # review: drift is the sampler-KeyError bug class)
         return _wav_samples_f64(payload)[0].astype(np.int16)
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
-            if w.getsampwidth() != 2:
+            sw = w.getsampwidth()
+            if sw not in (2, 4):
                 # Match the AIFF/FLAC arms: reinterpreting 8/24-bit
                 # frames as int16 would fingerprint garbage with ok=True.
-                raise ValueError(
-                    f"unsupported WAV sample width {w.getsampwidth()}"
-                )
+                raise ValueError(f"unsupported WAV sample width {sw}")
             raw = w.readframes(w.getnframes())
     except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
         raise ValueError(f"corrupt WAV container ({exc})") from exc
+    if sw == 4:
+        # 32-bit PCM fingerprints only when every sample already sits
+        # on the int16 grid (a 32-bit container carrying 16-bit
+        # values): downshifting would DISCARD real bits, and the
+        # family's contract is exact samples — the same rule that
+        # pins the 8/24-bit rejections above. Full-scale 32-bit
+        # audio quarantines; stats/sampler still decode it natively.
+        v = np.frombuffer(raw, dtype="<i4")
+        if v.size and (v.max() > 32767 or v.min() < -32768):
+            raise ValueError("32-bit WAV samples exceed the int16 grid")
+        return v.astype(np.int16)
     return np.frombuffer(raw, dtype=np.int16)
 
 
@@ -4535,6 +4576,39 @@ def _wav_payload(raw: bytes, rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
+def _float_wav_payload(raw: bytes, rate: int = 8000, double: bool = False) -> bytes:
+    """The SAME decoded-sample contract as ``_wav_payload`` through
+    the IEEE-float decode path (fmt tag 3): byte k ships as k/32767
+    in float32 (or float64), which ``_float_wav_expand`` rounds back
+    to exactly k on the int16 grid — |float32(k/32767)·32767 − k| ≤
+    k·2⁻²⁴ < 2·10⁻⁵, far inside the 0.5 rounding margin. Same decoded
+    values, same SQL oracles, new decode path."""
+    v = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) / 32767.0
+    bits = 64 if double else 32
+    body = v.astype("<f8" if double else "<f4").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 3, 1, rate, rate * (bits // 8), bits // 8, bits
+    )
+    out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+
+def _pcm32_wav_payload(raw: bytes, rate: int = 8000) -> bytes:
+    """The fixture contract through the 32-bit PCM path: byte k ships
+    as int32 value k — already on the int16 grid, so the native-domain
+    stats AND the exact-grid fingerprint both see the byte contract
+    (a 32-bit container carrying 16-bit-grid values)."""
+    samples = np.frombuffer(raw, dtype=np.uint8).astype("<i4")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
 def _aiff_payload(raw: bytes, rate: int = 8000) -> bytes:
     """The SAME sample contract as ``_wav_payload`` in a real AIFF
     container (big-endian PCM, COMM 80-bit extended-float rate) — so
@@ -4696,7 +4770,12 @@ def synthesize_mixed_audio_from_text(
     either way. Half the WAV docs (doc_id % 6 == 3) ship as
     PCM-in-MP4 instead ('twos' big-endian mono at doc_id % 12 == 3,
     'sowt' little-endian stereo at % 12 == 9), driver-gating the
-    ISO-BMFF sample-table audio decode under the same oracle."""
+    ISO-BMFF sample-table audio decode under the same oracle. The
+    remaining WAV docs (doc_id % 6 == 0) sub-rotate across the RIFF
+    sample layouts (r10): IEEE-float WAVs at % 12 == 6 (float32, or
+    float64 at % 24 == 18) carrying k/32767 so the tag-3 expansion
+    rounds back to exactly k; 32-bit PCM at % 24 == 12 carrying k
+    directly; classic 16-bit PCM at % 24 == 0."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -4720,6 +4799,16 @@ def synthesize_mixed_audio_from_text(
                         )
                     )
                     mimes.append("audio/mp4")
+                elif int(doc_id) % 12 == 6:
+                    payloads.append(
+                        _float_wav_payload(
+                            raw, rate, double=int(doc_id) % 24 == 18
+                        )
+                    )
+                    mimes.append("audio/wav")
+                elif int(doc_id) % 24 == 12:
+                    payloads.append(_pcm32_wav_payload(raw, rate))
+                    mimes.append("audio/wav")
                 else:
                     payloads.append(_wav_payload(raw, rate))
                     mimes.append("audio/wav")

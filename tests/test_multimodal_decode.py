@@ -1008,6 +1008,131 @@ def test_aiff_decodes_identical_to_wav_same_contract(spark):
     assert len(set(hashes.values())) == 1  # same text → same ehash, any container
 
 
+def test_float_wav_decodes_to_int16_grid():
+    """IEEE-float WAVs (fmt tag 3 — stdlib-rejected) expand to the
+    int16 grid like the G.711/ADPCM arms: round(clip(v)·32767), one
+    contract across stats, sampler, and fingerprint. The fixture
+    builder ships byte k as k/32767 so every family sees exactly k."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _float_wav_payload,
+        _pcm16_samples,
+        _wav_payload,
+        _wav_samples_f64,
+        decode_media,
+        decode_wav,
+    )
+
+    raw = "float WAVs: the DAW-export layout — ações".encode("utf-8")
+    ref = decode_wav(_wav_payload(raw))
+    for double in (False, True):
+        p = _float_wav_payload(raw, double=double)
+        d = decode_wav(p)
+        for k in ("n_channels", "sample_rate", "n_frames", "rms", "peak"):
+            assert d[k] == ref[k], (k, double)
+        assert np.array_equal(
+            _pcm16_samples(p), np.frombuffer(raw, np.uint8).astype(np.int16)
+        )
+        assert decode_media(p, "audio/wav")["kind"] == "audio"
+    # out-of-range samples clip (every integer renderer's behavior);
+    # non-finite raises (rounding NaN is undefined, rms poisoned)
+    def tag3(vals, bits=32):
+        body = np.array(vals, "<f4" if bits == 32 else "<f8").tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * bits // 8, bits // 8, bits)
+        out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"data" + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+    s, _, _, nf = _wav_samples_f64(tag3([0.5, -2.0, 2.0]))
+    assert s.tolist() == [16384.0, -32767.0, 32767.0] and nf == 3
+    with pytest.raises(ValueError, match="non-finite"):
+        _wav_samples_f64(tag3([0.1, float("nan")]))
+    with pytest.raises(ValueError, match="non-finite"):
+        _wav_samples_f64(tag3([float("inf")], bits=64))
+    with pytest.raises(ValueError, match="32- or 64-bit"):
+        _wav_samples_f64(tag3([0.0]) .replace(
+            struct.pack("<HH", 4, 32), struct.pack("<HH", 4, 16), 1
+        ))
+    # ragged tail (consistent csz, non-frame-multiple data): whole
+    # frames only, same rule as the G.711 arm; a truncated RIFF
+    # (csz overruns) quarantines as corrupt instead
+    body = np.array([0.1, 0.2], "<f4").tobytes() + b"\x99\x99"
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(body)) + body
+    ragged = b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+    assert _wav_samples_f64(ragged)[3] == 2
+    with pytest.raises(ValueError, match="corrupt WAV"):
+        _wav_samples_f64(tag3([0.1, 0.2, 0.3])[:-2])
+
+
+def test_pcm32_wav_stats_native_fingerprint_exact_grid():
+    """32-bit PCM WAVs: stats/sampler decode the native int32 domain
+    (pinned like the 24-bit path); the fingerprint family accepts only
+    samples already ON the int16 grid — downshifting would discard
+    real bits, the same exactness rule that pins the 8/24-bit
+    rejections. The fixture ships byte k as int32 k, satisfying both."""
+    import wave as _wave
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _pcm16_samples,
+        _pcm32_wav_payload,
+        decode_wav,
+    )
+
+    raw = bytes(range(40))
+    p = _pcm32_wav_payload(raw)
+    d = decode_wav(p)
+    assert d["n_frames"] == 40 and d["peak"] == 39.0
+    assert np.array_equal(
+        _pcm16_samples(p), np.frombuffer(raw, np.uint8).astype(np.int16)
+    )
+    # full-scale 32-bit: stats native, fingerprint quarantines
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)
+        w.setframerate(8000)
+        w.writeframes(np.array([1 << 20, -3], "<i4").tobytes())
+    big = buf.getvalue()
+    assert decode_wav(big)["peak"] == float(1 << 20)
+    with pytest.raises(ValueError, match="exceed the int16 grid"):
+        _pcm16_samples(big)
+
+
+def test_audio_fixture_rotation_covers_new_wav_layouts(spark):
+    """doc_id % 24 ∈ {0, 6, 12, 18} routes 16-bit PCM, float32,
+    32-bit PCM, and float64 WAVs; all four decode to the identical
+    byte→sample contract (same ehash), so the oracle gate holds
+    unchanged while the driver exercises every RIFF layout."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        audio_energy_hash,
+        synthesize_mixed_audio_from_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "identical text for every row") for i in (0, 6, 12, 18)],
+        "doc_id long, text string",
+    )
+    mixed = synthesize_mixed_audio_from_text(docs).collect()
+    assert {r.mime for r in mixed} == {"audio/wav"}
+    payloads = {r.doc_id: bytes(r.payload) for r in mixed}
+    # four genuinely different encodings of the same samples
+    assert len({p[:40] for p in payloads.values()}) == 4
+    tags = {i: struct.unpack_from("<H", p, 20)[0] for i, p in payloads.items()}
+    assert tags == {0: 1, 6: 3, 12: 1, 18: 3}
+    widths = {i: struct.unpack_from("<H", p, 34)[0] for i, p in payloads.items()}
+    assert widths == {0: 16, 6: 32, 12: 32, 18: 64}
+    hashes = audio_energy_hash(
+        synthesize_mixed_audio_from_text(
+            spark.createDataFrame(
+                [(i, "identical text for every row") for i in (0, 6, 12, 18)],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    assert len({r.ehash for r in hashes}) == 1
+
+
 def test_f80_extended_float_round_trip():
     from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
         _f80_decode,

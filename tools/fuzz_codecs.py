@@ -314,6 +314,8 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ),
         ("wav", mm._wav_payload(raw8)),
         ("wav", _encode_ima_variant(rng)),
+        ("wavf", mm._float_wav_payload(raw8, double=rng.random() < 0.5)),
+        ("wav32", mm._pcm32_wav_payload(raw8)),
         ("aiff", mm._aiff_payload(raw8)),
         ("g711", _encode_g711(rng)),
         ("avi", mm._avi_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
@@ -369,6 +371,8 @@ _DECODERS = {
     "bmpv": [mm._bmp_pixels, mm.decode_bmp],
     "flac": [mm._flac_samples, mm.decode_flac, mm._pcm16_samples],
     "wav": [mm.decode_wav, mm._pcm16_samples],
+    "wavf": [mm.decode_wav, mm._pcm16_samples, lambda p: mm._wav_samples_f64(p)[0]],
+    "wav32": [mm.decode_wav, mm._pcm16_samples, lambda p: mm._wav_samples_f64(p)[0]],
     "aiff": [mm._aiff_samples, mm.decode_aiff, mm._pcm16_samples],
     "g711": [mm.decode_wav, lambda p: mm._wav_samples_f64(p)[0]],
     "avi": [mm._avi_mjpeg_frames, mm.decode_avi_mjpeg],
