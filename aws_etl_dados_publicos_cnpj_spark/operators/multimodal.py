@@ -1812,7 +1812,10 @@ def decode_bmp(payload: bytes) -> dict:
 # storage, compression 1 (none) / 5 (LZW, MSB-first with early
 # change — NOT the GIF variant) / 32773 (PackBits), photometric
 # 0/1 (bilevel+gray, WhiteIsZero inverted) / 2 (RGB, alpha dropped)
-# / 3 (palette, 16-bit colormap scaled >>8). No codec library.
+# / 3 (palette, 16-bit colormap scaled >>8). 16-bit samples (r10):
+# gray + RGB, file byte order, predictor 2 mod 65536, exact
+# v·255/65535 16→8 rounding (the PNG depth-16 rule). No codec
+# library.
 
 
 def _tiff_lzw_decode(data: bytes, max_bytes: int) -> bytes:
@@ -2048,8 +2051,8 @@ def _tiff_pixels_impl(payload: bytes) -> np.ndarray:
     if any(b != bps for b in bps_list):
         raise ValueError(f"unsupported mixed TIFF bits-per-sample {bps_list}")
     supported = (
-        (photometric in (0, 1) and spp == 1 and bps in (1, 8))
-        or (photometric == 2 and spp in (3, 4) and bps == 8)
+        (photometric in (0, 1) and spp == 1 and bps in (1, 8, 16))
+        or (photometric == 2 and spp in (3, 4) and bps in (8, 16))
         or (photometric == 3 and spp == 1 and bps in (4, 8))
     )
     # 8 = Adobe Deflate, 32946 = the older Deflate code — same stream
@@ -2088,11 +2091,27 @@ def _tiff_pixels_impl(payload: bytes) -> np.ndarray:
         """(rows_n, w, spp) samples from unpredicted scanline bytes —
         the predictor resets per segment row, so this runs per strip
         grid or per TILE, never across segment boundaries."""
+        if bps == 16:
+            # 16-bit samples follow the FILE byte order (r10); the
+            # predictor, when present, differences 16-bit VALUES per
+            # channel (mod 65536), not bytes
+            pairs = (
+                grid[:, : w * spp * 2]
+                .reshape(rows_n, w * spp, 2)
+                .astype(np.uint32)
+            )
+            hi, lo = (0, 1) if e == ">" else (1, 0)
+            vals = ((pairs[:, :, hi] << 8) | pairs[:, :, lo]).reshape(
+                rows_n, w, spp
+            )
+            if predictor == 2:
+                vals = np.cumsum(vals, axis=1, dtype=np.int64) & 0xFFFF
+            return vals.astype(np.uint16)
         if predictor == 2:
             # horizontal differencing (tag 317 — libtiff's default
             # with LZW): invert with a per-channel cumsum mod 256
             if bps != 8:
-                raise ValueError("TIFF predictor 2 requires 8-bit samples")
+                raise ValueError("TIFF predictor 2 requires 8- or 16-bit samples")
             und = grid[:, : w * spp].reshape(rows_n, w, spp)
             return (np.cumsum(und, axis=1, dtype=np.int64) & 0xFF).astype(np.uint8)
         if bps == 8:
@@ -2157,6 +2176,12 @@ def _tiff_pixels_impl(payload: bytes) -> np.ndarray:
             raise ValueError("TIFF strips cover fewer rows than ImageLength")
         samples = _expand(np.concatenate(rows, axis=0), height, width)
     if photometric == 2:
+        if bps == 16:
+            # exact round-to-nearest 16→8 (v·255/65535) — the same
+            # bit-pinnable formula as the PNG depth-16 path, not >>8
+            return (
+                (samples[:, :, :3].astype(np.uint32) * 255 + 32767) // 65535
+            ).astype(np.uint8)
         return samples[:, :, :3].astype(np.uint8)
     if photometric == 3:
         cmap = tags.get(320)
@@ -2174,8 +2199,11 @@ def _tiff_pixels_impl(payload: bytes) -> np.ndarray:
     gray = samples[:, :, 0].astype(np.int64)
     if photometric == 0:
         gray = maxval - gray
-    gray = (gray * (255 // maxval)).astype(np.uint8) if bps < 8 else gray.astype(np.uint8)
-    return np.repeat(gray[:, :, None], 3, axis=2)
+    if bps == 16:
+        gray = (gray * 255 + 32767) // 65535  # same exact round as RGB
+    elif bps < 8:
+        gray = gray * (255 // maxval)
+    return np.repeat(gray.astype(np.uint8)[:, :, None], 3, axis=2)
 
 
 def decode_tiff(payload: bytes) -> dict:
@@ -2197,16 +2225,32 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
+    bits: int = 8,
     _nonspec_tiles: bool = False,
 ) -> bytes:
     """Baseline-TIFF encoder twin (fixture discipline): grayscale
     (h,w) or RGB (h,w,3) uint8, little-endian, strip-based with real
     LZW (early change), Deflate (8, zlib), or PackBits when asked.
     Lossless, so the text-byte oracles can hash-check the round
-    trip."""
+    trip. ``bits=16`` (r10) emits 16-bit samples (values 0–65535,
+    little-endian, predictor 2 differences mod 65536); the decoder's
+    RGB8 contract rounds 16→8 exactly like the PNG path, so v·257
+    round-trips to v."""
     px = np.asarray(px)
-    _check_u8_pixels(px, "encode_tiff")
-    px = px.astype(np.uint8)
+    if bits not in (8, 16):
+        raise ValueError(f"unsupported TIFF bits-per-sample {bits}")
+    if bits == 16:
+        if np.issubdtype(px.dtype, np.floating):
+            if not np.isfinite(px).all() or (
+                px.size and (px != np.floor(px)).any()
+            ):
+                raise ValueError("encode_tiff: non-integral pixel values")
+        if px.size and (px.min() < 0 or px.max() > 65535):
+            raise ValueError("encode_tiff: pixel values outside [0, 65535]")
+        px = px.astype(np.uint16)
+    else:
+        _check_u8_pixels(px, "encode_tiff")
+        px = px.astype(np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     if px.ndim != 3 or px.shape[2] not in (1, 3) or px.size == 0:
@@ -2220,12 +2264,15 @@ def encode_tiff(
         raise ValueError(f"invalid TIFF rows_per_strip {rps}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
+    mask = (1 << bits) - 1
+    store = np.dtype("<u2") if bits == 16 else np.dtype(np.uint8)
+
     def _diff(block: np.ndarray) -> np.ndarray:
         if predictor != 2:
-            return block
+            return block.astype(store)
         d = block.astype(np.int64)
-        d[:, 1:] = (d[:, 1:] - d[:, :-1]) & 0xFF
-        return d.astype(np.uint8)
+        d[:, 1:] = (d[:, 1:] - d[:, :-1]) & mask
+        return d.astype(store)
 
     def _compress(raw: bytes) -> bytes:
         if compression == 5:
@@ -2253,7 +2300,7 @@ def encode_tiff(
             )
         for y0 in range(0, h, th):
             for x0 in range(0, w, tw):
-                block = np.zeros((th, tw, spp), dtype=np.uint8)
+                block = np.zeros((th, tw, spp), dtype=px.dtype)
                 sub = px[y0 : y0 + th, x0 : x0 + tw]
                 block[: sub.shape[0], : sub.shape[1]] = sub
                 strips.append(_compress(_diff(block).tobytes()))
@@ -2270,7 +2317,7 @@ def encode_tiff(
 
     entry(256, 4, [w])
     entry(257, 4, [h])
-    entry(258, 3, [8] * spp)
+    entry(258, 3, [bits] * spp)
     entry(259, 3, [compression])
     entry(262, 3, [photometric])
     entry(277, 3, [spp])

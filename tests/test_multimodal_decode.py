@@ -3410,6 +3410,88 @@ def test_tiff_tiled_hostile_payloads():
             raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
 
 
+def test_tiff_16bit_round_trips_and_exact_rounding():
+    """16-bit TIFF samples (r10): encode_tiff(bits=16) emits real
+    16-bit strips/tiles; the decoder's RGB8 contract rounds 16→8 with
+    the exact v·255/65535 formula (the PNG depth-16 rule), so v·257
+    round-trips to v across every compression, predictor, and layout."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_pixels,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(41)
+    v8 = rng.randint(0, 256, (13, 9, 3))
+    for comp in (1, 5, 8, 32773):
+        for pred in (1, 2):
+            for tile in (None, (16, 16)):
+                for gray in (False, True):
+                    src = v8[:, :, 0] if gray else v8
+                    p = encode_tiff(
+                        src * 257, compression=comp, predictor=pred,
+                        tile=tile, bits=16, rows_per_strip=4,
+                    )
+                    want = (
+                        np.repeat(src[:, :, None], 3, axis=2) if gray else src
+                    ).astype(np.uint8)
+                    assert np.array_equal(_tiff_pixels(p), want), (
+                        comp, pred, tile, gray,
+                    )
+    # arbitrary 16-bit values round exactly (never >>8 truncation)
+    v16 = rng.randint(0, 65536, (5, 7, 3))
+    p = encode_tiff(v16, bits=16, compression=5, predictor=2)
+    assert np.array_equal(
+        _tiff_pixels(p), ((v16 * 255 + 32767) // 65535).astype(np.uint8)
+    )
+    assert decode_tiff(p)["width"] == 7
+    # encoder contract: range and integrality raise, not wrap/truncate
+    with pytest.raises(ValueError, match=r"outside \[0, 65535\]"):
+        encode_tiff(np.full((4, 4), 70000), bits=16)
+    with pytest.raises(ValueError, match="non-integral"):
+        encode_tiff(np.full((4, 4), 3.5), bits=16)
+    with pytest.raises(ValueError, match="bits-per-sample"):
+        encode_tiff(np.zeros((4, 4)), bits=12)
+
+
+def test_tiff_16bit_bigendian_and_whitezero():
+    """16-bit samples follow the FILE byte order; WhiteIsZero inverts
+    in the 16-bit domain before the exact 16→8 round."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_pixels,
+    )
+
+    # MM gray row: values 257 (→1) and 65535 (→255), big-endian
+    row = struct.pack(">2H", 257, 65535)
+    entries = [
+        (256, 4, [2]), (257, 4, [1]), (258, 3, [16]), (259, 3, [1]),
+        (262, 3, [1]), (277, 3, [1]), (278, 4, [1]), (279, 4, [4]),
+        (273, 4, [0]),
+    ]
+    payload, _ = _tiff_ifd(entries, e=">")
+    payload = bytearray(payload + row)
+    for i in range(struct.unpack_from(">H", payload, 8)[0]):
+        off = 10 + 12 * i
+        if struct.unpack_from(">H", payload, off)[0] == 273:
+            struct.pack_into(">I", payload, off + 8, len(payload) - 4)
+    px = _tiff_pixels(bytes(payload))
+    assert (px[0, :, 0] == [1, 255]).all()
+    # same image as WhiteIsZero: 257 → 65278 → 254; 65535 → 0
+    for i in range(struct.unpack_from(">H", payload, 8)[0]):
+        off = 10 + 12 * i
+        if struct.unpack_from(">H", payload, off)[0] == 262:
+            struct.pack_into(">H", payload, off + 8, 0)
+    px = _tiff_pixels(bytes(payload))
+    assert (px[0, :, 0] == [254, 0]).all()
+    # ragged 16-bit strip (3 bytes for a 2-sample row) quarantines
+    for i in range(struct.unpack_from(">H", payload, 8)[0]):
+        off = 10 + 12 * i
+        if struct.unpack_from(">H", payload, off)[0] == 279:
+            struct.pack_into(">I", payload, off + 8, 3)
+    with pytest.raises(ValueError, match="shorter than its rows"):
+        _tiff_pixels(bytes(payload[:-1]))
+
+
 def test_tiff_deflate_legacy_tag_and_bomb_bound():
     """Deflate strips (r9): compression 8 and the legacy 32946 alias
     decode the same zlib stream, corrupt streams quarantine as

@@ -349,6 +349,20 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
             ),
         ),
         (
+            "tiff",
+            mm.encode_tiff(
+                (gif_px if rng.random() < 0.5 else gif_px[:, :, 0]).astype(
+                    "u2"
+                )
+                * 257,
+                compression=rng.choice((1, 5, 8, 32773)),
+                rows_per_strip=rng.randrange(1, 20),
+                predictor=rng.choice((1, 2)),
+                tile=rng.choice((None, (16, 16))),
+                bits=16,
+            ),
+        ),
+        (
             "gifanim",
             mm.encode_gif_animation(
                 [gif_px]
