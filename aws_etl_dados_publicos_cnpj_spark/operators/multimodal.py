@@ -684,8 +684,13 @@ def _aiff_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
     since ``aifc`` left the stdlib): FORM/AIFF check, COMM chunk
     (channels, frame count, sample size, 80-bit extended-float rate),
     SSND chunk (offset/blockSize header, big-endian PCM), even-byte
-    chunk padding honored."""
-    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+    chunk padding honored. AIFC forms (r10, the common Mac-export
+    shape) carry a compressionType after the 18 COMM base bytes:
+    'NONE'/'twos' are big-endian PCM, 'sowt' is little-endian PCM
+    (the QuickTime byte-swap staple); any real compressor (ulaw,
+    fl32, ima4, …) quarantines as NotImplementedError — undecodable
+    without codec libraries, same contract as the mp4a/AAC arm."""
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
         raise ValueError("not an AIFF container")
     try:
         return _aiff_samples_impl(payload)
@@ -694,6 +699,7 @@ def _aiff_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
 
 
 def _aiff_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
+    aifc = payload[8:12] == b"AIFC"
     pos = 12
     end = min(len(payload), 8 + struct.unpack_from(">I", payload, 4)[0])
     comm = ssnd = None
@@ -712,12 +718,21 @@ def _aiff_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
     # A lying small cksz would make the fixed-field unpacks below read
     # the NEXT chunk's bytes (garbage-in-garbage-out with ok=True), so
     # validate the declared sizes before touching the fields.
-    if comm[1] - comm[0] < 18:
+    if comm[1] - comm[0] < (22 if aifc else 18):
         raise ValueError("AIFF COMM chunk truncated")
     if ssnd[1] - ssnd[0] < 8:
         raise ValueError("AIFF SSND chunk truncated")
     n_ch, n_frames, samp_size = struct.unpack_from(">hIh", payload, comm[0])
     rate = int(round(_f80_decode(payload[comm[0] + 8 : comm[0] + 18])))
+    dtype = ">i2"
+    if aifc:
+        ctype = payload[comm[0] + 18 : comm[0] + 22]
+        if ctype == b"sowt":
+            dtype = "<i2"
+        elif ctype not in (b"NONE", b"twos"):
+            raise NotImplementedError(
+                f"AIFC compression {ctype!r} needs a codec library"
+            )
     if n_ch < 1:
         # numChannels is signed in the spec; <1 would make the frombuffer
         # count negative (= read-to-end) and return garbage with ok=True.
@@ -729,7 +744,7 @@ def _aiff_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
     count = n_frames * n_ch
     if start + 2 * count > ssnd[1]:
         raise ValueError("AIFF sample data truncated")
-    samples = np.frombuffer(payload, dtype=">i2", offset=start, count=count)
+    samples = np.frombuffer(payload, dtype=dtype, offset=start, count=count)
     return samples.astype(np.int16), rate, n_ch
 
 
@@ -755,7 +770,7 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
     magic — the container-agnostic entry the audio fingerprint family
     uses, so fixtures can mix containers while the sample CONTRACT
     (and every SQL oracle built on it) stays identical."""
-    if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
         return _aiff_samples(payload)[0]
     if payload[:4] == b"fLaC":
         return _flac_samples(payload)[0]
@@ -4671,6 +4686,31 @@ def _aiff_payload(raw: bytes, rate: int = 8000) -> bytes:
     return b"FORM" + struct.pack(">I", len(form)) + form
 
 
+def _aifc_payload(
+    raw: bytes, rate: int = 8000, compression: bytes = b"sowt"
+) -> bytes:
+    """The SAME sample contract as ``_aiff_payload`` in an AIFC form:
+    FVER (the spec's AIFC version timestamp), COMM extended with the
+    compressionType + pstring name, SSND in the byte order the type
+    dictates ('sowt' little-endian, 'NONE'/'twos' big-endian)."""
+    le = compression == b"sowt"
+    samples = np.frombuffer(raw, dtype=np.uint8).astype("<i2" if le else ">i2")
+    fver = b"FVER" + struct.pack(">II", 4, 0xA2805140)
+    comm = (
+        b"COMM"
+        + struct.pack(">IhIh", 24, 1, len(samples), 16)
+        + _f80_encode(rate)
+        + compression
+        + b"\x00\x00"  # empty pstring name, even-padded
+    )
+    body = struct.pack(">II", 0, 0) + samples.tobytes()
+    ssnd = b"SSND" + struct.pack(">I", len(body)) + body
+    if len(body) & 1:
+        ssnd += b"\x00"
+    form = b"AIFC" + fver + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(form)) + form
+
+
 def _m4a_payload(
     n_samples: int = 44,
     codec: bytes = b"mp4a",
@@ -4822,7 +4862,10 @@ def synthesize_mixed_audio_from_text(
     sample layouts (r10): IEEE-float WAVs at % 12 == 6 (float32, or
     float64 at % 24 == 18) carrying k/32767 so the tag-3 expansion
     rounds back to exactly k; 32-bit PCM at % 24 == 12 carrying k
-    directly; classic 16-bit PCM at % 24 == 0."""
+    directly; classic 16-bit PCM at % 24 == 0. The AIFF docs
+    sub-rotate too (r10): % 6 == 4 ships AIFC ('sowt' little-endian
+    at % 12 == 4, 'NONE' big-endian at % 12 == 10), classic AIFF at
+    % 6 == 1."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -4831,7 +4874,11 @@ def synthesize_mixed_audio_from_text(
                 raw = t.encode("utf-8")
                 kind = int(doc_id) % 3
                 if kind == 1:
-                    payloads.append(_aiff_payload(raw, rate))
+                    if int(doc_id) % 6 == 4:
+                        comp = b"sowt" if int(doc_id) % 12 == 4 else b"NONE"
+                        payloads.append(_aifc_payload(raw, rate, comp))
+                    else:
+                        payloads.append(_aiff_payload(raw, rate))
                     mimes.append("audio/aiff")
                 elif kind == 2:
                     payloads.append(

@@ -1133,6 +1133,68 @@ def test_audio_fixture_rotation_covers_new_wav_layouts(spark):
     assert len({r.ehash for r in hashes}) == 1
 
 
+def test_aifc_sowt_none_decode_and_quarantine(spark):
+    """AIFC forms (the Mac-export shape): 'sowt' decodes little-endian
+    PCM, 'NONE'/'twos' big-endian — all three identical to the AIFF
+    byte contract; a real compressor ('ulaw') quarantines as
+    NotImplementedError like the mp4a/AAC arm; a COMM too short for
+    the compressionType field is corrupt. doc_id % 6 == 4 routes AIFC
+    through the mixed fixture under the unchanged oracle."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _aifc_payload,
+        _aiff_payload,
+        _aiff_samples,
+        _pcm16_samples,
+        audio_energy_hash,
+        decode_aiff,
+        decode_media,
+        synthesize_mixed_audio_from_text,
+    )
+
+    raw = "AIFC: the QuickTime byte-swap staple — ações".encode("utf-8")
+    ref = decode_aiff(_aiff_payload(raw))
+    want = np.frombuffer(raw, np.uint8).astype(np.int16)
+    for comp in (b"sowt", b"NONE", b"twos"):
+        p = _aifc_payload(raw, compression=comp)
+        assert payload_is_aifc(p)
+        d = decode_aiff(p)
+        for k in ("n_channels", "sample_rate", "n_frames", "rms", "peak"):
+            assert d[k] == ref[k], (k, comp)
+        assert np.array_equal(_pcm16_samples(p), want)
+        assert decode_media(p, "audio/aiff")["kind"] == "audio"
+    # 'sowt' and 'NONE' genuinely differ on the wire (byte order)
+    assert _aifc_payload(raw, compression=b"sowt") != _aifc_payload(
+        raw, compression=b"NONE"
+    )
+    with pytest.raises(NotImplementedError, match="ulaw"):
+        _aiff_samples(_aifc_payload(raw, compression=b"ulaw"))
+    # AIFC COMM without room for the compressionType is corrupt
+    trunc = bytearray(_aifc_payload(raw, compression=b"NONE"))
+    ci = bytes(trunc).find(b"COMM")
+    struct.pack_into(">I", trunc, ci + 4, 18)
+    # shrink: drop the 6 trailing COMM bytes so the next chunk aligns
+    del trunc[ci + 8 + 18 : ci + 8 + 24]
+    struct.pack_into(">I", trunc, 4, len(trunc) - 8)
+    with pytest.raises(ValueError, match="COMM chunk truncated"):
+        _aiff_samples(bytes(trunc))
+    # fixture rotation: 1 = AIFF, 4 = AIFC sowt, 10 = AIFC NONE —
+    # same text, same ehash, three container variants
+    docs = spark.createDataFrame(
+        [(i, "identical text for every row") for i in (1, 4, 10)],
+        "doc_id long, text string",
+    )
+    rows = synthesize_mixed_audio_from_text(docs).collect()
+    assert {r.mime for r in rows} == {"audio/aiff"}
+    forms = {r.doc_id: bytes(r.payload)[8:12] for r in rows}
+    assert forms == {1: b"AIFF", 4: b"AIFC", 10: b"AIFC"}
+    hashes = audio_energy_hash(synthesize_mixed_audio_from_text(docs)).collect()
+    assert len({r.ehash for r in hashes}) == 1
+
+
+def payload_is_aifc(p: bytes) -> bool:
+    return p[:4] == b"FORM" and p[8:12] == b"AIFC"
+
+
 def test_f80_extended_float_round_trip():
     from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
         _f80_decode,

@@ -317,6 +317,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("wavf", mm._float_wav_payload(raw8, double=rng.random() < 0.5)),
         ("wav32", mm._pcm32_wav_payload(raw8)),
         ("aiff", mm._aiff_payload(raw8)),
+        ("aiff", mm._aifc_payload(raw8, compression=rng.choice((b"sowt", b"NONE")))),
         ("g711", _encode_g711(rng)),
         ("avi", mm._avi_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
         ("mp4", mm._mp4_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
