@@ -765,6 +765,171 @@ def decode_aiff(payload: bytes) -> dict:
     }
 
 
+# --- MP3: frame-header metadata triage (r10) --------------------------
+#
+# The one common audio shape with no RIFF/IFF/ISO-BMFF framing: an
+# MPEG-1/2/2.5 audio elementary stream, optionally led by an ID3v2
+# tag. The frame PAYLOAD is undecodable without a codec library (the
+# same honesty contract as the mp4a/AAC arm), but the 4-byte frame
+# headers carry everything metadata-before-decode routing needs —
+# version, layer, bitrate, sample rate, channel mode — and walking
+# them yields exact frame/sample counts and VBR-correct duration.
+# The tables are normative constants of ISO/IEC 11172-3 / 13818-3.
+
+_MP3_BITRATES = {  # kbps by index 1-14, keyed (version_group, layer)
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    # MPEG-2/2.5 layers II and III share one table per the spec
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {  # by version bits: 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _id3v2_size(payload: bytes) -> int:
+    """Total bytes of a leading ID3v2 tag (header + syncsafe size), 0
+    when absent. Non-syncsafe size bytes mean a corrupt tag."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    b = payload[6:10]
+    if any(x & 0x80 for x in b):
+        raise ValueError("MP3 ID3v2 size bytes not syncsafe")
+    return 10 + ((b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3])
+
+
+def _mp3_frame_info(payload: bytes, off: int) -> tuple[int, int, dict] | None:
+    """(frame_length, samples_per_frame, header fields) of the MPEG
+    audio frame at ``off``, or None when the 4 bytes there are not a
+    valid frame header (reserved fields count as invalid — callers
+    treat that as end-of-stream). Free-format (bitrate index 0) is
+    rejected: frames can't be sized without decoding."""
+    if off + 4 > len(payload):
+        return None
+    h = int.from_bytes(payload[off : off + 4], "big")
+    if (h >> 21) & 0x7FF != 0x7FF:
+        return None
+    vbits = (h >> 19) & 3
+    lbits = (h >> 17) & 3
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    if vbits == 1 or lbits == 0 or br_idx in (0, 15) or sr_idx == 3:
+        return None
+    layer = 4 - lbits  # bits 11/10/01 = layers I/II/III
+    vgroup = 1 if vbits == 3 else 2
+    kbps = _MP3_BITRATES[(vgroup, min(layer, 2) if vgroup == 2 else layer)][
+        br_idx - 1
+    ]
+    rate = _MP3_RATES[vbits][sr_idx]
+    pad = (h >> 9) & 1
+    mode = (h >> 6) & 3
+    if layer == 1:
+        # layer I pads in 4-byte slots
+        frame_len = (12 * kbps * 1000 // rate + pad) * 4
+        spf = 384
+    else:
+        per = 144 if (layer == 2 or vgroup == 1) else 72
+        frame_len = per * kbps * 1000 // rate + pad
+        spf = 1152 if (layer == 2 or vgroup == 1) else 576
+    fields = {
+        "mpeg_version": {3: "1", 2: "2", 0: "2.5"}[vbits],
+        "layer": layer,
+        "bitrate_kbps": kbps,
+        "sample_rate": rate,
+        "n_channels": 1 if mode == 3 else 2,
+    }
+    return frame_len, spf, fields
+
+
+def decode_mp3(payload: bytes) -> dict:
+    """Metadata-before-decode triage for MPEG audio streams: skip any
+    ID3v2 tag, walk every frame header (per-frame bitrates, so VBR
+    durations are exact), and return the routing dict — the same
+    shape as ``_mp4_audio_stats`` (no rms/peak: the frame payloads
+    need a codec library, and ``_pcm16_samples`` quarantines them as
+    NotImplementedError). The walk stops at the first non-header
+    (trailing ID3v1/garbage tolerated); version/layer/rate changing
+    mid-stream also stops it — real streams keep them constant."""
+    off = _id3v2_size(payload)
+    first = _mp3_frame_info(payload, off)
+    if first is None:
+        raise ValueError("MP3 frame sync not found")
+    _, _, fields = first
+    n_frames = 0
+    total_samples = 0
+    bitrates = set()
+    while True:
+        info = _mp3_frame_info(payload, off)
+        if info is None:
+            break
+        frame_len, spf, f = info
+        if (
+            f["mpeg_version"] != fields["mpeg_version"]
+            or f["layer"] != fields["layer"]
+            or f["sample_rate"] != fields["sample_rate"]
+        ):
+            break
+        n_frames += 1
+        total_samples += spf
+        bitrates.add(f["bitrate_kbps"])
+        off += frame_len
+    return {
+        "kind": "audio",
+        "codec": "mp3",
+        **fields,
+        "vbr": len(bitrates) > 1,
+        "n_mpeg_frames": n_frames,
+        "n_frames": total_samples,
+        "duration_s": total_samples / fields["sample_rate"],
+    }
+
+
+def _mp3_stream_payload(
+    n_frames: int = 4,
+    vbits: int = 3,
+    layer: int = 3,
+    br_idx: int = 9,
+    sr_idx: int = 0,
+    mono: bool = False,
+    id3: bool = False,
+    vbr: bool = False,
+) -> bytes:
+    """MP3 stream synthesizer for tests/fuzz seeds: spec-correct frame
+    headers with correctly-sized (but content-opaque — never decoded)
+    frame bodies, optional ID3v2 prefix, optional per-frame bitrate
+    variation. Not an encoder: the triage contract is header-only."""
+    out = bytearray()
+    if id3:
+        body = b"TIT2\x00\x00\x00\x05\x00\x00\x00test"
+        out += b"ID3\x04\x00\x00" + bytes(
+            (len(body) >> s) & 0x7F for s in (21, 14, 7, 0)
+        )
+        out += body
+    lbits = 4 - layer
+    for i in range(n_frames):
+        bi = ((br_idx + i) % 14 or 1) if vbr else br_idx
+        h = (
+            (0x7FF << 21)
+            | (vbits << 19)
+            | (lbits << 17)
+            | (1 << 16)  # no CRC
+            | (bi << 12)
+            | (sr_idx << 10)
+            | ((3 if mono else 0) << 6)
+        )
+        hdr = h.to_bytes(4, "big")
+        info = _mp3_frame_info(hdr, 0)
+        if info is None:
+            raise ValueError("synthesizer produced an invalid header")
+        frame_len = info[0]
+        out += hdr + bytes((7 * k + i) % 251 for k in range(frame_len - 4))
+    return bytes(out)
+
+
 def _pcm16_samples(payload: bytes) -> np.ndarray:
     """int16 PCM samples of a WAV, AIFF, or FLAC payload, sniffed by
     magic — the container-agnostic entry the audio fingerprint family
@@ -774,6 +939,14 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         return _aiff_samples(payload)[0]
     if payload[:4] == b"fLaC":
         return _flac_samples(payload)[0]
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
+        # MPEG audio elementary stream: triage-only (decode_mp3);
+        # sample decode quarantines like the mp4a/AAC arm
+        raise NotImplementedError("MP3 sample decode needs a codec library")
     if payload[4:8] == b"ftyp":
         # PCM-in-MP4 fingerprints for real; mp4a/AAC raises
         # NotImplementedError and quarantines — the stats and
@@ -4412,6 +4585,11 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_aiff(payload)
     if mime in ("audio/flac", "audio/x-flac"):
         return decode_flac(payload)
+    if mime in ("audio/mpeg", "audio/mp3", "audio/x-mp3"):
+        # metadata-before-decode triage: exact frame/sample counts
+        # from the header walk; the frame payloads themselves need a
+        # codec library (same honesty contract as mp4a/AAC)
+        return decode_mp3(payload)
     if mime in ("audio/mp4", "audio/x-m4a", "audio/m4a"):
         # Raw-PCM tracks ('twos'/'sowt') decode samples for real
         # through the stsz×stsc×stco resolution; anything else gets

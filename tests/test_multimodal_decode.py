@@ -1195,6 +1195,69 @@ def payload_is_aifc(p: bytes) -> bool:
     return p[:4] == b"FORM" and p[8:12] == b"AIFC"
 
 
+def test_mp3_header_triage_and_quarantine():
+    """MP3 triage (r10): the frame-header walk yields exact frame and
+    sample counts (VBR included, per-frame bitrates), ID3v2 tags are
+    skipped via the syncsafe size, sample decode quarantines as
+    NotImplementedError (the mp4a/AAC contract), and hostile headers
+    raise ValueError — never a wrong-metadata dict with ok=True."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp3_stream_payload,
+        _pcm16_samples,
+        decode_media,
+        decode_mp3,
+    )
+
+    # MPEG-1 layer III, 128 kbps, 44100 Hz: frame = 144·128000/44100
+    p = _mp3_stream_payload(n_frames=5, vbits=3, layer=3, br_idx=9, sr_idx=0)
+    d = decode_mp3(p)
+    assert d["mpeg_version"] == "1" and d["layer"] == 3
+    assert d["bitrate_kbps"] == 128 and d["sample_rate"] == 44100
+    assert d["n_channels"] == 2 and not d["vbr"]
+    assert d["n_mpeg_frames"] == 5 and d["n_frames"] == 5 * 1152
+    assert abs(d["duration_s"] - 5 * 1152 / 44100) < 1e-12
+    assert decode_media(p, "audio/mpeg")["codec"] == "mp3"
+    # ID3v2 prefix skipped; trailing ID3v1 tag tolerated
+    p2 = _mp3_stream_payload(n_frames=3, id3=True) + b"TAG" + bytes(125)
+    assert decode_mp3(p2)["n_mpeg_frames"] == 3
+    # VBR: per-frame bitrates, exact sample-count duration
+    pv = _mp3_stream_payload(n_frames=6, vbr=True)
+    dv = decode_mp3(pv)
+    assert dv["vbr"] and dv["n_mpeg_frames"] == 6
+    # MPEG-2.5 layer III mono: 576 samples/frame, low-rate table
+    p25 = _mp3_stream_payload(n_frames=2, vbits=0, layer=3, br_idx=1, sr_idx=2, mono=True)
+    d25 = decode_mp3(p25)
+    assert d25["mpeg_version"] == "2.5" and d25["sample_rate"] == 8000
+    assert d25["n_channels"] == 1 and d25["n_frames"] == 2 * 576
+    assert d25["bitrate_kbps"] == 8
+    # layer I pads in 4-byte slots and carries 384 samples
+    p1 = _mp3_stream_payload(n_frames=2, layer=1, br_idx=9, sr_idx=1)
+    d1 = decode_mp3(p1)
+    assert d1["layer"] == 1 and d1["n_frames"] == 2 * 384
+    # sample decode quarantines — both bare and ID3-led streams
+    for payload in (p, p2):
+        with pytest.raises(NotImplementedError, match="codec library"):
+            _pcm16_samples(payload)
+    # hostile: no sync, free-format bitrate, bad syncsafe, truncation
+    with pytest.raises(ValueError, match="sync not found"):
+        decode_mp3(b"\x00" * 64)
+    free = bytearray(p)
+    free[2] &= 0x0F  # bitrate index -> 0 (free format)
+    with pytest.raises(ValueError, match="sync not found"):
+        decode_mp3(bytes(free))
+    bad_id3 = bytearray(_mp3_stream_payload(n_frames=1, id3=True))
+    bad_id3[6] = 0x80
+    with pytest.raises(ValueError, match="syncsafe"):
+        decode_mp3(bytes(bad_id3))
+    for cut in (2, 5, len(p) // 2, len(p) - 3):
+        try:
+            decode_mp3(p[:cut])
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+
+
 def test_f80_extended_float_round_trip():
     from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
         _f80_decode,

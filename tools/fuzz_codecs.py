@@ -319,6 +319,19 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("aiff", mm._aiff_payload(raw8)),
         ("aiff", mm._aifc_payload(raw8, compression=rng.choice((b"sowt", b"NONE")))),
         ("g711", _encode_g711(rng)),
+        (
+            "mp3",
+            mm._mp3_stream_payload(
+                n_frames=rng.randrange(1, 8),
+                vbits=rng.choice((0, 2, 3)),
+                layer=rng.choice((1, 2, 3)),
+                br_idx=rng.randrange(1, 15),
+                sr_idx=rng.randrange(3),
+                mono=rng.random() < 0.5,
+                id3=rng.random() < 0.5,
+                vbr=rng.random() < 0.3,
+            ),
+        ),
         ("avi", mm._avi_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
         ("mp4", mm._mp4_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
         (
@@ -390,6 +403,7 @@ _DECODERS = {
     "wav32": [mm.decode_wav, mm._pcm16_samples, lambda p: mm._wav_samples_f64(p)[0]],
     "aiff": [mm._aiff_samples, mm.decode_aiff, mm._pcm16_samples],
     "g711": [mm.decode_wav, lambda p: mm._wav_samples_f64(p)[0]],
+    "mp3": [mm.decode_mp3, mm._pcm16_samples],
     "avi": [mm._avi_mjpeg_frames, mm.decode_avi_mjpeg],
     "mp4": [mm._mp4_video_stats, mm._mp4_mjpeg_frames, mm.decode_mp4_mjpeg],
     "m4a": [mm._mp4_audio_track, mm._mp4_audio_stats, mm._mp4_pcm_samples, mm.decode_mp4_pcm],
