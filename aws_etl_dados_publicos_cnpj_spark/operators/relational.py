@@ -4,7 +4,7 @@ plus DataFrame re-expressions of every planner-shaped operator from
 SURVEY.md §2.1, exercised on the driver's TPC-H-ish corpus.
 
 Design rules (enforced by the paired tests, see
-``tests/test_plans_explain.py``):
+``tests/test_plan_quality.py``):
 
 - declarative DataFrame/SQL only — every expression stays JVM-side in
   whole-stage codegen; no Python UDFs;
