@@ -220,25 +220,34 @@ def _ima_adpcm_samples(
     return np.stack(arrs, axis=1).reshape(-1), rate, 2
 
 
+def _riff_fmt_chunk(payload: bytes) -> tuple[int, int] | None:
+    """(payload offset, declared size) of the first fmt chunk in a
+    RIFF stream, or None — the ONE chunk walk both ADPCM fmt-extension
+    readers share (r10 review: two hand-rolled copies of the same loop
+    would silently diverge on the next bounds fix)."""
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csz,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + csz > len(payload):
+            return None
+        if cid == b"fmt ":
+            return pos + 8, csz
+        pos += 8 + csz + (csz & 1)
+    return None
+
+
 def _ima_fmt_extension(payload: bytes) -> int:
     """samples_per_block from the fmt chunk's IMA ADPCM extension
     (cbSize >= 2), 0 when absent or truncated — the same liberal-read
     discipline as ``_ms_fmt_extension`` (a bogus huge value only makes
     the truncation a no-op; a bogus small one is the encoder's claim
     of how many real samples each block holds, which we honor)."""
-    pos = 12
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (csz,) = struct.unpack_from("<I", payload, pos + 4)
-        if pos + 8 + csz > len(payload):
-            break
-        if cid == b"fmt ":
-            if csz < 20:
-                break
-            (spb,) = struct.unpack_from("<H", payload, pos + 8 + 18)
-            return spb
-        pos += 8 + csz + (csz & 1)
-    return 0
+    loc = _riff_fmt_chunk(payload)
+    if loc is None or loc[1] < 20:
+        return 0
+    (spb,) = struct.unpack_from("<H", payload, loc[0] + 18)
+    return spb
 
 
 # MS ADPCM (WAV format tag 2) — the other classic 4-bit WAV codec:
@@ -340,24 +349,16 @@ def _ms_fmt_extension(payload: bytes) -> tuple[tuple, int]:
     ADPCM extension — falls back to the 7 canonical pairs / 0 when
     the extension is absent or truncated (liberal read; every value
     that matters downstream is validated there)."""
-    pos = 12
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (csz,) = struct.unpack_from("<I", payload, pos + 4)
-        if pos + 8 + csz > len(payload):
-            break
-        if cid == b"fmt ":
-            if csz < 22:
-                break
-            spb, ncoef = struct.unpack_from("<HH", payload, pos + 8 + 18)
-            if ncoef < 1 or ncoef > 256 or csz < 22 + 4 * ncoef:
-                break
+    loc = _riff_fmt_chunk(payload)
+    if loc is not None and loc[1] >= 22:
+        off, csz = loc
+        spb, ncoef = struct.unpack_from("<HH", payload, off + 18)
+        if 1 <= ncoef <= 256 and csz >= 22 + 4 * ncoef:
             table = tuple(
-                struct.unpack_from("<hh", payload, pos + 8 + 22 + 4 * i)
+                struct.unpack_from("<hh", payload, off + 22 + 4 * i)
                 for i in range(ncoef)
             )
             return table, spb
-        pos += 8 + csz + (csz & 1)
     return _MS_ADPCM_COEFS, 0
 
 
@@ -792,14 +793,17 @@ _MP3_RATES = {  # by version bits: 3=MPEG1, 2=MPEG2, 0=MPEG2.5
 
 
 def _id3v2_size(payload: bytes) -> int:
-    """Total bytes of a leading ID3v2 tag (header + syncsafe size), 0
-    when absent. Non-syncsafe size bytes mean a corrupt tag."""
+    """Total bytes of a leading ID3v2 tag (header + syncsafe size +
+    the 10-byte footer when the v2.4 footer flag is set — the footer
+    is NOT counted in the size field per the spec), 0 when absent.
+    Non-syncsafe size bytes mean a corrupt tag."""
     if payload[:3] != b"ID3" or len(payload) < 10:
         return 0
     b = payload[6:10]
     if any(x & 0x80 for x in b):
         raise ValueError("MP3 ID3v2 size bytes not syncsafe")
-    return 10 + ((b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3])
+    footer = 10 if payload[5] & 0x10 else 0
+    return 10 + ((b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]) + footer
 
 
 def _mp3_frame_info(payload: bytes, off: int) -> tuple[int, int, dict] | None:
@@ -845,15 +849,14 @@ def _mp3_frame_info(payload: bytes, off: int) -> tuple[int, int, dict] | None:
     return frame_len, spf, fields
 
 
-def decode_mp3(payload: bytes) -> dict:
-    """Metadata-before-decode triage for MPEG audio streams: skip any
-    ID3v2 tag, walk every frame header (per-frame bitrates, so VBR
-    durations are exact), and return the routing dict — the same
-    shape as ``_mp4_audio_stats`` (no rms/peak: the frame payloads
-    need a codec library, and ``_pcm16_samples`` quarantines them as
-    NotImplementedError). The walk stops at the first non-header
-    (trailing ID3v1/garbage tolerated); version/layer/rate changing
-    mid-stream also stops it — real streams keep them constant."""
+def _mp3_stream_info(payload: bytes) -> dict:
+    """Full triage dict for an MPEG audio stream: skip any ID3v2 tag,
+    walk every frame header (per-frame bitrates, so VBR durations are
+    exact), counting COMPLETE frames only — a frame whose body runs
+    past end-of-stream is a truncated download, not data. The walk
+    stops at the first non-header (trailing ID3v1/garbage tolerated);
+    version/layer/rate changing mid-stream also stops it — real
+    streams keep them constant."""
     off = _id3v2_size(payload)
     first = _mp3_frame_info(payload, off)
     if first is None:
@@ -867,6 +870,8 @@ def decode_mp3(payload: bytes) -> dict:
         if info is None:
             break
         frame_len, spf, f = info
+        if off + frame_len > len(payload):
+            break  # header fits but the body is cut: incomplete
         if (
             f["mpeg_version"] != fields["mpeg_version"]
             or f["layer"] != fields["layer"]
@@ -877,6 +882,8 @@ def decode_mp3(payload: bytes) -> dict:
         total_samples += spf
         bitrates.add(f["bitrate_kbps"])
         off += frame_len
+    if n_frames == 0:
+        raise ValueError("MP3 stream truncated before one complete frame")
     return {
         "kind": "audio",
         "codec": "mp3",
@@ -885,6 +892,25 @@ def decode_mp3(payload: bytes) -> dict:
         "n_mpeg_frames": n_frames,
         "n_frames": total_samples,
         "duration_s": total_samples / fields["sample_rate"],
+    }
+
+
+def decode_mp3(payload: bytes) -> dict:
+    """Metadata-before-decode triage, trimmed to EXACTLY the
+    ``_mp4_audio_stats`` key set — ``decode_features`` turns dict keys
+    into ``DECODE_SCHEMA`` columns, so a decoder returning extra keys
+    would fail the whole mapInPandas batch (r10 review: one MP3 doc
+    killed the pass). The full header-walk detail (version, layer,
+    bitrate, vbr, frame count) is ``_mp3_stream_info``. No rms/peak:
+    the frame payloads need a codec library, and ``_pcm16_samples``
+    quarantines them as NotImplementedError."""
+    info = _mp3_stream_info(payload)
+    return {
+        k: info[k]
+        for k in (
+            "kind", "codec", "n_channels", "sample_rate", "n_frames",
+            "duration_s",
+        )
     }
 
 
@@ -1004,23 +1030,32 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
 # through real compression choices, not a forced flag.
 
 
-def _check_u8_pixels(px: np.ndarray, who: str) -> None:
-    """Reject pixel arrays that cannot be cast to uint8 without
+def _check_pixels(px: np.ndarray, who: str, maxval: int = 255) -> None:
+    """Reject pixel arrays that cannot be cast to a uint grid without
     surprises: NaN/inf casts to an UNDEFINED value, finite values
-    outside [0, 255] silently wrap — either way the encoder would emit
-    a garbage-but-valid stream with ok=True (r9 fuzz + review)."""
+    outside [0, maxval] silently wrap, fractional floats silently
+    truncate — any of which makes the encoder emit a garbage-but-valid
+    stream with ok=True (r9 fuzz + review). ``maxval`` parameterizes
+    the grid: 255 for the uint8 encoders, 65535 for 16-bit TIFF (r10
+    review: one contract, not two hand-synced copies)."""
     if np.issubdtype(px.dtype, np.floating) and not np.isfinite(px).all():
         raise ValueError(f"{who}: non-finite pixel values")
-    if px.dtype != np.uint8 and px.size and (px.min() < 0 or px.max() > 255):
-        raise ValueError(f"{who}: pixel values outside [0, 255]")
+    if px.dtype != np.uint8 and px.size and (
+        px.min() < 0 or px.max() > maxval
+    ):
+        raise ValueError(f"{who}: pixel values outside [0, {maxval}]")
     if np.issubdtype(px.dtype, np.floating) and px.size and (
         px != np.floor(px)
     ).any():
-        # astype(np.uint8) would silently truncate 3.7 -> 3: a lossy
-        # encode with ok=True on hash-checked-lossless encoders (the
+        # astype would silently truncate 3.7 -> 3: a lossy encode
+        # with ok=True on hash-checked-lossless encoders (the
         # FLAC/ADPCM encoders already reject this; r9 ADVICE aligned
         # the image encoders)
         raise ValueError(f"{who}: non-integral pixel values")
+
+
+def _check_u8_pixels(px: np.ndarray, who: str) -> None:
+    _check_pixels(px, who, 255)
 
 
 def _crc_table(poly: int, width: int) -> tuple[int, ...]:
@@ -2428,16 +2463,10 @@ def encode_tiff(
     if bits not in (8, 16):
         raise ValueError(f"unsupported TIFF bits-per-sample {bits}")
     if bits == 16:
-        if np.issubdtype(px.dtype, np.floating):
-            if not np.isfinite(px).all() or (
-                px.size and (px != np.floor(px)).any()
-            ):
-                raise ValueError("encode_tiff: non-integral pixel values")
-        if px.size and (px.min() < 0 or px.max() > 65535):
-            raise ValueError("encode_tiff: pixel values outside [0, 65535]")
+        _check_pixels(px, "encode_tiff", 65535)
         px = px.astype(np.uint16)
     else:
-        _check_u8_pixels(px, "encode_tiff")
+        _check_pixels(px, "encode_tiff", 255)
         px = px.astype(np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -4679,7 +4708,12 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for doc_id, payload, mime in zip(pdf[id_col], pdf["payload"], pdf["mime"]):
                 row = {"doc_id": doc_id, "mime": mime, **_DECODE_NULLS}
                 try:
-                    row.update(decode_media(bytes(payload), mime))
+                    d = decode_media(bytes(payload), mime)
+                    # keep only schema keys: an extra key would add a
+                    # column and fail the WHOLE Arrow batch against
+                    # DECODE_SCHEMA (r10 review) — a decoder drifting
+                    # must degrade to a null column, not kill the pass
+                    row.update({k: v for k, v in d.items() if k in row})
                     row["ok"], row["err"] = True, None
                 except Exception as exc:  # noqa: BLE001 — quarantine, don't kill
                     row["ok"], row["err"] = False, f"{type(exc).__name__}: {exc}"

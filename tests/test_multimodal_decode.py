@@ -1202,6 +1202,7 @@ def test_mp3_header_triage_and_quarantine():
     NotImplementedError (the mp4a/AAC contract), and hostile headers
     raise ValueError — never a wrong-metadata dict with ok=True."""
     from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp3_stream_info,
         _mp3_stream_payload,
         _pcm16_samples,
         decode_media,
@@ -1210,30 +1211,50 @@ def test_mp3_header_triage_and_quarantine():
 
     # MPEG-1 layer III, 128 kbps, 44100 Hz: frame = 144·128000/44100
     p = _mp3_stream_payload(n_frames=5, vbits=3, layer=3, br_idx=9, sr_idx=0)
-    d = decode_mp3(p)
+    d = _mp3_stream_info(p)
     assert d["mpeg_version"] == "1" and d["layer"] == 3
     assert d["bitrate_kbps"] == 128 and d["sample_rate"] == 44100
     assert d["n_channels"] == 2 and not d["vbr"]
     assert d["n_mpeg_frames"] == 5 and d["n_frames"] == 5 * 1152
     assert abs(d["duration_s"] - 5 * 1152 / 44100) < 1e-12
     assert decode_media(p, "audio/mpeg")["codec"] == "mp3"
+    # decode_mp3 is the schema-shaped trim: exactly the mp4a key set
+    # (an extra key would add a DECODE_SCHEMA column and fail the
+    # whole Arrow batch — r10 review)
+    assert set(decode_mp3(p)) == {
+        "kind", "codec", "n_channels", "sample_rate", "n_frames",
+        "duration_s",
+    }
     # ID3v2 prefix skipped; trailing ID3v1 tag tolerated
     p2 = _mp3_stream_payload(n_frames=3, id3=True) + b"TAG" + bytes(125)
-    assert decode_mp3(p2)["n_mpeg_frames"] == 3
+    assert _mp3_stream_info(p2)["n_mpeg_frames"] == 3
+    # ID3v2.4 footer flag: 10 extra bytes NOT counted in the syncsafe
+    # size (r10 review) — the walk must not start inside the footer
+    with_footer = bytearray(_mp3_stream_payload(n_frames=3, id3=True))
+    with_footer[5] |= 0x10
+    body_len = len(_mp3_stream_payload(n_frames=0, id3=True)) - 10
+    footer = b"3DI" + bytes(with_footer[3:10])
+    patched = bytes(with_footer[: 10 + body_len]) + footer + bytes(
+        with_footer[10 + body_len :]
+    )
+    assert _mp3_stream_info(patched)["n_mpeg_frames"] == 3
     # VBR: per-frame bitrates, exact sample-count duration
     pv = _mp3_stream_payload(n_frames=6, vbr=True)
-    dv = decode_mp3(pv)
+    dv = _mp3_stream_info(pv)
     assert dv["vbr"] and dv["n_mpeg_frames"] == 6
     # MPEG-2.5 layer III mono: 576 samples/frame, low-rate table
     p25 = _mp3_stream_payload(n_frames=2, vbits=0, layer=3, br_idx=1, sr_idx=2, mono=True)
-    d25 = decode_mp3(p25)
+    d25 = _mp3_stream_info(p25)
     assert d25["mpeg_version"] == "2.5" and d25["sample_rate"] == 8000
     assert d25["n_channels"] == 1 and d25["n_frames"] == 2 * 576
     assert d25["bitrate_kbps"] == 8
     # layer I pads in 4-byte slots and carries 384 samples
     p1 = _mp3_stream_payload(n_frames=2, layer=1, br_idx=9, sr_idx=1)
-    d1 = decode_mp3(p1)
+    d1 = _mp3_stream_info(p1)
     assert d1["layer"] == 1 and d1["n_frames"] == 2 * 384
+    # a cut final frame is NOT counted (complete frames only — a
+    # partial download must not report an intact file's metadata)
+    assert _mp3_stream_info(p[:-3])["n_mpeg_frames"] == 4
     # sample decode quarantines — both bare and ID3-led streams
     for payload in (p, p2):
         with pytest.raises(NotImplementedError, match="codec library"):
@@ -1249,6 +1270,10 @@ def test_mp3_header_triage_and_quarantine():
     bad_id3[6] = 0x80
     with pytest.raises(ValueError, match="syncsafe"):
         decode_mp3(bytes(bad_id3))
+    # one valid header but its body cut: truncated, not 0-frame ok
+    first_len = 144 * 128000 // 44100
+    with pytest.raises(ValueError, match="truncated"):
+        decode_mp3(p[: first_len - 3])
     for cut in (2, 5, len(p) // 2, len(p) - 3):
         try:
             decode_mp3(p[:cut])
@@ -1256,6 +1281,30 @@ def test_mp3_header_triage_and_quarantine():
             pass
         except Exception as exc:  # noqa: BLE001
             raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+
+
+def test_decode_features_survives_mp3_rows(spark):
+    """An audio/mpeg doc through decode_features must yield a normal
+    stats row (schema-trimmed decode_mp3) — and never fail the Arrow
+    batch (r10 review: extra dict keys became extra columns and one
+    MP3 doc killed the whole mapInPandas pass)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp3_stream_payload,
+        _wav_payload,
+        decode_features,
+    )
+
+    rows = [
+        (1, bytearray(_wav_payload(b"abc")), "audio/wav"),
+        (2, bytearray(_mp3_stream_payload(n_frames=3)), "audio/mpeg"),
+        (3, bytearray(b"\x00garbage"), "audio/mpeg"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, mime string")
+    got = {r.doc_id: r for r in decode_features(df).collect()}
+    assert got[1].ok and got[1].n_frames == 3
+    assert got[2].ok and got[2].codec == "mp3"
+    assert got[2].n_frames == 3 * 1152 and got[2].rms is None
+    assert not got[3].ok and "ValueError" in got[3].err
 
 
 def test_f80_extended_float_round_trip():
