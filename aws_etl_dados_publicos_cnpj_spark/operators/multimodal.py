@@ -175,7 +175,7 @@ def _ima_adpcm_samples(
     probed = probed if probed is not None else _riff_fmt_and_data(payload)
     if probed is None:
         raise ValueError("not a parseable RIFF/WAVE container")
-    (tag, n_ch, rate, bits, block_align), data = probed
+    (tag, n_ch, rate, bits, block_align), data = probed[0][:5], probed[1]
     if tag != 0x11:
         raise ValueError(f"not an IMA ADPCM WAV (fmt tag {tag:#x})")
     if bits != 4:
@@ -242,7 +242,10 @@ def _ima_fmt_extension(payload: bytes) -> int:
     (cbSize >= 2), 0 when absent or truncated — the same liberal-read
     discipline as ``_ms_fmt_extension`` (a bogus huge value only makes
     the truncation a no-op; a bogus small one is the encoder's claim
-    of how many real samples each block holds, which we honor)."""
+    of how many real samples each block holds, which we honor). The
+    +18 offset covers BOTH header layouts: classic cbSize-then-spb,
+    and WAVE_FORMAT_EXTENSIBLE's Samples union (wSamplesPerBlock for
+    compressed formats) at the same position."""
     loc = _riff_fmt_chunk(payload)
     if loc is None or loc[1] < 20:
         return 0
@@ -303,7 +306,7 @@ def _ms_adpcm_samples(
     probed = probed if probed is not None else _riff_fmt_and_data(payload)
     if probed is None:
         raise ValueError("not a parseable RIFF/WAVE container")
-    (tag, n_ch, rate, bits, block_align), data = probed
+    (tag, n_ch, rate, bits, block_align), data = probed[0][:5], probed[1]
     if tag != 2:
         raise ValueError(f"not an MS ADPCM WAV (fmt tag {tag:#x})")
     if bits != 4:
@@ -348,18 +351,29 @@ def _ms_fmt_extension(payload: bytes) -> tuple[tuple, int]:
     """(coefficient table, samples_per_block) from the fmt chunk's
     ADPCM extension — falls back to the 7 canonical pairs / 0 when
     the extension is absent or truncated (liberal read; every value
-    that matters downstream is validated there)."""
+    that matters downstream is validated there). Both header layouts
+    (r10): classic tag-2 puts [wSamplesPerBlock][wNumCoef][table] at
+    +18; WAVE_FORMAT_EXTENSIBLE keeps wSamplesPerBlock in the Samples
+    union at the SAME +18 and appends [wNumCoef][table] after the
+    SubFormat GUID at +40."""
     loc = _riff_fmt_chunk(payload)
-    if loc is not None and loc[1] >= 22:
-        off, csz = loc
-        spb, ncoef = struct.unpack_from("<HH", payload, off + 18)
-        if 1 <= ncoef <= 256 and csz >= 22 + 4 * ncoef:
+    if loc is None:
+        return _MS_ADPCM_COEFS, 0
+    off, csz = loc
+    (disk_tag,) = struct.unpack_from("<H", payload, off)
+    tbl = off + 40 if disk_tag == 0xFFFE else off + 20
+    spb = 0
+    if csz >= 20:
+        (spb,) = struct.unpack_from("<H", payload, off + 18)
+    if off + csz >= tbl + 2:
+        (ncoef,) = struct.unpack_from("<H", payload, tbl)
+        if 1 <= ncoef <= 256 and off + csz >= tbl + 2 + 4 * ncoef:
             table = tuple(
-                struct.unpack_from("<hh", payload, off + 22 + 4 * i)
+                struct.unpack_from("<hh", payload, tbl + 2 + 4 * i)
                 for i in range(ncoef)
             )
             return table, spb
-    return _MS_ADPCM_COEFS, 0
+    return _MS_ADPCM_COEFS, spb
 
 
 def encode_ms_adpcm(
@@ -525,11 +539,22 @@ def encode_ima_adpcm(
     return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
 
 
+# GUID bytes 2-15 of every KSDATAFORMAT_SUBTYPE_* media subtype: the
+# first two bytes are the wrapped format tag, the rest is this fixed
+# suffix (xxxx xxxx-0000-0010-8000-00AA00389B71).
+_WAVE_EXT_GUID_SUFFIX = bytes.fromhex("0000" "0000" "1000" "8000" "00aa" "0038" "9b71")
+
+
 def _riff_fmt_and_data(payload: bytes) -> tuple[tuple, bytes] | None:
-    """((fmt_tag, n_ch, rate, bits, block_align), data bytes) from a
-    raw RIFF/WAVE walk, or None when the container isn't parseable
-    this way — used to route the format tags the stdlib ``wave``
-    module rejects (G.711's 6/7, IMA ADPCM's 0x11)."""
+    """((fmt_tag, n_ch, rate, bits, block_align, extensible), data
+    bytes) from a raw RIFF/WAVE walk, or None when the container isn't
+    parseable this way — used to route the format tags the stdlib
+    ``wave`` module rejects (G.711's 6/7, IMA ADPCM's 0x11, IEEE
+    float's 3). WAVE_FORMAT_EXTENSIBLE (0xFFFE — the modern Windows
+    default, REQUIRED by the spec for >16-bit audio) unwraps to the
+    tag in the SubFormat GUID's first two bytes when the rest of the
+    GUID is the KSDATAFORMAT suffix; a foreign GUID keeps tag 0xFFFE
+    and quarantines downstream as unsupported."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos, fmt, data = 12, None, None
@@ -541,7 +566,14 @@ def _riff_fmt_and_data(payload: bytes) -> tuple[tuple, bytes] | None:
         if cid == b"fmt " and csz >= 16:
             tag, n_ch, rate = struct.unpack_from("<HHI", payload, pos + 8)
             block_align, bits = struct.unpack_from("<HH", payload, pos + 20)
-            fmt = (tag, n_ch, rate, bits, block_align)
+            extensible = False
+            if tag == 0xFFFE and csz >= 40:
+                (cb,) = struct.unpack_from("<H", payload, pos + 24)
+                guid = payload[pos + 32 : pos + 48]
+                if cb >= 22 and guid[2:] == _WAVE_EXT_GUID_SUFFIX:
+                    tag = guid[0] | (guid[1] << 8)
+                    extensible = True
+            fmt = (tag, n_ch, rate, bits, block_align, extensible)
         elif cid == b"data":
             data = payload[pos + 8 : pos + 8 + csz]
         pos += 8 + csz + (csz & 1)
@@ -569,8 +601,13 @@ def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
         return s.astype(np.float64), n_ch, rate, len(s) // max(n_ch, 1)
     if probed is not None and probed[0][0] == 3:
         return _float_wav_expand(probed)
+    if probed is not None and probed[0][0] == 1 and probed[0][5]:
+        # integer PCM wrapped in WAVE_FORMAT_EXTENSIBLE: the stdlib
+        # module below rejects the 0xFFFE on-disk tag, so the probe
+        # decodes it — SAME width semantics as the stdlib branch
+        return _pcm_wav_expand(probed)
     if probed is not None and probed[0][0] in (6, 7):
-        (tag, n_ch, rate, bits, _ba), data = probed
+        (tag, n_ch, rate, bits, _ba), data = probed[0][:5], probed[1]
         if bits != 8:
             raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
         if n_ch < 1:
@@ -605,6 +642,32 @@ def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     return samples, n_ch, rate, n_frames
 
 
+def _pcm_wav_expand(probed: tuple) -> tuple[np.ndarray, int, int, int]:
+    """Integer-PCM decode from the RIFF probe, for containers the
+    stdlib module can't parse (extensible headers): identical width
+    semantics to the stdlib branch of ``_wav_samples_f64`` — 8-bit
+    unsigned centered, 16/32-bit native, 24-bit assembled with sign
+    extension; whole frames only."""
+    (_tag, n_ch, rate, bits, _ba), data = probed[0][:5], probed[1]
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported WAV sample width {bits // 8}")
+    if n_ch < 1:
+        raise ValueError(f"invalid WAV channel count {n_ch}")
+    width = bits // 8
+    n_frames = len(data) // (width * n_ch)
+    data = data[: n_frames * width * n_ch]
+    if bits == 24:
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        samples = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.float64)
+    else:
+        dt = {8: np.uint8, 16: "<i2", 32: "<i4"}[bits]
+        samples = np.frombuffer(data, dtype=dt).astype(np.float64)
+        if bits == 8:
+            samples -= 128.0
+    return samples, n_ch, rate, n_frames
+
+
 def _float_wav_expand(probed: tuple) -> tuple[np.ndarray, int, int, int]:
     """IEEE-float WAV (format tag 3 — the common DAW-export layout the
     stdlib module rejects) expanded to the int16 sample grid, the same
@@ -615,7 +678,7 @@ def _float_wav_expand(probed: tuple) -> tuple[np.ndarray, int, int, int]:
     unchanged). Out-of-range values clip exactly like every integer
     renderer; non-finite values raise — they would poison rms and
     rounding them is undefined."""
-    (_tag, n_ch, rate, bits, _ba), data = probed
+    (_tag, n_ch, rate, bits, _ba), data = probed[0][:5], probed[1]
     if bits not in (32, 64):
         raise ValueError(f"float WAV must be 32- or 64-bit, got {bits}")
     if n_ch < 1:
@@ -983,8 +1046,20 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         # G.711, IMA/MS ADPCM, and IEEE-float WAVs all expand to the
         # exact int16 grid — the fingerprint contract — so the stats
         # and fingerprint families share one support matrix (r9
-        # review: drift is the sampler-KeyError bug class)
+        # review: drift is the sampler-KeyError bug class). The probe
+        # already unwrapped extensible headers to these tags.
         return _wav_samples_f64(payload)[0].astype(np.int16)
+    if probed is not None and probed[0][0] == 1 and probed[0][5]:
+        # extensible integer PCM (stdlib can't parse the header):
+        # same width contract as the stdlib arm below — 16-bit exact,
+        # 32-bit only when already on the int16 grid, 8/24 rejected
+        bits = probed[0][3]
+        if bits not in (16, 32):
+            raise ValueError(f"unsupported WAV sample width {bits // 8}")
+        v = _pcm_wav_expand(probed)[0]
+        if bits == 32 and v.size and (v.max() > 32767 or v.min() < -32768):
+            raise ValueError("32-bit WAV samples exceed the int16 grid")
+        return v.astype(np.int16)
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
             sw = w.getsampwidth()
@@ -4850,37 +4925,58 @@ def _wav_payload(raw: bytes, rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
+def _wave_ext_fmt(subtag: int, n_ch: int, rate: int, bits: int) -> bytes:
+    """A spec-correct WAVE_FORMAT_EXTENSIBLE fmt chunk body wrapping
+    ``subtag``: cbSize 22, wValidBitsPerSample = container bits, the
+    trivial channel mask, KSDATAFORMAT SubFormat GUID."""
+    ba = n_ch * bits // 8
+    return (
+        struct.pack("<HHIIHH", 0xFFFE, n_ch, rate, rate * ba, ba, bits)
+        + struct.pack("<HHI", 22, bits, (1 << n_ch) - 1)
+        + struct.pack("<H", subtag)
+        + _WAVE_EXT_GUID_SUFFIX
+    )
+
+
+def _riff_wrap(fmt: bytes, body: bytes) -> bytes:
+    out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        out += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+
 def _float_wav_payload(raw: bytes, rate: int = 8000, double: bool = False) -> bytes:
     """The SAME decoded-sample contract as ``_wav_payload`` through
     the IEEE-float decode path (fmt tag 3): byte k ships as k/32767
     in float32 (or float64), which ``_float_wav_expand`` rounds back
     to exactly k on the int16 grid — |float32(k/32767)·32767 − k| ≤
     k·2⁻²⁴ < 2·10⁻⁵, far inside the 0.5 rounding margin. Same decoded
-    values, same SQL oracles, new decode path."""
+    values, same SQL oracles, new decode path. The float64 variant
+    ships wrapped in WAVE_FORMAT_EXTENSIBLE (the modern Windows
+    header), driver-gating the SubFormat GUID unwrap."""
     v = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) / 32767.0
     bits = 64 if double else 32
     body = v.astype("<f8" if double else "<f4").tobytes()
-    fmt = struct.pack(
-        "<HHIIHH", 3, 1, rate, rate * (bits // 8), bits // 8, bits
-    )
-    out = b"fmt " + struct.pack("<I", len(fmt)) + fmt
-    out += b"data" + struct.pack("<I", len(body)) + body
-    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+    if double:
+        fmt = _wave_ext_fmt(3, 1, rate, bits)
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", 3, 1, rate, rate * (bits // 8), bits // 8, bits
+        )
+    return _riff_wrap(fmt, body)
 
 
 def _pcm32_wav_payload(raw: bytes, rate: int = 8000) -> bytes:
     """The fixture contract through the 32-bit PCM path: byte k ships
     as int32 value k — already on the int16 grid, so the native-domain
     stats AND the exact-grid fingerprint both see the byte contract
-    (a 32-bit container carrying 16-bit-grid values)."""
+    (a 32-bit container carrying 16-bit-grid values). Emitted as
+    WAVE_FORMAT_EXTENSIBLE because the spec REQUIRES the extensible
+    header for >16-bit audio — which also driver-gates the probe-side
+    PCM decode (the stdlib module can't read this header)."""
     samples = np.frombuffer(raw, dtype=np.uint8).astype("<i4")
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(4)
-        w.setframerate(rate)
-        w.writeframes(samples.tobytes())
-    return buf.getvalue()
+    return _riff_wrap(_wave_ext_fmt(1, 1, rate, 32), samples.tobytes())
 
 
 def _aiff_payload(raw: bytes, rate: int = 8000) -> bytes:

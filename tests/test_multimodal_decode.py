@@ -1119,7 +1119,9 @@ def test_audio_fixture_rotation_covers_new_wav_layouts(spark):
     # four genuinely different encodings of the same samples
     assert len({p[:40] for p in payloads.values()}) == 4
     tags = {i: struct.unpack_from("<H", p, 20)[0] for i, p in payloads.items()}
-    assert tags == {0: 1, 6: 3, 12: 1, 18: 3}
+    # 12 (32-bit PCM) and 18 (float64) ship as WAVE_FORMAT_EXTENSIBLE
+    # — the spec requires the extensible header for >16-bit audio
+    assert tags == {0: 1, 6: 3, 12: 0xFFFE, 18: 0xFFFE}
     widths = {i: struct.unpack_from("<H", p, 34)[0] for i, p in payloads.items()}
     assert widths == {0: 16, 6: 32, 12: 32, 18: 64}
     hashes = audio_energy_hash(
@@ -1193,6 +1195,90 @@ def test_aifc_sowt_none_decode_and_quarantine(spark):
 
 def payload_is_aifc(p: bytes) -> bool:
     return p[:4] == b"FORM" and p[8:12] == b"AIFC"
+
+
+def test_wave_format_extensible_unwraps_every_subformat():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE — the modern Windows default,
+    REQUIRED for >16-bit audio; the stdlib module rejects it outright)
+    unwraps via the KSDATAFORMAT SubFormat GUID to PCM, IEEE float,
+    G.711, and ADPCM, hitting the same decode arms as the classic
+    tags; a foreign GUID stays 0xFFFE and quarantines."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _pcm16_samples,
+        _riff_wrap,
+        _wav_payload,
+        _wave_ext_fmt,
+        decode_wav,
+        encode_ima_adpcm,
+        encode_ms_adpcm,
+    )
+
+    raw = "extensible wrappers everywhere".encode()
+    k = np.frombuffer(raw, np.uint8).astype(np.int16)
+    ref = decode_wav(_wav_payload(raw))
+
+    # 16-bit PCM wrapped extensible == classic 16-bit contract
+    p16 = _riff_wrap(_wave_ext_fmt(1, 1, 8000, 16), k.astype("<i2").tobytes())
+    d = decode_wav(p16)
+    for key in ("n_channels", "sample_rate", "n_frames", "rms", "peak"):
+        assert d[key] == ref[key], key
+    assert np.array_equal(_pcm16_samples(p16), k)
+    # float32 wrapped extensible == tag-3 contract
+    pf = _riff_wrap(
+        _wave_ext_fmt(3, 1, 8000, 32),
+        (k.astype(np.float64) / 32767.0).astype("<f4").tobytes(),
+    )
+    assert decode_wav(pf)["rms"] == ref["rms"]
+    assert np.array_equal(_pcm16_samples(pf), k)
+    # µ-law wrapped extensible routes through the G.711 table
+    pu = _riff_wrap(_wave_ext_fmt(7, 1, 8000, 8), bytes(raw))
+    assert decode_wav(pu)["n_frames"] == len(raw)
+    # ADPCM wrapped extensible: rebuild an IMA/MS stream under an
+    # extensible header — wSamplesPerBlock moves into the Samples
+    # union, the MS coef table follows the SubFormat GUID — and the
+    # decoded samples must be IDENTICAL to the classic container's
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _WAVE_EXT_GUID_SUFFIX,
+        _wav_samples_f64,
+    )
+
+    s = (3000 * np.sin(np.arange(2000) / 40)).astype(np.int16)
+    for enc, tag in ((encode_ima_adpcm, 0x11), (encode_ms_adpcm, 2)):
+        classic = enc(s, 8000)
+        fi = classic.find(b"fmt ")
+        (fsz,) = struct.unpack_from("<I", classic, fi + 4)
+        cfmt = classic[fi + 8 : fi + 8 + fsz]
+        di = classic.find(b"data")
+        (dsz,) = struct.unpack_from("<I", classic, di + 4)
+        body = classic[di + 8 : di + 8 + dsz]
+        (spb,) = struct.unpack_from("<H", cfmt, 18)
+        extra = cfmt[20:]  # MS: [wNumCoef][table]; IMA: empty
+        ext = (
+            struct.pack("<H", 0xFFFE)
+            + cfmt[2:16]
+            + struct.pack("<HHI", 22 + len(extra), spb, 1)
+            + struct.pack("<H", tag)
+            + _WAVE_EXT_GUID_SUFFIX
+            + extra
+        )
+        pw = _riff_wrap(ext, body)
+        dw = decode_wav(pw)
+        assert dw == decode_wav(classic), tag
+        assert np.array_equal(
+            _wav_samples_f64(pw)[0], _wav_samples_f64(classic)[0]
+        )
+    # foreign GUID: stays 0xFFFE, quarantines as corrupt/unsupported
+    alien = bytearray(_riff_wrap(_wave_ext_fmt(1, 1, 8000, 16), b"\x00\x00"))
+    gi = bytes(alien).find(b"fmt ") + 8 + 24 + 2  # GUID suffix start
+    alien[gi] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_wav(bytes(alien))
+    # truncated extension (cbSize lies): falls back to raw 0xFFFE
+    short = bytearray(_riff_wrap(_wave_ext_fmt(1, 1, 8000, 16), b"\x00\x00"))
+    si = bytes(short).find(b"fmt ") + 8 + 16
+    struct.pack_into("<H", short, si, 4)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(short))
 
 
 def test_mp3_header_triage_and_quarantine():
