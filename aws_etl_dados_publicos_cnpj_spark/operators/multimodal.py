@@ -789,10 +789,15 @@ def _aiff_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
     n_ch, n_frames, samp_size = struct.unpack_from(">hIh", payload, comm[0])
     rate = int(round(_f80_decode(payload[comm[0] + 8 : comm[0] + 18])))
     dtype = ">i2"
+    float_width = 0
     if aifc:
         ctype = payload[comm[0] + 18 : comm[0] + 22]
         if ctype == b"sowt":
             dtype = "<i2"
+        elif ctype in (b"fl32", b"FL32"):
+            float_width = 4
+        elif ctype in (b"fl64", b"FL64"):
+            float_width = 8
         elif ctype not in (b"NONE", b"twos"):
             raise NotImplementedError(
                 f"AIFC compression {ctype!r} needs a codec library"
@@ -801,13 +806,37 @@ def _aiff_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
         # numChannels is signed in the spec; <1 would make the frombuffer
         # count negative (= read-to-end) and return garbage with ok=True.
         raise ValueError(f"invalid AIFF channel count {n_ch}")
-    if samp_size != 16:
+    if float_width:
+        if samp_size != float_width * 8:
+            raise ValueError(
+                f"AIFC float sample size {samp_size} contradicts the "
+                f"compression type"
+            )
+    elif samp_size != 16:
         raise ValueError(f"unsupported AIFF sample size {samp_size}")
     offset, _blocksize = struct.unpack_from(">II", payload, ssnd[0])
     start = ssnd[0] + 8 + offset
     count = n_frames * n_ch
-    if start + 2 * count > ssnd[1]:
+    width = float_width or 2
+    if start + width * count > ssnd[1]:
         raise ValueError("AIFF sample data truncated")
+    if float_width:
+        # IEEE-float AIFC ('fl32'/'fl64'): big-endian normalized
+        # floats, expanded to the int16 grid exactly like the float
+        # WAV arm — round(clip(v)·32767), non-finite raises
+        v = np.frombuffer(
+            payload,
+            dtype=">f4" if float_width == 4 else ">f8",
+            offset=start,
+            count=count,
+        ).astype(np.float64)
+        if v.size and not np.isfinite(v).all():
+            raise ValueError("AIFC float samples non-finite")
+        return (
+            np.rint(np.clip(v, -1.0, 1.0) * 32767.0).astype(np.int16),
+            rate,
+            n_ch,
+        )
     samples = np.frombuffer(payload, dtype=dtype, offset=start, count=count)
     return samples.astype(np.int16), rate, n_ch
 
@@ -4999,14 +5028,24 @@ def _aifc_payload(
 ) -> bytes:
     """The SAME sample contract as ``_aiff_payload`` in an AIFC form:
     FVER (the spec's AIFC version timestamp), COMM extended with the
-    compressionType + pstring name, SSND in the byte order the type
-    dictates ('sowt' little-endian, 'NONE'/'twos' big-endian)."""
-    le = compression == b"sowt"
-    samples = np.frombuffer(raw, dtype=np.uint8).astype("<i2" if le else ">i2")
+    compressionType + pstring name, SSND in the layout the type
+    dictates ('sowt' little-endian PCM, 'NONE'/'twos' big-endian PCM,
+    'fl32'/'fl64' big-endian floats carrying k/32767 so the int16-grid
+    expansion rounds back to exactly k — the float WAV trick)."""
+    if compression in (b"fl32", b"fl64"):
+        v = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) / 32767.0
+        samples = v.astype(">f4" if compression == b"fl32" else ">f8")
+        samp_size = 32 if compression == b"fl32" else 64
+    else:
+        le = compression == b"sowt"
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(
+            "<i2" if le else ">i2"
+        )
+        samp_size = 16
     fver = b"FVER" + struct.pack(">II", 4, 0xA2805140)
     comm = (
         b"COMM"
-        + struct.pack(">IhIh", 24, 1, len(samples), 16)
+        + struct.pack(">IhIh", 24, 1, len(samples), samp_size)
         + _f80_encode(rate)
         + compression
         + b"\x00\x00"  # empty pstring name, even-padded
@@ -5172,8 +5211,8 @@ def synthesize_mixed_audio_from_text(
     rounds back to exactly k; 32-bit PCM at % 24 == 12 carrying k
     directly; classic 16-bit PCM at % 24 == 0. The AIFF docs
     sub-rotate too (r10): % 6 == 4 ships AIFC ('sowt' little-endian
-    at % 12 == 4, 'NONE' big-endian at % 12 == 10), classic AIFF at
-    % 6 == 1."""
+    at % 12 == 4, 'NONE' big-endian at % 24 == 10, 'fl32' IEEE float
+    at % 24 == 22), classic AIFF at % 6 == 1."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -5183,7 +5222,12 @@ def synthesize_mixed_audio_from_text(
                 kind = int(doc_id) % 3
                 if kind == 1:
                     if int(doc_id) % 6 == 4:
-                        comp = b"sowt" if int(doc_id) % 12 == 4 else b"NONE"
+                        if int(doc_id) % 12 == 4:
+                            comp = b"sowt"
+                        elif int(doc_id) % 24 == 22:
+                            comp = b"fl32"
+                        else:
+                            comp = b"NONE"
                         payloads.append(_aifc_payload(raw, rate, comp))
                     else:
                         payloads.append(_aiff_payload(raw, rate))

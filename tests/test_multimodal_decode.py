@@ -1156,7 +1156,7 @@ def test_aifc_sowt_none_decode_and_quarantine(spark):
     raw = "AIFC: the QuickTime byte-swap staple — ações".encode("utf-8")
     ref = decode_aiff(_aiff_payload(raw))
     want = np.frombuffer(raw, np.uint8).astype(np.int16)
-    for comp in (b"sowt", b"NONE", b"twos"):
+    for comp in (b"sowt", b"NONE", b"twos", b"fl32", b"fl64"):
         p = _aifc_payload(raw, compression=comp)
         assert payload_is_aifc(p)
         d = decode_aiff(p)
@@ -1164,6 +1164,21 @@ def test_aifc_sowt_none_decode_and_quarantine(spark):
             assert d[k] == ref[k], (k, comp)
         assert np.array_equal(_pcm16_samples(p), want)
         assert decode_media(p, "audio/aiff")["kind"] == "audio"
+    # float AIFC hostile cases: size/type contradiction, non-finite
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _f80_encode,
+    )
+
+    pf = bytearray(_aifc_payload(raw, compression=b"fl32"))
+    ci = bytes(pf).find(b"COMM") + 4 + 4
+    struct.pack_into(">h", pf, ci + 6, 16)  # sampleSize 16 vs fl32
+    with pytest.raises(ValueError, match="contradicts"):
+        _aiff_samples(bytes(pf))
+    pn = bytearray(_aifc_payload(b"ab", compression=b"fl32"))
+    si = bytes(pn).find(b"SSND") + 8 + 8
+    struct.pack_into(">f", pn, si, float("nan"))
+    with pytest.raises(ValueError, match="non-finite"):
+        _aiff_samples(bytes(pn))
     # 'sowt' and 'NONE' genuinely differ on the wire (byte order)
     assert _aifc_payload(raw, compression=b"sowt") != _aifc_payload(
         raw, compression=b"NONE"
@@ -1179,16 +1194,24 @@ def test_aifc_sowt_none_decode_and_quarantine(spark):
     struct.pack_into(">I", trunc, 4, len(trunc) - 8)
     with pytest.raises(ValueError, match="COMM chunk truncated"):
         _aiff_samples(bytes(trunc))
-    # fixture rotation: 1 = AIFF, 4 = AIFC sowt, 10 = AIFC NONE —
-    # same text, same ehash, three container variants
+    # fixture rotation: 1 = AIFF, 4 = AIFC sowt, 10 = AIFC NONE,
+    # 22 = AIFC fl32 — same text, same ehash, four container variants
     docs = spark.createDataFrame(
-        [(i, "identical text for every row") for i in (1, 4, 10)],
+        [(i, "identical text for every row") for i in (1, 4, 10, 22)],
         "doc_id long, text string",
     )
     rows = synthesize_mixed_audio_from_text(docs).collect()
     assert {r.mime for r in rows} == {"audio/aiff"}
     forms = {r.doc_id: bytes(r.payload)[8:12] for r in rows}
-    assert forms == {1: b"AIFF", 4: b"AIFC", 10: b"AIFC"}
+    assert forms == {1: b"AIFF", 4: b"AIFC", 10: b"AIFC", 22: b"AIFC"}
+    comps = {
+        r.doc_id: bytes(r.payload)[
+            bytes(r.payload).find(b"COMM") + 26 : bytes(r.payload).find(b"COMM") + 30
+        ]
+        for r in rows
+        if bytes(r.payload)[8:12] == b"AIFC"
+    }
+    assert comps == {4: b"sowt", 10: b"NONE", 22: b"fl32"}
     hashes = audio_energy_hash(synthesize_mixed_audio_from_text(docs)).collect()
     assert len({r.ehash for r in hashes}) == 1
 

@@ -317,7 +317,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("wavf", mm._float_wav_payload(raw8, double=rng.random() < 0.5)),
         ("wav32", mm._pcm32_wav_payload(raw8)),
         ("aiff", mm._aiff_payload(raw8)),
-        ("aiff", mm._aifc_payload(raw8, compression=rng.choice((b"sowt", b"NONE")))),
+        ("aiff", mm._aifc_payload(raw8, compression=rng.choice((b"sowt", b"NONE", b"fl32", b"fl64")))),
         ("g711", _encode_g711(rng)),
         (
             "mp3",
