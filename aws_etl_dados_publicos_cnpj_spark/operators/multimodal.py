@@ -582,6 +582,36 @@ def _riff_fmt_and_data(payload: bytes) -> tuple[tuple, bytes] | None:
     return fmt, data
 
 
+def _riff_fact_frames(payload: bytes) -> int:
+    """dwSampleLength (frames per channel) from a RIFF fact chunk, 0
+    when absent or short. The spec requires fact for every non-PCM
+    format; external encoders use it to mark how much of the final
+    block is real audio."""
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csz,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + csz > len(payload):
+            return 0
+        if cid == b"fact" and csz >= 4:
+            return struct.unpack_from("<I", payload, pos + 8)[0]
+        pos += 8 + csz + (csz & 1)
+    return 0
+
+
+def _apply_fact(
+    payload: bytes, samples: np.ndarray, n_ch: int, n_frames: int
+) -> tuple[np.ndarray, int]:
+    """Truncate decoded interleaved samples to the fact chunk's frame
+    count when one is present and SMALLER than what the blocks decode
+    to (final-block padding); a larger/absent/zero fact is ignored —
+    it can't conjure samples the data doesn't hold."""
+    fact = _riff_fact_frames(payload)
+    if 0 < fact < n_frames:
+        return samples[: fact * n_ch], fact
+    return samples, n_frames
+
+
 def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     """(float64 samples, n_channels, rate, n_frames) of any PCM WAV
     width the stdlib container can carry — 8-bit (unsigned, centered),
@@ -598,9 +628,13 @@ def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     if probed is not None and probed[0][0] in (0x11, 2):
         dec = _ima_adpcm_samples if probed[0][0] == 0x11 else _ms_adpcm_samples
         s, rate, n_ch = dec(payload, probed)
-        return s.astype(np.float64), n_ch, rate, len(s) // max(n_ch, 1)
+        n_frames = len(s) // max(n_ch, 1)
+        s, n_frames = _apply_fact(payload, s, n_ch, n_frames)
+        return s.astype(np.float64), n_ch, rate, n_frames
     if probed is not None and probed[0][0] == 3:
-        return _float_wav_expand(probed)
+        samples, n_ch, rate, n_frames = _float_wav_expand(probed)
+        samples, n_frames = _apply_fact(payload, samples, n_ch, n_frames)
+        return samples, n_ch, rate, n_frames
     if probed is not None and probed[0][0] == 1 and probed[0][5]:
         # integer PCM wrapped in WAVE_FORMAT_EXTENSIBLE: the stdlib
         # module below rejects the 0xFFFE on-disk tag, so the probe
@@ -618,6 +652,7 @@ def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
         # ragged tail, so the two container arms must agree (r9 review)
         data = data[: n_frames * n_ch]
         samples = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float64)
+        samples, n_frames = _apply_fact(payload, samples, n_ch, n_frames)
         return samples, n_ch, rate, n_frames
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
@@ -941,6 +976,26 @@ def _mp3_frame_info(payload: bytes, off: int) -> tuple[int, int, dict] | None:
     return frame_len, spf, fields
 
 
+def _mp3_is_metadata_frame(payload: bytes, off: int, fields: dict) -> bool:
+    """True when the layer-III frame at ``off`` is a Xing/Info (LAME)
+    or VBRI (Fraunhofer) metadata frame — a real frame-sized slot
+    whose body is a seek table, not audio. Players and ffmpeg exclude
+    it from frame/sample counts; counting it would inflate every LAME
+    file's duration by one frame. The Xing tag sits after the side
+    info (whose size depends on version/channels, +2 when the
+    protection bit advertises a CRC); VBRI sits at the fixed +36."""
+    if fields["layer"] != 3:
+        return False
+    crc = 0 if payload[off + 1] & 1 else 2
+    v1 = fields["mpeg_version"] == "1"
+    mono = fields["n_channels"] == 1
+    side = (17 if mono else 32) if v1 else (9 if mono else 17)
+    tag = off + 4 + crc + side
+    if payload[tag : tag + 4] in (b"Xing", b"Info"):
+        return True
+    return payload[off + 36 : off + 40] == b"VBRI"
+
+
 def _mp3_stream_info(payload: bytes) -> dict:
     """Full triage dict for an MPEG audio stream: skip any ID3v2 tag,
     walk every frame header (per-frame bitrates, so VBR durations are
@@ -957,6 +1012,7 @@ def _mp3_stream_info(payload: bytes) -> dict:
     n_frames = 0
     total_samples = 0
     bitrates = set()
+    first = True
     while True:
         info = _mp3_frame_info(payload, off)
         if info is None:
@@ -970,6 +1026,13 @@ def _mp3_stream_info(payload: bytes) -> dict:
             or f["sample_rate"] != fields["sample_rate"]
         ):
             break
+        if first and _mp3_is_metadata_frame(payload, off, f):
+            # Xing/Info/VBRI seek-table frame: a frame-sized slot with
+            # no audio — skip it like every player does
+            first = False
+            off += frame_len
+            continue
+        first = False
         n_frames += 1
         total_samples += spf
         bitrates.add(f["bitrate_kbps"])
@@ -1015,11 +1078,14 @@ def _mp3_stream_payload(
     mono: bool = False,
     id3: bool = False,
     vbr: bool = False,
+    xing: bool = False,
 ) -> bytes:
     """MP3 stream synthesizer for tests/fuzz seeds: spec-correct frame
     headers with correctly-sized (but content-opaque — never decoded)
     frame bodies, optional ID3v2 prefix, optional per-frame bitrate
-    variation. Not an encoder: the triage contract is header-only."""
+    variation, optional LAME-style Xing metadata frame prepended (its
+    tag at the spec's post-side-info offset). Not an encoder: the
+    triage contract is header-only."""
     out = bytearray()
     if id3:
         body = b"TIT2\x00\x00\x00\x05\x00\x00\x00test"
@@ -1028,6 +1094,22 @@ def _mp3_stream_payload(
         )
         out += body
     lbits = 4 - layer
+    if xing:
+        h = (
+            (0x7FF << 21) | (vbits << 19) | (lbits << 17) | (1 << 16)
+            | (br_idx << 12) | (sr_idx << 10) | ((3 if mono else 0) << 6)
+        )
+        hdr = h.to_bytes(4, "big")
+        info = _mp3_frame_info(hdr, 0)
+        if info is None or layer != 3:
+            raise ValueError("xing synthesis needs a valid layer-III header")
+        frame_len = info[0]
+        v1 = vbits == 3
+        side = (17 if mono else 32) if v1 else (9 if mono else 17)
+        body = bytearray(frame_len - 4)
+        body[side : side + 8] = b"Xing" + struct.pack(">I", 1)
+        body[side + 8 : side + 12] = struct.pack(">I", n_frames)
+        out += hdr + body
     for i in range(n_frames):
         bi = ((br_idx + i) % 14 or 1) if vbr else br_idx
         h = (

@@ -1392,6 +1392,52 @@ def test_mp3_header_triage_and_quarantine():
             raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
 
 
+def test_mp3_xing_frame_and_wav_fact_chunk():
+    """The LAME-style Xing/Info seek-table frame is a frame-sized slot
+    with no audio — excluded from counts like every player does; and
+    a RIFF fact chunk truncates compressed/float WAV decodes to the
+    encoder's declared frame count (final-block padding), while a
+    lying-larger fact is ignored."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp3_stream_info,
+        _mp3_stream_payload,
+        _wav_samples_f64,
+        decode_wav,
+        encode_ima_adpcm,
+    )
+
+    plain = _mp3_stream_payload(n_frames=4)
+    tagged = _mp3_stream_payload(n_frames=4, xing=True)
+    assert len(tagged) > len(plain)
+    d = _mp3_stream_info(tagged)
+    assert d["n_mpeg_frames"] == 4 and d["n_frames"] == 4 * 1152
+    assert d["duration_s"] == _mp3_stream_info(plain)["duration_s"]
+    # mono MPEG-2.5 side-info offset differs; the tag must still hit
+    dm = _mp3_stream_info(
+        _mp3_stream_payload(n_frames=2, vbits=0, sr_idx=2, br_idx=2, mono=True, xing=True)
+    )
+    assert dm["n_mpeg_frames"] == 2
+    # fact chunk: IMA ADPCM block-padded decode truncates to fact
+    s = (900 * np.sin(np.arange(100) / 7)).astype(np.int16)
+    p = encode_ima_adpcm(s, 8000, frames_per_block=505)  # one padded block
+    full = decode_wav(p)
+    assert full["n_frames"] == 505  # block padding decodes without fact
+    def with_fact(payload, frames):
+        fact = b"fact" + struct.pack("<II", 4, frames)
+        di = payload.find(b"data")
+        out = bytearray(payload[:di] + fact + payload[di:])
+        struct.pack_into("<I", out, 4, len(out) - 8)
+        return bytes(out)
+
+    dd = decode_wav(with_fact(p, 100))
+    assert dd["n_frames"] == 100
+    want = _wav_samples_f64(p)[0][:100]
+    assert np.array_equal(_wav_samples_f64(with_fact(p, 100))[0], want)
+    # a fact larger than the data decodes is ignored
+    assert decode_wav(with_fact(p, 9999))["n_frames"] == 505
+    assert decode_wav(with_fact(p, 0))["n_frames"] == 505
+
+
 def test_decode_features_survives_mp3_rows(spark):
     """An audio/mpeg doc through decode_features must yield a normal
     stats row (schema-trimmed decode_mp3) — and never fail the Arrow

@@ -324,12 +324,13 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
             mm._mp3_stream_payload(
                 n_frames=rng.randrange(1, 8),
                 vbits=rng.choice((0, 2, 3)),
-                layer=rng.choice((1, 2, 3)),
+                layer=(layer := rng.choice((1, 2, 3))),
                 br_idx=rng.randrange(1, 15),
                 sr_idx=rng.randrange(3),
                 mono=rng.random() < 0.5,
                 id3=rng.random() < 0.5,
                 vbr=rng.random() < 0.3,
+                xing=layer == 3 and rng.random() < 0.3,
             ),
         ),
         ("avi", mm._avi_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
