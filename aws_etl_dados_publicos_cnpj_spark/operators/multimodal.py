@@ -1226,7 +1226,10 @@ def _check_pixels(px: np.ndarray, who: str, maxval: int = 255) -> None:
     review: one contract, not two hand-synced copies)."""
     if np.issubdtype(px.dtype, np.floating) and not np.isfinite(px).all():
         raise ValueError(f"{who}: non-finite pixel values")
-    if px.dtype != np.uint8 and px.size and (
+    # the uint8 short-circuit is only sound when the grid covers the
+    # whole dtype: a uint8 palette index must still honor a smaller
+    # maxval (r10 encoder fuzz: index 200 with a 4-color palette)
+    if (px.dtype != np.uint8 or maxval < 255) and px.size and (
         px.min() < 0 or px.max() > maxval
     ):
         raise ValueError(f"{who}: pixel values outside [0, {maxval}]")
@@ -3037,6 +3040,143 @@ def decode_png(payload: bytes) -> dict:
         "mean_g": float(mean_rgb[1]),
         "mean_b": float(mean_rgb[2]),
     }
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _png_pack_rows(img: np.ndarray, depth: int) -> np.ndarray:
+    """(rows, stride) uint8 scanline bytes of an (h, w·ch) sample grid
+    at the given depth: 16-bit big-endian pairs, 8-bit identity,
+    sub-byte MSB-first bit packing — the exact inverses of
+    ``_png_expand_samples``."""
+    h = img.shape[0]
+    if depth == 16:
+        return np.ascontiguousarray(img.astype(">u2")).view(np.uint8).reshape(h, -1)
+    if depth == 8:
+        return img.astype(np.uint8)
+    per_byte = 8 // depth
+    w = img.shape[1]
+    padded = np.zeros((h, (w + per_byte - 1) // per_byte * per_byte), np.uint8)
+    padded[:, :w] = img
+    bits = np.unpackbits(
+        padded.reshape(h, -1, 1), axis=2, count=8
+    )[:, :, 8 - depth :]
+    return np.packbits(bits.reshape(h, -1), axis=1)
+
+
+def _png_filter_pass(rows: np.ndarray, bpp: int) -> bytes:
+    """Adaptive per-row filtering (libpng's minimum-sum-of-absolute-
+    differences heuristic, filtered bytes read as signed): each row
+    competes all five spec filters and keeps the cheapest."""
+    h, stride = rows.shape
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    zeros = np.zeros(bpp, dtype=np.int64)
+    for y in range(h):
+        cur = rows[y].astype(np.int64)
+        a = np.concatenate([zeros, cur[:-bpp]]) if stride > bpp else np.zeros(
+            stride, dtype=np.int64
+        )
+        b = prev
+        c = np.concatenate([zeros, prev[:-bpp]]) if stride > bpp else np.zeros(
+            stride, dtype=np.int64
+        )
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        paeth = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        cands = (
+            cur,
+            (cur - a) & 0xFF,
+            (cur - b) & 0xFF,
+            (cur - ((a + b) >> 1)) & 0xFF,
+            (cur - paeth) & 0xFF,
+        )
+        costs = [
+            int(np.abs(f.astype(np.uint8).astype(np.int8).astype(np.int64)).sum())
+            for f in cands
+        ]
+        f = int(np.argmin(costs))
+        out += bytes([f]) + cands[f].astype(np.uint8).tobytes()
+        prev = cur
+    return bytes(out)
+
+
+def encode_png(
+    px: np.ndarray,
+    depth: int = 8,
+    interlace: bool = False,
+    palette: "list[tuple[int, int, int]] | None" = None,
+) -> bytes:
+    """PNG encoder twin of the full decode matrix (fixture
+    discipline): grayscale (h,w), gray+alpha (h,w,2), RGB (h,w,3),
+    RGBA (h,w,4), or palette indices (h,w) with ``palette``; depths
+    1/2/4/8/16 where the spec allows them (sub-byte only for
+    gray/palette, no 16-bit palette); optional Adam7 interlacing.
+    Adaptive per-row filtering — every row cost-competes all five
+    filters like libpng — and a real zlib stream. Lossless, so
+    ``_png_pixels`` round trips exactly (16-bit via the pinned
+    v·255/65535 rounding)."""
+    px = np.asarray(px)
+    if palette is not None:
+        color_type, ch = 3, 1
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"palette PNG depth must be 1/2/4/8, got {depth}")
+        if not 1 <= len(palette) <= min(256, 1 << depth):
+            raise ValueError("palette size must be in [1, min(256, 2^depth)]")
+        if px.ndim != 2:
+            raise ValueError("palette encode_png takes (h, w) indices")
+        _check_pixels(px, "encode_png", len(palette) - 1)
+    else:
+        if px.ndim == 2:
+            px = px[:, :, None]
+        if px.ndim != 3 or px.shape[2] not in (1, 2, 3, 4):
+            raise ValueError(
+                "encode_png takes (h,w[,channels]) with 1-4 channels"
+            )
+        ch = px.shape[2]
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+        allowed = (1, 2, 4, 8, 16) if color_type == 0 else (8, 16)
+        if depth not in allowed:
+            raise ValueError(
+                f"PNG color type {color_type} cannot carry depth {depth}"
+            )
+        _check_pixels(px, "encode_png", (1 << depth) - 1)
+    if px.size == 0:
+        raise ValueError("encode_png takes a non-empty image")
+    h, w = px.shape[0], px.shape[1]
+    img = px.reshape(h, w * ch).astype(np.uint16 if depth == 16 else np.uint8)
+    bpp = max(1, ch * depth // 8)
+
+    import zlib
+
+    if interlace:
+        raw = b""
+        for xs, ys, xst, yst in _PNG_ADAM7:
+            sub = px[ys::yst, xs::xst]
+            if sub.size == 0:
+                continue  # empty passes contribute nothing, per spec
+            sub_img = sub.reshape(sub.shape[0], -1)
+            raw += _png_filter_pass(_png_pack_rows(sub_img, depth), bpp)
+    else:
+        raw = _png_filter_pass(_png_pack_rows(img, depth), bpp)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    out = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(
+            b"PLTE", bytes(v for rgb in palette for v in rgb[:3])
+        )
+    return out + _png_chunk(b"IDAT", zlib.compress(raw, 6)) + _png_chunk(b"IEND", b"")
 
 
 # --- JPEG: baseline sequential DCT (ITU-T T.81), pure stdlib+numpy --------

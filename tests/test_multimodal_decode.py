@@ -1304,6 +1304,104 @@ def test_wave_format_extensible_unwraps_every_subformat():
         decode_wav(bytes(short))
 
 
+def test_encode_png_round_trips_full_ihdr_matrix():
+    """encode_png (r10) is the encoder twin of the full PNG decode
+    matrix: color types 0/2/3/4/6, every legal depth, straight and
+    Adam7 — decoded pixels must match the decoder's pinned expansion
+    rules exactly (sub-byte scale factors, v·255/65535 for 16-bit,
+    palette lookup, alpha dropped). Adaptive filtering must actually
+    engage: a gradient image should use a non-None filter somewhere."""
+    import zlib
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+
+    def gray3(g):
+        return np.repeat(np.asarray(g, np.uint8)[:, :, None], 3, axis=2)
+
+    for h, w in ((1, 1), (3, 5), (8, 8), (13, 7)):
+        for interlace in (False, True):
+            # grayscale depths
+            for depth in (1, 2, 4, 8, 16):
+                maxv = (1 << depth) - 1
+                g = rng.randint(0, maxv + 1, (h, w))
+                p = encode_png(g, depth=depth, interlace=interlace)
+                got = _png_pixels(p)
+                if depth == 16:
+                    want = gray3((g * 255 + 32767) // 65535)
+                elif depth < 8:
+                    want = gray3(g * (255 // maxv))
+                else:
+                    want = gray3(g)
+                assert np.array_equal(got, want), ("gray", depth, h, w, interlace)
+            # RGB / RGBA / gray+alpha at 8 and 16
+            for ch in (2, 3, 4):
+                for depth in (8, 16):
+                    maxv = (1 << depth) - 1
+                    a = rng.randint(0, maxv + 1, (h, w, ch))
+                    p = encode_png(a, depth=depth, interlace=interlace)
+                    got = _png_pixels(p)
+                    scaled = (
+                        (a * 255 + 32767) // 65535 if depth == 16 else a
+                    ).astype(np.uint8)
+                    if ch == 2:
+                        want = gray3(scaled[:, :, 0])
+                    elif ch == 3:
+                        want = scaled
+                    else:
+                        want = scaled[:, :, :3]
+                    assert np.array_equal(got, want), (ch, depth, h, w, interlace)
+            # palette at sub-byte and byte depths
+            for depth in (1, 2, 4, 8):
+                pal = [
+                    (int(r), int(g_), int(b))
+                    for r, g_, b in rng.randint(0, 256, (1 << depth, 3))
+                ][: min(256, 1 << depth)]
+                idx = rng.randint(0, len(pal), (h, w))
+                p = encode_png(idx, depth=depth, interlace=interlace, palette=pal)
+                got = _png_pixels(p)
+                want = np.asarray(pal, np.uint8)[idx]
+                assert np.array_equal(got, want), ("palette", depth, h, w, interlace)
+    # adaptive filtering engages on gradients (not everything filter 0)
+    grad = np.add.outer(np.arange(16), np.arange(16) * 3)[:, :, None] % 256
+    p = encode_png(np.repeat(grad, 3, axis=2).astype(np.uint8))
+    # parse the single IDAT and look at the per-row filter bytes
+    pos = 8
+    raw = b""
+    while pos + 8 <= len(p):
+        (ln,) = struct.unpack_from(">I", p, pos)
+        if p[pos + 4 : pos + 8] == b"IDAT":
+            raw += p[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    rows = zlib.decompress(raw)
+    stride = 16 * 3 + 1
+    filters = {rows[y * stride] for y in range(16)}
+    assert filters - {0}, "gradient rows should pick a differencing filter"
+    # contract violations raise
+    with pytest.raises(ValueError, match="depth"):
+        encode_png(np.zeros((4, 4, 3)), depth=4)
+    with pytest.raises(ValueError, match="non-integral"):
+        encode_png(np.full((4, 4), 2.5))
+    with pytest.raises(ValueError, match=r"outside \[0, 3\]"):
+        encode_png(np.full((4, 4), 9), depth=2)
+    with pytest.raises(ValueError, match="palette size"):
+        encode_png(np.zeros((2, 2), np.uint8), depth=1, palette=[(0, 0, 0)] * 3)
+    # uint8 inputs must STILL honor a smaller grid (r10 encoder fuzz:
+    # the uint8 short-circuit in _check_pixels bypassed maxval=3)
+    with pytest.raises(ValueError, match=r"outside \[0, 3\]"):
+        encode_png(
+            np.full((4, 4), 200, np.uint8), palette=[(0, 0, 0)] * 4
+        )
+    with pytest.raises(ValueError, match=r"outside \[0, 3\]"):
+        encode_png(np.full((4, 4), 200, np.uint8), depth=2)
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_png(np.zeros((0, 4), np.uint8))
+
+
 def test_mp3_header_triage_and_quarantine():
     """MP3 triage (r10): the frame-header walk yields exact frame and
     sample counts (VBR included, per-frame bitrates), ID3v2 tags are

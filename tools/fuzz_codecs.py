@@ -298,6 +298,14 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
     out = [
         ("png", _encode_png(px)),
         ("pngv", _encode_png_variant(rng)),
+        (
+            "png",
+            mm.encode_png(
+                (gif_px[:, :, 0] % 4).astype(np.uint8),
+                depth=rng.choice((2, 4, 8)),
+                interlace=rng.random() < 0.5,
+            ),
+        ),
         ("gif", mm.encode_gif(gif_px)),
         ("jpeg", mm.encode_jpeg(px)),
         ("bmp", mm._bmp_payload(raw8)),
@@ -520,6 +528,14 @@ def fuzz_round_trip(seconds: float, seed: int) -> int:
         if not (mm._png_pixels(_encode_png(px)) == px).all():
             print(f"PNG round-trip MISMATCH seed={seed} h={h} w={w}")
             return 1
+        # the engine's own encoder (adaptive filters, optional Adam7)
+        # must agree with the independent filter-0 synthesizer above
+        if not (
+            mm._png_pixels(mm.encode_png(px, interlace=rng.randrange(2) == 1))
+            == px
+        ).all():
+            print(f"encode_png round-trip MISMATCH seed={seed} h={h} w={w}")
+            return 1
         small = (px[:, :, 0] % 16).astype(np.uint8)
         rgb = np.stack([small] * 3, axis=-1) * 17
         if not (mm._gif_pixels(mm.encode_gif(rgb)) == rgb).all():
@@ -641,7 +657,7 @@ def fuzz_encoders(seconds: float, seed: int, per_encode: float = 10.0) -> int:
 
     try:
         while time.monotonic() < deadline:
-            fam = rng.choice(("flac", "gif", "jpeg", "tiff"))
+            fam = rng.choice(("flac", "gif", "jpeg", "tiff", "png"))
             if fam == "flac":
                 arr = _rand_samples(rng)
                 kwargs = {
@@ -668,6 +684,21 @@ def fuzz_encoders(seconds: float, seed: int, per_encode: float = 10.0) -> int:
                     "tile": rng.choice((None, (16, 16), (4, 4), (1, 9), (0, 4))),
                 }
                 enc, dec = mm.encode_tiff, mm._tiff_pixels
+            elif fam == "png":
+                arr = _rand_image(rng)
+                pal_kind = rng.randrange(4)
+                palette = {
+                    0: None,
+                    1: None,
+                    2: [(rng.randrange(256),) * 3 for _ in range(rng.randrange(1, 5))],
+                    3: [],
+                }[pal_kind]
+                kwargs = {
+                    "depth": rng.choice((1, 2, 4, 8, 16, 12, 0)),
+                    "interlace": rng.randrange(2) == 1,
+                    "palette": palette,
+                }
+                enc, dec = mm.encode_png, mm._png_pixels
             else:
                 arr = _rand_image(rng)
                 qkind = rng.randrange(6)
@@ -727,6 +758,18 @@ def fuzz_encoders(seconds: float, seed: int, per_encode: float = 10.0) -> int:
             if fam == "gif" and arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8 and arr.size:
                 if not np.array_equal(back, arr):
                     print(f"GIF ENCODER ROUND-TRIP MISMATCH {desc}")
+                    return 1
+            if (
+                fam == "png"
+                and kwargs.get("palette") is None
+                and kwargs.get("depth") == 8
+                and arr.ndim == 3
+                and arr.shape[2] == 3
+                and arr.dtype == np.uint8
+                and arr.size
+            ):
+                if not np.array_equal(back, arr):
+                    print(f"PNG ENCODER ROUND-TRIP MISMATCH {desc}")
                     return 1
             if fam == "tiff" and arr.dtype == np.uint8 and arr.size and arr.ndim in (2, 3):
                 want = arr if arr.ndim == 3 else np.repeat(arr[:, :, None], 3, axis=2)
