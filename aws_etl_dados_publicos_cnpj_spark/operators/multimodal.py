@@ -5599,7 +5599,11 @@ def synthesize_png_from_text(
     verbatim. Scanline y is encoded with filter type ``y % 5``, so a
     corpus-scale decode exercises ALL five PNG filters (None, Sub, Up,
     Average, Paeth), zlib stream included — a REAL compressed-codec
-    round trip with zero external libraries."""
+    round trip with zero external libraries. Half the docs (r10,
+    doc_id % 6 ∈ {1, 3, 5}) route through ``encode_png`` instead —
+    adaptive filter selection, and Adam7 interlacing at % 6 == 3 —
+    so the encoder twin and the interlaced decode run at driver scale
+    under the same pixel contract and unchanged oracles."""
     import zlib
 
     def _chunk(ctype: bytes, data: bytes) -> bytes:
@@ -5614,15 +5618,24 @@ def synthesize_png_from_text(
         stride = width * 3
         for pdf in it:
             payloads = []
-            for t in pdf[text_col]:
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
                 raw = t.encode("utf-8")
                 n = len(raw)
                 idx = np.arange(height * width * 3) % max(n, 1)
-                px = (
+                flat = (
                     np.frombuffer(raw, dtype=np.uint8)[idx]
                     if n
                     else np.zeros(height * width * 3, dtype=np.uint8)
-                ).reshape(height, stride).astype(np.int64)
+                )
+                if int(doc_id) % 2 == 1:
+                    payloads.append(
+                        encode_png(
+                            flat.reshape(height, width, 3),
+                            interlace=int(doc_id) % 6 == 3,
+                        )
+                    )
+                    continue
+                px = flat.reshape(height, stride).astype(np.int64)
                 lines = []
                 prev = np.zeros(stride, dtype=np.int64)
                 for y in range(height):

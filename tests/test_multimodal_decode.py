@@ -1402,6 +1402,28 @@ def test_encode_png_round_trips_full_ihdr_matrix():
         encode_png(np.zeros((0, 4), np.uint8))
 
 
+def test_png_fixture_rotation_routes_encoder_and_adam7(spark):
+    """doc_id % 2 == 1 routes the PNG fixture through encode_png
+    (adaptive filters; Adam7 at % 6 == 3); decoded pixels — and thus
+    every oracle — are identical to the filter-cycling synthesizer's."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _png_pixels,
+        synthesize_png_from_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "identical text for every row") for i in (0, 1, 3)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: bytes(r.payload) for r in synthesize_png_from_text(docs).collect()}
+    assert len({rows[0], rows[1], rows[3]}) == 3  # three distinct encodings
+    # interlace flag: IHDR byte 28 (8 magic + 8 len/type + 12 fields)
+    assert rows[0][28] == 0 and rows[1][28] == 0 and rows[3][28] == 1
+    px0 = _png_pixels(rows[0])
+    assert np.array_equal(_png_pixels(rows[1]), px0)
+    assert np.array_equal(_png_pixels(rows[3]), px0)
+
+
 def test_mp3_header_triage_and_quarantine():
     """MP3 triage (r10): the frame-header walk yields exact frame and
     sample counts (VBR included, per-frame bitrates), ID3v2 tags are
