@@ -4967,7 +4967,10 @@ def decode_media(payload: bytes, mime: str) -> dict:
     if mime in ("image/jpeg", "image/jpg"):
         return decode_jpeg(payload)
     if mime in ("video/x-msvideo", "video/avi"):
-        return decode_avi_mjpeg(payload)
+        # MJPEG decodes frames for real; other codecs (xvid, h264,
+        # ...) get header-level stats — the same metadata-before-
+        # decode routing as the MP4 arm below
+        return decode_avi(payload)
     if mime in ("video/mp4", "video/quicktime"):
         # MJPEG samples decode for real through the sample tables +
         # the JPEG codec; any other codec gets the container-level
@@ -6074,6 +6077,99 @@ def synthesize_mixed_video_from_text(
     return df.select(id_col, text_col).mapInPandas(
         _batches, "doc_id long, payload binary, mime string"
     )
+
+
+def _avi_video_header(payload: bytes) -> dict:
+    """Metadata of the first 'vids' stream from the hdrl headers —
+    the AVI twin of ``_mp4_video_track``'s metadata-before-decode
+    routing: codec fourcc (strf biCompression, falling back to the
+    strh handler), dimensions, declared frame count, fps. Raises
+    ValueError when the headers are missing or corrupt."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI container")
+    try:
+        return _avi_video_header_impl(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt AVI container ({exc})") from exc
+
+
+def _avi_video_header_impl(payload: bytes) -> dict:
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    pos = 12
+    hdrl = None
+    while pos + 8 <= end:
+        ckid = payload[pos : pos + 4]
+        (cksz,) = struct.unpack_from("<I", payload, pos + 4)
+        if ckid == b"LIST" and payload[pos + 8 : pos + 12] == b"hdrl":
+            hdrl = (pos + 12, min(pos + 8 + cksz, end))
+            break
+        pos += 8 + cksz + (cksz & 1)
+    if hdrl is None:
+        raise ValueError("AVI missing hdrl headers")
+    pos, hend = hdrl
+    while pos + 8 <= hend:
+        ckid = payload[pos : pos + 4]
+        (cksz,) = struct.unpack_from("<I", payload, pos + 4)
+        if ckid == b"LIST" and payload[pos + 8 : pos + 12] == b"strl":
+            info = _avi_strl_video(payload, pos + 12, min(pos + 8 + cksz, hend))
+            if info is not None:
+                return info
+        pos += 8 + cksz + (cksz & 1)
+    raise ValueError("AVI has no video stream headers")
+
+
+def _avi_strl_video(payload: bytes, pos: int, end: int) -> dict | None:
+    """Parse one strl LIST; dict for a 'vids' stream, None otherwise
+    (audio/text streams — the caller keeps scanning)."""
+    strh = strf = None
+    while pos + 8 <= end:
+        ckid = payload[pos : pos + 4]
+        (cksz,) = struct.unpack_from("<I", payload, pos + 4)
+        if ckid == b"strh":
+            strh = (pos + 8, cksz)
+        elif ckid == b"strf":
+            strf = (pos + 8, cksz)
+        pos += 8 + cksz + (cksz & 1)
+    if strh is None:
+        raise ValueError("AVI strl missing strh")
+    off, ssz = strh
+    if payload[off : off + 4] != b"vids":
+        return None
+    if ssz < 36:
+        raise ValueError("AVI strh truncated")
+    codec = payload[off + 4 : off + 8]
+    scale, rate = struct.unpack_from("<II", payload, off + 20)
+    (length,) = struct.unpack_from("<I", payload, off + 32)
+    width = height = 0
+    if strf is not None and strf[1] >= 20:
+        _sz, width, height = struct.unpack_from("<Iii", payload, strf[0])
+        comp = payload[strf[0] + 16 : strf[0] + 20]
+        if comp.strip(b"\x00"):
+            codec = comp  # biCompression wins over the strh handler
+    return {
+        "codec": codec.decode("ascii", "replace").strip("\x00 ").lower(),
+        "width": abs(int(width)),
+        "height": abs(int(height)),
+        "n_frames": int(length),
+        "fps": rate / scale if scale else 0.0,
+    }
+
+
+def decode_avi(payload: bytes) -> dict:
+    """AVI entry with metadata-before-decode routing (the MP4 arm's
+    shape): MJPEG streams decode frames for real; any other codec
+    (xvid, h264, ...) returns the header stats — full metadata, no
+    pixel means — instead of quarantining with nothing."""
+    trk = _avi_video_header(payload)
+    if trk["codec"] in ("mjpg", "mjpeg", "jpeg", "dmb1"):
+        return decode_avi_mjpeg(payload)
+    return {
+        "kind": "video",
+        "codec": trk["codec"],
+        "n_frames": trk["n_frames"],
+        "width": trk["width"],
+        "height": trk["height"],
+    }
 
 
 def decode_avi_mjpeg(payload: bytes) -> dict:

@@ -1424,6 +1424,60 @@ def test_png_fixture_rotation_routes_encoder_and_adam7(spark):
     assert np.array_equal(_png_pixels(rows[3]), px0)
 
 
+def test_avi_metadata_triage_for_non_mjpeg_codecs(spark):
+    """decode_avi routes by the hdrl headers like the MP4 arm: MJPEG
+    decodes frames for real; an XVID stream returns header stats
+    (codec, dims, declared frames) instead of quarantining; hostile
+    headers raise; decode_features rows stay schema-shaped."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _avi_mjpeg_container,
+        _avi_video_header,
+        _mjpeg_frames_for_text,
+        decode_avi,
+        decode_avi_mjpeg,
+        decode_features,
+        decode_media,
+    )
+
+    avi = _avi_mjpeg_container(_mjpeg_frames_for_text(b"header triage", 3))
+    trk = _avi_video_header(avi)
+    assert trk["codec"] == "mjpg" and trk["n_frames"] == 3
+    assert trk["width"] == 64 and trk["height"] == 8 and trk["fps"] == 10.0
+    assert decode_avi(avi) == decode_avi_mjpeg(avi)
+    # non-MJPEG: patch the handler AND biCompression to XVID
+    xvid = bytearray(avi)
+    hi = bytes(xvid).find(b"strh") + 8 + 4
+    xvid[hi : hi + 4] = b"XVID"
+    fi = bytes(xvid).find(b"strf") + 8 + 16
+    xvid[fi : fi + 4] = b"XVID"
+    d = decode_avi(bytes(xvid))
+    assert d == {
+        "kind": "video", "codec": "xvid", "n_frames": 3,
+        "width": 64, "height": 8,
+    }
+    assert decode_media(bytes(xvid), "video/avi")["codec"] == "xvid"
+    # an audio-only AVI has no video stream headers
+    auds = bytearray(avi)
+    ai = bytes(auds).find(b"strh") + 8
+    auds[ai : ai + 4] = b"auds"
+    with pytest.raises(ValueError, match="no video stream"):
+        decode_avi(bytes(auds))
+    # truncated strh quarantines
+    short = bytearray(avi)
+    si = bytes(short).find(b"strh") + 4
+    struct.pack_into("<I", short, si, 8)
+    with pytest.raises(ValueError):
+        _avi_video_header(bytes(short))
+    # decode_features: xvid row is ok=True with null means
+    df = spark.createDataFrame(
+        [(1, bytearray(avi), "video/avi"), (2, bytes(xvid), "video/avi")],
+        "doc_id long, payload binary, mime string",
+    )
+    got = {r.doc_id: r for r in decode_features(df).collect()}
+    assert got[1].ok and got[1].n_frames == 3 and got[1].mean_r is not None
+    assert got[2].ok and got[2].codec == "xvid" and got[2].mean_r is None
+
+
 def test_mp3_header_triage_and_quarantine():
     """MP3 triage (r10): the frame-header walk yields exact frame and
     sample counts (VBR included, per-frame bitrates), ID3v2 tags are

@@ -413,7 +413,7 @@ _DECODERS = {
     "aiff": [mm._aiff_samples, mm.decode_aiff, mm._pcm16_samples],
     "g711": [mm.decode_wav, lambda p: mm._wav_samples_f64(p)[0]],
     "mp3": [mm.decode_mp3, mm._pcm16_samples],
-    "avi": [mm._avi_mjpeg_frames, mm.decode_avi_mjpeg],
+    "avi": [mm._avi_mjpeg_frames, mm.decode_avi_mjpeg, mm.decode_avi, mm._avi_video_header],
     "mp4": [mm._mp4_video_stats, mm._mp4_mjpeg_frames, mm.decode_mp4_mjpeg],
     "m4a": [mm._mp4_audio_track, mm._mp4_audio_stats, mm._mp4_pcm_samples, mm.decode_mp4_pcm],
     "gifanim": [mm._gif_frames, mm._gif_pixels, mm.decode_gif],
