@@ -85,7 +85,6 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-_WAV_DTYPES = {1: np.uint8, 2: np.int16, 4: np.int32}
 
 
 def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
@@ -220,21 +219,25 @@ def _ima_adpcm_samples(
     return np.stack(arrs, axis=1).reshape(-1), rate, 2
 
 
-def _riff_fmt_chunk(payload: bytes) -> tuple[int, int] | None:
-    """(payload offset, declared size) of the first fmt chunk in a
-    RIFF stream, or None — the ONE chunk walk both ADPCM fmt-extension
-    readers share (r10 review: two hand-rolled copies of the same loop
-    would silently diverge on the next bounds fix)."""
+def _riff_chunk(payload: bytes, want: bytes) -> tuple[int, int] | None:
+    """(payload offset, declared size) of the first ``want`` chunk in
+    a RIFF stream, or None — the ONE chunk walk the fmt-extension and
+    fact readers share (r10 review, twice: hand-rolled copies of the
+    same loop silently diverge on the next bounds fix)."""
     pos = 12
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (csz,) = struct.unpack_from("<I", payload, pos + 4)
         if pos + 8 + csz > len(payload):
             return None
-        if cid == b"fmt ":
+        if cid == want:
             return pos + 8, csz
         pos += 8 + csz + (csz & 1)
     return None
+
+
+def _riff_fmt_chunk(payload: bytes) -> tuple[int, int] | None:
+    return _riff_chunk(payload, b"fmt ")
 
 
 def _ima_fmt_extension(payload: bytes) -> int:
@@ -587,16 +590,10 @@ def _riff_fact_frames(payload: bytes) -> int:
     when absent or short. The spec requires fact for every non-PCM
     format; external encoders use it to mark how much of the final
     block is real audio."""
-    pos = 12
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (csz,) = struct.unpack_from("<I", payload, pos + 4)
-        if pos + 8 + csz > len(payload):
-            return 0
-        if cid == b"fact" and csz >= 4:
-            return struct.unpack_from("<I", payload, pos + 8)[0]
-        pos += 8 + csz + (csz & 1)
-    return 0
+    loc = _riff_chunk(payload, b"fact")
+    if loc is None or loc[1] < 4:
+        return 0
+    return struct.unpack_from("<I", payload, loc[0])[0]
 
 
 def _apply_fact(
@@ -663,26 +660,31 @@ def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
             raw = w.readframes(n_frames)
     except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
         raise ValueError(f"corrupt WAV container ({exc})") from exc
-    if sampwidth == 3:  # 24-bit: no numpy dtype — assemble + sign-extend
+    return _pcm_width_expand(raw, sampwidth * 8), n_ch, rate, n_frames
+
+
+def _pcm_width_expand(raw: bytes, bits: int) -> np.ndarray:
+    """float64 samples of little-endian integer PCM bytes — THE width
+    semantics of every WAV PCM arm (stdlib-parsed or probe-parsed, r10
+    review: two hand-synced copies diverge): 8-bit unsigned centered,
+    16/32-bit native, 24-bit assembled with sign extension."""
+    if bits == 24:
         b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
         v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
-        samples = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.float64)
-    else:
-        dtype = _WAV_DTYPES.get(sampwidth)
-        if dtype is None:
-            raise ValueError(f"unsupported WAV sample width {sampwidth}")
-        samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-        if sampwidth == 1:  # 8-bit WAV is unsigned, center it
-            samples -= 128.0
-    return samples, n_ch, rate, n_frames
+        return np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.float64)
+    dt = {8: np.uint8, 16: "<i2", 32: "<i4"}.get(bits)
+    if dt is None:
+        raise ValueError(f"unsupported WAV sample width {bits // 8}")
+    samples = np.frombuffer(raw, dtype=dt).astype(np.float64)
+    if bits == 8:
+        samples -= 128.0
+    return samples
 
 
 def _pcm_wav_expand(probed: tuple) -> tuple[np.ndarray, int, int, int]:
     """Integer-PCM decode from the RIFF probe, for containers the
-    stdlib module can't parse (extensible headers): identical width
-    semantics to the stdlib branch of ``_wav_samples_f64`` — 8-bit
-    unsigned centered, 16/32-bit native, 24-bit assembled with sign
-    extension; whole frames only."""
+    stdlib module can't parse (extensible headers); whole frames
+    only."""
     (_tag, n_ch, rate, bits, _ba), data = probed[0][:5], probed[1]
     if bits not in (8, 16, 24, 32):
         raise ValueError(f"unsupported WAV sample width {bits // 8}")
@@ -690,17 +692,12 @@ def _pcm_wav_expand(probed: tuple) -> tuple[np.ndarray, int, int, int]:
         raise ValueError(f"invalid WAV channel count {n_ch}")
     width = bits // 8
     n_frames = len(data) // (width * n_ch)
-    data = data[: n_frames * width * n_ch]
-    if bits == 24:
-        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
-        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
-        samples = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.float64)
-    else:
-        dt = {8: np.uint8, 16: "<i2", 32: "<i4"}[bits]
-        samples = np.frombuffer(data, dtype=dt).astype(np.float64)
-        if bits == 8:
-            samples -= 128.0
-    return samples, n_ch, rate, n_frames
+    return (
+        _pcm_width_expand(data[: n_frames * width * n_ch], bits),
+        n_ch,
+        rate,
+        n_frames,
+    )
 
 
 def _float_wav_expand(probed: tuple) -> tuple[np.ndarray, int, int, int]:
@@ -786,9 +783,11 @@ def _aiff_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
     chunk padding honored. AIFC forms (r10, the common Mac-export
     shape) carry a compressionType after the 18 COMM base bytes:
     'NONE'/'twos' are big-endian PCM, 'sowt' is little-endian PCM
-    (the QuickTime byte-swap staple); any real compressor (ulaw,
-    fl32, ima4, …) quarantines as NotImplementedError — undecodable
-    without codec libraries, same contract as the mp4a/AAC arm."""
+    (the QuickTime byte-swap staple), 'fl32'/'fl64' are big-endian
+    IEEE floats expanded to the int16 grid (the float WAV rule); any
+    real compressor (ulaw, ima4, …) quarantines as
+    NotImplementedError — undecodable without codec libraries, same
+    contract as the mp4a/AAC arm."""
     if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
         raise ValueError("not an AIFF container")
     try:
@@ -1008,11 +1007,15 @@ def _mp3_stream_info(payload: bytes) -> dict:
     first = _mp3_frame_info(payload, off)
     if first is None:
         raise ValueError("MP3 frame sync not found")
-    _, _, fields = first
+    _, _, stream = first  # structural params every frame must match
+    fields = None  # REPORTED fields come from the first AUDIO frame:
+    # a LAME Xing frame often encodes at a bitrate the audio never
+    # uses, and reporting it would mix metadata- and audio-frame
+    # headers (r10 review)
     n_frames = 0
     total_samples = 0
     bitrates = set()
-    first = True
+    at_start = True
     while True:
         info = _mp3_frame_info(payload, off)
         if info is None:
@@ -1021,23 +1024,25 @@ def _mp3_stream_info(payload: bytes) -> dict:
         if off + frame_len > len(payload):
             break  # header fits but the body is cut: incomplete
         if (
-            f["mpeg_version"] != fields["mpeg_version"]
-            or f["layer"] != fields["layer"]
-            or f["sample_rate"] != fields["sample_rate"]
+            f["mpeg_version"] != stream["mpeg_version"]
+            or f["layer"] != stream["layer"]
+            or f["sample_rate"] != stream["sample_rate"]
         ):
             break
-        if first and _mp3_is_metadata_frame(payload, off, f):
+        if at_start and _mp3_is_metadata_frame(payload, off, f):
             # Xing/Info/VBRI seek-table frame: a frame-sized slot with
             # no audio — skip it like every player does
-            first = False
+            at_start = False
             off += frame_len
             continue
-        first = False
+        at_start = False
+        if fields is None:
+            fields = f
         n_frames += 1
         total_samples += spf
         bitrates.add(f["bitrate_kbps"])
         off += frame_len
-    if n_frames == 0:
+    if n_frames == 0 or fields is None:
         raise ValueError("MP3 stream truncated before one complete frame")
     return {
         "kind": "audio",
@@ -1106,6 +1111,12 @@ def _mp3_stream_payload(
         frame_len = info[0]
         v1 = vbits == 3
         side = (17 if mono else 32) if v1 else (9 if mono else 17)
+        if frame_len < 4 + side + 12:
+            # bytearray slice assignment past the end would silently
+            # GROW the body, desyncing every later frame (r10 review)
+            raise ValueError(
+                f"frame too small for a Xing tag ({frame_len} bytes)"
+            )
         body = bytearray(frame_len - 4)
         body[side : side + 8] = b"Xing" + struct.pack(">I", 1)
         body[side + 8 : side + 12] = struct.pack(">I", n_frames)
@@ -5609,13 +5620,7 @@ def synthesize_png_from_text(
     under the same pixel contract and unchanged oracles."""
     import zlib
 
-    def _chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data))
-        )
+    _chunk = _png_chunk
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         stride = width * 3
@@ -6131,7 +6136,11 @@ def _avi_strl_video(payload: bytes, pos: int, end: int) -> dict | None:
             strf = (pos + 8, cksz)
         pos += 8 + cksz + (cksz & 1)
     if strh is None:
-        raise ValueError("AVI strl missing strh")
+        # degenerate/auxiliary strl (strn/strd only): not this walk's
+        # problem — keep scanning for the real video stream (r10
+        # review: raising here quarantined files the movi-only decode
+        # path used to read fine)
+        return None
     off, ssz = strh
     if payload[off : off + 4] != b"vids":
         return None
@@ -6169,6 +6178,7 @@ def decode_avi(payload: bytes) -> dict:
         "n_frames": trk["n_frames"],
         "width": trk["width"],
         "height": trk["height"],
+        "duration_s": trk["n_frames"] / trk["fps"] if trk["fps"] else 0.0,
     }
 
 

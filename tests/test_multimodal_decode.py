@@ -1453,9 +1453,20 @@ def test_avi_metadata_triage_for_non_mjpeg_codecs(spark):
     d = decode_avi(bytes(xvid))
     assert d == {
         "kind": "video", "codec": "xvid", "n_frames": 3,
-        "width": 64, "height": 8,
+        "width": 64, "height": 8, "duration_s": 0.3,
     }
     assert decode_media(bytes(xvid), "video/avi")["codec"] == "xvid"
+    # a degenerate strl (no strh) before the video strl is skipped,
+    # not fatal (r10 review): inject `LIST(strl, strn-only)` in hdrl
+    strn = b"strn" + struct.pack("<I", 4) + b"nom\x00"
+    extra = b"LIST" + struct.pack("<I", 4 + len(strn)) + b"strl" + strn
+    padded = bytearray(avi)
+    hl = bytes(padded).find(b"hdrl")
+    ins = hl + 4 + 14 * 4 + 8  # after the avih chunk inside hdrl
+    padded[ins:ins] = extra
+    struct.pack_into("<I", padded, hl - 4, struct.unpack_from("<I", padded, hl - 4)[0] + len(extra))
+    struct.pack_into("<I", padded, 4, len(padded) - 8)
+    assert _avi_video_header(bytes(padded))["codec"] == "mjpg"
     # an audio-only AVI has no video stream headers
     auds = bytearray(avi)
     ai = bytes(auds).find(b"strh") + 8
@@ -1591,6 +1602,28 @@ def test_mp3_xing_frame_and_wav_fact_chunk():
         _mp3_stream_payload(n_frames=2, vbits=0, sr_idx=2, br_idx=2, mono=True, xing=True)
     )
     assert dm["n_mpeg_frames"] == 2
+    # a frame too small for the Xing tag refuses instead of silently
+    # growing the body and desyncing later frames (r10 review)
+    with pytest.raises(ValueError, match="too small for a Xing tag"):
+        _mp3_stream_payload(n_frames=3, vbits=2, sr_idx=1, br_idx=1, xing=True)
+    # reported fields come from the first AUDIO frame, not the Xing
+    # frame: re-encode the Xing frame's header at a different bitrate
+    t2 = bytearray(_mp3_stream_payload(n_frames=3, br_idx=9, xing=True))
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp3_frame_info,
+    )
+
+    old_len = _mp3_frame_info(bytes(t2), 0)[0]
+    hi = int.from_bytes(t2[0:4], "big")
+    t2[0:4] = ((hi & ~(0xF << 12)) | (12 << 12)).to_bytes(4, "big")  # 192k
+    new_len = _mp3_frame_info(bytes(t2), 0)[0]
+    # keep the physical size in sync: resize the Xing frame body
+    if new_len > old_len:
+        t2[old_len:old_len] = bytes(new_len - old_len)
+    else:
+        del t2[new_len:old_len]
+    dx = _mp3_stream_info(bytes(t2))
+    assert dx["bitrate_kbps"] == 128 and dx["n_mpeg_frames"] == 3
     # fact chunk: IMA ADPCM block-padded decode truncates to fact
     s = (900 * np.sin(np.arange(100) / 7)).astype(np.int16)
     p = encode_ima_adpcm(s, 8000, frames_per_block=505)  # one padded block

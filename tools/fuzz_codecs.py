@@ -266,6 +266,28 @@ def _encode_ima_variant(rng: random.Random) -> bytes:
     )
 
 
+def _mp3_seed(rng: random.Random) -> bytes:
+    """MP3 fuzz seed: random header params, falling back to xing=False
+    when the drawn frame is too small to hold the Xing tag (the
+    synthesizer refuses rather than desync the stream)."""
+    kwargs = dict(
+        n_frames=rng.randrange(1, 8),
+        vbits=rng.choice((0, 2, 3)),
+        layer=rng.choice((1, 2, 3)),
+        br_idx=rng.randrange(1, 15),
+        sr_idx=rng.randrange(3),
+        mono=rng.random() < 0.5,
+        id3=rng.random() < 0.5,
+        vbr=rng.random() < 0.3,
+    )
+    kwargs["xing"] = kwargs["layer"] == 3 and rng.random() < 0.3
+    try:
+        return mm._mp3_stream_payload(**kwargs)
+    except ValueError:
+        kwargs["xing"] = False
+        return mm._mp3_stream_payload(**kwargs)
+
+
 def _encode_g711(rng: random.Random) -> bytes:
     """Seed twin for the r9 G.711 path: µ-law/A-law RIFF container."""
     import struct
@@ -327,20 +349,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("aiff", mm._aiff_payload(raw8)),
         ("aiff", mm._aifc_payload(raw8, compression=rng.choice((b"sowt", b"NONE", b"fl32", b"fl64")))),
         ("g711", _encode_g711(rng)),
-        (
-            "mp3",
-            mm._mp3_stream_payload(
-                n_frames=rng.randrange(1, 8),
-                vbits=rng.choice((0, 2, 3)),
-                layer=(layer := rng.choice((1, 2, 3))),
-                br_idx=rng.randrange(1, 15),
-                sr_idx=rng.randrange(3),
-                mono=rng.random() < 0.5,
-                id3=rng.random() < 0.5,
-                vbr=rng.random() < 0.3,
-                xing=layer == 3 and rng.random() < 0.3,
-            ),
-        ),
+        ("mp3", _mp3_seed(rng)),
         ("avi", mm._avi_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
         ("mp4", mm._mp4_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
         (
