@@ -2396,16 +2396,47 @@ def _packbits_encode(data: bytes) -> bytes:
 _TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
 
 
-def _tiff_pixels(payload: bytes) -> np.ndarray:
-    """(h, w, 3) RGB pixels of a baseline TIFF — see the section
-    comment for the supported matrix. Corrupt containers raise
-    ValueError (the module quarantine contract)."""
+def _tiff_pixels(payload: bytes, page: int = 0) -> np.ndarray:
+    """(h, w, 3) RGB pixels of one page of a baseline TIFF (r10:
+    multi-page via the IFD next-pointer chain — the scanned-document
+    staple) — see the section comment for the supported matrix.
+    Corrupt containers raise ValueError (the module quarantine
+    contract)."""
     if payload[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF payload")
     try:
-        return _tiff_pixels_impl(payload)
+        offsets = _tiff_ifd_chain(payload)
+        if page >= len(offsets):
+            raise ValueError(
+                f"TIFF has {len(offsets)} pages, page {page} requested"
+            )
+        return _tiff_pixels_impl(payload, offsets[page])
     except (struct.error, IndexError) as exc:
         raise ValueError(f"corrupt TIFF container ({exc})") from exc
+
+
+def _tiff_ifd_chain(payload: bytes) -> list[int]:
+    """IFD offsets in chain order. Bounds-checked per link; the chain
+    length is capped (a forged next-pointer loop must terminate, the
+    same discipline as every other header-driven walk here) and a
+    repeated offset raises instead of cycling."""
+    e = "<" if payload[:2] == b"II" else ">"
+    (off,) = struct.unpack_from(f"{e}I", payload, 4)
+    seen: list[int] = []
+    while off:
+        if off + 2 > len(payload):
+            raise ValueError("TIFF IFD offset out of bounds")
+        if off in seen or len(seen) >= 1024:
+            raise ValueError("TIFF IFD chain cycles or exceeds 1024 pages")
+        seen.append(off)
+        (n_entries,) = struct.unpack_from(f"{e}H", payload, off)
+        nxt = off + 2 + 12 * n_entries
+        if nxt + 4 > len(payload):
+            raise ValueError("TIFF IFD truncated")
+        (off,) = struct.unpack_from(f"{e}I", payload, nxt)
+    if not seen:
+        raise ValueError("TIFF has no IFDs")
+    return seen
 
 
 def _tiff_tag_values(payload: bytes, e: str, entry_off: int) -> tuple[int, list[int]]:
@@ -2429,9 +2460,10 @@ def _tiff_tag_values(payload: bytes, e: str, entry_off: int) -> tuple[int, list[
     return tag, list(struct.unpack_from(f"{e}{count}{fmt}", payload, base))
 
 
-def _tiff_pixels_impl(payload: bytes) -> np.ndarray:
+def _tiff_pixels_impl(payload: bytes, ifd_off: int | None = None) -> np.ndarray:
     e = "<" if payload[:2] == b"II" else ">"
-    (ifd_off,) = struct.unpack_from(f"{e}I", payload, 4)
+    if ifd_off is None:
+        (ifd_off,) = struct.unpack_from(f"{e}I", payload, 4)
     if ifd_off + 2 > len(payload):
         raise ValueError("TIFF IFD offset out of bounds")
     (n_entries,) = struct.unpack_from(f"{e}H", payload, ifd_off)
@@ -2630,6 +2662,10 @@ def _tiff_pixels_impl(payload: bytes) -> np.ndarray:
 
 
 def decode_tiff(payload: bytes) -> dict:
+    """Stats of page 0 (multi-page documents report every page's
+    pixels via ``_tiff_pixels(payload, page=k)``; the stats dict stays
+    DECODE_SCHEMA-shaped, so the page count rides in ``n_frames`` —
+    the same field the animation/video arms use for frame counts)."""
     px = _tiff_pixels(payload)
     mean_rgb = px.reshape(-1, 3).mean(axis=0) if px.size else np.zeros(3)
     return {
@@ -2639,6 +2675,7 @@ def decode_tiff(payload: bytes) -> dict:
         "mean_r": float(mean_rgb[0]),
         "mean_g": float(mean_rgb[1]),
         "mean_b": float(mean_rgb[2]),
+        "n_frames": len(_tiff_ifd_chain(payload)),
     }
 
 

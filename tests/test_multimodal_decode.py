@@ -4028,6 +4028,65 @@ def test_tiff_16bit_bigendian_and_whitezero():
         _tiff_pixels(bytes(payload[:-1]))
 
 
+def test_tiff_multipage_chain_decode():
+    """Multi-page TIFFs (r10): the IFD next-pointer chain yields every
+    page via _tiff_pixels(page=k); decode_tiff reports the page count
+    in n_frames; a cycling chain raises instead of looping."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_pixels,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(5)
+    pages = [rng.randint(0, 256, (4, 6, 3)).astype(np.uint8) for _ in range(3)]
+    singles = [encode_tiff(p) for p in pages]
+    # chain three single-page files: rebase each file's offsets, then
+    # patch each IFD's next pointer to the following page's IFD
+    blob = bytearray(singles[0])
+    ifd_offs = [struct.unpack_from("<I", singles[0], 4)[0]]
+    for s in singles[1:]:
+        base = len(blob)
+        part = bytearray(s)
+        (ifd,) = struct.unpack_from("<I", part, 4)
+        (n,) = struct.unpack_from("<H", part, ifd)
+        # rebase every LONG offset-bearing entry (strip offsets + any
+        # overflow value pointers) by `base`
+        for i in range(n):
+            off = ifd + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from("<HHI", part, off)
+            total = {3: 2, 4: 4}[typ] * cnt
+            if total > 4:
+                (ptr,) = struct.unpack_from("<I", part, off + 8)
+                struct.pack_into("<I", part, off + 8, ptr + base)
+            if tag == 273 and total <= 4:
+                (ptr,) = struct.unpack_from("<I", part, off + 8)
+                struct.pack_into("<I", part, off + 8, ptr + base)
+        # (single-strip encodes keep tag 273 inline, so no overflow
+        # ARRAY contents need per-element fixup — only the pointers)
+        ifd_offs.append(ifd + base)
+        blob += part
+    # patch next-IFD pointers (each IFD ends with a 4-byte next ptr)
+    for k in range(len(ifd_offs) - 1):
+        ifd = ifd_offs[k]
+        (n,) = struct.unpack_from("<H", blob, ifd)
+        struct.pack_into("<I", blob, ifd + 2 + 12 * n, ifd_offs[k + 1])
+    payload = bytes(blob)
+    d = decode_tiff(payload)
+    assert d["n_frames"] == 3
+    for k, want in enumerate(pages):
+        assert np.array_equal(_tiff_pixels(payload, page=k), want), k
+    with pytest.raises(ValueError, match="pages"):
+        _tiff_pixels(payload, page=3)
+    # a cycle in the chain raises
+    loop = bytearray(payload)
+    ifd = ifd_offs[-1]
+    (n,) = struct.unpack_from("<H", loop, ifd)
+    struct.pack_into("<I", loop, ifd + 2 + 12 * n, ifd_offs[0])
+    with pytest.raises(ValueError, match="cycles"):
+        decode_tiff(bytes(loop))
+
+
 def test_tiff_deflate_legacy_tag_and_bomb_bound():
     """Deflate strips (r9): compression 8 and the legacy 32946 alias
     decode the same zlib stream, corrupt streams quarantine as
