@@ -1149,7 +1149,12 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
     if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
         return _aiff_samples(payload)[0]
     if payload[:4] == b"fLaC":
-        return _flac_samples(payload)[0]
+        samples = _flac_samples(payload)[0]
+        if samples.dtype != np.int16:
+            # 24-bit FLAC: downshifting discards real bits — the same
+            # exactness rule as the 24/32-bit WAV rejections
+            raise ValueError("unsupported FLAC sample width 3")
+        return samples
     if payload[:3] == b"ID3" or (
         len(payload) >= 2
         and payload[0] == 0xFF
@@ -1360,8 +1365,9 @@ _FIXED_COEFS = {  # prediction[i] = sum(c * s[i-1-j]) for j, c in enumerate(...)
 
 
 def _flac_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """(int16 samples, rate, n_channels) of a 16-bit mono or stereo
-    FLAC — real bitstream decode per the format spec, CRCs verified.
+    """(int16 samples — int32 for 24-bit streams (r10, the hi-res
+    staple) — rate, n_channels) of a mono or stereo FLAC — real
+    bitstream decode per the format spec, CRCs verified.
     Stereo frames decode all four channel assignments (independent,
     left/side, side/right, mid/side — the side channel at 17 bits)
     and return interleaved L,R like the AIFF/WAV multichannel paths."""
@@ -1398,7 +1404,7 @@ def _flac_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
             break
     if rate is None:
         raise ValueError("FLAC missing STREAMINFO")
-    if n_ch not in (1, 2) or bps != 16:
+    if n_ch not in (1, 2) or bps not in (16, 24):
         raise ValueError(f"unsupported FLAC layout ({n_ch} ch, {bps}-bit)")
     chunks: list[np.ndarray] = []
     done = 0  # inter-channel (per-channel) samples decoded so far
@@ -1447,10 +1453,11 @@ def _flac_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
         # (difference) channel carries one extra bit of depth
         if ch_code not in _FLAC_CH_DEPTHS:
             raise ValueError("unsupported FLAC channel layout")
-        depths = _FLAC_CH_DEPTHS[ch_code]
+        depths = tuple(bps + d for d in _FLAC_CH_DEPTHS[ch_code])
         if len(depths) != n_ch:
             raise ValueError("FLAC frame channel count disagrees with STREAMINFO")
-        if bps_code not in (0, 4):  # from-STREAMINFO or 16-bit
+        frame_bps = _FLAC_BPS_CODES.get(bps_code, -1)
+        if frame_bps == -1 or (frame_bps is not None and frame_bps != bps):
             raise ValueError("unsupported FLAC frame bit depth")
         if r.bit:  # header fields are whole bytes by construction
             raise ValueError("misaligned FLAC frame header")
@@ -1488,20 +1495,26 @@ def _flac_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
     arr = (
         np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int64)
     )
-    if arr.size and ((arr > 32767).any() or (arr < -32768).any()):
-        raise ValueError("FLAC sample out of 16-bit range")
-    return arr.astype(np.int16), rate, n_ch
+    full = 1 << (bps - 1)
+    if arr.size and ((arr >= full).any() or (arr < -full).any()):
+        raise ValueError(f"FLAC sample out of {bps}-bit range")
+    return arr.astype(np.int16 if bps == 16 else np.int32), rate, n_ch
 
 
-# frame-header channel-assignment code -> per-subframe bit depths for a
-# 16-bit stream (side channels are bps+1 per the spec)
+# frame-header channel-assignment code -> per-subframe bit-depth
+# OFFSETS from the stream bps (side channels are bps+1 per the spec;
+# r10: offsets rather than absolute depths so 16- and 24-bit streams
+# share one table)
 _FLAC_CH_DEPTHS = {
-    0: (16,),  # mono
-    1: (16, 16),  # independent stereo
-    8: (16, 17),  # left/side
-    9: (17, 16),  # side/right
-    10: (16, 17),  # mid/side
+    0: (0,),  # mono
+    1: (0, 0),  # independent stereo
+    8: (0, 1),  # left/side
+    9: (1, 0),  # side/right
+    10: (0, 1),  # mid/side
 }
+# frame-header sample-size code -> bits (0 = from STREAMINFO); the
+# codes this engine's 16/24-bit scope can meet
+_FLAC_BPS_CODES = {0: None, 4: 16, 6: 24}
 
 
 def _flac_subframe(r: "_BitReader", blocksize: int, bps: int) -> np.ndarray:
@@ -1645,6 +1658,7 @@ def encode_flac(
     samples: np.ndarray,
     rate: int = 8000,
     blocksize: int = 4096,
+    bits: int = 16,
     lpc_order: int | None = 8,
     max_porder: int = 4,
     stereo_mode: str = "auto",
@@ -1678,8 +1692,11 @@ def encode_flac(
         s = s[:, 0]
     if s.ndim not in (1, 2) or (s.ndim == 2 and s.shape[1] != 2):
         raise ValueError("encode_flac takes 1-D mono or (n, 2) stereo samples")
-    if s.size and (s.max() > 32767 or s.min() < -32768):
-        raise ValueError("samples out of 16-bit range")
+    if bits not in (16, 24):
+        raise ValueError(f"unsupported FLAC bit depth {bits}")
+    full = 1 << (bits - 1)
+    if s.size and (s.max() >= full or s.min() < -full):
+        raise ValueError(f"samples out of {bits}-bit range")
     n_ch = 1 if s.ndim == 1 else 2
     total = len(s)  # inter-channel (per-channel) sample count
     out = bytearray(b"fLaC")
@@ -1690,13 +1707,15 @@ def encode_flac(
     info.write(0, 24)
     info.write(rate, 20)
     info.write(n_ch - 1, 3)
-    info.write(15, 5)  # 16 bps
+    info.write(bits - 1, 5)
     info.write(total, 36)
     body = info.bytes() + bytes(16)  # md5 0 = unknown, per spec
     out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
     for fi, start in enumerate(range(0, total, blocksize)):
         frame = s[start : start + blocksize]
-        out += _flac_frame(frame, fi, blocksize, lpc_order, max_porder, stereo_mode)
+        out += _flac_frame(
+            frame, fi, blocksize, lpc_order, max_porder, stereo_mode, bits
+        )
     return bytes(out)
 
 
@@ -1822,6 +1841,7 @@ def _flac_frame(
     lpc_order: int | None = 8,
     max_porder: int = 4,
     stereo_mode: str = "auto",
+    bits: int = 16,
 ) -> bytes:
     n = len(frame)
     stereo = frame.ndim == 2
@@ -1835,15 +1855,15 @@ def _flac_frame(
         right = frame[:, 1]
         side = left - right
         mid = (left + right) >> 1  # numpy >> on signed = arithmetic
-        p_l = _flac_plan_subframe(left, 16, lpc_order, max_porder)
-        p_r = _flac_plan_subframe(right, 16, lpc_order, max_porder)
-        p_s = _flac_plan_subframe(side, 17, lpc_order, max_porder)
-        p_m = _flac_plan_subframe(mid, 16, lpc_order, max_porder)
+        p_l = _flac_plan_subframe(left, bits, lpc_order, max_porder)
+        p_r = _flac_plan_subframe(right, bits, lpc_order, max_porder)
+        p_s = _flac_plan_subframe(side, bits + 1, lpc_order, max_porder)
+        p_m = _flac_plan_subframe(mid, bits, lpc_order, max_porder)
         modes = {
-            "independent": (1, ((left, 16, p_l), (right, 16, p_r))),
-            "left_side": (8, ((left, 16, p_l), (side, 17, p_s))),
-            "side_right": (9, ((side, 17, p_s), (right, 16, p_r))),
-            "mid_side": (10, ((mid, 16, p_m), (side, 17, p_s))),
+            "independent": (1, ((left, bits, p_l), (right, bits, p_r))),
+            "left_side": (8, ((left, bits, p_l), (side, bits + 1, p_s))),
+            "side_right": (9, ((side, bits + 1, p_s), (right, bits, p_r))),
+            "mid_side": (10, ((mid, bits, p_m), (side, bits + 1, p_s))),
         }
         if stereo_mode == "auto":
             pick = min(
@@ -1856,7 +1876,9 @@ def _flac_frame(
         ch_field, chan_sel = modes[pick]
     else:
         ch_field = 0
-        chan_sel = ((frame, 16, _flac_plan_subframe(frame, 16, lpc_order, max_porder)),)
+        chan_sel = (
+            (frame, bits, _flac_plan_subframe(frame, bits, lpc_order, max_porder)),
+        )
     w = _BitWriter()
     w.write(0x3FFE, 14)
     w.write(0, 2)  # reserved + fixed blocking
@@ -1865,7 +1887,7 @@ def _flac_frame(
         raise ValueError("encoder nominal blocksize must be 4096")
     w.write(0, 4)  # rate: from STREAMINFO
     w.write(ch_field, 4)  # channel assignment
-    w.write(0b100, 3)  # 16-bit
+    w.write(0b100 if bits == 16 else 0b110, 3)  # sample-size code
     w.write(0, 1)
     for b in _flac_utf8_frame_number(fi):
         w.write(b, 8)

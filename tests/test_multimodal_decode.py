@@ -1489,6 +1489,56 @@ def test_avi_metadata_triage_for_non_mjpeg_codecs(spark):
     assert got[2].ok and got[2].codec == "xvid" and got[2].mean_r is None
 
 
+def test_flac_24bit_round_trips_and_fingerprint_gate():
+    """24-bit FLAC (r10, the hi-res staple): STREAMINFO bps 24, frame
+    sample-size code 0b110, side channels at 25 bits — exact int32
+    round trips across all stereo modes; stats decode natively; the
+    fingerprint family rejects it (int16-grid exactness rule, like
+    the 24/32-bit WAV arms)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _flac_samples,
+        _pcm16_samples,
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(29)
+    s = rng.randint(-(1 << 23), 1 << 23, 5000)
+    p = encode_flac(s, 44100, bits=24)
+    got, rate, nch = _flac_samples(p)
+    assert got.dtype == np.int32 and rate == 44100 and nch == 1
+    assert np.array_equal(got.astype(np.int64), s)
+    d = decode_flac(p)
+    assert d["n_frames"] == 5000 and d["peak"] == float(np.abs(s).max())
+    with pytest.raises(ValueError, match="sample width"):
+        _pcm16_samples(p)
+    # all four stereo assignments at 24 bits (25-bit side channel)
+    st = rng.randint(-(1 << 23), 1 << 23, (3000, 2))
+    for mode in ("independent", "left_side", "side_right", "mid_side"):
+        q = encode_flac(st, 48000, bits=24, stereo_mode=mode)
+        g, _, n2 = _flac_samples(q)
+        assert n2 == 2 and np.array_equal(g.reshape(-1, 2).astype(np.int64), st), mode
+    # contract: range and depth validation
+    with pytest.raises(ValueError, match="24-bit range"):
+        encode_flac(np.array([1 << 23]), bits=24)
+    with pytest.raises(ValueError, match="bit depth"):
+        encode_flac(np.zeros(4, np.int16), bits=20)
+    # a 24-bit stream whose frame claims 16-bit (code mismatch) raises
+    bad = bytearray(p)
+    # frame header starts after the metadata blocks; find the sync
+    fi = 4
+    while not (bad[fi] == 0xFF and (bad[fi + 1] & 0xFC) == 0xF8):
+        (ln,) = struct.unpack(">I", b"\x00" + bytes(bad[fi + 1 : fi + 4]))
+        last = bad[fi] & 0x80
+        fi += 4 + ln
+        if last:
+            break
+    hdr3 = bad[fi + 3]
+    bad[fi + 3] = (hdr3 & ~0x0E) | (0b100 << 1)  # sample-size code -> 16
+    with pytest.raises(ValueError):
+        _flac_samples(bytes(bad))
+
+
 def test_mp3_header_triage_and_quarantine():
     """MP3 triage (r10): the frame-header walk yields exact frame and
     sample counts (VBR included, per-frame bitrates), ID3v2 tags are

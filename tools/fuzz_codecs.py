@@ -336,6 +336,17 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         (
             "flac",
             mm.encode_flac(
+                np.clip(
+                    (samples.astype(np.int64) << 8) - rng.randrange(256),
+                    -(1 << 23),
+                    (1 << 23) - 1,
+                ),
+                bits=24,
+            ),
+        ),
+        (
+            "flac",
+            mm.encode_flac(
                 np.stack([samples, samples[::-1]], axis=1),
                 stereo_mode=rng.choice(
                     ("auto", "independent", "left_side", "side_right", "mid_side")
@@ -671,6 +682,7 @@ def fuzz_encoders(seconds: float, seed: int, per_encode: float = 10.0) -> int:
                 arr = _rand_samples(rng)
                 kwargs = {
                     "rate": rng.choice((8000, 44100, 0, 1, (1 << 20) - 1)),
+                    "bits": rng.choice((16, 16, 24, 20)),
                     "blocksize": rng.choice((4096, 16, 1, 192, 65535)),
                     "lpc_order": rng.choice((None, 0, 1, 8, 32)),
                     "max_porder": rng.choice((0, 2, 4, 8)),
