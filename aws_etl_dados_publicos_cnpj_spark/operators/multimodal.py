@@ -846,12 +846,15 @@ def _aiff_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
                 f"AIFC float sample size {samp_size} contradicts the "
                 f"compression type"
             )
-    elif samp_size != 16:
+    elif samp_size not in (8, 16, 24, 32):
         raise ValueError(f"unsupported AIFF sample size {samp_size}")
+    elif samp_size != 16 and dtype == "<i2":
+        # 'sowt' is by definition 16-bit little-endian PCM
+        raise ValueError(f"AIFC sowt must be 16-bit, got {samp_size}")
     offset, _blocksize = struct.unpack_from(">II", payload, ssnd[0])
     start = ssnd[0] + 8 + offset
     count = n_frames * n_ch
-    width = float_width or 2
+    width = float_width or samp_size // 8
     if start + width * count > ssnd[1]:
         raise ValueError("AIFF sample data truncated")
     if float_width:
@@ -871,6 +874,23 @@ def _aiff_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
             rate,
             n_ch,
         )
+    # integer widths (r10, parity with the WAV matrix): 8-bit AIFF is
+    # SIGNED (unlike WAV's unsigned 8-bit) so it sits on the int16
+    # grid verbatim; 24-bit assembles big-endian with sign extension;
+    # 24/32-bit return int32 (native domain, like the FLAC 24 arm)
+    if samp_size == 8:
+        s8 = np.frombuffer(payload, dtype=np.int8, count=count, offset=start)
+        return s8.astype(np.int16), rate, n_ch
+    if samp_size == 24:
+        b = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * count, offset=start
+        ).reshape(-1, 3).astype(np.int64)
+        v = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return v.astype(np.int32), rate, n_ch
+    if samp_size == 32:
+        s32 = np.frombuffer(payload, dtype=">i4", count=count, offset=start)
+        return s32.astype(np.int32), rate, n_ch
     samples = np.frombuffer(payload, dtype=dtype, offset=start, count=count)
     return samples.astype(np.int16), rate, n_ch
 
@@ -1147,7 +1167,13 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
     uses, so fixtures can mix containers while the sample CONTRACT
     (and every SQL oracle built on it) stays identical."""
     if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
-        return _aiff_samples(payload)[0]
+        samples = _aiff_samples(payload)[0]
+        if samples.dtype != np.int16:
+            # 24/32-bit AIFF: downshifting discards real bits — the
+            # int16-grid exactness rule (8-bit AIFF passes: signed
+            # samples sit on the grid verbatim, no conversion choice)
+            raise ValueError("unsupported AIFF sample width")
+        return samples
     if payload[:4] == b"fLaC":
         samples = _flac_samples(payload)[0]
         if samples.dtype != np.int16:

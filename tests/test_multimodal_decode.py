@@ -1719,6 +1719,60 @@ def test_decode_features_survives_mp3_rows(spark):
     assert not got[3].ok and "ValueError" in got[3].err
 
 
+def test_aiff_integer_width_matrix():
+    """AIFF integer widths beyond 16-bit (r10, WAV-matrix parity):
+    signed 8-bit decodes verbatim onto the int16 grid (fingerprint
+    accepts — no conversion choice exists, unlike WAV's unsigned 8);
+    24-bit assembles big-endian with sign extension and 32-bit reads
+    natively, both int32 with native-domain stats and fingerprint
+    rejection (the exactness rule)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _aiff_samples,
+        _f80_encode,
+        _pcm16_samples,
+        decode_aiff,
+    )
+
+    def aiff(body: bytes, n_frames: int, samp_size: int) -> bytes:
+        comm = (
+            b"COMM"
+            + struct.pack(">IhIh", 18, 1, n_frames, samp_size)
+            + _f80_encode(8000)
+        )
+        ssnd_body = struct.pack(">II", 0, 0) + body
+        ssnd = b"SSND" + struct.pack(">I", len(ssnd_body)) + ssnd_body
+        if len(ssnd_body) & 1:
+            ssnd += b"\x00"
+        form = b"AIFF" + comm + ssnd
+        return b"FORM" + struct.pack(">I", len(form)) + form
+
+    vals = [0, 1, -1, 100, -100, 127, -128]
+    p8 = aiff(np.array(vals, np.int8).tobytes(), len(vals), 8)
+    s8, rate, nch = _aiff_samples(p8)
+    assert s8.dtype == np.int16 and s8.tolist() == vals
+    assert np.array_equal(_pcm16_samples(p8), np.array(vals, np.int16))
+    assert decode_aiff(p8)["peak"] == 128.0
+
+    v24 = [0, 1, -1, (1 << 23) - 1, -(1 << 23), 123456, -654321]
+    body24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "big") for v in v24)
+    p24 = aiff(body24, len(v24), 24)
+    s24, _, _ = _aiff_samples(p24)
+    assert s24.dtype == np.int32 and s24.tolist() == v24
+    assert decode_aiff(p24)["peak"] == float(1 << 23)
+    with pytest.raises(ValueError, match="sample width"):
+        _pcm16_samples(p24)
+
+    v32 = [0, 1, -1, (1 << 31) - 1, -(1 << 31), 42]
+    p32 = aiff(np.array(v32, ">i4").tobytes(), len(v32), 32)
+    s32, _, _ = _aiff_samples(p32)
+    assert s32.dtype == np.int32 and s32.tolist() == v32
+    with pytest.raises(ValueError, match="sample width"):
+        _pcm16_samples(p32)
+    # unsupported width still raises
+    with pytest.raises(ValueError, match="sample size"):
+        _aiff_samples(aiff(b"\x00\x00", 1, 12))
+
+
 def test_f80_extended_float_round_trip():
     from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
         _f80_decode,
