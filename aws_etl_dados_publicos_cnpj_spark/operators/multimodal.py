@@ -2545,8 +2545,11 @@ def _tiff_pixels_impl(payload: bytes, ifd_off: int | None = None) -> np.ndarray:
     compression = tags.get(259, [1])[0]
     rows_per_strip = tags.get(278, [height])[0] or height
     planar = tags.get(284, [1])[0]
-    if planar != 1:
-        raise ValueError(f"unsupported TIFF planar configuration {planar}")
+    if planar not in (1, 2) or (planar == 2 and tiled):
+        raise ValueError(
+            f"unsupported TIFF planar configuration {planar}"
+            + (" (tiled)" if tiled else "")
+        )
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
@@ -2590,22 +2593,27 @@ def _tiff_pixels_impl(payload: bytes, ifd_off: int | None = None) -> np.ndarray:
             raise ValueError(f"TIFF {label} shorter than its rows")
         return np.frombuffer(raw, np.uint8, want)
 
-    def _expand(grid: np.ndarray, rows_n: int, w: int) -> np.ndarray:
-        """(rows_n, w, spp) samples from unpredicted scanline bytes —
-        the predictor resets per segment row, so this runs per strip
-        grid or per TILE, never across segment boundaries."""
+    def _expand(
+        grid: np.ndarray, rows_n: int, w: int, channels: int | None = None
+    ) -> np.ndarray:
+        """(rows_n, w, channels) samples from unpredicted scanline
+        bytes — the predictor resets per segment row, so this runs per
+        strip grid or per TILE, never across segment boundaries.
+        ``channels`` defaults to spp; planar strips pass 1 (each strip
+        carries ONE plane)."""
+        ch = spp if channels is None else channels
         if bps == 16:
             # 16-bit samples follow the FILE byte order (r10); the
             # predictor, when present, differences 16-bit VALUES per
             # channel (mod 65536), not bytes
             pairs = (
-                grid[:, : w * spp * 2]
-                .reshape(rows_n, w * spp, 2)
+                grid[:, : w * ch * 2]
+                .reshape(rows_n, w * ch, 2)
                 .astype(np.uint32)
             )
             hi, lo = (0, 1) if e == ">" else (1, 0)
             vals = ((pairs[:, :, hi] << 8) | pairs[:, :, lo]).reshape(
-                rows_n, w, spp
+                rows_n, w, ch
             )
             if predictor == 2:
                 vals = np.cumsum(vals, axis=1, dtype=np.int64) & 0xFFFF
@@ -2615,10 +2623,10 @@ def _tiff_pixels_impl(payload: bytes, ifd_off: int | None = None) -> np.ndarray:
             # with LZW): invert with a per-channel cumsum mod 256
             if bps != 8:
                 raise ValueError("TIFF predictor 2 requires 8- or 16-bit samples")
-            und = grid[:, : w * spp].reshape(rows_n, w, spp)
+            und = grid[:, : w * ch].reshape(rows_n, w, ch)
             return (np.cumsum(und, axis=1, dtype=np.int64) & 0xFF).astype(np.uint8)
         if bps == 8:
-            return grid[:, : w * spp].reshape(rows_n, w, spp)
+            return grid[:, : w * ch].reshape(rows_n, w, ch)
         bits = np.unpackbits(grid, axis=1)
         per = bits.shape[1] // bps
         weights = (1 << np.arange(bps - 1, -1, -1)).astype(np.uint8)
@@ -2661,23 +2669,63 @@ def _tiff_pixels_impl(payload: bytes, ifd_off: int | None = None) -> np.ndarray:
             cw = min(tile_w, width - x0)
             samples[y0 : y0 + ch, x0 : x0 + cw] = sub[:ch, :cw]
     else:
-        stride = (width * bps * spp + 7) // 8
-        rows = []
-        row_total = 0
-        for si, (off, cnt) in enumerate(zip(seg_offsets, seg_counts)):
-            if off + cnt > len(payload):
-                raise ValueError("TIFF strip data out of bounds")
-            n_rows = min(rows_per_strip, height - row_total)
-            if n_rows <= 0:
-                break
-            grid = _decompress(
-                payload[off : off + cnt], n_rows * stride, f"strip {si}"
-            ).reshape(n_rows, stride)
-            rows.append(grid)
-            row_total += n_rows
-        if row_total < height:
-            raise ValueError("TIFF strips cover fewer rows than ImageLength")
-        samples = _expand(np.concatenate(rows, axis=0), height, width)
+        ch_per_strip = 1 if planar == 2 else spp
+        stride = (width * bps * ch_per_strip + 7) // 8
+
+        def strips_grid(pairs: "list[tuple[int, int]]", pfx: str) -> np.ndarray:
+            rows = []
+            row_total = 0
+            for si, (off, cnt) in enumerate(pairs):
+                if off + cnt > len(payload):
+                    raise ValueError("TIFF strip data out of bounds")
+                n_rows = min(rows_per_strip, height - row_total)
+                if n_rows <= 0:
+                    break
+                rows.append(
+                    _decompress(
+                        payload[off : off + cnt],
+                        n_rows * stride,
+                        f"{pfx}strip {si}",
+                    ).reshape(n_rows, stride)
+                )
+                row_total += n_rows
+            if row_total < height:
+                raise ValueError("TIFF strips cover fewer rows than ImageLength")
+            return np.concatenate(rows, axis=0)
+
+        if planar == 2:
+            # PlanarConfiguration 2: the strip table holds spp×
+            # strips-per-plane entries, PLANE-MAJOR per the spec; each
+            # plane decodes as a one-channel image, then channels stack
+            spl = (height + rows_per_strip - 1) // rows_per_strip
+            if len(seg_offsets) < spp * spl:
+                raise ValueError(
+                    "TIFF planar strip table smaller than planes x strips"
+                )
+            planes = [
+                _expand(
+                    strips_grid(
+                        list(
+                            zip(
+                                seg_offsets[pl * spl : (pl + 1) * spl],
+                                seg_counts[pl * spl : (pl + 1) * spl],
+                            )
+                        ),
+                        f"plane {pl} ",
+                    ),
+                    height,
+                    width,
+                    channels=1,
+                )
+                for pl in range(spp)
+            ]
+            samples = np.concatenate(planes, axis=2)
+        else:
+            samples = _expand(
+                strips_grid(list(zip(seg_offsets, seg_counts)), ""),
+                height,
+                width,
+            )
     if photometric == 2:
         if bps == 16:
             # exact round-to-nearest 16→8 (v·255/65535) — the same
@@ -2734,6 +2782,7 @@ def encode_tiff(
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
     bits: int = 8,
+    planar: int = 1,
     _nonspec_tiles: bool = False,
 ) -> bytes:
     """Baseline-TIFF encoder twin (fixture discipline): grayscale
@@ -2766,6 +2815,8 @@ def encode_tiff(
         raise ValueError(f"invalid TIFF rows_per_strip {rps}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if planar not in (1, 2) or (planar == 2 and tile is not None):
+        raise ValueError(f"unsupported TIFF planar configuration {planar}")
     mask = (1 << bits) - 1
     store = np.dtype("<u2") if bits == 16 else np.dtype(np.uint8)
 
@@ -2806,6 +2857,13 @@ def encode_tiff(
                 sub = px[y0 : y0 + th, x0 : x0 + tw]
                 block[: sub.shape[0], : sub.shape[1]] = sub
                 strips.append(_compress(_diff(block).tobytes()))
+    elif planar == 2:
+        # plane-major strip table per the spec: every plane's strips,
+        # then the next plane's
+        for pl in range(spp):
+            plane = _diff(px[:, :, pl : pl + 1])
+            for y0 in range(0, h, rps):
+                strips.append(_compress(plane[y0 : y0 + rps].tobytes()))
     else:
         data_px = _diff(px)
         for y0 in range(0, h, rps):
@@ -2832,6 +2890,8 @@ def encode_tiff(
         loc_tag, cnt_tag = 273, 279
     if predictor == 2:
         entry(317, 3, [2])
+    if planar == 2:
+        entry(284, 3, [2])
     # segment offsets are back-patched once the header size is known
     entry(loc_tag, 4, [0] * n_strips)
     entry(cnt_tag, 4, [len(s) for s in strips])
@@ -5652,7 +5712,9 @@ def synthesize_mixed_image_from_text(
     """Container-diverse image fixture: doc_id % 3 picks 24-bit BMP,
     GIF89a (LZW, local color table), or TIFF (r9: TIFF-variant LZW
     strips; half the TIFF docs — doc_id % 6 == 5 — use Deflate
-    compression instead, driver-gating the zlib strip path) carrying
+    compression instead, driver-gating the zlib strip path, and half
+    the LZW docs — doc_id % 12 == 8 — ship PlanarConfiguration 2
+    (r10, plane-major strip tables)) carrying
     the SAME decoded-RGB pixels — pixel k =
     (raw[(3k+2)%n], raw[(3k+1)%n], raw[(3k)%n]) — so all three decode
     paths run under one unchanged text-byte oracle. 8×8 fixtures have
@@ -5671,7 +5733,16 @@ def synthesize_mixed_image_from_text(
                 elif kind == 2:
                     rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
                     comp = 8 if int(doc_id) % 6 == 5 else 5
-                    payloads.append(encode_tiff(rgb, compression=comp))
+                    payloads.append(
+                        encode_tiff(
+                            rgb,
+                            compression=comp,
+                            # r10: half the LZW docs ship planar-2
+                            # (plane-major strip tables) — same
+                            # decoded pixels, same oracle
+                            planar=2 if int(doc_id) % 12 == 8 else 1,
+                        )
+                    )
                     mimes.append("image/tiff")
                 else:
                     payloads.append(_bmp_payload(raw, width, height))

@@ -4132,6 +4132,49 @@ def test_tiff_16bit_bigendian_and_whitezero():
         _tiff_pixels(bytes(payload[:-1]))
 
 
+def test_tiff_planar_configuration_2():
+    """PlanarConfiguration 2 (r10): the strip table holds
+    planes×strips entries plane-major; each plane decodes as a
+    one-channel image and channels stack — round trips across
+    compressions, predictors, strip heights, and 16-bit; tiled
+    planar and short strip tables quarantine."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_pixels,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(31)
+    px = rng.randint(0, 256, (11, 7, 3)).astype(np.uint8)
+    for comp in (1, 5, 8, 32773):
+        for pred in (1, 2):
+            for rps in (None, 3):
+                p = encode_tiff(
+                    px, compression=comp, predictor=pred,
+                    rows_per_strip=rps, planar=2,
+                )
+                assert np.array_equal(_tiff_pixels(p), px), (comp, pred, rps)
+    p16 = encode_tiff(
+        px.astype(np.uint16) * 257, bits=16, planar=2,
+        compression=5, predictor=2, rows_per_strip=4,
+    )
+    assert np.array_equal(_tiff_pixels(p16), px)
+    # planar + gray (spp 1) degenerates to chunky and still decodes
+    pg = encode_tiff(px[:, :, 0], planar=2, rows_per_strip=2)
+    assert np.array_equal(
+        _tiff_pixels(pg), np.repeat(px[:, :, :1], 3, axis=2)
+    )
+    with pytest.raises(ValueError, match="planar"):
+        encode_tiff(px, planar=2, tile=(16, 16))
+    # a planar file whose strip table is one plane short quarantines
+    p = encode_tiff(px, planar=2, rows_per_strip=4)
+    short = bytearray(p)
+    i = bytes(short).find(struct.pack("<HH", 273, 4))
+    assert i > 0
+    struct.pack_into("<I", short, i + 4, 8)  # claim 8 strips, not 9
+    with pytest.raises(ValueError):
+        _tiff_pixels(bytes(short))
+
+
 def test_tiff_multipage_chain_decode():
     """Multi-page TIFFs (r10): the IFD next-pointer chain yields every
     page via _tiff_pixels(page=k); decode_tiff reports the page count

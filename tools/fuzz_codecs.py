@@ -394,6 +394,16 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         (
             "tiff",
             mm.encode_tiff(
+                gif_px,
+                compression=rng.choice((1, 5, 8, 32773)),
+                rows_per_strip=rng.randrange(1, 20),
+                predictor=rng.choice((1, 2)),
+                planar=2,
+            ),
+        ),
+        (
+            "tiff",
+            mm.encode_tiff(
                 (gif_px if rng.random() < 0.5 else gif_px[:, :, 0]).astype(
                     "u2"
                 )
@@ -703,6 +713,7 @@ def fuzz_encoders(seconds: float, seed: int, per_encode: float = 10.0) -> int:
                     "rows_per_strip": rng.choice((None, 1, 3, 1000, 0, -2)),
                     "predictor": rng.choice((1, 2, 0, 3)),
                     "tile": rng.choice((None, (16, 16), (4, 4), (1, 9), (0, 4))),
+                    "planar": rng.choice((1, 1, 2, 0)),
                 }
                 enc, dec = mm.encode_tiff, mm._tiff_pixels
             elif fam == "png":
