@@ -4872,25 +4872,39 @@ def _mp4_pcm_samples(
     """(int16 interleaved samples, rate, n_channels) of a raw-PCM
     audio trak — the audio twin of MJPEG-in-MP4: 'twos' (big-endian)
     and 'sowt' (little-endian) sample entries carry uncompressed
-    16-bit PCM, so the REAL sample-table resolution (stsz×stsc×stco)
-    yields decodable bytes with no codec library. Anything else
-    (mp4a/AAC, alac, ...) raises NotImplementedError and quarantines
-    upstream, exactly like non-JPEG video codecs."""
+    16-bit PCM, and 'ulaw'/'alaw' entries (r10, the QuickTime
+    telephony staple) expand through the same G.711 tables as the WAV
+    arm, so the REAL sample-table resolution (stsz×stsc×stco) yields
+    decodable bytes with no codec library. Anything else (mp4a/AAC,
+    alac, ...) raises NotImplementedError and quarantines upstream,
+    exactly like non-JPEG video codecs."""
     if trk is None:
         trk = _mp4_audio_track(payload)
     codec = trk["codec"]
-    if codec not in ("twos", "sowt"):
+    if codec not in ("twos", "sowt", "ulaw", "alaw"):
         raise NotImplementedError(
             f"MP4 audio sample decode for codec {codec!r} requires codec "
-            "libraries not present; only raw PCM ('twos'/'sowt' sample "
-            "entries) decodes here"
+            "libraries not present; only raw PCM ('twos'/'sowt') and "
+            "G.711 ('ulaw'/'alaw') sample entries decode here"
         )
     n_ch, bits = trk["n_channels"], trk["sample_size"]
-    if n_ch not in (1, 2) or bits != 16:
+    g711 = codec in ("ulaw", "alaw")
+    # QuickTime writes the µ-law/A-law AudioSampleEntry's sample_size
+    # as 16 (the DECODED width) even though the stored bytes are
+    # 8-bit codewords — accept 8 or 16 for the G.711 entries
+    if n_ch not in (1, 2) or (bits != 16 if not g711 else bits not in (8, 16)):
         raise ValueError(f"unsupported MP4 PCM layout ({n_ch} ch, {bits}-bit)")
     buf = bytearray()
     for off, size in _mp4_sample_ranges(payload, trk):
         buf += payload[off : off + size]
+    if g711:
+        if len(buf) % n_ch:
+            raise ValueError("MP4 G.711 data is not frame-aligned")
+        table = _G711_ULAW if codec == "ulaw" else _G711_ALAW
+        samples = table[np.frombuffer(bytes(buf), dtype=np.uint8)].astype(
+            np.int16
+        )
+        return samples, trk["sample_rate"], n_ch
     if len(buf) % (2 * n_ch):
         raise ValueError("MP4 PCM data is not frame-aligned")
     dt = ">i2" if codec == "twos" else "<i2"
@@ -5109,7 +5123,7 @@ def decode_media(payload: bytes, mime: str) -> dict:
         # routing, stats, and sample resolution — same shape as the
         # video arm below.
         trk = _mp4_audio_track(payload)
-        if trk["codec"] in ("twos", "sowt"):
+        if trk["codec"] in ("twos", "sowt", "ulaw", "alaw"):
             return decode_mp4_pcm(payload, trk)
         return _mp4_audio_stats(payload, trk)
     if mime in ("image/bmp", "image/x-bmp"):
@@ -5495,13 +5509,21 @@ def _m4a_pcm_payload(
     the same stsz×stsc×stco resolution as MJPEG video. ``stereo``
     de-interleaves even/odd bytes as L/R (even lengths only), like
     the FLAC fixture arm."""
-    if codec not in (b"twos", b"sowt"):
+    if codec not in (b"twos", b"sowt", b"ulaw", b"alaw"):
         raise ValueError(f"unsupported PCM fourcc {codec!r}")
+    g711 = codec in (b"ulaw", b"alaw")
     samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
     n_ch = 2 if stereo and len(samples) and len(samples) % 2 == 0 else 1
     frames = len(samples) // n_ch
-    frame_bytes = 2 * n_ch
-    pcm = samples.astype(">i2" if codec == b"twos" else "<i2").tobytes()
+    frame_bytes = n_ch if g711 else 2 * n_ch
+    # G.711 entries store the raw codewords (decoded values come from
+    # the CCITT tables, so these fixtures are unit/fuzz-gated, not
+    # byte-contract-oracled like the PCM arms)
+    pcm = (
+        bytes(raw)
+        if g711
+        else samples.astype(">i2" if codec == b"twos" else "<i2").tobytes()
+    )
 
     def box(btype: bytes, body: bytes) -> bytes:
         return struct.pack(">I", 8 + len(body)) + btype + body

@@ -1539,6 +1539,37 @@ def test_flac_24bit_round_trips_and_fingerprint_gate():
         _flac_samples(bytes(bad))
 
 
+def test_mp4_g711_sample_entries_decode():
+    """'ulaw'/'alaw' AudioSampleEntries (r10, the QuickTime telephony
+    staple) decode through the same stsz×stsc×stco resolution and the
+    same CCITT tables as the WAV G.711 arm — byte-for-byte identical
+    expansions; mp4a still quarantines."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _G711_ALAW,
+        _G711_ULAW,
+        _m4a_pcm_payload,
+        _mp4_pcm_samples,
+        _pcm16_samples,
+        decode_media,
+    )
+
+    raw = bytes(range(200)) + bytes(reversed(range(56)))
+    for codec, table in ((b"ulaw", _G711_ULAW), (b"alaw", _G711_ALAW)):
+        p = _m4a_pcm_payload(raw, 8000, codec=codec)
+        s, rate, nch = _mp4_pcm_samples(p)
+        assert rate == 8000 and nch == 1
+        want = table[np.frombuffer(raw, np.uint8)].astype(np.int16)
+        assert np.array_equal(s, want)
+        assert np.array_equal(_pcm16_samples(p), want)
+        d = decode_media(p, "audio/mp4")
+        assert d["kind"] == "audio" and d["n_frames"] == len(raw)
+    # stereo ulaw: interleave preserved
+    p2 = _m4a_pcm_payload(raw, 8000, codec=b"ulaw", stereo=True)
+    s2, _, nch2 = _mp4_pcm_samples(p2)
+    assert nch2 == 2 and len(s2) == len(raw)
+    assert np.array_equal(s2, _G711_ULAW[np.frombuffer(raw, np.uint8)])
+
+
 def test_mp3_header_triage_and_quarantine():
     """MP3 triage (r10): the frame-header walk yields exact frame and
     sample counts (VBR included, per-frame bitrates), ID3v2 tags are

@@ -375,6 +375,15 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
             "m4a",
             mm._m4a_pcm_payload(
                 raw8,
+                rng.choice((8000, 44100)),
+                codec=rng.choice((b"ulaw", b"alaw")),
+                stereo=rng.random() < 0.5,
+            ),
+        ),
+        (
+            "m4a",
+            mm._m4a_pcm_payload(
+                raw8,
                 rate=rng.choice((8000, 44100)),
                 codec=rng.choice((b"twos", b"sowt")),
                 stereo=rng.randrange(2) == 1,
