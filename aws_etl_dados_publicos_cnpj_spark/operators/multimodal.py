@@ -2285,8 +2285,10 @@ def decode_bmp(payload: bytes) -> dict:
 # 0/1 (bilevel+gray, WhiteIsZero inverted) / 2 (RGB, alpha dropped)
 # / 3 (palette, 16-bit colormap scaled >>8). 16-bit samples (r10):
 # gray + RGB, file byte order, predictor 2 mod 65536, exact
-# v·255/65535 16→8 rounding (the PNG depth-16 rule). No codec
-# library.
+# v·255/65535 16→8 rounding (the PNG depth-16 rule). Also r10:
+# multi-page IFD chains (cycle-guarded), PlanarConfiguration 2
+# (plane-major strip tables), and CMYK/photometric 5 (multiplicative
+# under-color removal, exact rounding). No codec library.
 
 
 def _tiff_lzw_decode(data: bytes, max_bytes: int) -> bytes:
@@ -2560,6 +2562,7 @@ def _tiff_pixels_impl(payload: bytes, ifd_off: int | None = None) -> np.ndarray:
         (photometric in (0, 1) and spp == 1 and bps in (1, 8, 16))
         or (photometric == 2 and spp in (3, 4) and bps in (8, 16))
         or (photometric == 3 and spp == 1 and bps in (4, 8))
+        or (photometric == 5 and spp == 4 and bps in (8, 16))
     )
     # 8 = Adobe Deflate, 32946 = the older Deflate code — same stream
     if not supported or compression not in (1, 5, 8, 32773, 32946):
@@ -2726,6 +2729,15 @@ def _tiff_pixels_impl(payload: bytes, ifd_off: int | None = None) -> np.ndarray:
                 height,
                 width,
             )
+    if photometric == 5:
+        # CMYK (Separated, the scanned-print staple): ink values where
+        # smax = full ink; the conversion every RGBA-style reader uses
+        # is multiplicative under-color removal
+        # R = (smax−C)(smax−K)/smax² · 255, exact round-to-nearest
+        smax = 65535 if bps == 16 else 255
+        c = samples.astype(np.uint64)
+        num = (smax - c[:, :, :3]) * (smax - c[:, :, 3:4]) * 255
+        return ((num + (smax * smax) // 2) // (smax * smax)).astype(np.uint8)
     if photometric == 2:
         if bps == 16:
             # exact round-to-nearest 16→8 (v·255/65535) — the same
@@ -2783,6 +2795,7 @@ def encode_tiff(
     tile: tuple[int, int] | None = None,
     bits: int = 8,
     planar: int = 1,
+    cmyk: bool = False,
     _nonspec_tiles: bool = False,
 ) -> bytes:
     """Baseline-TIFF encoder twin (fixture discipline): grayscale
@@ -2804,12 +2817,17 @@ def encode_tiff(
         px = px.astype(np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
-    if px.ndim != 3 or px.shape[2] not in (1, 3) or px.size == 0:
-        raise ValueError("encode_tiff takes a non-empty (h,w) or (h,w,3) image")
+    want_ch = (4,) if cmyk else (1, 3)
+    if px.ndim != 3 or px.shape[2] not in want_ch or px.size == 0:
+        raise ValueError(
+            "encode_tiff takes a non-empty (h,w,4) CMYK image"
+            if cmyk
+            else "encode_tiff takes a non-empty (h,w) or (h,w,3) image"
+        )
     if compression not in (1, 5, 8, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}")
     h, w, spp = px.shape
-    photometric = 1 if spp == 1 else 2
+    photometric = 5 if cmyk else (1 if spp == 1 else 2)
     rps = h if rows_per_strip is None else rows_per_strip
     if rps < 1:
         raise ValueError(f"invalid TIFF rows_per_strip {rps}")

@@ -4206,6 +4206,63 @@ def test_tiff_planar_configuration_2():
         _tiff_pixels(bytes(short))
 
 
+def test_tiff_cmyk_photometric_5():
+    """CMYK TIFFs (photometric 5 — scanned print) decode through the
+    documented multiplicative under-color removal
+    R = (smax−C)(smax−K)/smax²·255 with exact rounding, at 8 and 16
+    bits, chunky and planar, every compression; encode_tiff(cmyk=True)
+    emits the raw inks."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_pixels,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(43)
+    inks = rng.randint(0, 256, (9, 5, 4))
+
+    def want8(a):
+        return (
+            ((255 - a[:, :, :3]) * (255 - a[:, :, 3:4]) * 255 + 255 * 255 // 2)
+            // (255 * 255)
+        ).astype(np.uint8)
+
+    for comp in (1, 5, 8, 32773):
+        for pred in (1, 2):
+            for planar in (1, 2):
+                p = encode_tiff(
+                    inks, compression=comp, predictor=pred, planar=planar,
+                    cmyk=True, rows_per_strip=3,
+                )
+                assert np.array_equal(_tiff_pixels(p), want8(inks)), (
+                    comp, pred, planar,
+                )
+    # hand values: full K = black, no ink = white, pure C = cyan-ish
+    flat = np.zeros((1, 3, 4), np.int64)
+    flat[0, 0] = (0, 0, 0, 255)
+    flat[0, 1] = (0, 0, 0, 0)
+    flat[0, 2] = (255, 0, 0, 0)
+    px = _tiff_pixels(encode_tiff(flat, cmyk=True))
+    assert px[0, 0].tolist() == [0, 0, 0]
+    assert px[0, 1].tolist() == [255, 255, 255]
+    assert px[0, 2].tolist() == [0, 255, 255]
+    inks16 = rng.randint(0, 65536, (5, 4, 4))
+    p16 = encode_tiff(inks16, bits=16, cmyk=True)
+    want16 = (
+        (
+            (65535 - inks16[:, :, :3].astype(np.uint64))
+            * (65535 - inks16[:, :, 3:4])
+            * 255
+            + 65535 * 65535 // 2
+        )
+        // (65535 * 65535)
+    ).astype(np.uint8)
+    assert np.array_equal(_tiff_pixels(p16), want16)
+    assert decode_tiff(p16)["width"] == 4
+    with pytest.raises(ValueError, match="CMYK"):
+        encode_tiff(inks[:, :, :3], cmyk=True)
+
+
 def test_tiff_multipage_chain_decode():
     """Multi-page TIFFs (r10): the IFD next-pointer chain yields every
     page via _tiff_pixels(page=k); decode_tiff reports the page count

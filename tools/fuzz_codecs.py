@@ -413,6 +413,16 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         (
             "tiff",
             mm.encode_tiff(
+                np.dstack([gif_px, gif_px[:, :, :1]]),
+                compression=rng.choice((1, 5, 8)),
+                predictor=rng.choice((1, 2)),
+                planar=rng.choice((1, 2)),
+                cmyk=True,
+            ),
+        ),
+        (
+            "tiff",
+            mm.encode_tiff(
                 (gif_px if rng.random() < 0.5 else gif_px[:, :, 0]).astype(
                     "u2"
                 )
@@ -723,6 +733,7 @@ def fuzz_encoders(seconds: float, seed: int, per_encode: float = 10.0) -> int:
                     "predictor": rng.choice((1, 2, 0, 3)),
                     "tile": rng.choice((None, (16, 16), (4, 4), (1, 9), (0, 4))),
                     "planar": rng.choice((1, 1, 2, 0)),
+                    "cmyk": rng.random() < 0.2,
                 }
                 enc, dec = mm.encode_tiff, mm._tiff_pixels
             elif fam == "png":
