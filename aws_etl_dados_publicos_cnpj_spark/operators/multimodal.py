@@ -1217,8 +1217,11 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         with wave.open(io.BytesIO(payload), "rb") as w:
             sw = w.getsampwidth()
             if sw not in (2, 4):
-                # Match the AIFF/FLAC arms: reinterpreting 8/24-bit
-                # frames as int16 would fingerprint garbage with ok=True.
+                # 24-bit discards real bits on any int16 mapping, and
+                # WAV 8-bit is UNSIGNED so mapping it to the int16
+                # grid means choosing a centering — both quarantine.
+                # (The AIFF arm differs deliberately: AIFF 8-bit is
+                # SIGNED and sits on the grid verbatim, so it passes.)
                 raise ValueError(f"unsupported WAV sample width {sw}")
             raw = w.readframes(w.getnframes())
     except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
@@ -2455,35 +2458,59 @@ def _tiff_pixels(payload: bytes, page: int = 0) -> np.ndarray:
     if payload[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF payload")
     try:
-        offsets = _tiff_ifd_chain(payload)
+        # lazy walk: page 0 never reads past the first IFD, so a
+        # dangling next pointer in a TRUNCATED multi-page scan cannot
+        # quarantine an intact first page (r10 review)
+        offsets = _tiff_ifd_chain(payload, need=page + 1)
         if page >= len(offsets):
             raise ValueError(
-                f"TIFF has {len(offsets)} pages, page {page} requested"
+                f"TIFF has {len(offsets)} reachable pages, page {page} "
+                "requested"
             )
         return _tiff_pixels_impl(payload, offsets[page])
     except (struct.error, IndexError) as exc:
         raise ValueError(f"corrupt TIFF container ({exc})") from exc
 
 
-def _tiff_ifd_chain(payload: bytes) -> list[int]:
-    """IFD offsets in chain order. Bounds-checked per link; the chain
-    length is capped (a forged next-pointer loop must terminate, the
-    same discipline as every other header-driven walk here) and a
-    repeated offset raises instead of cycling."""
+def _tiff_ifd_chain(
+    payload: bytes, need: int | None = None, strict: bool = True
+) -> list[int]:
+    """IFD offsets in chain order — lazily stopping after ``need``
+    links when given. Bounds-checked per link; the chain length is
+    capped (a forged next-pointer loop must terminate, the same
+    discipline as every other header-driven walk here) and a repeated
+    offset means a cycle. ``strict`` raises on a bad link; the
+    page-COUNT path passes False to get the readable prefix instead
+    (a truncated tail should not quarantine pages that decode)."""
     e = "<" if payload[:2] == b"II" else ">"
     (off,) = struct.unpack_from(f"{e}I", payload, 4)
     seen: list[int] = []
+    seen_set: set[int] = set()
     while off:
+        bad = None
+        nxt_off = None
         if off + 2 > len(payload):
-            raise ValueError("TIFF IFD offset out of bounds")
-        if off in seen or len(seen) >= 1024:
-            raise ValueError("TIFF IFD chain cycles or exceeds 1024 pages")
+            bad = "TIFF IFD offset out of bounds"
+        elif off in seen_set:
+            bad = "TIFF IFD chain cycles"
+        elif len(seen) >= 1024:
+            bad = "TIFF IFD chain exceeds 1024 pages"
+        else:
+            (n_entries,) = struct.unpack_from(f"{e}H", payload, off)
+            nxt = off + 2 + 12 * n_entries
+            if nxt + 4 > len(payload):
+                bad = "TIFF IFD truncated"
+            else:
+                (nxt_off,) = struct.unpack_from(f"{e}I", payload, nxt)
+        if bad is not None:
+            if strict:
+                raise ValueError(bad)
+            break
         seen.append(off)
-        (n_entries,) = struct.unpack_from(f"{e}H", payload, off)
-        nxt = off + 2 + 12 * n_entries
-        if nxt + 4 > len(payload):
-            raise ValueError("TIFF IFD truncated")
-        (off,) = struct.unpack_from(f"{e}I", payload, nxt)
+        seen_set.add(off)
+        if need is not None and len(seen) >= need:
+            return seen
+        off = nxt_off
     if not seen:
         raise ValueError("TIFF has no IFDs")
     return seen
@@ -2783,7 +2810,10 @@ def decode_tiff(payload: bytes) -> dict:
         "mean_r": float(mean_rgb[0]),
         "mean_g": float(mean_rgb[1]),
         "mean_b": float(mean_rgb[2]),
-        "n_frames": len(_tiff_ifd_chain(payload)),
+        # REACHABLE pages: a corrupt next pointer ends the count (the
+        # readable prefix of a truncated scan) rather than failing
+        # stats for pages that decode fine (r10 review)
+        "n_frames": len(_tiff_ifd_chain(payload, strict=False)),
     }
 
 

@@ -4313,13 +4313,27 @@ def test_tiff_multipage_chain_decode():
         assert np.array_equal(_tiff_pixels(payload, page=k), want), k
     with pytest.raises(ValueError, match="pages"):
         _tiff_pixels(payload, page=3)
-    # a cycle in the chain raises
+    # a cycle in the chain: the lazy page walk raises when it must
+    # cross the cycle; the page COUNT stops at the readable prefix
     loop = bytearray(payload)
     ifd = ifd_offs[-1]
     (n,) = struct.unpack_from("<H", loop, ifd)
     struct.pack_into("<I", loop, ifd + 2 + 12 * n, ifd_offs[0])
+    assert decode_tiff(bytes(loop))["n_frames"] == 3
     with pytest.raises(ValueError, match="cycles"):
-        decode_tiff(bytes(loop))
+        _tiff_pixels(bytes(loop), page=5)
+    # a DANGLING next pointer (truncated multi-page scan) must not
+    # quarantine the intact pages before it (r10 review): page 0 and
+    # 1 decode, the count is the readable prefix, page 2 raises
+    dang = bytearray(payload)
+    ifd1 = ifd_offs[1]
+    (n1,) = struct.unpack_from("<H", dang, ifd1)
+    struct.pack_into("<I", dang, ifd1 + 2 + 12 * n1, len(dang) + 99)
+    assert np.array_equal(_tiff_pixels(bytes(dang), page=0), pages[0])
+    assert np.array_equal(_tiff_pixels(bytes(dang), page=1), pages[1])
+    assert decode_tiff(bytes(dang))["n_frames"] == 2
+    with pytest.raises(ValueError, match="out of bounds|pages"):
+        _tiff_pixels(bytes(dang), page=2)
 
 
 def test_tiff_deflate_legacy_tag_and_bomb_bound():
