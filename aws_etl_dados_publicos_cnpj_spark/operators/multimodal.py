@@ -229,7 +229,12 @@ def _riff_chunk(payload: bytes, want: bytes) -> tuple[int, int] | None:
         cid = payload[pos : pos + 4]
         (csz,) = struct.unpack_from("<I", payload, pos + 4)
         if pos + 8 + csz > len(payload):
-            return None
+            # externally truncated final chunk: clamp its extent
+            # instead of aborting, so metadata chunks BEFORE the cut
+            # are still honored (r10 advice — _riff_fmt_and_data
+            # already clamps, and the two walks must agree on which
+            # chunks exist)
+            return (pos + 8, len(payload) - pos - 8) if cid == want else None
         if cid == want:
             return pos + 8, csz
         pos += 8 + csz + (csz & 1)
@@ -248,9 +253,17 @@ def _ima_fmt_extension(payload: bytes) -> int:
     of how many real samples each block holds, which we honor). The
     +18 offset covers BOTH header layouts: classic cbSize-then-spb,
     and WAVE_FORMAT_EXTENSIBLE's Samples union (wSamplesPerBlock for
-    compressed formats) at the same position."""
+    compressed formats) at the same position. The +18 field is only
+    trusted when the header actually DECLARES it — cbSize >= 2 at +16,
+    or the extensible on-disk tag — a plain WAVEFORMATEX padded to 20
+    bytes would otherwise yield garbage spb that silently truncates
+    real samples from every block (r10 advice)."""
     loc = _riff_fmt_chunk(payload)
     if loc is None or loc[1] < 20:
+        return 0
+    (disk_tag,) = struct.unpack_from("<H", payload, loc[0])
+    (cb,) = struct.unpack_from("<H", payload, loc[0] + 16)
+    if cb < 2 and disk_tag != 0xFFFE:
         return 0
     (spb,) = struct.unpack_from("<H", payload, loc[0] + 18)
     return spb
@@ -367,7 +380,11 @@ def _ms_fmt_extension(payload: bytes) -> tuple[tuple, int]:
     tbl = off + 40 if disk_tag == 0xFFFE else off + 20
     spb = 0
     if csz >= 20:
-        (spb,) = struct.unpack_from("<H", payload, off + 18)
+        # same declared-extension gate as _ima_fmt_extension: trust
+        # +18 only under cbSize >= 2 or the extensible tag (r10 advice)
+        (cb,) = struct.unpack_from("<H", payload, off + 16)
+        if cb >= 2 or disk_tag == 0xFFFE:
+            (spb,) = struct.unpack_from("<H", payload, off + 18)
     if off + csz >= tbl + 2:
         (ncoef,) = struct.unpack_from("<H", payload, tbl)
         if 1 <= ncoef <= 256 and off + csz >= tbl + 2 + 4 * ncoef:
@@ -636,7 +653,12 @@ def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
         # integer PCM wrapped in WAVE_FORMAT_EXTENSIBLE: the stdlib
         # module below rejects the 0xFFFE on-disk tag, so the probe
         # decodes it — SAME width semantics as the stdlib branch
-        return _pcm_wav_expand(probed)
+        samples, n_ch, rate, n_frames = _pcm_wav_expand(probed)
+        # fact is optional for PCM but when present it marks real
+        # frames, same as every compressed arm (r10 advice: one rule
+        # across arms, not header-dependent n_frames)
+        samples, n_frames = _apply_fact(payload, samples, n_ch, n_frames)
+        return samples, n_ch, rate, n_frames
     if probed is not None and probed[0][0] in (6, 7):
         (tag, n_ch, rate, bits, _ba), data = probed[0][:5], probed[1]
         if bits != 8:
@@ -660,7 +682,9 @@ def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
             raw = w.readframes(n_frames)
     except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
         raise ValueError(f"corrupt WAV container ({exc})") from exc
-    return _pcm_width_expand(raw, sampwidth * 8), n_ch, rate, n_frames
+    samples = _pcm_width_expand(raw, sampwidth * 8)
+    samples, n_frames = _apply_fact(payload, samples, n_ch, n_frames)
+    return samples, n_ch, rate, n_frames
 
 
 def _pcm_width_expand(raw: bytes, bits: int) -> np.ndarray:
@@ -2498,10 +2522,16 @@ def _tiff_ifd_chain(
         else:
             (n_entries,) = struct.unpack_from(f"{e}H", payload, off)
             nxt = off + 2 + 12 * n_entries
-            if nxt + 4 > len(payload):
-                bad = "TIFF IFD truncated"
-            else:
+            if nxt + 4 <= len(payload):
                 (nxt_off,) = struct.unpack_from(f"{e}I", payload, nxt)
+            elif nxt <= len(payload):
+                # entry table intact, only the 4-byte next pointer is
+                # cut off (data-before-IFD layout truncated at the
+                # tail): the page itself decodes, so accept it and end
+                # the chain here instead of quarantining (r10 advice)
+                nxt_off = 0
+            else:
+                bad = "TIFF IFD truncated"
         if bad is not None:
             if strict:
                 raise ValueError(bad)

@@ -4404,3 +4404,151 @@ def test_tiff_deflate_in_mixed_image_fixture(spark):
     assert comp_of(rows[5].payload) == 8
     hashes = {r.doc_id: r.ahash for r in image_ahash(mixed).collect()}
     assert len(hashes) == 6 and len(set(hashes.values())) == 1
+
+
+def _with_fact(payload: bytes, frames: int) -> bytes:
+    """Insert a RIFF fact chunk immediately before the data chunk."""
+    fact = b"fact" + struct.pack("<II", 4, frames)
+    di = payload.find(b"data")
+    out = bytearray(payload[:di] + fact + payload[di:])
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    return bytes(out)
+
+
+def test_fmt_extension_requires_declared_cbsize():
+    """A plain WAVEFORMATEX fmt chunk PADDED to 20 bytes (cbSize = 0)
+    must not have its +18 padding read as wSamplesPerBlock — a small
+    bogus value there silently truncated real samples from every
+    ADPCM block (r10 advice). The extension field is trusted only
+    when declared: cbSize >= 2, or the extensible on-disk tag."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _ima_fmt_extension,
+        _ms_fmt_extension,
+        decode_wav,
+        encode_ima_adpcm,
+        encode_ms_adpcm,
+    )
+
+    s = (900 * np.sin(np.arange(1010) / 7)).astype(np.int16)
+    p = encode_ima_adpcm(s, 8000, frames_per_block=505)
+    ref = decode_wav(p)
+    assert p[12:16] == b"fmt " and _ima_fmt_extension(p) == 505
+    bad = bytearray(p)
+    struct.pack_into("<H", bad, 36, 0)  # cbSize = 0: extension UNdeclared
+    struct.pack_into("<H", bad, 38, 3)  # garbage where spb used to live
+    bad = bytes(bad)
+    assert _ima_fmt_extension(bad) == 0  # not trusted -> block-derived
+    assert decode_wav(bad)["n_frames"] == ref["n_frames"]
+
+    pm = encode_ms_adpcm(s, 8000)
+    assert pm[12:16] == b"fmt " and _ms_fmt_extension(pm)[1] > 0
+    badm = bytearray(pm)
+    struct.pack_into("<H", badm, 36, 0)
+    assert _ms_fmt_extension(bytes(badm))[1] == 0
+
+
+def test_riff_chunk_clamps_truncated_tail_chunk():
+    """_riff_chunk on an externally truncated file: a wanted chunk
+    whose declared size overruns the payload returns its CLAMPED
+    extent instead of aborting the walk (r10 advice — keeps the two
+    RIFF walks agreeing on which chunks exist), and chunks before the
+    truncation point are still found."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _riff_chunk,
+        _riff_fact_frames,
+        _wav_payload,
+    )
+
+    p = _wav_payload(bytes(range(64)))
+    # cut into the data chunk's body: the walk must return the
+    # clamped extent, not None
+    out = bytearray(p[:-5])
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    out = bytes(out)
+    loc = _riff_chunk(out, b"data")
+    assert loc is not None
+    off, sz = loc
+    assert off + sz == len(out) and sz == 64 * 2 - 5  # 16-bit samples
+    # a complete fact chunk BEFORE the truncated data chunk is honored
+    trunc_fact = bytearray(_with_fact(p, 40)[:-5])
+    struct.pack_into("<I", trunc_fact, 4, len(trunc_fact) - 8)
+    assert _riff_fact_frames(bytes(trunc_fact)) == 40
+    # a fact chunk itself cut mid-payload clamps to its real extent
+    # (too short to trust -> 0), instead of None-ing the whole walk
+    tail = p + b"fact" + struct.pack("<I", 4) + b"\x01\x02"
+    tail = bytearray(tail)
+    struct.pack_into("<I", tail, 4, len(tail) - 8)
+    assert _riff_chunk(bytes(tail), b"fact") == (len(tail) - 2, 2)
+    assert _riff_fact_frames(bytes(tail)) == 0
+
+
+def test_fact_chunk_applies_to_pcm_arms_too():
+    """A fact chunk smaller than the decoded frame count truncates
+    integer-PCM WAVs exactly like the compressed arms — BOTH the
+    stdlib-parsed classic header and the probe-parsed extensible
+    header (r10 advice: n_frames must not depend on which header
+    wrapped the same samples)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _riff_wrap,
+        _wav_payload,
+        _wav_samples_f64,
+        _wave_ext_fmt,
+        decode_wav,
+    )
+
+    raw = bytes(range(200))
+    p = _wav_payload(raw)
+    assert decode_wav(p)["n_frames"] == 200
+    pf = _with_fact(p, 100)
+    assert decode_wav(pf)["n_frames"] == 100
+    assert np.array_equal(_wav_samples_f64(pf)[0], _wav_samples_f64(p)[0][:100])
+    # extensible 16-bit integer PCM: same rule through the probe arm
+    k = np.frombuffer(raw, np.uint8).astype(np.int16)
+    pe = _riff_wrap(_wave_ext_fmt(1, 1, 8000, 16), k.astype("<i2").tobytes())
+    assert decode_wav(pe)["n_frames"] == 200
+    assert decode_wav(_with_fact(pe, 100))["n_frames"] == 100
+    # larger-than-data / zero facts stay ignored on both arms
+    assert decode_wav(_with_fact(p, 9999))["n_frames"] == 200
+    assert decode_wav(_with_fact(pe, 0))["n_frames"] == 200
+
+
+def _gray_tiff_ifd_last(w: int = 2, h: int = 2, next_ptr: bool = True) -> bytes:
+    """Hand-built data-before-IFD grayscale TIFF: pixel strip at
+    offset 8, IFD at the tail; ``next_ptr=False`` omits the 4-byte
+    next-IFD pointer entirely (a scan truncated exactly there)."""
+    data = bytes(range(w * h))
+    ifd_off = 8 + len(data)
+    entries = [
+        (256, 3, w), (257, 3, h), (258, 3, 8), (259, 3, 1), (262, 3, 1),
+        (273, 4, 8), (277, 3, 1), (278, 4, h), (279, 4, len(data)),
+    ]
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off)) + bytearray(data)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, val in entries:
+        out += struct.pack("<HHI", tag, typ, 1)
+        out += struct.pack("<I", val) if typ == 4 else struct.pack("<HH", val, 0)
+    if next_ptr:
+        out += struct.pack("<I", 0)
+    return bytes(out)
+
+
+def test_tiff_truncated_next_pointer_still_decodes_page():
+    """A data-before-IFD single-page TIFF whose trailing next-IFD
+    pointer is cut off must still decode — the entry table is intact,
+    so the page is readable and the chain simply ends there (r10
+    advice: strict mode was quarantining the exact case the lazy walk
+    exists to save). The page-count path counts it too."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_ifd_chain,
+        _tiff_pixels,
+    )
+
+    full = _gray_tiff_ifd_last(next_ptr=True)
+    cut = _gray_tiff_ifd_last(next_ptr=False)
+    assert np.array_equal(_tiff_pixels(full), _tiff_pixels(cut))
+    assert _tiff_ifd_chain(cut, need=1) == [8 + 4]
+    assert _tiff_ifd_chain(cut, strict=False) == [8 + 4]
+    # an IFD whose ENTRY TABLE is itself cut still quarantines
+    really_cut = cut[:-6]
+    with pytest.raises(ValueError, match="TIFF IFD truncated"):
+        _tiff_ifd_chain(really_cut, need=1)
