@@ -161,6 +161,34 @@ def _ima_decode_nibbles(
     return out
 
 
+def _ima_encode_step(v: int, pred: int, idx: int) -> tuple[int, int, int]:
+    """One textbook IMA quantize step: (nibble, new predictor, new
+    step index) for target sample ``v`` from state (pred, idx) — THE
+    recurrence both encoder twins share (WAV tag-0x11 blocks and AIFC
+    'ima4' packets are the same published codec in different
+    packaging)."""
+    step = int(_IMA_STEPS[idx])
+    diff = v - pred
+    nib = 8 if diff < 0 else 0
+    diff = abs(diff)
+    delta = step >> 3
+    if diff >= step:
+        nib |= 4
+        diff -= step
+        delta += step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+        delta += step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+        delta += step >> 2
+    pred = pred - delta if nib & 8 else pred + delta
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + int(_IMA_INDEX_ADJUST[nib & 7])))
+    return nib, pred, idx
+
+
 def _ima_adpcm_samples(
     payload: bytes, probed: tuple | None = None
 ) -> tuple[np.ndarray, int, int]:
@@ -523,25 +551,7 @@ def encode_ima_adpcm(
             pred = int(frame[0, c])
             blocks += struct.pack("<hBx", pred, idx[c])
             for v in frame[1:, c]:
-                step = int(_IMA_STEPS[idx[c]])
-                diff = int(v) - pred
-                nib = 8 if diff < 0 else 0
-                diff = abs(diff)
-                delta = step >> 3
-                if diff >= step:
-                    nib |= 4
-                    diff -= step
-                    delta += step
-                if diff >= step >> 1:
-                    nib |= 2
-                    diff -= step >> 1
-                    delta += step >> 1
-                if diff >= step >> 2:
-                    nib |= 1
-                    delta += step >> 2
-                pred = pred - delta if nib & 8 else pred + delta
-                pred = max(-32768, min(32767, pred))
-                idx[c] = max(0, min(88, idx[c] + int(_IMA_INDEX_ADJUST[nib & 7])))
+                nib, pred, idx[c] = _ima_encode_step(int(v), pred, idx[c])
                 nibs[c].append(nib)
         # pack: per channel 8 nibbles -> 4 bytes, channels interleaved
         for g in range(0, frames_per_block - 1, 8):
@@ -808,8 +818,10 @@ def _aiff_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
     shape) carry a compressionType after the 18 COMM base bytes:
     'NONE'/'twos' are big-endian PCM, 'sowt' is little-endian PCM
     (the QuickTime byte-swap staple), 'fl32'/'fl64' are big-endian
-    IEEE floats expanded to the int16 grid (the float WAV rule); any
-    real compressor (ulaw, ima4, …) quarantines as
+    IEEE floats expanded to the int16 grid (the float WAV rule),
+    'ima4' is QuickTime IMA ADPCM (r11 — the WAV tag-0x11 recurrence
+    in 34-byte packets), 'ulaw'/'alaw' expand through the G.711
+    tables; transform codecs (AAC, MACE, QDesign) quarantine as
     NotImplementedError — undecodable without codec libraries, same
     contract as the mp4a/AAC arm."""
     if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
@@ -848,15 +860,31 @@ def _aiff_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
     rate = int(round(_f80_decode(payload[comm[0] + 8 : comm[0] + 18])))
     dtype = ">i2"
     float_width = 0
+    g711_table = None
+    ima4 = False
     if aifc:
         ctype = payload[comm[0] + 18 : comm[0] + 22]
+        lc = ctype.lower()
         if ctype == b"sowt":
             dtype = "<i2"
-        elif ctype in (b"fl32", b"FL32"):
+        elif lc == b"fl32":
             float_width = 4
-        elif ctype in (b"fl64", b"FL64"):
+        elif lc == b"fl64":
             float_width = 8
+        elif lc == b"ima4":
+            # QuickTime IMA ADPCM: the SAME published IMA recurrence
+            # as WAV tag 0x11, repackaged in 34-byte packets — no
+            # codec library involved (r10 verdict: the old quarantine
+            # here was false)
+            ima4 = True
+        elif lc == b"ulaw":
+            g711_table = _G711_ULAW
+        elif lc == b"alaw":
+            g711_table = _G711_ALAW
         elif ctype not in (b"NONE", b"twos"):
+            # real transform codecs (AAC 'aac ', MACE, QDesign…) DO
+            # need a codec library; everything recurrence-shaped is
+            # decoded above
             raise NotImplementedError(
                 f"AIFC compression {ctype!r} needs a codec library"
             )
@@ -864,6 +892,20 @@ def _aiff_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
         # numChannels is signed in the spec; <1 would make the frombuffer
         # count negative (= read-to-end) and return garbage with ok=True.
         raise ValueError(f"invalid AIFF channel count {n_ch}")
+    if ima4:
+        return _ima4_samples(payload, ssnd, n_ch, n_frames, rate)
+    if g711_table is not None:
+        # G.711-in-AIFC ('ulaw'/'alaw' — what the stdlib aifc module
+        # used to write): 1 byte per sample through the same expansion
+        # tables as the WAV tag-7/6 and MP4 arms; COMM sampleSize
+        # declares the DECODED width, so it doesn't size the data.
+        offset, _blocksize = struct.unpack_from(">II", payload, ssnd[0])
+        start = ssnd[0] + 8 + offset
+        count = n_frames * n_ch
+        if start + count > ssnd[1]:
+            raise ValueError("AIFF sample data truncated")
+        u = np.frombuffer(payload, dtype=np.uint8, offset=start, count=count)
+        return g711_table[u].astype(np.int16), rate, n_ch
     if float_width:
         if samp_size != float_width * 8:
             raise ValueError(
@@ -917,6 +959,105 @@ def _aiff_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
         return s32.astype(np.int32), rate, n_ch
     samples = np.frombuffer(payload, dtype=dtype, offset=start, count=count)
     return samples.astype(np.int16), rate, n_ch
+
+
+def _ima4_samples(
+    payload: bytes, ssnd: tuple[int, int], n_ch: int, n_frames: int, rate: int
+) -> tuple[np.ndarray, int, int]:
+    """(int16 interleaved samples, rate, n_channels) of an AIFC
+    'ima4' SSND body: 34-byte packets — a 2-byte big-endian preamble
+    (top 9 bits: predictor seed, truncated to 128s; low 7 bits: step
+    index) + 32 nibble bytes = 64 samples, low nibble first — with
+    channels' packets interleaved per 64-frame group. The recurrence
+    is ``_ima_decode_nibbles`` verbatim (the WAV tag-0x11 codec in
+    QuickTime packaging). COMM numSampleFrames trims the final
+    packet's padding, the fact-chunk rule; whole packets only."""
+    offset, _blocksize = struct.unpack_from(">II", payload, ssnd[0])
+    start = ssnd[0] + 8 + offset
+    if start > ssnd[1]:
+        raise ValueError("AIFF sample data truncated")
+    data = payload[start : ssnd[1]]
+    n_pk = len(data) // 34
+    if n_pk % n_ch:
+        raise ValueError(
+            f"AIFC ima4 packet count {n_pk} not a multiple of {n_ch} channels"
+        )
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for p in range(n_pk):
+        base = p * 34
+        (pre,) = struct.unpack_from(">H", data, base)
+        pred = pre - 0x10000 if pre & 0x8000 else pre
+        idx = pred & 0x7F
+        pred &= ~0x7F
+        if idx > 88:
+            raise ValueError(f"AIFC ima4 step index {idx} out of range")
+        nibs = []
+        for byte in data[base + 2 : base + 34]:
+            nibs.append(byte & 0xF)
+            nibs.append(byte >> 4)
+        chans[p % n_ch].extend(_ima_decode_nibbles(nibs, pred, idx))
+    per_ch = len(chans[0])
+    s = np.array(chans, dtype=np.int16).T if per_ch else np.empty(
+        (0, n_ch), dtype=np.int16
+    )
+    if 0 < n_frames < per_ch:
+        s = s[:n_frames]
+    return s.reshape(-1), rate, n_ch
+
+
+def encode_ima4(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """AIFC 'ima4' encoder twin for tests/fuzz seeds: mono 1-D or
+    stereo (n, 2) int16 in, FORM/AIFC out. Per-packet preamble carries
+    the channel's RUNNING predictor truncated to its top 9 bits (the
+    encoder then adopts the truncated value, so encoder and decoder
+    states stay identical) + the running step index; quantization is
+    ``_ima_encode_step``, shared with the WAV twin. Lossy — pinned by
+    self-consistency with the decoder plus an SNR bound, not byte
+    equality. COMM numSampleFrames records the REAL frame count so the
+    decoder trims the final packet's repeated-last-frame padding."""
+    s = np.asarray(samples)
+    if np.issubdtype(s.dtype, np.floating):
+        if not np.isfinite(s).all() or (s != np.floor(s)).any():
+            raise ValueError("encode_ima4: non-integral samples")
+    s = s.astype(np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2 or s.shape[1] not in (1, 2):
+        raise ValueError("encode_ima4 takes 1-D mono or (n, 2) stereo")
+    if s.size and (s.max() > 32767 or s.min() < -32768):
+        raise ValueError("samples out of 16-bit range")
+    n, n_ch = s.shape
+    packets = bytearray()
+    pred = [0] * n_ch
+    idx = [0] * n_ch
+    for base in range(0, n, 64):
+        frame = s[base : base + 64]
+        if len(frame) < 64:
+            pad = np.repeat(frame[-1:], 64 - len(frame), axis=0)
+            frame = np.concatenate([frame, pad])
+        for c in range(n_ch):
+            pred[c] &= ~0x7F  # adopt the preamble's 9-bit truncation
+            packets += struct.pack(">H", ((pred[c] & 0xFF80) | idx[c]) & 0xFFFF)
+            nibs = []
+            for v in frame[:, c]:
+                nib, pred[c], idx[c] = _ima_encode_step(int(v), pred[c], idx[c])
+                nibs.append(nib)
+            for k in range(0, 64, 2):
+                packets.append(nibs[k] | (nibs[k + 1] << 4))
+    fver = b"FVER" + struct.pack(">II", 4, 0xA2805140)
+    comm = (
+        b"COMM"
+        + struct.pack(">IhIh", 24, n_ch, n, 16)
+        + _f80_encode(rate)
+        + b"ima4"
+        + b"\x00\x00"
+    )
+    body = struct.pack(">II", 0, 0) + bytes(packets)
+    ssnd = b"SSND" + struct.pack(">I", len(body)) + body
+    if len(body) & 1:
+        ssnd += b"\x00"
+    form = b"AIFC" + fver + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(form)) + form
 
 
 def decode_aiff(payload: bytes) -> dict:

@@ -1183,8 +1183,10 @@ def test_aifc_sowt_none_decode_and_quarantine(spark):
     assert _aifc_payload(raw, compression=b"sowt") != _aifc_payload(
         raw, compression=b"NONE"
     )
-    with pytest.raises(NotImplementedError, match="ulaw"):
-        _aiff_samples(_aifc_payload(raw, compression=b"ulaw"))
+    # a real transform codec still quarantines ('ulaw'/'ima4' decode
+    # for real since r11 — see test_aifc_g711_and_ima4_decode)
+    with pytest.raises(NotImplementedError, match="MAC3"):
+        _aiff_samples(_aifc_payload(raw, compression=b"MAC3"))
     # AIFC COMM without room for the compressionType is corrupt
     trunc = bytearray(_aifc_payload(raw, compression=b"NONE"))
     ci = bytes(trunc).find(b"COMM")
@@ -4552,3 +4554,133 @@ def test_tiff_truncated_next_pointer_still_decodes_page():
     really_cut = cut[:-6]
     with pytest.raises(ValueError, match="TIFF IFD truncated"):
         _tiff_ifd_chain(really_cut, need=1)
+
+
+def test_aifc_ima4_decode_and_routing():
+    """AIFC 'ima4' (QuickTime IMA ADPCM — the common compressed
+    Mac-export shape) decodes for real: 34-byte packets, 2-byte
+    preamble (9-bit predictor seed + 7-bit step index), low nibble
+    first, channel packets interleaved per 64-frame group, COMM
+    numSampleFrames trimming the final packet's padding. The
+    recurrence is the SAME published IMA codec as WAV tag 0x11 — the
+    old 'needs a codec library' quarantine was false (r10 verdict).
+    Lossy, so correctness is self-consistency with the encoder twin
+    plus an SNR floor, like the WAV twin."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _aiff_samples,
+        _pcm16_samples,
+        decode_aiff,
+        decode_media,
+        encode_ima4,
+    )
+
+    t = np.arange(4000)
+    s = (8000 * np.sin(2 * np.pi * t / 200)).astype(np.int16)
+    p = encode_ima4(s, 8000)
+    assert p[8:12] == b"AIFC" and b"ima4" in p[:60]
+    dec, rate, nch = _aiff_samples(p)
+    assert rate == 8000 and nch == 1
+    # COMM numSampleFrames trims the padded final packet exactly
+    assert len(dec) == len(s)
+    err = dec.astype(np.float64) - s
+    snr = 10 * np.log10((s.astype(np.float64) ** 2).mean() / (err**2).mean())
+    assert snr > 30, snr
+    # silence is bit-exact from sample 0 (pred 0, idx 0, step>>3 == 0)
+    zeros = np.zeros(150, dtype=np.int16)
+    assert np.array_equal(_aiff_samples(encode_ima4(zeros, 8000))[0], zeros)
+    # packet-boundary state continuity: once the encoder settles on a
+    # constant 128-multiple, the second packet's preamble truncation
+    # is adopted by BOTH sides and the stream stays exact thereafter
+    const = np.full(200, -4096, dtype=np.int16)
+    decc = _aiff_samples(encode_ima4(const, 8000))[0]
+    assert np.array_equal(decc[65:], const[65:])
+    assert not np.array_equal(decc[:20], const[:20])  # honest ramp-in
+    # stereo: per-channel packets interleave per 64-frame group
+    st = np.stack(
+        [s // 2, (3000 * np.sin(2 * np.pi * t / 90 + 1)).astype(np.int16)],
+        axis=1,
+    )
+    dec2, _, nch2 = _aiff_samples(encode_ima4(st, 8000))
+    assert nch2 == 2 and len(dec2) == st.size
+    got = dec2.reshape(-1, 2).astype(np.float64)
+    snr2 = 10 * np.log10(
+        (st.astype(np.float64) ** 2).mean() / ((got - st) ** 2).mean()
+    )
+    assert snr2 > 30, snr2
+    # one support matrix: stats + fingerprint + mime router all take it
+    d = decode_aiff(p)
+    assert d["n_channels"] == 1 and d["sample_rate"] == 8000
+    assert d["n_frames"] == len(s)
+    assert np.array_equal(_pcm16_samples(p), dec)
+    assert decode_media(p, "audio/aiff")["kind"] == "audio"
+    # hostile: out-of-range step index, ragged packet count, truncation
+    bad = bytearray(p)
+    di = bytes(bad).find(b"SSND") + 8 + 8
+    bad[di + 1] |= 0x7F  # step index 127 in the first preamble
+    with pytest.raises(ValueError, match="step index"):
+        _aiff_samples(bytes(bad))
+    two = encode_ima4(st, 8000)
+    ragged = bytearray(two)
+    si = bytes(ragged).find(b"SSND")
+    (ssz,) = struct.unpack_from(">I", ragged, si + 4)
+    struct.pack_into(">I", ragged, si + 4, ssz - 34)  # odd packet count
+    del ragged[si + 8 + ssz - 34 : si + 8 + ssz]
+    struct.pack_into(">I", ragged, 4, len(ragged) - 8)
+    with pytest.raises(ValueError, match="not a multiple"):
+        _aiff_samples(bytes(ragged))
+    for cut in (len(p) // 2, len(p) - 5, 30):
+        try:
+            _aiff_samples(p[:cut])
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+
+
+def test_aifc_g711_decode():
+    """AIFC 'ulaw'/'alaw' (what the stdlib aifc module used to write)
+    expand through the SAME G.711 tables as the WAV tag-7/6 and MP4
+    arms — one support matrix per codec across containers. COMM
+    sampleSize declares the DECODED width (16), so the data is sized
+    by numSampleFrames alone."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _G711_ALAW,
+        _G711_ULAW,
+        _aiff_samples,
+        _f80_encode,
+        decode_aiff,
+    )
+
+    codes = bytes(range(256))
+
+    def aifc_g711(ctype: bytes, body: bytes, n_ch: int = 1) -> bytes:
+        fver = b"FVER" + struct.pack(">II", 4, 0xA2805140)
+        comm = (
+            b"COMM"
+            + struct.pack(">IhIh", 24, n_ch, len(body) // n_ch, 16)
+            + _f80_encode(8000)
+            + ctype
+            + b"\x00\x00"
+        )
+        ssnd = b"SSND" + struct.pack(">I", 8 + len(body)) + bytes(8) + body
+        if len(body) & 1:
+            ssnd += b"\x00"
+        form = b"AIFC" + fver + comm + ssnd
+        return b"FORM" + struct.pack(">I", len(form)) + form
+
+    for ctype, table in ((b"ulaw", _G711_ULAW), (b"alaw", _G711_ALAW)):
+        dec, rate, nch = _aiff_samples(aifc_g711(ctype, codes))
+        assert rate == 8000 and nch == 1
+        assert np.array_equal(dec, table[np.frombuffer(codes, np.uint8)])
+    # µ-law silence byte orientation survives the AIFC wrap
+    assert _aiff_samples(aifc_g711(b"ULAW", b"\xff"))[0][0] == 0
+    d = decode_aiff(aifc_g711(b"ulaw", codes))
+    assert d["n_frames"] == 256 and d["sample_rate"] == 8000
+    # truncated body quarantines instead of decoding short
+    short = aifc_g711(b"ulaw", codes)
+    cut = short.replace(
+        struct.pack(">IhIh", 24, 1, 256, 16),
+        struct.pack(">IhIh", 24, 1, 300, 16),
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        _aiff_samples(cut)

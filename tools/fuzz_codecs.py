@@ -266,6 +266,19 @@ def _encode_ima_variant(rng: random.Random) -> bytes:
     )
 
 
+def _encode_ima4_variant(rng: random.Random) -> bytes:
+    """AIFC 'ima4' fuzz seed — the QuickTime packaging of the IMA
+    recurrence (r11): random mono/stereo int16 through encode_ima4."""
+    ch = rng.choice((1, 1, 2))
+    n = rng.randrange(1, 300)
+    vals = np.asarray(
+        [rng.randrange(-32768, 32768) for _ in range(n * ch)], dtype=np.int16
+    ).reshape(n, ch)
+    return mm.encode_ima4(
+        vals[:, 0] if ch == 1 else vals, rate=rng.choice((8000, 44100))
+    )
+
+
 def _mp3_seed(rng: random.Random) -> bytes:
     """MP3 fuzz seed: random header params, falling back to xing=False
     when the drawn frame is too small to hold the Xing tag (the
@@ -359,6 +372,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("wav32", mm._pcm32_wav_payload(raw8)),
         ("aiff", mm._aiff_payload(raw8)),
         ("aiff", mm._aifc_payload(raw8, compression=rng.choice((b"sowt", b"NONE", b"fl32", b"fl64")))),
+        ("aiff", _encode_ima4_variant(rng)),
         ("g711", _encode_g711(rng)),
         ("mp3", _mp3_seed(rng)),
         ("avi", mm._avi_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
