@@ -1357,8 +1357,17 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
     if payload[4:8] == b"ftyp":
         # PCM-in-MP4 fingerprints for real; mp4a/AAC raises
         # NotImplementedError and quarantines — the stats and
-        # fingerprint families keep one support matrix (r9 review)
-        return _mp4_pcm_samples(payload)[0]
+        # fingerprint families keep one support matrix (r9 review).
+        # Wide integer entries ('in24'/'in32', r11) fingerprint only
+        # when every sample already sits on the int16 grid — the same
+        # exactness rule as the 32-bit WAV arm (downshifting would
+        # discard real bits).
+        s = _mp4_pcm_samples(payload)[0]
+        if s.dtype != np.int16:
+            if s.size and (s.max() > 32767 or s.min() < -32768):
+                raise ValueError("wide MP4 PCM samples exceed the int16 grid")
+            s = s.astype(np.int16)
+        return s
     probed = _riff_fmt_and_data(payload)
     if probed is not None and probed[0][0] in (3, 6, 7, 0x11, 2):
         # G.711, IMA/MS ADPCM, and IEEE-float WAVs all expand to the
@@ -5085,50 +5094,88 @@ def _mp4_audio_stats(payload: bytes, trk: dict | None = None) -> dict:
     }
 
 
+# raw sample entries _mp4_pcm_samples decodes without codec
+# libraries: (storage bytes per sample, numpy dtype or None for the
+# hand-assembled 24-bit / G.711 table paths). One table keeps the
+# routing, stats, and fingerprint support matrices in sync.
+_MP4_PCM_LAYOUTS = {
+    "twos": (2, ">i2"),
+    "sowt": (2, "<i2"),
+    "ulaw": (1, None),
+    "alaw": (1, None),
+    "in24": (3, None),
+    "in32": (4, ">i4"),
+    "fl32": (4, ">f4"),
+    "fl64": (8, ">f8"),
+}
+
+
 def _mp4_pcm_samples(
     payload: bytes, trk: dict | None = None
 ) -> tuple[np.ndarray, int, int]:
-    """(int16 interleaved samples, rate, n_channels) of a raw-PCM
-    audio trak — the audio twin of MJPEG-in-MP4: 'twos' (big-endian)
-    and 'sowt' (little-endian) sample entries carry uncompressed
-    16-bit PCM, and 'ulaw'/'alaw' entries (r10, the QuickTime
-    telephony staple) expand through the same G.711 tables as the WAV
-    arm, so the REAL sample-table resolution (stsz×stsc×stco) yields
-    decodable bytes with no codec library. Anything else (mp4a/AAC,
-    alac, ...) raises NotImplementedError and quarantines upstream,
-    exactly like non-JPEG video codecs."""
+    """(interleaved samples, rate, n_channels) of a raw-PCM audio
+    trak — the audio twin of MJPEG-in-MP4: 'twos'/'sowt' sample
+    entries carry uncompressed 16-bit PCM, 'ulaw'/'alaw' entries
+    (r10) expand through the same G.711 tables as the WAV arm, and
+    the wide QuickTime entries (r11, mirroring the WAV width matrix):
+    'in24'/'in32' are big-endian integer PCM returned in their NATIVE
+    domain (int32, like the 24/32-bit AIFF arms), 'fl32'/'fl64' are
+    big-endian IEEE floats expanded to the int16 grid exactly like
+    the float WAV rule (round(clip(v)·32767), non-finite raises).
+    The REAL sample-table resolution (stsz×stsc×stco) yields the
+    bytes in every case. Anything else (mp4a/AAC, alac, the v2 'lpcm'
+    entry whose layout lives in flags this walk doesn't parse, ...)
+    raises NotImplementedError and quarantines upstream, exactly like
+    non-JPEG video codecs."""
     if trk is None:
         trk = _mp4_audio_track(payload)
     codec = trk["codec"]
-    if codec not in ("twos", "sowt", "ulaw", "alaw"):
+    layout = _MP4_PCM_LAYOUTS.get(codec)
+    if layout is None:
         raise NotImplementedError(
             f"MP4 audio sample decode for codec {codec!r} requires codec "
-            "libraries not present; only raw PCM ('twos'/'sowt') and "
-            "G.711 ('ulaw'/'alaw') sample entries decode here"
+            "libraries not present; only raw PCM ('twos'/'sowt'/'in24'/"
+            "'in32'), IEEE float ('fl32'/'fl64'), and G.711 "
+            "('ulaw'/'alaw') sample entries decode here"
         )
+    width, dt = layout
     n_ch, bits = trk["n_channels"], trk["sample_size"]
-    g711 = codec in ("ulaw", "alaw")
-    # QuickTime writes the µ-law/A-law AudioSampleEntry's sample_size
-    # as 16 (the DECODED width) even though the stored bytes are
-    # 8-bit codewords — accept 8 or 16 for the G.711 entries
-    if n_ch not in (1, 2) or (bits != 16 if not g711 else bits not in (8, 16)):
+    # QuickTime's sample_size field declares the DECODED width for
+    # non-16-bit entries (it writes 16 for µ-law and often for the
+    # wide PCM types too) — accept the natural width or 16, plus 8
+    # for the G.711 codewords
+    ok_bits = {16, width * 8} | ({8} if width == 1 else set())
+    if n_ch not in (1, 2) or bits not in ok_bits:
         raise ValueError(f"unsupported MP4 PCM layout ({n_ch} ch, {bits}-bit)")
     buf = bytearray()
     for off, size in _mp4_sample_ranges(payload, trk):
         buf += payload[off : off + size]
-    if g711:
-        if len(buf) % n_ch:
-            raise ValueError("MP4 G.711 data is not frame-aligned")
-        table = _G711_ULAW if codec == "ulaw" else _G711_ALAW
-        samples = table[np.frombuffer(bytes(buf), dtype=np.uint8)].astype(
-            np.int16
-        )
-        return samples, trk["sample_rate"], n_ch
-    if len(buf) % (2 * n_ch):
+    if len(buf) % (width * n_ch):
         raise ValueError("MP4 PCM data is not frame-aligned")
-    dt = ">i2" if codec == "twos" else "<i2"
-    samples = np.frombuffer(bytes(buf), dtype=dt).astype(np.int16)
-    return samples, trk["sample_rate"], n_ch
+    rate = trk["sample_rate"]
+    if width == 1:
+        table = _G711_ULAW if codec == "ulaw" else _G711_ALAW
+        return table[np.frombuffer(bytes(buf), dtype=np.uint8)].astype(
+            np.int16
+        ), rate, n_ch
+    if codec == "in24":
+        b = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(-1, 3)
+        v = (
+            (b[:, 0].astype(np.int64) << 16)
+            | (b[:, 1].astype(np.int64) << 8)
+            | b[:, 2]
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return v.astype(np.int32), rate, n_ch
+    samples = np.frombuffer(bytes(buf), dtype=dt)
+    if codec in ("fl32", "fl64"):
+        v = samples.astype(np.float64)
+        if v.size and not np.isfinite(v).all():
+            raise ValueError("MP4 float samples non-finite")
+        return np.rint(np.clip(v, -1.0, 1.0) * 32767.0).astype(np.int16), rate, n_ch
+    if codec == "in32":
+        return samples.astype(np.int32), rate, n_ch
+    return samples.astype(np.int16), rate, n_ch
 
 
 def decode_mp4_pcm(payload: bytes, trk: dict | None = None) -> dict:
@@ -5342,7 +5389,7 @@ def decode_media(payload: bytes, mime: str) -> dict:
         # routing, stats, and sample resolution — same shape as the
         # video arm below.
         trk = _mp4_audio_track(payload)
-        if trk["codec"] in ("twos", "sowt", "ulaw", "alaw"):
+        if trk["codec"] in _MP4_PCM_LAYOUTS:
             return decode_mp4_pcm(payload, trk)
         return _mp4_audio_stats(payload, trk)
     if mime in ("image/bmp", "image/x-bmp"):
@@ -5727,22 +5774,39 @@ def _m4a_pcm_payload(
     stco offsets into the mdat — so ``_mp4_pcm_samples`` exercises
     the same stsz×stsc×stco resolution as MJPEG video. ``stereo``
     de-interleaves even/odd bytes as L/R (even lengths only), like
-    the FLAC fixture arm."""
-    if codec not in (b"twos", b"sowt", b"ulaw", b"alaw"):
+    the FLAC fixture arm. The wide QuickTime entries (r11): 'in24'/
+    'in32' carry k directly (grid-sitting, so the fingerprint's
+    int16-grid check passes and the oracles hold), 'fl32'/'fl64'
+    carry k/32767 so the float expansion rounds back to exactly k —
+    the float-WAV trick."""
+    if codec not in (
+        b"twos", b"sowt", b"ulaw", b"alaw", b"in24", b"in32", b"fl32", b"fl64",
+    ):
         raise ValueError(f"unsupported PCM fourcc {codec!r}")
     g711 = codec in (b"ulaw", b"alaw")
     samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
     n_ch = 2 if stereo and len(samples) and len(samples) % 2 == 0 else 1
     frames = len(samples) // n_ch
-    frame_bytes = n_ch if g711 else 2 * n_ch
+    width = {b"in24": 3, b"in32": 4, b"fl32": 4, b"fl64": 8}.get(
+        codec, 1 if g711 else 2
+    )
+    frame_bytes = width * n_ch
     # G.711 entries store the raw codewords (decoded values come from
     # the CCITT tables, so these fixtures are unit/fuzz-gated, not
     # byte-contract-oracled like the PCM arms)
-    pcm = (
-        bytes(raw)
-        if g711
-        else samples.astype(">i2" if codec == b"twos" else "<i2").tobytes()
-    )
+    if g711:
+        pcm = bytes(raw)
+    elif codec == b"in24":
+        v = samples.astype(np.int64)
+        b24 = np.stack([(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF], axis=1)
+        pcm = b24.astype(np.uint8).tobytes()
+    elif codec in (b"fl32", b"fl64"):
+        f = samples.astype(np.float64) / 32767.0
+        pcm = f.astype(">f4" if codec == b"fl32" else ">f8").tobytes()
+    elif codec == b"in32":
+        pcm = samples.astype(">i4").tobytes()
+    else:
+        pcm = samples.astype(">i2" if codec == b"twos" else "<i2").tobytes()
 
     def box(btype: bytes, body: bytes) -> bytes:
         return struct.pack(">I", 8 + len(body)) + btype + body
@@ -5760,11 +5824,14 @@ def _m4a_pcm_payload(
             b"mdhd", bytes(12) + struct.pack(">II", rate, frames) + bytes(4)
         )
         hdlr = box(b"hdlr", bytes(8) + b"soun" + bytes(12))
+        # wide entries declare their natural width; 16-bit PCM and
+        # G.711 declare 16 (QuickTime's decoded-width convention)
+        entry_bits = width * 8 if width > 2 else 16
         entry = (
             struct.pack(">I", 36)
             + codec
             + bytes(16)
-            + struct.pack(">HHHH", n_ch, 16, 0, 0)
+            + struct.pack(">HHHH", n_ch, entry_bits, 0, 0)
             + struct.pack(">I", rate << 16)
         )
         stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
@@ -5824,9 +5891,13 @@ def synthesize_mixed_audio_from_text(
     bytes as L/R — so the r9 stereo-decorrelation decode runs under
     the same gate: the decoded interleaved stream is byte-identical
     either way. Half the WAV docs (doc_id % 6 == 3) ship as
-    PCM-in-MP4 instead ('twos' big-endian mono at doc_id % 12 == 3,
-    'sowt' little-endian stereo at % 12 == 9), driver-gating the
-    ISO-BMFF sample-table audio decode under the same oracle. The
+    PCM-in-MP4 instead ('twos' big-endian mono at doc_id % 24 == 3,
+    'sowt' little-endian stereo at % 24 == 9/33; r11 widens the slot
+    to the QuickTime wide-PCM matrix: 'in24' at % 48 == 15 and 'in32'
+    at % 48 == 39 carrying k directly on the int16 grid, 'fl32' at
+    % 48 == 21 and 'fl64' at % 48 == 45 carrying k/32767, stereo),
+    driver-gating the ISO-BMFF sample-table audio decode under the
+    same oracle. The
     remaining WAV docs (doc_id % 6 == 0) sub-rotate across the RIFF
     sample layouts (r10): IEEE-float WAVs at % 12 == 6 (float32, or
     float64 at % 24 == 18) carrying k/32767 so the tag-3 expansion
@@ -5860,10 +5931,21 @@ def synthesize_mixed_audio_from_text(
                     )
                     mimes.append("audio/flac")
                 elif int(doc_id) % 6 == 3:
-                    codec = b"twos" if int(doc_id) % 12 == 3 else b"sowt"
+                    d = int(doc_id)
+                    if d % 24 == 15:
+                        # r11 wide-PCM sub-rotation: grid-sitting ints
+                        codec = b"in24" if d % 48 == 15 else b"in32"
+                    elif d % 24 == 21:
+                        # r11: IEEE floats carrying k/32767 (stereo —
+                        # the de-interleave runs under the wide entry)
+                        codec = b"fl32" if d % 48 == 21 else b"fl64"
+                    elif d % 12 == 3:
+                        codec = b"twos"
+                    else:
+                        codec = b"sowt"
                     payloads.append(
                         _m4a_pcm_payload(
-                            raw, rate, codec=codec, stereo=int(doc_id) % 12 == 9
+                            raw, rate, codec=codec, stereo=d % 12 == 9
                         )
                     )
                     mimes.append("audio/mp4")

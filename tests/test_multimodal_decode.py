@@ -4684,3 +4684,115 @@ def test_aifc_g711_decode():
     )
     with pytest.raises(ValueError, match="truncated"):
         _aiff_samples(cut)
+
+
+def test_mp4_wide_pcm_entries():
+    """QuickTime wide-PCM sample entries (r11, the MP4 twin of the
+    WAV width matrix): 'in24'/'in32' decode big-endian integer PCM in
+    their NATIVE domain (int32, like the 24/32-bit AIFF arms) and
+    fingerprint only when grid-sitting; 'fl32'/'fl64' expand to the
+    int16 grid via round(clip(v)·32767) so k/32767 rounds back to
+    exactly k. All four resolve through the same stsz×stsc×stco
+    machinery as 'twos'/'sowt'; 'lpcm' (v2 flags layout this walk
+    doesn't parse) quarantines honestly."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _m4a_pcm_payload,
+        _mp4_pcm_samples,
+        _pcm16_samples,
+        decode_media,
+    )
+
+    raw = b"0123456789" * 5 + b"abcdef"
+    want = np.frombuffer(raw, np.uint8).astype(np.int16)
+    for codec in (b"in24", b"in32", b"fl32", b"fl64"):
+        for stereo in (False, True):
+            p = _m4a_pcm_payload(raw, 8000, codec=codec, stereo=stereo)
+            s, rate, nch = _mp4_pcm_samples(p)
+            assert rate == 8000 and nch == (2 if stereo else 1)
+            assert np.array_equal(s, want), codec
+            assert s.dtype == (
+                np.int32 if codec in (b"in24", b"in32") else np.int16
+            )
+            # grid-sitting values fingerprint exactly on every entry
+            assert np.array_equal(_pcm16_samples(p), want)
+            d = decode_media(p, "audio/mp4")
+            assert d["codec"] == codec.decode() and "rms" in d
+            assert d["n_frames"] == len(raw) // (2 if stereo else 1)
+    # negative 24-bit values sign-extend (int16 round-trip is exact);
+    # the fixture builder only carries bytes, so swap real 24-bit
+    # samples into the mdat directly
+    neg = np.array([-1, -32768, 32767, -12345], dtype=np.int16)
+    v = neg.astype(np.int64)
+    b24 = np.stack([(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF], axis=1)
+    body = b24.astype(np.uint8).tobytes()
+    pn = bytearray(_m4a_pcm_payload(b"abcd", 8000, codec=b"in24"))
+    pn[-len(body):] = body  # same frame count, swap the mdat samples
+    sn = _mp4_pcm_samples(bytes(pn))[0]
+    assert np.array_equal(sn, neg.astype(np.int32))
+    assert np.array_equal(_pcm16_samples(bytes(pn)), neg)
+    # full-scale 24-bit audio exceeds the grid: stats decode natively,
+    # the fingerprint quarantines (the 32-bit WAV rule)
+    big = np.stack([[0x40, 0x00, 0x00]], axis=0).astype(np.uint8)  # 2^22
+    pb = bytearray(_m4a_pcm_payload(b"a", 8000, codec=b"in24"))
+    pb[-3:] = big.tobytes()
+    assert _mp4_pcm_samples(bytes(pb))[0][0] == 1 << 22
+    with pytest.raises(ValueError, match="int16 grid"):
+        _pcm16_samples(bytes(pb))
+    # non-finite floats refuse instead of poisoning rms
+    pf = bytearray(_m4a_pcm_payload(b"ab", 8000, codec=b"fl32"))
+    struct.pack_into(">f", pf, len(pf) - 8, float("inf"))
+    with pytest.raises(ValueError, match="non-finite"):
+        _mp4_pcm_samples(bytes(pf))
+    # 'lpcm' stays quarantined: its layout lives in v2 flags
+    pl = bytearray(_m4a_pcm_payload(raw, 8000, codec=b"in32"))
+    i = bytes(pl).find(b"in32")
+    pl[i : i + 4] = b"lpcm"
+    with pytest.raises(NotImplementedError, match="lpcm"):
+        _mp4_pcm_samples(bytes(pl))
+    # truncations stay in the quarantine family
+    good = _m4a_pcm_payload(raw, 8000, codec=b"fl64", stereo=True)
+    for cut in (len(good) - 10, len(good) // 2, 40):
+        try:
+            _mp4_pcm_samples(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+
+
+def test_audio_fixture_rotation_covers_mp4_wide_pcm(spark):
+    """doc_id % 48 ∈ {3, 15, 39, 21, 45} routes 'twos', 'in24',
+    'in32', 'fl32', 'fl64' PCM-in-MP4; all five decode to the
+    identical byte→sample contract (same ehash), so the oracle gate
+    holds unchanged while the driver exercises the QuickTime wide-PCM
+    matrix."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        audio_energy_hash,
+        synthesize_mixed_audio_from_text,
+    )
+
+    ids = (3, 15, 39, 21, 45, 9)
+    docs = spark.createDataFrame(
+        [(i, "identical text for every row!") for i in ids],
+        "doc_id long, text string",
+    )
+    rows = synthesize_mixed_audio_from_text(docs).collect()
+    assert {r.mime for r in rows} == {"audio/mp4"}
+    fourccs = {}
+    for r in rows:
+        p = bytes(r.payload)
+        i = p.find(b"stsd")
+        fourccs[r.doc_id] = p[i + 16 : i + 20]
+    assert fourccs == {
+        3: b"twos", 15: b"in24", 39: b"in32",
+        21: b"fl32", 45: b"fl64", 9: b"sowt",
+    }
+    hashes = audio_energy_hash(
+        synthesize_mixed_audio_from_text(
+            spark.createDataFrame(
+                [(i, "identical text for every row!") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    assert len(hashes) == len(ids) and len({r.ehash for r in hashes}) == 1

@@ -404,6 +404,15 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
             ),
         ),
         (
+            "m4a",
+            mm._m4a_pcm_payload(
+                raw8,
+                rate=rng.choice((8000, 44100)),
+                codec=rng.choice((b"in24", b"in32", b"fl32", b"fl64")),
+                stereo=rng.randrange(2) == 1,
+            ),
+        ),
+        (
             "tiff",
             mm.encode_tiff(
                 gif_px,
