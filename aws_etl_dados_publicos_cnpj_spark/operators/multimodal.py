@@ -2620,7 +2620,7 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-_TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+_TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4, 7: 1}  # BYTE, SHORT, LONG, UNDEFINED
 
 
 def _tiff_pixels(payload: bytes, page: int = 0) -> np.ndarray:
@@ -2713,7 +2713,7 @@ def _tiff_tag_values(payload: bytes, e: str, entry_off: int) -> tuple[int, list[
         (base,) = struct.unpack_from(f"{e}I", payload, entry_off + 8)
         if base + total > len(payload):
             raise ValueError(f"TIFF tag {tag} values out of bounds")
-    fmt = {1: "B", 3: "H", 4: "I"}[typ]
+    fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
     return tag, list(struct.unpack_from(f"{e}{count}{fmt}", payload, base))
 
 
@@ -2753,6 +2753,17 @@ def _tiff_pixels_impl(payload: bytes, ifd_off: int | None = None) -> np.ndarray:
     spp = tags.get(277, [1])[0]
     compression = tags.get(259, [1])[0]
     rows_per_strip = tags.get(278, [height])[0] or height
+    if compression == 7:
+        # new-style JPEG-in-TIFF (TIFF Technical Note #2): every
+        # segment is its own JPEG datastream through the engine's
+        # baseline+progressive decoder
+        return _tiff_jpeg_pixels(payload, tags)
+    if compression == 6:
+        raise NotImplementedError(
+            "old-style JPEG-in-TIFF (compression 6) was withdrawn by "
+            "TIFF Technical Note #2 and needs the deprecated tag-512 "
+            "table machinery; re-save as new-style (compression 7)"
+        )
     planar = tags.get(284, [1])[0]
     if planar not in (1, 2) or (planar == 2 and tiled):
         raise ValueError(
@@ -2976,6 +2987,215 @@ def _tiff_pixels_impl(payload: bytes, ifd_off: int | None = None) -> np.ndarray:
     return np.repeat(gray.astype(np.uint8)[:, :, None], 3, axis=2)
 
 
+def _tiff_jpeg_pixels(payload: bytes, tags: dict) -> np.ndarray:
+    """(h, w, 3) RGB pixels of a new-style JPEG-in-TIFF page
+    (compression 7, TIFF Technical Note #2 — the scanned-document
+    staple): every strip/tile is a complete baseline or progressive
+    JPEG datastream, decoded by the engine's own ``_jpeg_pixels``; a
+    JPEGTables tag (347) holds an abbreviated table-specification
+    stream whose DQT/DHT apply to every segment (merged as
+    SOI + tables + segment[SOI:], libjpeg's tables-only rule).
+    Photometric 6 (YCbCr — what libjpeg-family writers emit; the
+    sample decoder's BT.601 conversion applies) and 0/1 (grayscale)
+    decode; RGB-kept-in-JPEG (photometric 2) would need the
+    conversion SKIPPED per-scan and is rejected as unsupported."""
+    width, height = tags[256][0], tags[257][0]
+    photometric = tags[262][0]
+    spp = tags.get(277, [1])[0]
+    bps_list = tags.get(258, [8])
+    if not (
+        (photometric in (0, 1) and spp == 1) or (photometric == 6 and spp == 3)
+    ) or any(b != 8 for b in bps_list):
+        raise ValueError(
+            f"unsupported TIFF JPEG variant (photometric={photometric}, "
+            f"spp={spp}, bps={bps_list})"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid TIFF dimensions ({width}x{height})")
+    if width * height > _IMG_MAX_PIXELS:
+        raise ValueError(f"TIFF {width}x{height} exceeds the decode cap")
+    tables = bytes(tags[347]) if 347 in tags else None
+    if tables is not None and (
+        len(tables) < 4
+        or tables[:2] != b"\xff\xd8"
+        or tables[-2:] != b"\xff\xd9"
+    ):
+        raise ValueError("TIFF JPEGTables is not an abbreviated JPEG stream")
+
+    def seg_px(off: int, cnt: int, label: str) -> np.ndarray:
+        if off + cnt > len(payload):
+            raise ValueError(f"TIFF {label} data out of bounds")
+        buf = payload[off : off + cnt]
+        if buf[:2] != b"\xff\xd8":
+            raise ValueError(f"TIFF {label} is not a JPEG datastream")
+        if tables is not None:
+            buf = tables[:-2] + buf[2:]
+        px = _jpeg_pixels(buf)
+        if photometric == 0:  # WhiteIsZero inverts, like the raw arm
+            px = (255 - px.astype(np.int16)).astype(np.uint8)
+        return px
+
+    tiled = 322 in tags or 324 in tags
+    if tiled:
+        try:
+            tile_w, tile_h = tags[322][0], tags[323][0]
+            seg_offsets, seg_counts = tags[324], tags[325]
+        except KeyError as exc:
+            raise ValueError(f"tiled TIFF missing tag {exc}") from exc
+        if tile_w < 1 or tile_h < 1:
+            raise ValueError(f"invalid TIFF tile size {tile_w}x{tile_h}")
+        if tile_w * tile_h > _IMG_MAX_PIXELS:
+            raise ValueError(f"TIFF tile {tile_w}x{tile_h} exceeds the decode cap")
+        across = (width + tile_w - 1) // tile_w
+        down = (height + tile_h - 1) // tile_h
+        if len(seg_offsets) < across * down or len(seg_counts) < across * down:
+            raise ValueError("TIFF tile table smaller than the tile grid")
+        out = np.zeros((height, width, 3), dtype=np.uint8)
+        for ti in range(across * down):
+            px = seg_px(seg_offsets[ti], seg_counts[ti], f"tile {ti}")
+            y0 = (ti // across) * tile_h
+            x0 = (ti % across) * tile_w
+            ch = min(tile_h, height - y0)
+            cw = min(tile_w, width - x0)
+            if px.shape[0] < ch or px.shape[1] < cw:
+                raise ValueError(f"TIFF tile {ti} JPEG smaller than the tile")
+            out[y0 : y0 + ch, x0 : x0 + cw] = px[:ch, :cw]
+        return out
+    try:
+        seg_offsets, seg_counts = tags[273], tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag {exc}") from exc
+    if len(seg_offsets) != len(seg_counts):
+        raise ValueError("TIFF segment offset/count tables disagree")
+    rows_per_strip = tags.get(278, [height])[0] or height
+    out = np.zeros((height, width, 3), dtype=np.uint8)
+    row = 0
+    for si, (off, cnt) in enumerate(zip(seg_offsets, seg_counts)):
+        n_rows = min(rows_per_strip, height - row)
+        if n_rows <= 0:
+            break
+        px = seg_px(off, cnt, f"strip {si}")
+        # JPEG pads to MCU multiples; the strip contributes exactly
+        # its declared rows (the decoder already cropped to the SOF
+        # dims, which may themselves be MCU-padded by the writer)
+        if px.shape[0] < n_rows or px.shape[1] < width:
+            raise ValueError(f"TIFF strip {si} JPEG smaller than its rows")
+        out[row : row + n_rows] = px[:n_rows, :width]
+        row += n_rows
+    if row < height:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+    return out
+
+
+def _jpeg_split_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """(tables stream, abbreviated image stream) of one complete JPEG:
+    DQT/DHT segments move to an SOI+tables+EOI stream (the JPEGTables
+    tag-347 payload), everything else — including the entropy-coded
+    data after SOS — stays. The inverse of the decoder's merge rule."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG datastream")
+    i = 2
+    tables = bytearray()
+    rest = bytearray(b"\xff\xd8")
+    while i + 4 <= len(stream):
+        if stream[i] != 0xFF:
+            raise ValueError("JPEG marker desync while splitting tables")
+        marker = stream[i + 1]
+        (ln,) = struct.unpack_from(">H", stream, i + 2)
+        seg = stream[i : i + 2 + ln]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        i += 2 + ln
+        if marker == 0xDA:  # SOS: entropy data follows, copy verbatim
+            break
+    rest += stream[i:]
+    return b"\xff\xd8" + bytes(tables) + b"\xff\xd9", bytes(rest)
+
+
+def encode_tiff_jpeg(
+    px: np.ndarray,
+    rows_per_strip: int | None = None,
+    progressive: bool = False,
+    shared_tables: bool = False,
+    tile: tuple[int, int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """New-style JPEG-in-TIFF encoder twin (fixture discipline):
+    grayscale (h,w) → photometric 1 or RGB (h,w,3) → photometric 6,
+    every strip/tile its own ``encode_jpeg`` datastream;
+    ``shared_tables`` splits the (identical, Annex-K) DQT/DHT out of
+    every segment into one JPEGTables tag — the abbreviated-stream
+    layout libtiff writes. Lossy in general; exactly lossless on
+    block-constant fixtures (the ``encode_jpeg`` DC-divisor-8
+    property), which is what lets driver fixtures oracle it."""
+    px = np.asarray(px)
+    gray = px.ndim == 2
+    if not gray and not (px.ndim == 3 and px.shape[2] == 3):
+        raise ValueError(
+            f"encode_tiff_jpeg takes (h,w) grayscale or (h,w,3) RGB, got {px.shape}"
+        )
+    if px.size == 0:
+        raise ValueError("encode_tiff_jpeg: empty image")
+    h, w = px.shape[:2]
+    spp = 1 if gray else 3
+
+    def jstream(block: np.ndarray) -> bytes:
+        return encode_jpeg(
+            block, progressive=progressive, restart_interval=restart_interval
+        )
+
+    strips = []
+    if tile is not None:
+        tw, th = tile
+        if tw < 1 or th < 1 or tw % 16 or th % 16:
+            raise ValueError(f"TIFF tile dims must be multiples of 16, got {tw}x{th}")
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                block = np.zeros(
+                    (th, tw) if gray else (th, tw, 3), dtype=px.dtype
+                )
+                sub = px[y0 : y0 + th, x0 : x0 + tw]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                strips.append(jstream(block))
+        loc_tag, cnt_tag = 324, 325
+        rps = h
+    else:
+        rps = h if rows_per_strip is None else rows_per_strip
+        if rps < 1:
+            raise ValueError(f"invalid TIFF rows_per_strip {rps}")
+        for y0 in range(0, h, rps):
+            strips.append(jstream(px[y0 : y0 + rps]))
+        loc_tag, cnt_tag = 273, 279
+    entries = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [8] * spp),
+        (259, 3, [7]),
+        (262, 3, [1 if gray else 6]),
+        (277, 3, [spp]),
+    ]
+    if tile is not None:
+        entries += [(322, 4, [tile[0]]), (323, 4, [tile[1]])]
+    else:
+        entries.append((278, 4, [rps]))
+    if shared_tables:
+        tables, abbreviated = None, []
+        for s in strips:
+            t, a = _jpeg_split_tables(s)
+            if tables is None:
+                tables = t
+            elif tables != t:
+                raise ValueError("segments disagree on JPEG tables")
+            abbreviated.append(a)
+        strips = abbreviated
+        entries.append((347, 7, list(tables)))
+    entries.append((loc_tag, 4, [0] * len(strips)))
+    entries.append((cnt_tag, 4, [len(s) for s in strips]))
+    return _tiff_assemble(entries, strips, loc_tag)
+
+
 def decode_tiff(payload: bytes) -> dict:
     """Stats of page 0 (multi-page documents report every page's
     pixels via ``_tiff_pixels(payload, page=k)``; the stats dict stays
@@ -3123,10 +3343,20 @@ def encode_tiff(
     # segment offsets are back-patched once the header size is known
     entry(loc_tag, 4, [0] * n_strips)
     entry(cnt_tag, 4, [len(s) for s in strips])
-    entries.sort(key=lambda t: t[0])
+    return _tiff_assemble(entries, strips, loc_tag)
 
-    fmt = {3: "H", 4: "I"}
-    size = {3: 2, 4: 4}
+
+def _tiff_assemble(
+    entries: list, strips: list, loc_tag: int
+) -> bytes:
+    """Little-endian single-IFD TIFF bytes from (tag, type, values)
+    entries plus segment payloads — the container tail shared by
+    ``encode_tiff`` and ``encode_tiff_jpeg`` (r11). The ``loc_tag``
+    entry's values are back-patched with the real segment offsets;
+    type 7 (UNDEFINED) entries carry raw bytes."""
+    entries = sorted(entries, key=lambda t: t[0])
+    fmt = {3: "H", 4: "I", 7: "B"}
+    size = {3: 2, 4: 4, 7: 1}
     # layout: header(8) + count(2) + 12*n + next(4), then overflow
     # value arrays, then strip data
     ifd_off = 8
@@ -3147,7 +3377,7 @@ def encode_tiff(
     for s in strips:
         offsets.append(pos)
         pos += len(s)
-    # back-patch tag 273 with the real strip offsets
+    # back-patch the location tag with the real strip offsets
     out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
     out += struct.pack("<H", len(fixed))
     for tag, typ, count, val_bytes, ptr in fixed:
@@ -6185,11 +6415,18 @@ def synthesize_jpeg_from_text(
     interval 2 (DRI/RSTn path); ODD doc_ids encode PROGRESSIVE (SOF2
     multi-scan, successive approximation, EOB runs) — both decode to
     identical pixels on these fixtures, so ONE oracle certifies both
-    entropy modes at corpus scale."""
+    entropy modes at corpus scale. r11 sub-rotates new-style
+    JPEG-in-TIFF (compression 7) into the same gate: doc_id % 6 == 2
+    wraps the baseline stream in a two-strip TIFF (rows doubled to 16
+    — the aHash reads only row 0's first 60 pixels, so the oracle is
+    untouched) and % 6 == 5 wraps progressive strips with the
+    JPEGTables (347) abbreviation; block-constant strips keep the
+    lossy codec exactly lossless, which is what lets a TIFF-JPEG
+    page live under the unchanged text-byte oracle."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = []
+            payloads, mimes = [], []
             for doc_id, t in zip(pdf[id_col], pdf[text_col]):
                 raw = t.encode("utf-8")
                 n = len(raw)
@@ -6199,13 +6436,32 @@ def synthesize_jpeg_from_text(
                     else np.zeros(n_blocks, dtype=np.uint8)
                 )
                 px = np.tile(np.repeat(vals, 8), (8, 1)).astype(np.uint8)
-                payloads.append(
-                    encode_jpeg(px, progressive=True)
-                    if int(doc_id) % 2
-                    else encode_jpeg(px, restart_interval=2)
-                )
+                d = int(doc_id)
+                if d % 6 == 2:
+                    payloads.append(
+                        encode_tiff_jpeg(
+                            np.tile(px, (2, 1)), rows_per_strip=8,
+                            restart_interval=2,
+                        )
+                    )
+                    mimes.append("image/tiff")
+                elif d % 6 == 5:
+                    payloads.append(
+                        encode_tiff_jpeg(
+                            np.tile(px, (2, 1)), rows_per_strip=8,
+                            progressive=True, shared_tables=True,
+                        )
+                    )
+                    mimes.append("image/tiff")
+                else:
+                    payloads.append(
+                        encode_jpeg(px, progressive=True)
+                        if d % 2
+                        else encode_jpeg(px, restart_interval=2)
+                    )
+                    mimes.append("image/jpeg")
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col], "payload": payloads, "mime": "image/jpeg"}
+                {"doc_id": pdf[id_col], "payload": payloads, "mime": mimes}
             )
 
     return df.select(id_col, text_col).mapInPandas(

@@ -4796,3 +4796,146 @@ def test_audio_fixture_rotation_covers_mp4_wide_pcm(spark):
         )
     ).collect()
     assert len(hashes) == len(ids) and len({r.ehash for r in hashes}) == 1
+
+
+def test_tiff_jpeg_compression7_round_trip():
+    """New-style JPEG-in-TIFF (compression 7, TIFF TechNote #2): each
+    strip/tile is its own JPEG datastream through the engine's
+    decoder; JPEGTables (tag 347) holds shared DQT/DHT merged into
+    every abbreviated segment. Block-constant grayscale strips are
+    exactly lossless (the encode_jpeg DC-divisor-8 property), RGB
+    rides the YCbCr transform (lossy-bounded), photometric 0 inverts,
+    and old-style compression 6 quarantines honestly."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_split_tables,
+        _tiff_pixels,
+        decode_tiff,
+        encode_tiff_jpeg,
+    )
+
+    vals = np.array([10, 200, 50, 99, 140, 7, 255, 0], dtype=np.uint8)
+    px = np.tile(np.repeat(vals, 8), (16, 1)).astype(np.uint8)
+    for prog in (False, True):
+        for shared in (False, True):
+            p = encode_tiff_jpeg(
+                px, rows_per_strip=8, progressive=prog, shared_tables=shared
+            )
+            assert (b"\xff\xc2" in p) == prog  # SOF2 only when progressive
+            got = _tiff_pixels(p)
+            assert got.shape == (16, 64, 3)
+            for c in range(3):
+                assert np.array_equal(got[:, :, c], px), (prog, shared)
+    # shared tables genuinely abbreviate: DQT/DHT leave the strips
+    full = encode_tiff_jpeg(px, rows_per_strip=8)
+    shared = encode_tiff_jpeg(px, rows_per_strip=8, shared_tables=True)
+    assert len(shared) < len(full)
+    # tiled variant through the same decoder
+    assert np.array_equal(
+        _tiff_pixels(encode_tiff_jpeg(px, tile=(16, 16)))[:, :, 0], px
+    )
+    # RGB photometric 6: YCbCr is lossy-bounded, never exact-required
+    rgb = np.zeros((8, 64, 3), np.uint8)
+    for b in range(8):
+        rgb[:, b * 8 : (b + 1) * 8] = (vals[b], vals[(b + 3) % 8], vals[(b + 5) % 8])
+    got = _tiff_pixels(encode_tiff_jpeg(rgb))
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 2
+    d = decode_tiff(encode_tiff_jpeg(rgb))
+    assert (d["width"], d["height"], d["n_frames"]) == (64, 8, 1)
+    # photometric 0 (WhiteIsZero) inverts the decoded gray
+    p0 = bytearray(encode_tiff_jpeg(px))
+    i = bytes(p0).find(struct.pack("<HHI", 262, 3, 1))
+    struct.pack_into("<H", p0, i + 8, 0)
+    assert np.array_equal(
+        _tiff_pixels(bytes(p0))[:, :, 0], 255 - px
+    )
+    # split/merge are inverses on a real stream
+    t, a = _jpeg_split_tables(full[full.find(b"\xff\xd8"):])
+    assert t[:2] == b"\xff\xd8" and t[-2:] == b"\xff\xd9"
+    assert b"\xff\xdb" in t and b"\xff\xc4" in t
+    assert a[:2] == b"\xff\xd8" and b"\xff\xda" in a
+
+
+def test_tiff_jpeg_hostile_payloads_quarantine():
+    """Compression-7 hostile cases stay in the ValueError/
+    NotImplementedError quarantine family: corrupt JPEGTables,
+    non-JPEG segments, undersized strips, photometric 2 (RGB kept in
+    JPEG — needs the BT.601 conversion skipped), and old-style
+    compression 6."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_pixels,
+        encode_tiff,
+        encode_tiff_jpeg,
+    )
+
+    px = np.tile(np.repeat(np.arange(8, dtype=np.uint8) * 30, 8), (8, 1))
+    good = encode_tiff_jpeg(px, shared_tables=True)
+    # JPEGTables not an SOI..EOI stream
+    bad = bytearray(good)
+    i = bytes(bad).find(b"\xff\xd8")  # the 347 payload comes first
+    bad[i] = 0x00
+    with pytest.raises(ValueError, match="JPEGTables"):
+        _tiff_pixels(bytes(bad))
+    # a strip that is not a JPEG datastream
+    nostream = bytearray(encode_tiff_jpeg(px))
+    j = bytes(nostream).rfind(b"\xff\xd8")
+    nostream[j] = 0x00
+    with pytest.raises(ValueError, match="not a JPEG datastream"):
+        _tiff_pixels(bytes(nostream))
+    # photometric 2 + compression 7 is rejected, not mis-colored
+    p2 = bytearray(encode_tiff_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    i = bytes(p2).find(struct.pack("<HHI", 262, 3, 1))
+    struct.pack_into("<H", p2, i + 8, 2)
+    with pytest.raises(ValueError, match="unsupported TIFF JPEG"):
+        _tiff_pixels(bytes(p2))
+    # old-style JPEG (compression 6) quarantines honestly
+    p6 = bytearray(encode_tiff(px, compression=1))
+    i = bytes(p6).find(struct.pack("<HHI", 259, 3, 1))
+    struct.pack_into("<H", p6, i + 8, 6)
+    with pytest.raises(NotImplementedError, match="old-style"):
+        _tiff_pixels(bytes(p6))
+    # truncations stay in the quarantine family
+    for cut in (len(good) - 10, len(good) // 2, 30):
+        try:
+            _tiff_pixels(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+
+
+def test_jpeg_fixture_rotation_covers_tiff_jpeg(spark):
+    """doc_id % 6 ∈ {2, 5} ships the block-constant JPEG fixture as
+    new-style JPEG-in-TIFF (two strips; % 6 == 5 adds the JPEGTables
+    abbreviation + progressive) — same decoded row 0, same ahash, so
+    the oracle gate holds unchanged while the driver exercises
+    compression 7 at corpus scale."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        image_ahash,
+        synthesize_jpeg_from_text,
+    )
+
+    ids = (0, 1, 2, 5, 6, 11)
+    docs = spark.createDataFrame(
+        [(i, "same text for every row") for i in ids],
+        "doc_id long, text string",
+    )
+    rows = synthesize_jpeg_from_text(docs).collect()
+    mimes = {r.doc_id: r.mime for r in rows}
+    assert mimes == {
+        0: "image/jpeg", 1: "image/jpeg", 2: "image/tiff",
+        5: "image/tiff", 6: "image/jpeg", 11: "image/tiff",
+    }
+    tiffs = {r.doc_id: bytes(r.payload) for r in rows if r.mime == "image/tiff"}
+    assert all(p[:4] == b"II*\x00" for p in tiffs.values())
+    # the % 6 == 5 docs carry the JPEGTables abbreviation
+    assert struct.pack("<HH", 347, 7) in tiffs[5]
+    assert struct.pack("<HH", 347, 7) not in tiffs[2]
+    hashes = image_ahash(
+        synthesize_jpeg_from_text(
+            spark.createDataFrame(
+                [(i, "same text for every row") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    assert len(hashes) == len(ids) and len({r.ahash for r in hashes}) == 1

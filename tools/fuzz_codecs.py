@@ -458,6 +458,16 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
             ),
         ),
         (
+            "tiff",
+            mm.encode_tiff_jpeg(
+                gif_px if rng.random() < 0.5 else gif_px[:, :, 0],
+                rows_per_strip=rng.choice((None, 8)),
+                progressive=rng.random() < 0.5,
+                shared_tables=rng.random() < 0.5,
+                tile=rng.choice((None, (16, 16))),
+            ),
+        ),
+        (
             "gifanim",
             mm.encode_gif_animation(
                 [gif_px]
