@@ -3227,6 +3227,7 @@ def encode_tiff(
     planar: int = 1,
     cmyk: bool = False,
     _nonspec_tiles: bool = False,
+    _as_page: bool = False,
 ) -> bytes:
     """Baseline-TIFF encoder twin (fixture discipline): grayscale
     (h,w) or RGB (h,w,3) uint8, little-endian, strip-based with real
@@ -3343,61 +3344,89 @@ def encode_tiff(
     # segment offsets are back-patched once the header size is known
     entry(loc_tag, 4, [0] * n_strips)
     entry(cnt_tag, 4, [len(s) for s in strips])
+    if _as_page:
+        return entries, strips, loc_tag
     return _tiff_assemble(entries, strips, loc_tag)
 
 
-def _tiff_assemble(
-    entries: list, strips: list, loc_tag: int
-) -> bytes:
-    """Little-endian single-IFD TIFF bytes from (tag, type, values)
-    entries plus segment payloads — the container tail shared by
-    ``encode_tiff`` and ``encode_tiff_jpeg`` (r11). The ``loc_tag``
-    entry's values are back-patched with the real segment offsets;
-    type 7 (UNDEFINED) entries carry raw bytes."""
-    entries = sorted(entries, key=lambda t: t[0])
+def encode_tiff_multipage(pages_px: list, **kwargs) -> bytes:
+    """Multi-page baseline TIFF (r11): one IFD per page chained
+    through the next-pointer, every page encoded with the same
+    ``encode_tiff`` settings — the scanned-document shape
+    ``_tiff_pixels(payload, page=k)`` and the ``n_frames`` page count
+    walk."""
+    if not pages_px:
+        raise ValueError("encode_tiff_multipage takes at least one page")
+    return _tiff_assemble_multi(
+        [encode_tiff(p, _as_page=True, **kwargs) for p in pages_px]
+    )
+
+
+def _tiff_assemble(entries: list, strips: list, loc_tag: int) -> bytes:
+    """Single-page convenience wrapper over ``_tiff_assemble_multi``."""
+    return _tiff_assemble_multi([(entries, strips, loc_tag)])
+
+
+def _tiff_assemble_multi(pages: list) -> bytes:
+    """Little-endian TIFF bytes from per-page (entries, strips,
+    loc_tag) triples, IFDs chained through the next-pointer — the
+    container tail shared by ``encode_tiff``, ``encode_tiff_jpeg``,
+    and ``encode_tiff_multipage`` (r11). Per page: IFD, then overflow
+    value arrays, then segment data; each ``loc_tag`` entry is
+    back-patched with the real segment offsets; type 7 (UNDEFINED)
+    entries carry raw bytes."""
     fmt = {3: "H", 4: "I", 7: "B"}
     size = {3: 2, 4: 4, 7: 1}
-    # layout: header(8) + count(2) + 12*n + next(4), then overflow
-    # value arrays, then strip data
-    ifd_off = 8
-    overflow_off = ifd_off + 2 + 12 * len(entries) + 4
-    overflow = bytearray()
-    fixed = []
-    for tag, typ, vals in entries:
-        total = size[typ] * len(vals)
-        if total <= 4:
-            val_bytes = struct.pack(f"<{len(vals)}{fmt[typ]}", *vals).ljust(4, b"\0")
-            fixed.append((tag, typ, len(vals), val_bytes, None))
-        else:
-            fixed.append((tag, typ, len(vals), None, overflow_off + len(overflow)))
-            overflow += struct.pack(f"<{len(vals)}{fmt[typ]}", *vals)
-    data_off = overflow_off + len(overflow)
-    offsets = []
-    pos = data_off
-    for s in strips:
-        offsets.append(pos)
-        pos += len(s)
-    # back-patch the location tag with the real strip offsets
-    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
-    out += struct.pack("<H", len(fixed))
-    for tag, typ, count, val_bytes, ptr in fixed:
-        out += struct.pack("<HHI", tag, typ, count)
-        if tag == loc_tag:
-            if count * 4 <= 4:
-                out += struct.pack("<I", offsets[0])
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    pos = 8
+    for pi, (entries, strips, loc_tag) in enumerate(pages):
+        entries = sorted(entries, key=lambda t: t[0])
+        # page layout: count(2) + 12*n + next(4), then overflow
+        # value arrays, then strip data
+        ifd_off = pos
+        overflow_off = ifd_off + 2 + 12 * len(entries) + 4
+        overflow = bytearray()
+        fixed = []
+        for tag, typ, vals in entries:
+            total = size[typ] * len(vals)
+            if total <= 4:
+                val_bytes = struct.pack(
+                    f"<{len(vals)}{fmt[typ]}", *vals
+                ).ljust(4, b"\0")
+                fixed.append((tag, typ, len(vals), val_bytes, None))
+            else:
+                fixed.append(
+                    (tag, typ, len(vals), None, overflow_off + len(overflow))
+                )
+                overflow += struct.pack(f"<{len(vals)}{fmt[typ]}", *vals)
+        data_off = overflow_off + len(overflow)
+        offsets = []
+        dpos = data_off
+        for s in strips:
+            offsets.append(dpos)
+            dpos += len(s)
+        next_ifd = dpos if pi + 1 < len(pages) else 0
+        # back-patch the location tag with the real strip offsets
+        out += struct.pack("<H", len(fixed))
+        for tag, typ, count, val_bytes, ptr in fixed:
+            out += struct.pack("<HHI", tag, typ, count)
+            if tag == loc_tag:
+                if count * 4 <= 4:
+                    out += struct.pack("<I", offsets[0])
+                else:
+                    out += struct.pack("<I", ptr)
+                    struct.pack_into(
+                        f"<{count}I", overflow, ptr - overflow_off, *offsets
+                    )
+            elif val_bytes is not None:
+                out += val_bytes
             else:
                 out += struct.pack("<I", ptr)
-                struct.pack_into(
-                    f"<{count}I", overflow, ptr - overflow_off, *offsets
-                )
-        elif val_bytes is not None:
-            out += val_bytes
-        else:
-            out += struct.pack("<I", ptr)
-    out += struct.pack("<I", 0)  # no next IFD
-    out += overflow
-    for s in strips:
-        out += s
+        out += struct.pack("<I", next_ifd)
+        out += overflow
+        for s in strips:
+            out += s
+        pos = dpos
     return bytes(out)
 
 
@@ -6265,9 +6294,11 @@ def synthesize_mixed_image_from_text(
     """Container-diverse image fixture: doc_id % 3 picks 24-bit BMP,
     GIF89a (LZW, local color table), or TIFF (r9: TIFF-variant LZW
     strips; half the TIFF docs — doc_id % 6 == 5 — use Deflate
-    compression instead, driver-gating the zlib strip path, and half
-    the LZW docs — doc_id % 12 == 8 — ship PlanarConfiguration 2
-    (r10, plane-major strip tables)) carrying
+    compression instead, driver-gating the zlib strip path; half the
+    LZW docs — doc_id % 12 == 8 — ship PlanarConfiguration 2 (r10,
+    plane-major strip tables); and half the Deflate docs — doc_id %
+    12 == 11 — ship TWO pages (r11, page 1 inverted; decode reads
+    page 0, driver-gating the IFD chain walk)) carrying
     the SAME decoded-RGB pixels — pixel k =
     (raw[(3k+2)%n], raw[(3k+1)%n], raw[(3k)%n]) — so all three decode
     paths run under one unchanged text-byte oracle. 8×8 fixtures have
@@ -6285,17 +6316,28 @@ def synthesize_mixed_image_from_text(
                     mimes.append("image/gif")
                 elif kind == 2:
                     rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
-                    comp = 8 if int(doc_id) % 6 == 5 else 5
-                    payloads.append(
-                        encode_tiff(
-                            rgb,
-                            compression=comp,
-                            # r10: half the LZW docs ship planar-2
-                            # (plane-major strip tables) — same
-                            # decoded pixels, same oracle
-                            planar=2 if int(doc_id) % 12 == 8 else 1,
+                    if int(doc_id) % 12 == 11:
+                        # r11: half the Deflate docs ship TWO pages
+                        # (page 1 = inverted pixels) — decode reads
+                        # page 0, so the oracle holds while the IFD
+                        # chain walk runs at driver scale
+                        payloads.append(
+                            encode_tiff_multipage(
+                                [rgb, 255 - rgb], compression=8
+                            )
                         )
-                    )
+                    else:
+                        comp = 8 if int(doc_id) % 6 == 5 else 5
+                        payloads.append(
+                            encode_tiff(
+                                rgb,
+                                compression=comp,
+                                # r10: half the LZW docs ship planar-2
+                                # (plane-major strip tables) — same
+                                # decoded pixels, same oracle
+                                planar=2 if int(doc_id) % 12 == 8 else 1,
+                            )
+                        )
                     mimes.append("image/tiff")
                 else:
                     payloads.append(_bmp_payload(raw, width, height))

@@ -4939,3 +4939,52 @@ def test_jpeg_fixture_rotation_covers_tiff_jpeg(spark):
         )
     ).collect()
     assert len(hashes) == len(ids) and len({r.ahash for r in hashes}) == 1
+
+
+def test_tiff_multipage_encoder_and_fixture_rotation(spark):
+    """encode_tiff_multipage chains one IFD per page; page 0 keeps the
+    single-page byte contract so the mixed-image fixture's doc_id %
+    12 == 11 two-page sub-rotation (page 1 = inverted pixels) holds
+    the unchanged oracle while n_frames reports the real chain length
+    and page 1 decodes to genuinely different pixels."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tiff_pixels,
+        decode_tiff,
+        encode_tiff_multipage,
+        image_ahash,
+        synthesize_mixed_image_from_text,
+    )
+
+    rgb0 = (np.arange(8 * 8 * 3, dtype=np.uint8) % 251).reshape(8, 8, 3)
+    rgb1 = 255 - rgb0
+    p = encode_tiff_multipage([rgb0, rgb1], compression=5, predictor=2)
+    assert np.array_equal(_tiff_pixels(p, page=0), rgb0)
+    assert np.array_equal(_tiff_pixels(p, page=1), rgb1)
+    assert decode_tiff(p)["n_frames"] == 2
+    with pytest.raises(ValueError, match="reachable pages"):
+        _tiff_pixels(p, page=2)
+    with pytest.raises(ValueError, match="at least one page"):
+        encode_tiff_multipage([])
+    # fixture: 11 ships 2 pages, 5 stays single Deflate, 8 planar LZW
+    ids = (5, 8, 11, 2)
+    docs = spark.createDataFrame(
+        [(i, "same text for every row") for i in ids],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: bytes(r.payload) for r in synthesize_mixed_image_from_text(docs).collect()}
+    assert decode_tiff(rows[11])["n_frames"] == 2
+    assert decode_tiff(rows[5])["n_frames"] == 1
+    assert decode_tiff(rows[8])["n_frames"] == 1
+    # page 1 differs, page 0 carries the contract -> one shared ahash
+    assert not np.array_equal(
+        _tiff_pixels(rows[11], page=1), _tiff_pixels(rows[11], page=0)
+    )
+    hashes = image_ahash(
+        synthesize_mixed_image_from_text(
+            spark.createDataFrame(
+                [(i, "same text for every row") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    assert len(hashes) == len(ids) and len({r.ahash for r in hashes}) == 1

@@ -459,6 +459,14 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ),
         (
             "tiff",
+            mm.encode_tiff_multipage(
+                [gif_px, 255 - gif_px],
+                compression=rng.choice((1, 5, 8)),
+                predictor=rng.choice((1, 2)),
+            ),
+        ),
+        (
+            "tiff",
             mm.encode_tiff_jpeg(
                 gif_px if rng.random() < 0.5 else gif_px[:, :, 0],
                 rows_per_strip=rng.choice((None, 8)),
