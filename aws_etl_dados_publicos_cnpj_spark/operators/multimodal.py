@@ -1245,8 +1245,11 @@ def decode_mp3(payload: bytes) -> dict:
     ``_mp4_audio_stats`` key set — ``decode_features`` turns dict keys
     into ``DECODE_SCHEMA`` columns, so a decoder returning extra keys
     would fail the whole mapInPandas batch (r10 review: one MP3 doc
-    killed the pass). The full header-walk detail (version, layer,
-    bitrate, vbr, frame count) is ``_mp3_stream_info``. No rms/peak:
+    killed the pass). ``n_frames`` counts PCM SAMPLE FRAMES (schema
+    parity with every other audio arm, where n_frames = decoded
+    frames per channel); the MPEG frame count rides in
+    ``_mp3_stream_info``'s ``n_mpeg_frames``. The full header-walk
+    detail (version, layer, bitrate, vbr) is there too. No rms/peak:
     the frame payloads need a codec library, and ``_pcm16_samples``
     quarantines them as NotImplementedError."""
     info = _mp3_stream_info(payload)
