@@ -5301,6 +5301,7 @@ def _mp4_audio_track_impl(payload: bytes) -> dict:
         stbl = _mp4_stbl(payload, mdia, "audio")
         stsd = _mp4_child(payload, *stbl, b"stsd")
         codec, n_ch, samp_size, rate = "unknown", 0, 0, 0
+        lpcm_flags = None
         if stsd is not None:
             (n_entries,) = struct.unpack_from(">I", payload, stsd[0] + 4)
             entry = stsd[0] + 8
@@ -5316,6 +5317,26 @@ def _mp4_audio_track_impl(payload: bytes) -> dict:
                     n_ch, samp_size = struct.unpack_from(">HH", payload, entry + 24)
                     (rate_fx,) = struct.unpack_from(">I", payload, entry + 32)
                     rate = rate_fx >> 16
+                    # QuickTime SoundDescription v2 ('lpcm', r11): the
+                    # v0 channelcount/samplesize/rate are placeholders
+                    # and the real layout lives in the v2 extension —
+                    # float64 rate, u32 channels/bits, and the
+                    # isFloat/isBigEndian/isSignedInteger flags word
+                    (version,) = struct.unpack_from(">H", payload, entry + 16)
+                    if codec == "lpcm" and version == 2 and (
+                        esz >= 72 and entry + 72 <= stsd[1]
+                    ):
+                        (rate_f,) = struct.unpack_from(">d", payload, entry + 40)
+                        nch2, _a, bits2, flags2 = struct.unpack_from(
+                            ">IIII", payload, entry + 48
+                        )
+                        n_ch, samp_size = nch2, bits2
+                        rate = (
+                            int(round(rate_f))
+                            if np.isfinite(rate_f) and 0 < rate_f < 1e7
+                            else 0
+                        )
+                        lpcm_flags = flags2
         stsz = _mp4_child(payload, *stbl, b"stsz")
         if stsz is None:
             raise ValueError("audio trak missing stsz")
@@ -5326,6 +5347,7 @@ def _mp4_audio_track_impl(payload: bytes) -> dict:
             "sample_size": int(samp_size),
             "sample_rate": int(rate),
             "n_samples": int(n_samples),
+            "lpcm_flags": lpcm_flags,
             "timescale": timescale,
             "duration": duration,
             # the sample-table handles _mp4_sample_ranges needs — PCM
@@ -5392,12 +5414,21 @@ def _mp4_pcm_samples(
     if trk is None:
         trk = _mp4_audio_track(payload)
     codec = trk["codec"]
+    if codec == "lpcm":
+        if trk.get("lpcm_flags") is None:
+            # v0/v1 'lpcm' entries put the layout in places this walk
+            # doesn't parse — quarantine rather than guess a byte order
+            raise NotImplementedError(
+                "MP4 'lpcm' decode requires the SoundDescription v2 "
+                "flags layout"
+            )
+        return _mp4_lpcm_samples(payload, trk)
     layout = _MP4_PCM_LAYOUTS.get(codec)
     if layout is None:
         raise NotImplementedError(
             f"MP4 audio sample decode for codec {codec!r} requires codec "
             "libraries not present; only raw PCM ('twos'/'sowt'/'in24'/"
-            "'in32'), IEEE float ('fl32'/'fl64'), and G.711 "
+            "'in32'/v2 'lpcm'), IEEE float ('fl32'/'fl64'), and G.711 "
             "('ulaw'/'alaw') sample entries decode here"
         )
     width, dt = layout
@@ -5438,6 +5469,51 @@ def _mp4_pcm_samples(
     if codec == "in32":
         return samples.astype(np.int32), rate, n_ch
     return samples.astype(np.int16), rate, n_ch
+
+
+def _mp4_lpcm_samples(
+    payload: bytes, trk: dict
+) -> tuple[np.ndarray, int, int]:
+    """(interleaved samples, rate, n_channels) of a v2 'lpcm' trak —
+    QuickTime's fully-general PCM entry: the formatSpecificFlags word
+    declares float/endianness/signedness and constBitsPerChannel the
+    width. Signed ints 16/24/32 (either byte order; 24-bit assembled
+    with sign extension) follow the in24/in32 native-domain rule;
+    floats 32/64 expand to the int16 grid; unsigned or other widths
+    quarantine as unsupported layouts."""
+    flags = trk["lpcm_flags"]
+    n_ch, bits = trk["n_channels"], trk["sample_size"]
+    is_float, is_be, is_signed = flags & 1, flags & 2, flags & 4
+    ok = (bits in (32, 64)) if is_float else (is_signed and bits in (16, 24, 32))
+    if n_ch not in (1, 2) or not ok:
+        raise ValueError(
+            f"unsupported MP4 lpcm layout ({n_ch} ch, {bits}-bit, "
+            f"flags={flags:#x})"
+        )
+    width = bits // 8
+    buf = bytearray()
+    for off, size in _mp4_sample_ranges(payload, trk):
+        buf += payload[off : off + size]
+    if len(buf) % (width * n_ch):
+        raise ValueError("MP4 PCM data is not frame-aligned")
+    rate = trk["sample_rate"]
+    e = ">" if is_be else "<"
+    if is_float:
+        v = np.frombuffer(bytes(buf), dtype=f"{e}f{width}").astype(np.float64)
+        if v.size and not np.isfinite(v).all():
+            raise ValueError("MP4 float samples non-finite")
+        return np.rint(np.clip(v, -1.0, 1.0) * 32767.0).astype(np.int16), rate, n_ch
+    if bits == 24:
+        b = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = (
+            (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+            if is_be
+            else (b[:, 2] << 16) | (b[:, 1] << 8) | b[:, 0]
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return v.astype(np.int32), rate, n_ch
+    samples = np.frombuffer(bytes(buf), dtype=f"{e}i{width}")
+    return samples.astype(np.int16 if bits == 16 else np.int32), rate, n_ch
 
 
 def decode_mp4_pcm(payload: bytes, trk: dict | None = None) -> dict:
@@ -5651,7 +5727,9 @@ def decode_media(payload: bytes, mime: str) -> dict:
         # routing, stats, and sample resolution — same shape as the
         # video arm below.
         trk = _mp4_audio_track(payload)
-        if trk["codec"] in _MP4_PCM_LAYOUTS:
+        if trk["codec"] in _MP4_PCM_LAYOUTS or (
+            trk["codec"] == "lpcm" and trk.get("lpcm_flags") is not None
+        ):
             return decode_mp4_pcm(payload, trk)
         return _mp4_audio_stats(payload, trk)
     if mime in ("image/bmp", "image/x-bmp"):
@@ -6027,6 +6105,8 @@ def _m4a_pcm_payload(
     rate: int = 8000,
     codec: bytes = b"sowt",
     stereo: bool = False,
+    lpcm_bits: int = 24,
+    lpcm_flags: int = 2 | 4,  # big-endian signed integer
 ) -> bytes:
     """The SAME byte→sample contract as ``_wav_payload`` in a real
     PCM-in-MP4 container: one 'soun' trak whose stsd entry is 'twos'
@@ -6040,17 +6120,27 @@ def _m4a_pcm_payload(
     'in32' carry k directly (grid-sitting, so the fingerprint's
     int16-grid check passes and the oracles hold), 'fl32'/'fl64'
     carry k/32767 so the float expansion rounds back to exactly k —
-    the float-WAV trick."""
+    the float-WAV trick. 'lpcm' (r11) writes the 72-byte
+    SoundDescription v2 entry; ``lpcm_bits``/``lpcm_flags`` pick the
+    layout (default 24-bit big-endian signed int, carrying k)."""
     if codec not in (
-        b"twos", b"sowt", b"ulaw", b"alaw", b"in24", b"in32", b"fl32", b"fl64",
+        b"twos", b"sowt", b"ulaw", b"alaw", b"in24", b"in32", b"fl32",
+        b"fl64", b"lpcm",
     ):
         raise ValueError(f"unsupported PCM fourcc {codec!r}")
     g711 = codec in (b"ulaw", b"alaw")
+    lpcm = codec == b"lpcm"
+    if lpcm and (lpcm_flags & 1) and lpcm_bits not in (32, 64):
+        raise ValueError("float lpcm must be 32- or 64-bit")
     samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
     n_ch = 2 if stereo and len(samples) and len(samples) % 2 == 0 else 1
     frames = len(samples) // n_ch
-    width = {b"in24": 3, b"in32": 4, b"fl32": 4, b"fl64": 8}.get(
-        codec, 1 if g711 else 2
+    width = (
+        lpcm_bits // 8
+        if lpcm
+        else {b"in24": 3, b"in32": 4, b"fl32": 4, b"fl64": 8}.get(
+            codec, 1 if g711 else 2
+        )
     )
     frame_bytes = width * n_ch
     # G.711 entries store the raw codewords (decoded values come from
@@ -6067,6 +6157,19 @@ def _m4a_pcm_payload(
         pcm = f.astype(">f4" if codec == b"fl32" else ">f8").tobytes()
     elif codec == b"in32":
         pcm = samples.astype(">i4").tobytes()
+    elif lpcm:
+        bo = ">" if lpcm_flags & 2 else "<"
+        if lpcm_flags & 1:
+            f = samples.astype(np.float64) / 32767.0
+            pcm = f.astype(f"{bo}f{lpcm_bits // 8}").tobytes()
+        elif lpcm_bits == 24:
+            v = samples.astype(np.int64)
+            trip = [(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF]
+            if not lpcm_flags & 2:
+                trip = trip[::-1]
+            pcm = np.stack(trip, axis=1).astype(np.uint8).tobytes()
+        else:
+            pcm = samples.astype(f"{bo}i{lpcm_bits // 8}").tobytes()
     else:
         pcm = samples.astype(">i2" if codec == b"twos" else "<i2").tobytes()
 
@@ -6086,16 +6189,31 @@ def _m4a_pcm_payload(
             b"mdhd", bytes(12) + struct.pack(">II", rate, frames) + bytes(4)
         )
         hdlr = box(b"hdlr", bytes(8) + b"soun" + bytes(12))
-        # wide entries declare their natural width; 16-bit PCM and
-        # G.711 declare 16 (QuickTime's decoded-width convention)
-        entry_bits = width * 8 if width > 2 else 16
-        entry = (
-            struct.pack(">I", 36)
-            + codec
-            + bytes(16)
-            + struct.pack(">HHHH", n_ch, entry_bits, 0, 0)
-            + struct.pack(">I", rate << 16)
-        )
+        if lpcm:
+            # SoundDescription v2 (always-72-byte entry): the v0
+            # fields hold the spec's placeholder constants
+            # (3/16/-2/0/65536) and the real layout follows
+            entry = (
+                struct.pack(">I", 72)
+                + codec
+                + bytes(6)
+                + struct.pack(">H", 1)  # data_reference_index
+                + struct.pack(">HHIHHhHI", 2, 0, 0, 3, 16, -2, 0, 0x00010000)
+                + struct.pack(">Id", 72, float(rate))
+                + struct.pack(">IIII", n_ch, 0x7F000000, lpcm_bits, lpcm_flags)
+                + struct.pack(">II", frame_bytes, 1)
+            )
+        else:
+            # wide entries declare their natural width; 16-bit PCM and
+            # G.711 declare 16 (QuickTime's decoded-width convention)
+            entry_bits = width * 8 if width > 2 else 16
+            entry = (
+                struct.pack(">I", 36)
+                + codec
+                + bytes(16)
+                + struct.pack(">HHHH", n_ch, entry_bits, 0, 0)
+                + struct.pack(">I", rate << 16)
+            )
         stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
         stsz = box(b"stsz", bytes(4) + struct.pack(">II", frame_bytes, frames))
         stsc = box(
@@ -6155,9 +6273,10 @@ def synthesize_mixed_audio_from_text(
     either way. Half the WAV docs (doc_id % 6 == 3) ship as
     PCM-in-MP4 instead ('twos' big-endian mono at doc_id % 24 == 3,
     'sowt' little-endian stereo at % 24 == 9/33; r11 widens the slot
-    to the QuickTime wide-PCM matrix: 'in24' at % 48 == 15 and 'in32'
-    at % 48 == 39 carrying k directly on the int16 grid, 'fl32' at
-    % 48 == 21 and 'fl64' at % 48 == 45 carrying k/32767, stereo),
+    to the QuickTime wide-PCM matrix: 'in24' at % 48 == 15, 'in32' at
+    % 96 == 39 and the v2 'lpcm' entry at % 96 == 87 carrying k
+    directly on the int16 grid, 'fl32' at % 48 == 21 and 'fl64' at
+    % 48 == 45 carrying k/32767, stereo),
     driver-gating the ISO-BMFF sample-table audio decode under the
     same oracle. The
     remaining WAV docs (doc_id % 6 == 0) sub-rotate across the RIFF
@@ -6196,7 +6315,12 @@ def synthesize_mixed_audio_from_text(
                     d = int(doc_id)
                     if d % 24 == 15:
                         # r11 wide-PCM sub-rotation: grid-sitting ints
-                        codec = b"in24" if d % 48 == 15 else b"in32"
+                        # (the in32 slot splits again for the v2
+                        # 'lpcm' entry, 24-bit big-endian signed)
+                        if d % 48 == 15:
+                            codec = b"in24"
+                        else:
+                            codec = b"in32" if d % 96 == 39 else b"lpcm"
                     elif d % 24 == 21:
                         # r11: IEEE floats carrying k/32767 (stereo —
                         # the de-interleave runs under the wide entry)

@@ -4771,7 +4771,7 @@ def test_audio_fixture_rotation_covers_mp4_wide_pcm(spark):
         synthesize_mixed_audio_from_text,
     )
 
-    ids = (3, 15, 39, 21, 45, 9)
+    ids = (3, 15, 39, 21, 45, 9, 87)
     docs = spark.createDataFrame(
         [(i, "identical text for every row!") for i in ids],
         "doc_id long, text string",
@@ -4785,7 +4785,7 @@ def test_audio_fixture_rotation_covers_mp4_wide_pcm(spark):
         fourccs[r.doc_id] = p[i + 16 : i + 20]
     assert fourccs == {
         3: b"twos", 15: b"in24", 39: b"in32",
-        21: b"fl32", 45: b"fl64", 9: b"sowt",
+        21: b"fl32", 45: b"fl64", 9: b"sowt", 87: b"lpcm",
     }
     hashes = audio_energy_hash(
         synthesize_mixed_audio_from_text(
@@ -4988,3 +4988,67 @@ def test_tiff_multipage_encoder_and_fixture_rotation(spark):
         )
     ).collect()
     assert len(hashes) == len(ids) and len({r.ahash for r in hashes}) == 1
+
+
+def test_mp4_lpcm_v2_entry_matrix():
+    """The v2 'lpcm' SoundDescription (r11 — QuickTime's fully-general
+    PCM entry): float64 rate, u32 channels/bits, and the formatSpecific
+    flags word (isFloat/isBigEndian/isSignedInteger) replace the v0
+    placeholder fields. Signed 16/24/32-bit ints in either byte order
+    and 32/64-bit floats all decode through the shared sample-table
+    machinery; unsigned ints quarantine; a v0 'lpcm' entry (no parsed
+    flags) quarantines as NotImplementedError; a NaN rate reports 0."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _m4a_pcm_payload,
+        _mp4_audio_track,
+        _mp4_pcm_samples,
+        _pcm16_samples,
+        decode_media,
+    )
+
+    raw = b"0123456789" * 3 + b"ab"
+    want = np.frombuffer(raw, np.uint8).astype(np.int16)
+    for bits, flags in (
+        (24, 6), (24, 4), (16, 6), (16, 4), (32, 6), (32, 4),
+        (32, 1), (32, 3), (64, 3),
+    ):
+        for stereo in (False, True):
+            p = _m4a_pcm_payload(
+                raw, 44100, codec=b"lpcm", stereo=stereo,
+                lpcm_bits=bits, lpcm_flags=flags,
+            )
+            trk = _mp4_audio_track(p)
+            assert (trk["sample_size"], trk["lpcm_flags"]) == (bits, flags)
+            assert trk["sample_rate"] == 44100
+            s, rate, nch = _mp4_pcm_samples(p)
+            assert np.array_equal(s, want), (bits, flags)
+            assert s.dtype == (np.int16 if bits == 16 or flags & 1 else np.int32)
+            assert np.array_equal(_pcm16_samples(p), want)
+            assert decode_media(p, "audio/mp4")["codec"] == "lpcm"
+    # unsigned integer layout quarantines (real lpcm is signed)
+    pu = _m4a_pcm_payload(raw, 8000, codec=b"lpcm", lpcm_bits=16, lpcm_flags=2)
+    with pytest.raises(ValueError, match="lpcm layout"):
+        _mp4_pcm_samples(pu)
+    # a v0-shaped lpcm entry (declared size 36) has no flags layout
+    p0 = bytearray(_m4a_pcm_payload(raw, 8000, codec=b"lpcm"))
+    i = bytes(p0).find(b"lpcm") - 4
+    struct.pack_into(">I", p0, i, 36)  # entry claims v0 size
+    struct.pack_into(">H", p0, i + 16, 0)  # version 0
+    trk0 = _mp4_audio_track(bytes(p0))
+    assert trk0["lpcm_flags"] is None
+    with pytest.raises(NotImplementedError, match="lpcm"):
+        _mp4_pcm_samples(bytes(p0))
+    # non-finite declared rate reports 0 instead of poisoning stats
+    pn = bytearray(_m4a_pcm_payload(raw, 8000, codec=b"lpcm"))
+    i = bytes(pn).find(b"lpcm") - 4
+    struct.pack_into(">d", pn, i + 40, float("nan"))
+    assert _mp4_audio_track(bytes(pn))["sample_rate"] == 0
+    # truncations stay in the quarantine family
+    good = _m4a_pcm_payload(raw, 8000, codec=b"lpcm", stereo=True)
+    for cut in (len(good) - 10, len(good) // 2, 40):
+        try:
+            _mp4_pcm_samples(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")

@@ -413,6 +413,17 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
             ),
         ),
         (
+            "m4a",
+            mm._m4a_pcm_payload(
+                raw8,
+                rate=rng.choice((8000, 44100)),
+                codec=b"lpcm",
+                stereo=rng.randrange(2) == 1,
+                lpcm_bits=rng.choice((16, 24, 32)),
+                lpcm_flags=rng.choice((4, 6)),  # signed int, LE/BE
+            ),
+        ),
+        (
             "tiff",
             mm.encode_tiff(
                 gif_px,
