@@ -1357,6 +1357,10 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         # MPEG audio elementary stream: triage-only (decode_mp3);
         # sample decode quarantines like the mp4a/AAC arm
         raise NotImplementedError("MP3 sample decode needs a codec library")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        # audio-in-AVI (r11): rebuild the stream as RIFF/WAVE and
+        # recurse — every WAV arm and grid rule applies verbatim
+        return _pcm16_samples(_avi_audio_as_wav(payload))
     if payload[4:8] == b"ftyp":
         # PCM-in-MP4 fingerprints for real; mp4a/AAC raises
         # NotImplementedError and quarantines — the stats and
@@ -6278,7 +6282,8 @@ def synthesize_mixed_audio_from_text(
     directly on the int16 grid, 'fl32' at % 48 == 21 and 'fl64' at
     % 48 == 45 carrying k/32767, stereo),
     driver-gating the ISO-BMFF sample-table audio decode under the
-    same oracle. The
+    same oracle; classic 16-bit PCM rides inside an audio-only AVI at
+    % 48 == 24 (r11, the WAV-delegation arm). The
     remaining WAV docs (doc_id % 6 == 0) sub-rotate across the RIFF
     sample layouts (r10): IEEE-float WAVs at % 12 == 6 (float32, or
     float64 at % 24 == 18) carrying k/32767 so the tag-3 expansion
@@ -6345,6 +6350,14 @@ def synthesize_mixed_audio_from_text(
                 elif int(doc_id) % 24 == 12:
                     payloads.append(_pcm32_wav_payload(raw, rate))
                     mimes.append("audio/wav")
+                elif int(doc_id) % 48 == 24:
+                    # r11: classic 16-bit PCM riding inside an
+                    # audio-only AVI — the strf IS a WAVEFORMATEX, so
+                    # the WAV delegation decodes it under the same
+                    # oracle while the movi '00wb' concat runs at
+                    # driver scale
+                    payloads.append(_avi_audio_container(_wav_payload(raw, rate)))
+                    mimes.append("video/x-msvideo")
                 else:
                     payloads.append(_wav_payload(raw, rate))
                     mimes.append("audio/wav")
@@ -6834,6 +6847,43 @@ def _avi_mjpeg_container(frames: list[bytes], width: int = 64, height: int = 8) 
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _avi_audio_container(wav_payload: bytes, n_chunks: int = 3) -> bytes:
+    """A real audio-only RIFF/AVI container around an existing WAV's
+    fmt + data (r11): one 'auds' strl whose strf is the WAV's
+    WAVEFORMATEX verbatim, data split across ``n_chunks`` '00wb' movi
+    chunks — so the entire WAV codec matrix can ride inside AVI in
+    tests/fixtures and ``_avi_audio_as_wav`` reassembles it exactly."""
+    floc = _riff_chunk(wav_payload, b"fmt ")
+    dloc = _riff_chunk(wav_payload, b"data")
+    if floc is None or dloc is None:
+        raise ValueError("_avi_audio_container needs a fmt+data WAV")
+    fmt = wav_payload[floc[0] : floc[0] + floc[1]]
+    data = wav_payload[dloc[0] : dloc[0] + dloc[1]]
+
+    def ck(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return ck(b"LIST", ltype + body)
+
+    (rate,) = struct.unpack_from("<I", fmt, 4)
+    avih = struct.pack("<14I", 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0)
+    strh = (
+        b"auds"
+        + bytes(4)
+        + bytes(12)
+        + struct.pack("<II", 1, rate)
+        + struct.pack("<II", 0, len(data))
+        + bytes(20)
+    )
+    hdrl = lst(b"hdrl", ck(b"avih", avih) + lst(b"strl", ck(b"strh", strh) + ck(b"strf", fmt)))
+    step = max(1, (len(data) + n_chunks - 1) // max(n_chunks, 1))
+    parts = [data[i : i + step] for i in range(0, len(data), step)] or [b""]
+    movi = lst(b"movi", b"".join(ck(b"00wb", p) for p in parts))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _mjpeg_frames_for_text(raw: bytes, n_frames: int, n_blocks: int = 8) -> list[bytes]:
     """The shared block-constant MJPEG fixture contract (AVI and MP4
     synthesizers): frame f is a 8×(8·n_blocks) grayscale JPEG whose
@@ -7068,12 +7118,116 @@ def _avi_strl_video(payload: bytes, pos: int, end: int) -> dict | None:
     }
 
 
+def _avi_audio_stream(payload: bytes) -> tuple[int, bytes]:
+    """(stream index, WAVEFORMATEX bytes) of the first 'auds' stream
+    in the hdrl headers — the index numbers the stream's movi chunks
+    ('{NN}wb'). An AVI strf for an audio stream IS a WAVEFORMATEX,
+    byte-identical to a WAV fmt chunk body, which is what lets the
+    audio arms delegate to the entire WAV decode matrix."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI container")
+    try:
+        return _avi_audio_stream_impl(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt AVI container ({exc})") from exc
+
+
+def _avi_audio_stream_impl(payload: bytes) -> tuple[int, bytes]:
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    pos = 12
+    hdrl = None
+    while pos + 8 <= end:
+        ckid = payload[pos : pos + 4]
+        (cksz,) = struct.unpack_from("<I", payload, pos + 4)
+        if ckid == b"LIST" and payload[pos + 8 : pos + 12] == b"hdrl":
+            hdrl = (pos + 12, min(pos + 8 + cksz, end))
+            break
+        pos += 8 + cksz + (cksz & 1)
+    if hdrl is None:
+        raise ValueError("AVI missing hdrl headers")
+    pos, hend = hdrl
+    idx = -1
+    while pos + 8 <= hend:
+        ckid = payload[pos : pos + 4]
+        (cksz,) = struct.unpack_from("<I", payload, pos + 4)
+        if ckid == b"LIST" and payload[pos + 8 : pos + 12] == b"strl":
+            sub, send = pos + 12, min(pos + 8 + cksz, hend)
+            strh = strf = None
+            while sub + 8 <= send:
+                sid = payload[sub : sub + 4]
+                (ssz,) = struct.unpack_from("<I", payload, sub + 4)
+                if sid == b"strh":
+                    strh = (sub + 8, ssz)
+                elif sid == b"strf":
+                    strf = (sub + 8, ssz)
+                sub += 8 + ssz + (ssz & 1)
+            if strh is not None:  # degenerate strls don't number streams
+                idx += 1
+                if payload[strh[0] : strh[0] + 4] == b"auds":
+                    if strf is None or strf[1] < 16:
+                        raise ValueError("AVI auds stream missing strf")
+                    return idx, payload[strf[0] : strf[0] + strf[1]]
+        pos += 8 + cksz + (cksz & 1)
+    raise ValueError("AVI has no audio stream headers")
+
+
+def _avi_audio_as_wav(payload: bytes) -> bytes:
+    """RIFF/WAVE bytes rebuilt from an AVI's first audio stream: the
+    strf WAVEFORMATEX becomes the fmt chunk, the stream's '{NN}wb'
+    movi chunks concatenate into the data chunk — so every WAV arm
+    (PCM widths, float, G.711, IMA/MS ADPCM, extensible headers) and
+    its int16-grid fingerprint rule applies to AVI audio verbatim,
+    one support matrix across containers (r11)."""
+    idx, fmt = _avi_audio_stream(payload)
+    want = b"%02dwb" % idx
+    data = bytearray()
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    pos = 12
+    while pos + 8 <= end:
+        ckid = payload[pos : pos + 4]
+        (cksz,) = struct.unpack_from("<I", payload, pos + 4)
+        if ckid == b"LIST" and payload[pos + 8 : pos + 12] == b"movi":
+            sub, subend = pos + 12, min(pos + 8 + cksz, end)
+            while sub + 8 <= subend:
+                sid = payload[sub : sub + 4]
+                (ssz,) = struct.unpack_from("<I", payload, sub + 4)
+                if sid == want:
+                    data += payload[sub + 8 : sub + 8 + ssz]
+                sub += 8 + ssz + (ssz & 1)
+        pos += 8 + cksz + (cksz & 1)
+    if not data:
+        raise ValueError("AVI has no audio data chunks")
+    out = bytearray(b"RIFF\x00\x00\x00\x00WAVE")
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if len(fmt) & 1:
+        out += b"\x00"
+    out += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        out += b"\x00"
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    return bytes(out)
+
+
+def decode_avi_audio(payload: bytes) -> dict:
+    """Audio stats of an AVI's first audio stream — ``decode_wav`` on
+    the rebuilt RIFF/WAVE, so the stats contract (and every width/
+    codec rule) is the WAV one."""
+    return decode_wav(_avi_audio_as_wav(payload))
+
+
 def decode_avi(payload: bytes) -> dict:
     """AVI entry with metadata-before-decode routing (the MP4 arm's
     shape): MJPEG streams decode frames for real; any other codec
     (xvid, h264, ...) returns the header stats — full metadata, no
-    pixel means — instead of quarantining with nothing."""
-    trk = _avi_video_header(payload)
+    pixel means — instead of quarantining with nothing. An AVI with
+    no video stream but an 'auds' stream (r11) reports AUDIO stats
+    through the WAV delegation instead of quarantining."""
+    try:
+        trk = _avi_video_header(payload)
+    except ValueError as exc:
+        if "no video stream" not in str(exc):
+            raise
+        return decode_avi_audio(payload)
     if trk["codec"] in ("mjpg", "mjpeg", "jpeg", "dmb1"):
         return decode_avi_mjpeg(payload)
     return {

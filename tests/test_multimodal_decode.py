@@ -1469,11 +1469,13 @@ def test_avi_metadata_triage_for_non_mjpeg_codecs(spark):
     struct.pack_into("<I", padded, hl - 4, struct.unpack_from("<I", padded, hl - 4)[0] + len(extra))
     struct.pack_into("<I", padded, 4, len(padded) - 8)
     assert _avi_video_header(bytes(padded))["codec"] == "mjpg"
-    # an audio-only AVI has no video stream headers
+    # an AVI whose only stream is 'auds' routes to the AUDIO arm
+    # since r11; this mutant carries '00dc' video chunks and no
+    # '00wb' audio data, so it quarantines there
     auds = bytearray(avi)
     ai = bytes(auds).find(b"strh") + 8
     auds[ai : ai + 4] = b"auds"
-    with pytest.raises(ValueError, match="no video stream"):
+    with pytest.raises(ValueError, match="no audio data"):
         decode_avi(bytes(auds))
     # truncated strh quarantines
     short = bytearray(avi)
@@ -5052,3 +5054,78 @@ def test_mp4_lpcm_v2_entry_matrix():
             pass
         except Exception as exc:  # noqa: BLE001
             raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+
+
+def test_avi_audio_stream_decodes_via_wav_delegation(spark):
+    """Audio-in-AVI (r11): the 'auds' strf IS a WAVEFORMATEX, so the
+    rebuilt RIFF/WAVE delegates to the entire WAV matrix — PCM widths,
+    floats, extensible headers, ADPCM — with identical stats and
+    identical int16-grid fingerprint rules. Multi-chunk '00wb' movi
+    data reassembles exactly; the fixture sub-rotates classic 16-bit
+    PCM through the AVI wrap at doc_id % 48 == 24 under the unchanged
+    ehash oracle."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _avi_audio_as_wav,
+        _avi_audio_container,
+        _avi_mjpeg_container,
+        _mjpeg_frames_for_text,
+        _pcm16_samples,
+        _wav_payload,
+        audio_energy_hash,
+        decode_avi,
+        decode_media,
+        decode_wav,
+        encode_ms_adpcm,
+        synthesize_mixed_audio_from_text,
+    )
+
+    raw = bytes(range(200))
+    want = np.frombuffer(raw, np.uint8).astype(np.int16)
+    w = _wav_payload(raw)
+    for n_chunks in (1, 3, 7):
+        avi = _avi_audio_container(w, n_chunks=n_chunks)
+        assert np.array_equal(_pcm16_samples(avi), want)
+        d = decode_avi(avi)
+        assert d["kind"] == "audio" and d["n_frames"] == 200
+        assert d == decode_wav(w)
+        assert decode_media(avi, "video/x-msvideo")["kind"] == "audio"
+    # a compressed WAV arm rides the same delegation
+    s = (900 * np.sin(np.arange(1010) / 7)).astype(np.int16)
+    ms = encode_ms_adpcm(s, 8000)
+    assert decode_avi(_avi_audio_container(ms)) == decode_wav(ms)
+    # a video-only AVI has no audio stream: quarantine, not garbage
+    vid = _avi_mjpeg_container(_mjpeg_frames_for_text(b"xy", 2))
+    with pytest.raises(ValueError, match="no audio stream"):
+        _avi_audio_as_wav(vid)
+    with pytest.raises(ValueError):
+        _pcm16_samples(vid)
+    # ... and decode_avi still routes it as video
+    assert decode_avi(vid)["kind"] == "video"
+    # truncations stay in the quarantine family
+    good = _avi_audio_container(w)
+    for cut in (len(good) - 10, len(good) // 2, 30):
+        try:
+            _pcm16_samples(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+    # fixture rotation: % 48 == 24 ships the AVI wrap, same ehash
+    ids = (0, 24, 48)
+    docs = spark.createDataFrame(
+        [(i, "identical text for every row") for i in ids],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in synthesize_mixed_audio_from_text(docs).collect()}
+    assert rows[24].mime == "video/x-msvideo"
+    assert bytes(rows[24].payload)[8:12] == b"AVI "
+    assert rows[0].mime == "audio/wav" and rows[48].mime == "audio/wav"
+    hashes = audio_energy_hash(
+        synthesize_mixed_audio_from_text(
+            spark.createDataFrame(
+                [(i, "identical text for every row") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    assert len(hashes) == 3 and len({r.ehash for r in hashes}) == 1

@@ -376,6 +376,8 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("g711", _encode_g711(rng)),
         ("mp3", _mp3_seed(rng)),
         ("avi", mm._avi_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
+        ("avia", mm._avi_audio_container(mm._wav_payload(raw8), n_chunks=rng.randrange(1, 5))),
+        ("avia", mm._avi_audio_container(_encode_ima_variant(rng), n_chunks=2)),
         ("mp4", mm._mp4_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
         (
             "m4a",
@@ -514,7 +516,8 @@ _DECODERS = {
     "aiff": [mm._aiff_samples, mm.decode_aiff, mm._pcm16_samples],
     "g711": [mm.decode_wav, lambda p: mm._wav_samples_f64(p)[0]],
     "mp3": [mm.decode_mp3, mm._pcm16_samples],
-    "avi": [mm._avi_mjpeg_frames, mm.decode_avi_mjpeg, mm.decode_avi, mm._avi_video_header],
+    "avi": [mm._avi_mjpeg_frames, mm.decode_avi_mjpeg, mm.decode_avi, mm._avi_video_header, mm._avi_audio_as_wav],
+    "avia": [mm.decode_avi, mm._avi_audio_as_wav, mm._pcm16_samples, mm.decode_avi_audio],
     "mp4": [mm._mp4_video_stats, mm._mp4_mjpeg_frames, mm.decode_mp4_mjpeg],
     "m4a": [mm._mp4_audio_track, mm._mp4_audio_stats, mm._mp4_pcm_samples, mm.decode_mp4_pcm],
     "gifanim": [mm._gif_frames, mm._gif_pixels, mm.decode_gif],
