@@ -649,6 +649,11 @@ def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     stdlib-rejected) expand to the int16 grid via
     ``_float_wav_expand``. Corrupt containers raise ValueError."""
     probed = _riff_fmt_and_data(payload)
+    if probed is not None and probed[0][0] == 0x55:
+        # MP3-in-WAV: triage-only (decode_wav reports the header
+        # stats); the sample layer needs a codec library, the same
+        # honesty contract as the bare MPEG stream and mp4a arms
+        raise NotImplementedError("MP3-in-WAV sample decode needs a codec library")
     if probed is not None and probed[0][0] in (0x11, 2):
         dec = _ima_adpcm_samples if probed[0][0] == 0x11 else _ms_adpcm_samples
         s, rate, n_ch = dec(payload, probed)
@@ -766,7 +771,21 @@ def decode_wav(payload: bytes) -> dict:
     """Decode RIFF PCM audio with the stdlib ``wave`` module: stream
     properties + amplitude stats. No external codec required. Corrupt
     containers surface as ValueError (the module-wide quarantine
-    contract) rather than leaking ``wave.Error``/``EOFError``."""
+    contract) rather than leaking ``wave.Error``/``EOFError``.
+    MP3-in-WAV (format tag 0x55 — the broadcast-era wrapper) gets the
+    same metadata-before-decode triage as a bare MPEG stream (r11):
+    header-walk stats off the data chunk, no rms/peak, while the
+    sample layer quarantines like every MPEG arm."""
+    probed = _riff_fmt_and_data(payload)
+    if probed is not None and probed[0][0] == 0x55:
+        info = _mp3_stream_info(probed[1])
+        return {
+            k: info[k]
+            for k in (
+                "kind", "codec", "n_channels", "sample_rate", "n_frames",
+                "duration_s",
+            )
+        }
     samples, n_ch, rate, n_frames = _wav_samples_f64(payload)
     rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
     peak = float(np.max(np.abs(samples))) if samples.size else 0.0
@@ -1376,7 +1395,7 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
             s = s.astype(np.int16)
         return s
     probed = _riff_fmt_and_data(payload)
-    if probed is not None and probed[0][0] in (3, 6, 7, 0x11, 2):
+    if probed is not None and probed[0][0] in (3, 6, 7, 0x11, 2, 0x55):
         # G.711, IMA/MS ADPCM, and IEEE-float WAVs all expand to the
         # exact int16 grid — the fingerprint contract — so the stats
         # and fingerprint families share one support matrix (r9

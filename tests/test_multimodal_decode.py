@@ -5129,3 +5129,37 @@ def test_avi_audio_stream_decodes_via_wav_delegation(spark):
         )
     ).collect()
     assert len(hashes) == 3 and len({r.ehash for r in hashes}) == 1
+
+
+def test_mp3_in_wav_triage():
+    """MP3-in-WAV (format tag 0x55, the broadcast-era wrapper):
+    decode_wav triages the data chunk with the same header walk as a
+    bare MPEG stream — exact frame/sample counts, no rms — while the
+    sampler and fingerprint quarantine as NotImplementedError (the
+    MPEG honesty contract, one support matrix across the arms)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp3_stream_info,
+        _mp3_stream_payload,
+        _pcm16_samples,
+        _riff_wrap,
+        _wav_samples_f64,
+        decode_media,
+        decode_wav,
+    )
+
+    mp3 = _mp3_stream_payload(n_frames=4)
+    fmt = struct.pack("<HHIIHH", 0x55, 2, 44100, 16000, 1, 0)
+    p = _riff_wrap(fmt, mp3)
+    d = decode_wav(p)
+    info = _mp3_stream_info(mp3)
+    assert d["kind"] == "audio" and d["codec"] == info["codec"]
+    assert d["n_frames"] == info["n_frames"] == 4 * 1152
+    assert d["sample_rate"] == info["sample_rate"]
+    assert "rms" not in d  # triage-only: no fake amplitude stats
+    assert decode_media(p, "audio/wav")["n_frames"] == 4 * 1152
+    for quarantined in (_pcm16_samples, lambda b: _wav_samples_f64(b)[0]):
+        with pytest.raises(NotImplementedError, match="MP3-in-WAV"):
+            quarantined(p)
+    # garbage data chunk quarantines through the MP3 walk's ValueError
+    with pytest.raises(ValueError):
+        decode_wav(_riff_wrap(fmt, b"not mpeg data at all"))

@@ -368,6 +368,10 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ),
         ("wav", mm._wav_payload(raw8)),
         ("wav", _encode_ima_variant(rng)),
+        ("wav", mm._riff_wrap(
+            __import__("struct").pack("<HHIIHH", 0x55, 2, 44100, 16000, 1, 0),
+            _mp3_seed(rng),
+        )),
         ("wavf", mm._float_wav_payload(raw8, double=rng.random() < 0.5)),
         ("wav32", mm._pcm32_wav_payload(raw8)),
         ("aiff", mm._aiff_payload(raw8)),
