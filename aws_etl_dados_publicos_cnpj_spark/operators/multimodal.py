@@ -1096,6 +1096,128 @@ def decode_aiff(payload: bytes) -> dict:
     }
 
 
+# Sun/NeXT .au encodings this walk decodes: field 3 of the header →
+# (bytes per sample, kind). The G.711 and float/PCM expansion rules
+# are the WAV/AIFF ones, so all three legacy-audio containers share
+# one support matrix.
+_AU_ENCODINGS = {
+    1: (1, "ulaw"),
+    2: (1, "i8"),
+    3: (2, "i16"),
+    4: (3, "i24"),
+    5: (4, "i32"),
+    6: (4, "f32"),
+    7: (8, "f64"),
+    27: (1, "alaw"),
+}
+# published-but-unimplemented compressed encodings (G.721/G.722/G.723
+# ADPCM variants): honest NotImplementedError, like the MPEG arms
+_AU_COMPRESSED = {23, 24, 25, 26}
+
+
+def _au_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """(samples, rate, n_channels) of a Sun/NeXT .au file (r11 — the
+    telephony-corpus staple alongside WAV G.711): ``.snd`` magic,
+    big-endian header (data offset/size, encoding, rate, channels).
+    µ/A-law expand through the shared G.711 tables; 8-bit is SIGNED
+    (int16 grid verbatim, the AIFF rule); 16-bit big-endian is the
+    int16 grid; 24/32-bit return native int32; floats expand via
+    round(clip(v)·32767). A declared size past the payload clamps
+    (external truncation, the RIFF rule)."""
+    if payload[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    try:
+        off, dsz, enc, rate, n_ch = struct.unpack_from(">5I", payload, 4)
+    except struct.error as exc:
+        raise ValueError(f"corrupt AU header ({exc})") from exc
+    if off < 24 or off > len(payload):
+        raise ValueError("AU data offset out of bounds")
+    if n_ch not in (1, 2):
+        raise ValueError(f"invalid AU channel count {n_ch}")
+    if enc in _AU_COMPRESSED:
+        raise NotImplementedError(
+            f"AU ADPCM encoding {enc} needs a codec library"
+        )
+    if enc not in _AU_ENCODINGS:
+        raise ValueError(f"unsupported AU encoding {enc}")
+    width, kind = _AU_ENCODINGS[enc]
+    end = len(payload) if dsz == 0xFFFFFFFF else min(len(payload), off + dsz)
+    data = payload[off:end]
+    frames = len(data) // (width * n_ch)
+    data = data[: frames * width * n_ch]
+    if kind in ("ulaw", "alaw"):
+        table = _G711_ULAW if kind == "ulaw" else _G711_ALAW
+        s = table[np.frombuffer(data, dtype=np.uint8)].astype(np.int16)
+    elif kind == "i8":
+        s = np.frombuffer(data, dtype=np.int8).astype(np.int16)
+    elif kind == "i16":
+        s = np.frombuffer(data, dtype=">i2").astype(np.int16)
+    elif kind == "i24":
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        s = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.int32)
+    elif kind == "i32":
+        s = np.frombuffer(data, dtype=">i4").astype(np.int32)
+    else:
+        v = np.frombuffer(data, dtype=">f4" if kind == "f32" else ">f8").astype(
+            np.float64
+        )
+        if v.size and not np.isfinite(v).all():
+            raise ValueError("AU float samples non-finite")
+        s = np.rint(np.clip(v, -1.0, 1.0) * 32767.0).astype(np.int16)
+    return s, rate, n_ch
+
+
+def decode_au(payload: bytes) -> dict:
+    """AU twin of ``decode_wav`` — same stats dict off the real
+    big-endian header parse."""
+    samples, rate, n_ch = _au_samples(payload)
+    s = samples.astype(np.float64)
+    n_frames = len(samples) // n_ch if n_ch else 0
+    return {
+        "kind": "audio",
+        "n_channels": n_ch,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_s": n_frames / rate if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(s**2))) if s.size else 0.0,
+        "peak": float(np.max(np.abs(s))) if s.size else 0.0,
+    }
+
+
+def _au_payload(
+    raw: bytes, rate: int = 8000, encoding: int = 3, stereo: bool = False
+) -> bytes:
+    """Fixture/fuzz builder: the byte→sample contract inside an AU
+    container. Encoding 3 (16-bit big-endian) carries k directly on
+    the int16 grid; 6/7 carry k/32767 (the float trick); 4/5 carry k
+    natively; 2 carries k only for k ≤ 127 (8-bit signed). ``stereo``
+    de-interleaves even/odd bytes as L/R, the FLAC-arm rule."""
+    samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+    n_ch = 2 if stereo and len(samples) and len(samples) % 2 == 0 else 1
+    if encoding == 3:
+        body = samples.astype(">i2").tobytes()
+    elif encoding == 4:
+        v = samples.astype(np.int64)
+        body = (
+            np.stack([(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF], axis=1)
+            .astype(np.uint8)
+            .tobytes()
+        )
+    elif encoding == 5:
+        body = samples.astype(">i4").tobytes()
+    elif encoding in (6, 7):
+        f = samples.astype(np.float64) / 32767.0
+        body = f.astype(">f4" if encoding == 6 else ">f8").tobytes()
+    elif encoding == 2:
+        if samples.size and samples.max() > 127:
+            raise ValueError("8-bit AU fixtures need bytes <= 127")
+        body = samples.astype(np.int8).tobytes()
+    else:
+        raise ValueError(f"unsupported AU fixture encoding {encoding}")
+    return struct.pack(">4s5I", b".snd", 24, len(body), encoding, rate, n_ch) + body
+
+
 # --- MP3: frame-header metadata triage (r10) --------------------------
 #
 # The one common audio shape with no RIFF/IFF/ISO-BMFF framing: an
@@ -1380,6 +1502,15 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         # audio-in-AVI (r11): rebuild the stream as RIFF/WAVE and
         # recurse — every WAV arm and grid rule applies verbatim
         return _pcm16_samples(_avi_audio_as_wav(payload))
+    if payload[:4] == b".snd":
+        # Sun/NeXT AU (r11): 24/32-bit fingerprint only when
+        # grid-sitting, the MP4 wide-int rule
+        s = _au_samples(payload)[0]
+        if s.dtype != np.int16:
+            if s.size and (s.max() > 32767 or s.min() < -32768):
+                raise ValueError("wide AU samples exceed the int16 grid")
+            s = s.astype(np.int16)
+        return s
     if payload[4:8] == b"ftyp":
         # PCM-in-MP4 fingerprints for real; mp4a/AAC raises
         # NotImplementedError and quarantines — the stats and
@@ -5735,6 +5866,8 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_wav(payload)
     if mime in ("audio/aiff", "audio/x-aiff"):
         return decode_aiff(payload)
+    if mime in ("audio/basic", "audio/x-au", "audio/au"):
+        return decode_au(payload)
     if mime in ("audio/flac", "audio/x-flac"):
         return decode_flac(payload)
     if mime in ("audio/mpeg", "audio/mp3", "audio/x-mp3"):
@@ -6302,7 +6435,8 @@ def synthesize_mixed_audio_from_text(
     % 48 == 45 carrying k/32767, stereo),
     driver-gating the ISO-BMFF sample-table audio decode under the
     same oracle; classic 16-bit PCM rides inside an audio-only AVI at
-    % 48 == 24 (r11, the WAV-delegation arm). The
+    % 48 == 24 (r11, the WAV-delegation arm) and inside a Sun/NeXT
+    .au at % 96 == 48 (r11, encoding 3 big-endian). The
     remaining WAV docs (doc_id % 6 == 0) sub-rotate across the RIFF
     sample layouts (r10): IEEE-float WAVs at % 12 == 6 (float32, or
     float64 at % 24 == 18) carrying k/32767 so the tag-3 expansion
@@ -6377,6 +6511,11 @@ def synthesize_mixed_audio_from_text(
                     # driver scale
                     payloads.append(_avi_audio_container(_wav_payload(raw, rate)))
                     mimes.append("video/x-msvideo")
+                elif int(doc_id) % 96 == 48:
+                    # r11: the same 16-bit contract as a Sun/NeXT .au
+                    # (encoding 3, big-endian) — third legacy container
+                    payloads.append(_au_payload(raw, rate))
+                    mimes.append("audio/basic")
                 else:
                     payloads.append(_wav_payload(raw, rate))
                     mimes.append("audio/wav")

@@ -5111,7 +5111,8 @@ def test_avi_audio_stream_decodes_via_wav_delegation(spark):
         except Exception as exc:  # noqa: BLE001
             raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
     # fixture rotation: % 48 == 24 ships the AVI wrap, same ehash
-    ids = (0, 24, 48)
+    # (48 is the AU slot, 96 wraps back to plain WAV)
+    ids = (0, 24, 96)
     docs = spark.createDataFrame(
         [(i, "identical text for every row") for i in ids],
         "doc_id long, text string",
@@ -5119,7 +5120,7 @@ def test_avi_audio_stream_decodes_via_wav_delegation(spark):
     rows = {r.doc_id: r for r in synthesize_mixed_audio_from_text(docs).collect()}
     assert rows[24].mime == "video/x-msvideo"
     assert bytes(rows[24].payload)[8:12] == b"AVI "
-    assert rows[0].mime == "audio/wav" and rows[48].mime == "audio/wav"
+    assert rows[0].mime == "audio/wav" and rows[96].mime == "audio/wav"
     hashes = audio_energy_hash(
         synthesize_mixed_audio_from_text(
             spark.createDataFrame(
@@ -5163,3 +5164,97 @@ def test_mp3_in_wav_triage():
     # garbage data chunk quarantines through the MP3 walk's ValueError
     with pytest.raises(ValueError):
         decode_wav(_riff_wrap(fmt, b"not mpeg data at all"))
+
+
+def test_au_decode_matrix_and_fixture_rotation(spark):
+    """Sun/NeXT .au (r11 — the third legacy audio container): µ/A-law
+    through the shared G.711 tables, signed 8-bit verbatim, 16-bit BE
+    on the int16 grid, 24/32-bit native int32 with the fingerprint
+    grid-check, floats via round(clip·32767); compressed encodings
+    (G.721-family ADPCM) quarantine as NotImplementedError; a
+    declared size past the payload clamps like a truncated RIFF. The
+    mixed-audio fixture rides the 16-bit contract at doc_id % 96 ==
+    48 under the unchanged ehash oracle."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _G711_ALAW,
+        _G711_ULAW,
+        _au_payload,
+        _au_samples,
+        _pcm16_samples,
+        audio_energy_hash,
+        decode_au,
+        decode_media,
+        synthesize_mixed_audio_from_text,
+    )
+
+    raw = bytes(range(200))
+    want = np.frombuffer(raw, np.uint8).astype(np.int16)
+    for enc in (3, 4, 5, 6, 7):
+        p = _au_payload(raw, encoding=enc, stereo=True)
+        s, rate, nch = _au_samples(p)
+        assert nch == 2 and np.array_equal(s, want), enc
+        assert s.dtype == (np.int32 if enc in (4, 5) else np.int16)
+        assert np.array_equal(_pcm16_samples(p), want)
+        d = decode_au(p)
+        assert d["n_frames"] == 100 and d["sample_rate"] == 8000
+    # 8-bit signed carries small bytes verbatim
+    small = bytes(range(100))
+    p8 = _au_payload(small, encoding=2)
+    assert np.array_equal(
+        _au_samples(p8)[0], np.frombuffer(small, np.uint8).astype(np.int16)
+    )
+    # G.711 byte orientation survives the AU wrap
+    hdr = struct.pack(">4s5I", b".snd", 24, 2, 1, 8000, 1)
+    assert np.array_equal(_au_samples(hdr + b"\xff\x7f")[0], _G711_ULAW[[255, 127]])
+    hdr = struct.pack(">4s5I", b".snd", 24, 2, 27, 8000, 1)
+    assert np.array_equal(_au_samples(hdr + b"\x55\xd5")[0], _G711_ALAW[[0x55, 0xD5]])
+    # unknown-size sentinel (0xFFFFFFFF) reads to end-of-file
+    sent = bytearray(_au_payload(raw))
+    struct.pack_into(">I", sent, 8, 0xFFFFFFFF)
+    assert np.array_equal(_au_samples(bytes(sent))[0], want)
+    # declared size past the payload clamps to whole frames
+    over = bytearray(_au_payload(raw))
+    struct.pack_into(">I", over, 8, 10_000)
+    assert np.array_equal(_au_samples(bytes(over))[0], want)
+    # full-scale 32-bit exceeds the grid: stats native, fingerprint
+    # quarantines (the MP4 wide-int rule)
+    big = struct.pack(">4s5I", b".snd", 24, 4, 5, 8000, 1) + struct.pack(">i", 1 << 22)
+    assert _au_samples(big)[0][0] == 1 << 22
+    with pytest.raises(ValueError, match="int16 grid"):
+        _pcm16_samples(big)
+    # compressed encodings quarantine honestly; unknown ones refuse
+    adpcm = struct.pack(">4s5I", b".snd", 24, 4, 23, 8000, 1) + bytes(4)
+    with pytest.raises(NotImplementedError, match="codec library"):
+        _au_samples(adpcm)
+    weird = struct.pack(">4s5I", b".snd", 24, 4, 99, 8000, 1) + bytes(4)
+    with pytest.raises(ValueError, match="unsupported AU encoding"):
+        _au_samples(weird)
+    with pytest.raises(ValueError, match="offset out of bounds"):
+        _au_samples(struct.pack(">4s5I", b".snd", 4096, 0, 3, 8000, 1))
+    for cut in (10, 20):
+        try:
+            _au_samples(_au_payload(raw)[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+    assert decode_media(_au_payload(raw), "audio/basic")["kind"] == "audio"
+    # fixture: % 96 == 48 ships AU, same ehash as the WAV siblings
+    ids = (0, 24, 48, 96)
+    docs = spark.createDataFrame(
+        [(i, "identical text for every row") for i in ids],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in synthesize_mixed_audio_from_text(docs).collect()}
+    assert rows[48].mime == "audio/basic"
+    assert bytes(rows[48].payload)[:4] == b".snd"
+    assert rows[96].mime == "audio/wav"
+    hashes = audio_energy_hash(
+        synthesize_mixed_audio_from_text(
+            spark.createDataFrame(
+                [(i, "identical text for every row") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    assert len(hashes) == 4 and len({r.ehash for r in hashes}) == 1

@@ -382,6 +382,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("avi", mm._avi_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
         ("avia", mm._avi_audio_container(mm._wav_payload(raw8), n_chunks=rng.randrange(1, 5))),
         ("avia", mm._avi_audio_container(_encode_ima_variant(rng), n_chunks=2)),
+        ("au", mm._au_payload(raw8, encoding=rng.choice((3, 4, 5, 6, 7)), stereo=rng.random() < 0.5)),
         ("mp4", mm._mp4_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
         (
             "m4a",
@@ -522,6 +523,7 @@ _DECODERS = {
     "mp3": [mm.decode_mp3, mm._pcm16_samples],
     "avi": [mm._avi_mjpeg_frames, mm.decode_avi_mjpeg, mm.decode_avi, mm._avi_video_header, mm._avi_audio_as_wav],
     "avia": [mm.decode_avi, mm._avi_audio_as_wav, mm._pcm16_samples, mm.decode_avi_audio],
+    "au": [mm.decode_au, mm._au_samples, mm._pcm16_samples],
     "mp4": [mm._mp4_video_stats, mm._mp4_mjpeg_frames, mm.decode_mp4_mjpeg],
     "m4a": [mm._mp4_audio_track, mm._mp4_audio_stats, mm._mp4_pcm_samples, mm.decode_mp4_pcm],
     "gifanim": [mm._gif_frames, mm._gif_pixels, mm.decode_gif],
