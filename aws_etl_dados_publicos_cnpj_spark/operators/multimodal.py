@@ -2609,6 +2609,158 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+# --- netpbm (r11): P1–P6 — the classic interchange family -------------
+#
+# PBM/PGM/PPM, ASCII and binary variants, implemented from the public
+# netpbm format specs: whitespace/comment-tolerant header tokens,
+# maxval scaling with the engine's exact round (v·255 + maxval//2) //
+# maxval — the same bit-pinnable rule as the 16-bit PNG/TIFF paths —
+# and two-byte big-endian samples when maxval > 255.
+
+
+def _pnm_tokens(payload: bytes, start: int, n: int) -> tuple[list[int], int]:
+    """``n`` whitespace-separated ASCII integer tokens from ``start``,
+    honoring ``#``-to-end-of-line comments; returns (values, position
+    just past the final token's trailing whitespace byte)."""
+    vals: list[int] = []
+    i = start
+    cur = bytearray()
+    while len(vals) < n:
+        if i >= len(payload):
+            raise ValueError("PNM header truncated")
+        b = payload[i]
+        if b == 0x23:  # '#' comment runs to end of line
+            if cur:
+                vals.append(int(cur.decode("ascii")))
+                cur.clear()
+            while i < len(payload) and payload[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        if b in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+            if cur:
+                vals.append(int(cur.decode("ascii")))
+                cur.clear()
+            i += 1
+            continue
+        if not 0x30 <= b <= 0x39:
+            raise ValueError(f"PNM header: unexpected byte {b:#x}")
+        cur.append(b)
+        i += 1
+    return vals, i
+
+
+def _pnm_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) RGB pixels of a netpbm image: P1/P4 bitmap (1 =
+    black), P2/P5 grayscale, P3/P6 RGB; ASCII variants read
+    whitespace-separated sample tokens, binary variants raw bytes (or
+    big-endian byte pairs at maxval > 255); P4 rows pad to whole
+    bytes. Malformed headers/short data raise ValueError (the module
+    quarantine contract)."""
+    if len(payload) < 2 or payload[0:1] != b"P" or payload[1] not in range(0x31, 0x37):
+        raise ValueError("not a netpbm payload")
+    kind = payload[1] - 0x30
+    bitmap = kind in (1, 4)
+    chans = 3 if kind in (3, 6) else 1
+    (w, h), pos = _pnm_tokens(payload, 2, 2)
+    maxval = 1
+    if not bitmap:
+        (maxval,), pos = _pnm_tokens(payload, pos, 1)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PNM dimensions ({w}x{h})")
+    if w * h > _IMG_MAX_PIXELS:
+        raise ValueError(f"PNM {w}x{h} exceeds the decode cap")
+    if not 1 <= maxval <= 65535:
+        raise ValueError(f"invalid PNM maxval {maxval}")
+    n = w * h * chans
+    if kind <= 3:  # ASCII variants
+        if kind == 1:
+            # P1 allows unseparated digits ('0110'); read raw 0/1 runs
+            bits = [b - 0x30 for b in payload[pos:] if b in (0x30, 0x31)]
+            if len(bits) < n:
+                raise ValueError("PNM data shorter than its dimensions")
+            samples = np.asarray(bits[:n], dtype=np.int64)
+        else:
+            vals, _ = _pnm_tokens(payload, pos, n)
+            samples = np.asarray(vals, dtype=np.int64)
+    elif kind == 4:
+        stride = (w + 7) // 8
+        need = stride * h
+        raw = payload[pos : pos + need]
+        if len(raw) < need:
+            raise ValueError("PNM data shorter than its dimensions")
+        rows = np.unpackbits(
+            np.frombuffer(raw, dtype=np.uint8).reshape(h, stride), axis=1
+        )[:, :w]
+        samples = rows.astype(np.int64).reshape(-1)
+    else:
+        width = 2 if maxval > 255 else 1
+        need = n * width
+        raw = payload[pos : pos + need]
+        if len(raw) < need:
+            raise ValueError("PNM data shorter than its dimensions")
+        samples = (
+            np.frombuffer(raw, dtype=">u2").astype(np.int64)
+            if width == 2
+            else np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+        )
+    if samples.size and (samples.max() > maxval or samples.min() < 0):
+        raise ValueError(f"PNM sample exceeds maxval {maxval}")
+    if bitmap:
+        gray = (1 - samples) * 255  # 1 = black per the PBM spec
+        px = gray.reshape(h, w, 1)
+    else:
+        scaled = (samples * 255 + maxval // 2) // maxval
+        px = scaled.reshape(h, w, chans)
+    if chans == 1:
+        px = np.repeat(px, 3, axis=2)
+    return px.astype(np.uint8)
+
+
+def decode_pnm(payload: bytes) -> dict:
+    px = _pnm_pixels(payload)
+    mean_rgb = px.reshape(-1, 3).mean(axis=0) if px.size else np.zeros(3)
+    return {
+        "kind": "image",
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "mean_r": float(mean_rgb[0]),
+        "mean_g": float(mean_rgb[1]),
+        "mean_b": float(mean_rgb[2]),
+    }
+
+
+def encode_pnm(px: np.ndarray, kind: int = 6, maxval: int = 255) -> bytes:
+    """netpbm encoder twin: (h,w) grayscale → P2/P5, (h,w,3) RGB →
+    P3/P6 (``kind`` picks ASCII 2/3 or binary 5/6); ``maxval`` 65535
+    emits big-endian byte pairs with samples v·257 so the decoder's
+    exact-round scaling returns v — the 16-bit PNG/TIFF trick.
+    Lossless for uint8 input at either maxval."""
+    px = np.asarray(px)
+    gray = px.ndim == 2
+    if not gray and not (px.ndim == 3 and px.shape[2] == 3):
+        raise ValueError(
+            f"encode_pnm takes (h,w) grayscale or (h,w,3) RGB, got {px.shape}"
+        )
+    if px.size == 0:
+        raise ValueError("encode_pnm: empty image")
+    _check_pixels(px, "encode_pnm", 255)
+    if kind not in (2, 3, 5, 6) or (gray != (kind in (2, 5))):
+        raise ValueError(f"PNM kind {kind} contradicts the input shape")
+    if maxval not in (255, 65535):
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    vals = px.astype(np.int64).reshape(-1)
+    if maxval == 65535:
+        vals = vals * 257
+    head = b"P%d\n%d %d\n%d\n" % (kind, px.shape[1], px.shape[0], maxval)
+    if kind in (2, 3):
+        body = b" ".join(b"%d" % v for v in vals) + b"\n"
+    elif maxval == 65535:
+        body = vals.astype(">u2").tobytes()
+    else:
+        body = vals.astype(np.uint8).tobytes()
+    return head + body
+
+
 # --- TIFF: baseline 6.0 (r9) — IFD walk + LZW/PackBits strips ---------
 #
 # The fourth image container family (BMP, PNG, JPEG, GIF, now TIFF —
@@ -5309,6 +5461,8 @@ def _image_pixels(payload: bytes) -> np.ndarray:
         return _jpeg_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _gif_pixels(payload)
+    if len(payload) >= 2 and payload[0:1] == b"P" and payload[1] in range(0x31, 0x37):
+        return _pnm_pixels(payload)
     raise ValueError("unsupported image container (expected BMP, PNG, JPEG, or GIF)")
 
 
@@ -5890,6 +6044,13 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return _mp4_audio_stats(payload, trk)
     if mime in ("image/bmp", "image/x-bmp"):
         return decode_bmp(payload)
+    if mime in (
+        "image/x-portable-pixmap",
+        "image/x-portable-graymap",
+        "image/x-portable-bitmap",
+        "image/x-portable-anymap",
+    ):
+        return decode_pnm(payload)
     if mime == "image/png":
         return decode_png(payload)
     if mime == "image/gif":
@@ -6596,7 +6757,10 @@ def synthesize_mixed_image_from_text(
     LZW docs — doc_id % 12 == 8 — ship PlanarConfiguration 2 (r10,
     plane-major strip tables); and half the Deflate docs — doc_id %
     12 == 11 — ship TWO pages (r11, page 1 inverted; decode reads
-    page 0, driver-gating the IFD chain walk)) carrying
+    page 0, driver-gating the IFD chain walk); the BMP docs
+    sub-rotate netpbm (r11): % 12 == 9 ships binary PPM (P6) and
+    % 24 == 18 ships 16-bit P6 (maxval 65535, v·257 samples — the
+    exact-round 16→8 path)) carrying
     the SAME decoded-RGB pixels — pixel k =
     (raw[(3k+2)%n], raw[(3k+1)%n], raw[(3k)%n]) — so all three decode
     paths run under one unchanged text-byte oracle. 8×8 fixtures have
@@ -6637,6 +6801,18 @@ def synthesize_mixed_image_from_text(
                             )
                         )
                     mimes.append("image/tiff")
+                elif int(doc_id) % 12 == 9:
+                    # r11: the same decoded-RGB contract as a binary
+                    # PPM (P6) — netpbm joins the container rotation
+                    rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
+                    payloads.append(encode_pnm(rgb))
+                    mimes.append("image/x-portable-pixmap")
+                elif int(doc_id) % 24 == 18:
+                    # r11: 16-bit P6 (maxval 65535, v·257 samples) —
+                    # the exact-round 16→8 path at driver scale
+                    rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
+                    payloads.append(encode_pnm(rgb, maxval=65535))
+                    mimes.append("image/x-portable-pixmap")
                 else:
                     payloads.append(_bmp_payload(raw, width, height))
                     mimes.append("image/bmp")

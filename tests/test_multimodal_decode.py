@@ -5258,3 +5258,80 @@ def test_au_decode_matrix_and_fixture_rotation(spark):
         )
     ).collect()
     assert len(hashes) == 4 and len({r.ehash for r in hashes}) == 1
+
+
+def test_pnm_decode_matrix_and_fixture_rotation(spark):
+    """netpbm (r11): P1/P4 bitmaps (1 = black), P2/P5 grayscale,
+    P3/P6 RGB, ASCII + binary, comment-tolerant headers, and 16-bit
+    (maxval > 255) big-endian samples through the engine's exact
+    v·255/maxval round. The mixed-image fixture rotates the BMP slot
+    through P6 at doc_id % 12 == 9 and 16-bit P6 at % 24 == 18 under
+    the unchanged text-byte ahash oracle."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _image_pixels,
+        _pnm_pixels,
+        decode_media,
+        decode_pnm,
+        encode_pnm,
+        image_ahash,
+        synthesize_mixed_image_from_text,
+    )
+
+    rgb = (np.arange(8 * 8 * 3, dtype=np.uint8) % 251).reshape(8, 8, 3)
+    gray = rgb[:, :, 0]
+    for kind, px in ((6, rgb), (3, rgb), (5, gray), (2, gray)):
+        for mv in (255, 65535):
+            p = encode_pnm(px, kind=kind, maxval=mv)
+            want = px if px.ndim == 3 else np.repeat(px[:, :, None], 3, axis=2)
+            assert np.array_equal(_pnm_pixels(p), want), (kind, mv)
+            assert np.array_equal(_image_pixels(p), want)
+    d = decode_pnm(encode_pnm(rgb))
+    assert (d["kind"], d["width"], d["height"]) == ("image", 8, 8)
+    assert decode_media(encode_pnm(rgb), "image/x-portable-pixmap")["kind"] == "image"
+    # P1 with unseparated digits and comments; P4 row byte-padding
+    p1 = b"P1\n# c\n8 2\n" + b"01" * 8 + b"\n" + b"10" * 8
+    px1 = _pnm_pixels(p1)
+    assert px1.shape == (2, 8, 3)
+    assert px1[0, 0, 0] == 255 and px1[0, 1, 0] == 0  # 0=white, 1=black
+    bits = np.zeros((2, 8), np.uint8)
+    bits[0, ::2] = 1
+    px4 = _pnm_pixels(b"P4\n8 2\n" + np.packbits(bits, axis=1).tobytes())
+    assert px4[0, 0, 0] == 0 and px4[0, 1, 0] == 255 and px4[1, 0, 0] == 255
+    # hostile: short data, zero maxval, sample > maxval, bad dims
+    for bad in (
+        b"P6\n8 8\n255\n" + bytes(10),
+        b"P6\n8 8\n0\n",
+        b"P5\n2 2\n10\n\x0b\x0b\x0b\x0b",
+        b"P3\n1 1\n5\n9\n",
+        b"P6\n0 8\n255\n",
+        b"P6\n99999 99999\n255\n",
+    ):
+        with pytest.raises(ValueError):
+            _pnm_pixels(bad)
+    for cut in (3, 8, 14):
+        try:
+            _pnm_pixels(encode_pnm(rgb)[:cut])
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+    # fixture: 9 ships P6, 18 ships 16-bit P6, 0/6 stay BMP — one ahash
+    ids = (0, 6, 9, 18)
+    docs = spark.createDataFrame(
+        [(i, "same text for every row") for i in ids],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in synthesize_mixed_image_from_text(docs).collect()}
+    assert rows[9].mime == "image/x-portable-pixmap"
+    assert bytes(rows[9].payload)[:2] == b"P6"
+    assert b"65535" in bytes(rows[18].payload)[:20]
+    assert rows[0].mime == "image/bmp" and rows[6].mime == "image/bmp"
+    hashes = image_ahash(
+        synthesize_mixed_image_from_text(
+            spark.createDataFrame(
+                [(i, "same text for every row") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    assert len(hashes) == 4 and len({r.ahash for r in hashes}) == 1
