@@ -2761,6 +2761,203 @@ def encode_pnm(px: np.ndarray, kind: int = 6, maxval: int = 255) -> bytes:
     return head + body
 
 
+# --- TGA (r11): Truevision TARGA — the game/graphics-corpus staple ----
+#
+# Implemented from the public TGA 2.0 spec: gray/truecolor/
+# color-mapped, raw and RLE, 8/15/16/24/32-bit depths, both vertical
+# origins. TGA has NO leading magic; the magic-sniffed entry
+# (_image_pixels) accepts only files ending in the spec's v2 footer
+# signature, while the mime-routed entry decodes v1 files too.
+
+_TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
+
+
+def _tga_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) RGB pixels of a TARGA image. Color-mapped entries and
+    truecolor pixels follow the spec's little-endian BGR(A) layouts;
+    15/16-bit 5:5:5 channels scale by the exact (v·255 + 15)//31
+    round; RLE packets are bounded by the pixel count; the alpha
+    channel, when present, is parsed and dropped (the PNG rule)."""
+    if len(payload) < 18:
+        raise ValueError("TGA header truncated")
+    (
+        idlen, cmap_type, itype, cm_first, cm_len, cm_bits,
+        _xo, _yo, w, h, depth, desc,
+    ) = struct.unpack_from("<BBBHHBHHHHBB", payload, 0)
+    if itype not in (1, 2, 3, 9, 10, 11):
+        raise ValueError(f"unsupported TGA image type {itype}")
+    if cmap_type not in (0, 1):
+        raise ValueError(f"invalid TGA color map type {cmap_type}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid TGA dimensions ({w}x{h})")
+    if w * h > _IMG_MAX_PIXELS:
+        raise ValueError(f"TGA {w}x{h} exceeds the decode cap")
+    mapped = itype in (1, 9)
+    gray = itype in (3, 11)
+    rle = itype >= 9
+    if mapped:
+        if cmap_type != 1 or cm_len == 0:
+            raise ValueError("color-mapped TGA missing its color map")
+        if depth != 8:
+            raise ValueError(f"unsupported TGA index depth {depth}")
+        if cm_bits not in (15, 16, 24, 32):
+            raise ValueError(f"unsupported TGA color map entry size {cm_bits}")
+    elif gray:
+        if depth != 8:
+            raise ValueError(f"unsupported TGA gray depth {depth}")
+    elif depth not in (15, 16, 24, 32):
+        raise ValueError(f"unsupported TGA depth {depth}")
+    pos = 18 + idlen
+    cmap = None
+    if cmap_type == 1:
+        entry_bytes = (cm_bits + 7) // 8
+        need = cm_len * entry_bytes
+        if pos + need > len(payload):
+            raise ValueError("TGA color map truncated")
+        cmap = _tga_to_rgb(
+            np.frombuffer(payload, np.uint8, need, pos).reshape(cm_len, entry_bytes),
+            cm_bits,
+        )
+        pos += need
+    bpp = (depth + 7) // 8
+    n_px = w * h
+    if rle:
+        out = np.empty((n_px, bpp), dtype=np.uint8)
+        filled = 0
+        while filled < n_px:
+            if pos >= len(payload):
+                raise ValueError("TGA RLE stream truncated")
+            head = payload[pos]
+            pos += 1
+            count = (head & 0x7F) + 1
+            count = min(count, n_px - filled)
+            if head & 0x80:
+                if pos + bpp > len(payload):
+                    raise ValueError("TGA RLE stream truncated")
+                out[filled : filled + count] = np.frombuffer(
+                    payload, np.uint8, bpp, pos
+                )
+                pos += bpp
+            else:
+                need = count * bpp
+                if pos + need > len(payload):
+                    raise ValueError("TGA RLE stream truncated")
+                out[filled : filled + count] = np.frombuffer(
+                    payload, np.uint8, need, pos
+                ).reshape(count, bpp)
+                pos += need
+            filled += count
+        raw = out
+    else:
+        need = n_px * bpp
+        if pos + need > len(payload):
+            raise ValueError("TGA pixel data truncated")
+        raw = np.frombuffer(payload, np.uint8, need, pos).reshape(n_px, bpp)
+    if mapped:
+        # pixel values index from firstEntryIndex per the spec
+        idx = raw[:, 0].astype(np.int64) - cm_first
+        if idx.size and (idx.max() >= len(cmap) or idx.min() < 0):
+            raise ValueError("TGA index outside the color map")
+        rgb = cmap[idx]
+    elif gray:
+        rgb = np.repeat(raw[:, :1], 3, axis=1)
+    else:
+        rgb = _tga_to_rgb(raw, depth)
+    px = rgb.reshape(h, w, 3)
+    if not desc & 0x20:  # bottom-up origin (the format's default)
+        px = px[::-1]
+    if desc & 0x10:  # right-to-left
+        px = px[:, ::-1]
+    return np.ascontiguousarray(px)
+
+
+def _tga_to_rgb(raw: np.ndarray, bits: int) -> np.ndarray:
+    """(n, 3) RGB from (n, bytes) little-endian TGA pixel/entry rows:
+    BGR(A) at 24/32 bits, 5:5:5 at 15/16 (attribute bit dropped)."""
+    if bits in (24, 32):
+        return raw[:, [2, 1, 0]].copy()
+    v = raw[:, 0].astype(np.int64) | (raw[:, 1].astype(np.int64) << 8)
+    b = v & 0x1F
+    g = (v >> 5) & 0x1F
+    r = (v >> 10) & 0x1F
+    return (
+        (np.stack([r, g, b], axis=1) * 255 + 15) // 31
+    ).astype(np.uint8)
+
+
+def decode_tga(payload: bytes) -> dict:
+    px = _tga_pixels(payload)
+    mean_rgb = px.reshape(-1, 3).mean(axis=0) if px.size else np.zeros(3)
+    return {
+        "kind": "image",
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "mean_r": float(mean_rgb[0]),
+        "mean_g": float(mean_rgb[1]),
+        "mean_b": float(mean_rgb[2]),
+    }
+
+
+def encode_tga(px: np.ndarray, rle: bool = False) -> bytes:
+    """TGA encoder twin: (h,w) grayscale → type 3/11, (h,w,3) RGB →
+    type 2/10 (24-bit BGR), top-down origin, the spec's v2 footer
+    appended so the magic-sniffed entry recognizes the file.
+    Lossless; ``rle`` emits max-128 run/literal packets."""
+    px = np.asarray(px)
+    gray = px.ndim == 2
+    if not gray and not (px.ndim == 3 and px.shape[2] == 3):
+        raise ValueError(
+            f"encode_tga takes (h,w) grayscale or (h,w,3) RGB, got {px.shape}"
+        )
+    if px.size == 0:
+        raise ValueError("encode_tga: empty image")
+    _check_pixels(px, "encode_tga", 255)
+    h, w = px.shape[:2]
+    bpp = 1 if gray else 3
+    rows = (
+        px.astype(np.uint8).reshape(h, w, 1)
+        if gray
+        else px.astype(np.uint8)[:, :, ::-1]  # RGB → BGR
+    )
+    flat = rows.reshape(-1, bpp)
+    if rle:
+        body = bytearray()
+        i = 0
+        n = len(flat)
+        while i < n:
+            run = 1
+            while i + run < n and run < 128 and np.array_equal(flat[i + run], flat[i]):
+                run += 1
+            if run >= 2:
+                body.append(0x80 | (run - 1))
+                body += flat[i].tobytes()
+                i += run
+            else:
+                lit = 1
+                while (
+                    i + lit < n
+                    and lit < 128
+                    and not (
+                        i + lit + 1 < n
+                        and np.array_equal(flat[i + lit], flat[i + lit + 1])
+                    )
+                ):
+                    lit += 1
+                body.append(lit - 1)
+                body += flat[i : i + lit].tobytes()
+                i += lit
+        itype = 11 if gray else 10
+        data = bytes(body)
+    else:
+        itype = 3 if gray else 2
+        data = flat.tobytes()
+    head = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, itype, 0, 0, 0, 0, 0, w, h, bpp * 8, 0x20
+    )
+    footer = bytes(8) + _TGA_FOOTER
+    return head + data + footer
+
+
 # --- TIFF: baseline 6.0 (r9) — IFD walk + LZW/PackBits strips ---------
 #
 # The fourth image container family (BMP, PNG, JPEG, GIF, now TIFF —
@@ -5463,6 +5660,9 @@ def _image_pixels(payload: bytes) -> np.ndarray:
         return _gif_pixels(payload)
     if len(payload) >= 2 and payload[0:1] == b"P" and payload[1] in range(0x31, 0x37):
         return _pnm_pixels(payload)
+    if payload.endswith(_TGA_FOOTER):
+        # TGA has no leading magic; only the v2 footer is sniffable
+        return _tga_pixels(payload)
     raise ValueError("unsupported image container (expected BMP, PNG, JPEG, or GIF)")
 
 
@@ -6051,6 +6251,8 @@ def decode_media(payload: bytes, mime: str) -> dict:
         "image/x-portable-anymap",
     ):
         return decode_pnm(payload)
+    if mime in ("image/x-targa", "image/x-tga", "image/targa"):
+        return decode_tga(payload)
     if mime == "image/png":
         return decode_png(payload)
     if mime == "image/gif":
@@ -6774,8 +6976,18 @@ def synthesize_mixed_image_from_text(
                 kind = int(doc_id) % 3
                 if kind == 1:
                     rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
-                    payloads.append(encode_gif(rgb))
-                    mimes.append("image/gif")
+                    if int(doc_id) % 12 == 7:
+                        # r11: the GIF slot sub-rotates TGA — raw
+                        # truecolor here, RLE at % 24 == 22; same
+                        # decoded pixels, same oracle
+                        payloads.append(encode_tga(rgb))
+                        mimes.append("image/x-targa")
+                    elif int(doc_id) % 24 == 22:
+                        payloads.append(encode_tga(rgb, rle=True))
+                        mimes.append("image/x-targa")
+                    else:
+                        payloads.append(encode_gif(rgb))
+                        mimes.append("image/gif")
                 elif kind == 2:
                     rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
                     if int(doc_id) % 12 == 11:

@@ -5335,3 +5335,85 @@ def test_pnm_decode_matrix_and_fixture_rotation(spark):
         )
     ).collect()
     assert len(hashes) == 4 and len({r.ahash for r in hashes}) == 1
+
+
+def test_tga_decode_matrix_and_fixture_rotation(spark):
+    """Truevision TGA (r11 — the game/graphics-corpus staple):
+    gray/truecolor/color-mapped, raw + RLE packets, 15/16-bit 5:5:5
+    via the exact (v·255+15)//31 round, both vertical origins and the
+    right-to-left bit, firstEntryIndex-based map lookups. TGA has no
+    leading magic, so the sniffed entry accepts only v2-footer files;
+    the mixed-image fixture rotates the GIF slot through raw TGA at
+    doc_id % 12 == 7 and RLE at % 24 == 22 under the unchanged
+    oracle."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _image_pixels,
+        _tga_pixels,
+        decode_media,
+        decode_tga,
+        encode_tga,
+        image_ahash,
+        synthesize_mixed_image_from_text,
+    )
+
+    rgb = (np.arange(8 * 8 * 3, dtype=np.uint8) % 251).reshape(8, 8, 3)
+    gray = rgb[:, :, 1]
+    for rle in (False, True):
+        for px in (rgb, gray):
+            p = encode_tga(px, rle=rle)
+            want = px if px.ndim == 3 else np.repeat(px[:, :, None], 3, axis=2)
+            assert np.array_equal(_tga_pixels(p), want), (rle, px.ndim)
+            assert np.array_equal(_image_pixels(p), want)
+    # bottom-up default flips; right-to-left mirrors
+    pb = bytearray(encode_tga(rgb))
+    pb[17] = 0x00
+    assert np.array_equal(_tga_pixels(bytes(pb)), rgb[::-1])
+    pb[17] = 0x30
+    assert np.array_equal(_tga_pixels(bytes(pb)), rgb[:, ::-1])
+    # 16-bit 5:5:5 and color-mapped (firstEntryIndex honored)
+    v = (10 << 10) | (21 << 5) | 31
+    head16 = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, 2, 1, 16, 0x20)
+    px16 = _tga_pixels(head16 + struct.pack("<HH", v, 0))
+    assert list(px16[0, 0]) == [(10 * 255 + 15) // 31, (21 * 255 + 15) // 31, 255]
+    cmap = bytes([255, 0, 0, 0, 255, 0])  # BGR entries: blue, green
+    headm = struct.pack("<BBBHHBHHHHBB", 0, 1, 1, 4, 2, 24, 0, 0, 2, 1, 8, 0x20)
+    pxm = _tga_pixels(headm + cmap + bytes([4, 5]))  # indices offset by 4
+    assert list(pxm[0, 0]) == [0, 0, 255] and list(pxm[0, 1]) == [0, 255, 0]
+    with pytest.raises(ValueError, match="outside the color map"):
+        _tga_pixels(headm + cmap + bytes([3, 4]))
+    d = decode_media(encode_tga(rgb), "image/x-tga")
+    assert (d["kind"], d["width"], d["height"]) == ("image", 8, 8)
+    # no leading magic: a footer-less TGA is NOT magic-sniffable but
+    # still decodes via the mime route
+    v1 = encode_tga(rgb)[: -len(b"TRUEVISION-XFILE.\x00") - 8]
+    assert np.array_equal(_tga_pixels(v1), rgb)
+    with pytest.raises(ValueError, match="unsupported image container"):
+        _image_pixels(v1)
+    # hostile: truncations and header lies quarantine
+    good = encode_tga(rgb, rle=True)
+    for cut in (10, 25, len(good) // 2):
+        try:
+            _tga_pixels(good[:cut])
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+    # fixture: 7 raw TGA, 22 RLE TGA, 1/4 stay GIF — one shared ahash
+    ids = (1, 4, 7, 22)
+    docs = spark.createDataFrame(
+        [(i, "same text for every row") for i in ids],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in synthesize_mixed_image_from_text(docs).collect()}
+    assert rows[7].mime == "image/x-targa" and rows[22].mime == "image/x-targa"
+    assert bytes(rows[7].payload)[2] == 2 and bytes(rows[22].payload)[2] == 10
+    assert rows[1].mime == "image/gif" and rows[4].mime == "image/gif"
+    hashes = image_ahash(
+        synthesize_mixed_image_from_text(
+            spark.createDataFrame(
+                [(i, "same text for every row") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    assert len(hashes) == 4 and len({r.ahash for r in hashes}) == 1
