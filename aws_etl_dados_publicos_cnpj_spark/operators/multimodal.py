@@ -2761,7 +2761,166 @@ def encode_pnm(px: np.ndarray, kind: int = 6, maxval: int = 255) -> bytes:
     return head + body
 
 
-# --- TGA (r11): Truevision TARGA — the game/graphics-corpus staple ----
+# --- QOI (r11): the Quite OK Image format ------------------------------
+#
+# Implemented from the public-domain one-page spec (qoiformat.org):
+# RGBA running state, a 64-slot color index keyed (3r+5g+7b+11a)%64,
+# and five ops — RGB, RGBA, INDEX, DIFF (2-bit biased deltas), LUMA
+# (green-anchored deltas), RUN (1..62). Modern ML image corpora ship
+# it as the cheap lossless interchange; the decode is serial per
+# pixel but per-payload parallel inside mapInPandas like the other
+# recurrence codecs.
+
+_QOI_MAGIC = b"qoif"
+_QOI_END = bytes(7) + b"\x01"
+
+
+def _qoi_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) RGB pixels of a QOI image; alpha is tracked through
+    the full RGBA state machine (it keys the color index) and dropped
+    at the end, the PNG rule. Truncated streams, bad headers, and
+    pixel overruns raise ValueError."""
+    if payload[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI payload")
+    if len(payload) < 14:
+        raise ValueError("QOI header truncated")
+    w, h = struct.unpack_from(">II", payload, 4)
+    channels, colorspace = payload[12], payload[13]
+    if channels not in (3, 4) or colorspace not in (0, 1):
+        raise ValueError(
+            f"invalid QOI header (channels={channels}, colorspace={colorspace})"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid QOI dimensions ({w}x{h})")
+    if w * h > _IMG_MAX_PIXELS:
+        raise ValueError(f"QOI {w}x{h} exceeds the decode cap")
+    n = w * h
+    out = np.empty((n, 4), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    px = (0, 0, 0, 255)
+    pos = 14
+    i = 0
+    end = len(payload) - len(_QOI_END)
+    while i < n:
+        if pos >= end:
+            raise ValueError("QOI stream shorter than its pixel count")
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0xFE:  # QOI_OP_RGB
+            if pos + 3 > end:
+                raise ValueError("QOI stream truncated")
+            px = (payload[pos], payload[pos + 1], payload[pos + 2], px[3])
+            pos += 3
+        elif b0 == 0xFF:  # QOI_OP_RGBA
+            if pos + 4 > end:
+                raise ValueError("QOI stream truncated")
+            px = tuple(payload[pos : pos + 4])
+            pos += 4
+        else:
+            tag = b0 >> 6
+            if tag == 0:  # QOI_OP_INDEX
+                px = index[b0 & 0x3F]
+            elif tag == 1:  # QOI_OP_DIFF
+                px = (
+                    (px[0] + ((b0 >> 4) & 3) - 2) & 0xFF,
+                    (px[1] + ((b0 >> 2) & 3) - 2) & 0xFF,
+                    (px[2] + (b0 & 3) - 2) & 0xFF,
+                    px[3],
+                )
+            elif tag == 2:  # QOI_OP_LUMA
+                if pos >= end:
+                    raise ValueError("QOI stream truncated")
+                dg = (b0 & 0x3F) - 32
+                b1 = payload[pos]
+                pos += 1
+                px = (
+                    (px[0] + dg + ((b1 >> 4) & 0xF) - 8) & 0xFF,
+                    (px[1] + dg) & 0xFF,
+                    (px[2] + dg + (b1 & 0xF) - 8) & 0xFF,
+                    px[3],
+                )
+            else:  # QOI_OP_RUN
+                run = (b0 & 0x3F) + 1
+                if i + run > n:
+                    raise ValueError("QOI run overruns the pixel count")
+                out[i : i + run] = px
+                i += run
+                continue
+        index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+        out[i] = px
+        i += 1
+    return out[:, :3].reshape(h, w, 3)
+
+
+def decode_qoi(payload: bytes) -> dict:
+    px = _qoi_pixels(payload)
+    mean_rgb = px.reshape(-1, 3).mean(axis=0) if px.size else np.zeros(3)
+    return {
+        "kind": "image",
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "mean_r": float(mean_rgb[0]),
+        "mean_g": float(mean_rgb[1]),
+        "mean_b": float(mean_rgb[2]),
+    }
+
+
+def encode_qoi(px: np.ndarray) -> bytes:
+    """QOI encoder twin — the spec's reference strategy (run, then
+    index, then diff/luma, then RGB), RGB-only (channels=3). Lossless
+    by construction, fuzz/round-trip gated like every other twin."""
+    px = np.asarray(px)
+    if not (px.ndim == 3 and px.shape[2] == 3) or px.size == 0:
+        raise ValueError(f"encode_qoi takes a non-empty (h,w,3) image, got {px.shape}")
+    _check_pixels(px, "encode_qoi", 255)
+    h, w = px.shape[:2]
+    flat = px.astype(np.uint8).reshape(-1, 3)
+    out = bytearray(_QOI_MAGIC + struct.pack(">II", w, h) + bytes([3, 0]))
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for r, g, b in flat:
+        cur = (int(r), int(g), int(b), 255)
+        if cur == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        key = (cur[0] * 3 + cur[1] * 5 + cur[2] * 7 + cur[3] * 11) % 64
+        if index[key] == cur:
+            out.append(key)
+        else:
+            index[key] = cur
+            dr = (cur[0] - prev[0]) & 0xFF
+            dg = (cur[1] - prev[1]) & 0xFF
+            db = (cur[2] - prev[2]) & 0xFF
+            sdr = dr - 256 if dr > 127 else dr
+            sdg = dg - 256 if dg > 127 else dg
+            sdb = db - 256 if db > 127 else db
+            if -2 <= sdr <= 1 and -2 <= sdg <= 1 and -2 <= sdb <= 1:
+                out.append(0x40 | ((sdr + 2) << 4) | ((sdg + 2) << 2) | (sdb + 2))
+            elif (
+                -32 <= sdg <= 31
+                and -8 <= sdr - sdg <= 7
+                and -8 <= sdb - sdg <= 7
+            ):
+                out.append(0x80 | (sdg + 32))
+                out.append(((sdr - sdg + 8) << 4) | (sdb - sdg + 8))
+            else:
+                out += bytes([0xFE, cur[0], cur[1], cur[2]])
+        prev = cur
+    if run:
+        out.append(0xC0 | (run - 1))
+    # the first pixel may equal the implicit (0,0,0,255) start state:
+    # the run above covers it, but it must also land in the index the
+    # way the decoder's state machine does — handled because runs
+    # never touch the index on either side (spec rule)
+    out += _QOI_END
+    return bytes(out)
 #
 # Implemented from the public TGA 2.0 spec: gray/truecolor/
 # color-mapped, raw and RLE, 8/15/16/24/32-bit depths, both vertical
@@ -5660,6 +5819,8 @@ def _image_pixels(payload: bytes) -> np.ndarray:
         return _gif_pixels(payload)
     if len(payload) >= 2 and payload[0:1] == b"P" and payload[1] in range(0x31, 0x37):
         return _pnm_pixels(payload)
+    if payload[:4] == _QOI_MAGIC:
+        return _qoi_pixels(payload)
     if payload.endswith(_TGA_FOOTER):
         # TGA has no leading magic; only the v2 footer is sniffable
         return _tga_pixels(payload)
@@ -6253,6 +6414,8 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_pnm(payload)
     if mime in ("image/x-targa", "image/x-tga", "image/targa"):
         return decode_tga(payload)
+    if mime in ("image/qoi", "image/x-qoi"):
+        return decode_qoi(payload)
     if mime == "image/png":
         return decode_png(payload)
     if mime == "image/gif":
@@ -7019,6 +7182,12 @@ def synthesize_mixed_image_from_text(
                     rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
                     payloads.append(encode_pnm(rgb))
                     mimes.append("image/x-portable-pixmap")
+                elif int(doc_id) % 24 == 15:
+                    # r11: QOI through the real run/index/diff/luma
+                    # state machine — same pixels, same oracle
+                    rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
+                    payloads.append(encode_qoi(rgb))
+                    mimes.append("image/qoi")
                 elif int(doc_id) % 24 == 18:
                     # r11: 16-bit P6 (maxval 65535, v·257 samples) —
                     # the exact-round 16→8 path at driver scale

@@ -5417,3 +5417,81 @@ def test_tga_decode_matrix_and_fixture_rotation(spark):
         )
     ).collect()
     assert len(hashes) == 4 and len({r.ahash for r in hashes}) == 1
+
+
+def test_qoi_decode_round_trip_and_fixture_rotation(spark):
+    """QOI (r11, the public-domain spec): full RGBA state machine —
+    RGB/RGBA ops, the 64-slot (3r+5g+7b+11a)%64 index, 2-bit DIFF,
+    green-anchored LUMA, and 1..62 RUNs — with the encoder twin using
+    the spec's reference strategy. Lossless; the mixed-image fixture
+    rotates the BMP slot through QOI at doc_id % 24 == 15 under the
+    unchanged ahash oracle."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _image_pixels,
+        _qoi_pixels,
+        decode_media,
+        decode_qoi,
+        encode_qoi,
+        image_ahash,
+        synthesize_mixed_image_from_text,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in ((8, 8), (1, 1), (3, 300), (64, 5)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        p = encode_qoi(px)
+        assert np.array_equal(_qoi_pixels(p), px)
+        assert np.array_equal(_image_pixels(p), px)
+    # every op class in one image: >62-runs, diff, luma, rgb, index
+    px = np.zeros((2, 200, 3), np.uint8)
+    px[0, 100:] = (1, 1, 1)
+    px[1, :50] = (5, 40, 10)
+    px[1, 50] = (200, 10, 99)
+    px[1, 51] = (5, 40, 10)
+    p = encode_qoi(px)
+    assert np.array_equal(_qoi_pixels(p), px)
+    d = decode_qoi(p)
+    assert (d["kind"], d["width"], d["height"]) == ("image", 200, 2)
+    assert decode_media(p, "image/qoi")["kind"] == "image"
+    # an RGBA op keys the index with its alpha and drops it on output
+    rgba = (
+        b"qoif" + struct.pack(">II", 2, 1) + bytes([4, 0])
+        + bytes([0xFF, 9, 8, 7, 100])      # RGBA
+        + bytes([(9 * 3 + 8 * 5 + 7 * 7 + 100 * 11) % 64])  # INDEX hit
+        + bytes(7) + b"\x01"
+    )
+    got = _qoi_pixels(rgba)
+    assert np.array_equal(got[0, 0], [9, 8, 7]) and np.array_equal(
+        got[0, 1], [9, 8, 7]
+    )
+    # hostile: zero dims, bad channels, pixel bombs, truncation, run
+    # overruns all quarantine
+    for bad in (
+        b"qoif" + struct.pack(">II", 0, 5) + bytes([3, 0]) + bytes(8),
+        b"qoif" + struct.pack(">II", 8, 8) + bytes([5, 0]) + bytes(8),
+        b"qoif" + struct.pack(">II", 99999, 99999) + bytes([3, 0]) + bytes(8),
+        encode_qoi(np.ones((4, 4, 3), np.uint8))[:20],
+        b"qoif" + struct.pack(">II", 1, 1) + bytes([3, 0])
+        + bytes([0xC0 | 61]) + bytes(7) + b"\x01",
+    ):
+        with pytest.raises(ValueError):
+            _qoi_pixels(bad)
+    # fixture: 15 ships QOI, neighbors stay BMP — one shared ahash
+    ids = (0, 15, 12, 39)
+    docs = spark.createDataFrame(
+        [(i, "same text for every row") for i in ids],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in synthesize_mixed_image_from_text(docs).collect()}
+    assert rows[15].mime == "image/qoi" and rows[39].mime == "image/qoi"
+    assert bytes(rows[15].payload)[:4] == b"qoif"
+    assert rows[0].mime == "image/bmp" and rows[12].mime == "image/bmp"
+    hashes = image_ahash(
+        synthesize_mixed_image_from_text(
+            spark.createDataFrame(
+                [(i, "same text for every row") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    assert len(hashes) == 4 and len({r.ahash for r in hashes}) == 1

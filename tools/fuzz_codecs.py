@@ -384,6 +384,10 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("avia", mm._avi_audio_container(_encode_ima_variant(rng), n_chunks=2)),
         ("au", mm._au_payload(raw8, encoding=rng.choice((3, 4, 5, 6, 7)), stereo=rng.random() < 0.5)),
         (
+            "qoi",
+            mm.encode_qoi(gif_px),
+        ),
+        (
             "tga",
             mm.encode_tga(
                 gif_px if rng.random() < 0.5 else gif_px[:, :, 0],
@@ -545,6 +549,7 @@ _DECODERS = {
     "au": [mm.decode_au, mm._au_samples, mm._pcm16_samples],
     "pnm": [mm.decode_pnm, mm._pnm_pixels, mm._image_pixels],
     "tga": [mm.decode_tga, mm._tga_pixels, mm._image_pixels],
+    "qoi": [mm.decode_qoi, mm._qoi_pixels, mm._image_pixels],
     "mp4": [mm._mp4_video_stats, mm._mp4_mjpeg_frames, mm.decode_mp4_mjpeg],
     "m4a": [mm._mp4_audio_track, mm._mp4_audio_stats, mm._mp4_pcm_samples, mm.decode_mp4_pcm],
     "gifanim": [mm._gif_frames, mm._gif_pixels, mm.decode_gif],
