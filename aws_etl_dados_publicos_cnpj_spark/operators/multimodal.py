@@ -2761,6 +2761,146 @@ def encode_pnm(px: np.ndarray, kind: int = 6, maxval: int = 255) -> bytes:
     return head + body
 
 
+# --- ICO/CUR (r11): the Windows icon container -------------------------
+#
+# A directory of images where each entry is either a PNG stream
+# (Vista+) or a headerless DIB whose biHeight covers the XOR pixels
+# PLUS the 1-bit AND mask (doubled). Decoding DELEGATES: PNG entries
+# route through _png_pixels, DIB entries get a synthetic 14-byte BMP
+# file header (offset computed from the DIB's own header/palette) and
+# the halved height — so both decoders' full matrices apply to icons
+# with no new pixel code.
+
+
+def _ico_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) RGB pixels of the LARGEST image in an ICO/CUR
+    container."""
+    if len(payload) < 6:
+        raise ValueError("not an ICO payload")
+    reserved, typ, count = struct.unpack_from("<HHH", payload, 0)
+    if reserved != 0 or typ not in (1, 2) or count == 0:
+        raise ValueError("not an ICO payload")
+    try:
+        return _ico_pixels_impl(payload, count)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt ICO container ({exc})") from exc
+
+
+def _ico_count(payload: bytes) -> int:
+    # 6-byte floor BEFORE the unpack: a 4-byte fragment passing the
+    # magic check must quarantine as ValueError, not leak struct.error
+    # (r11 fuzz finding)
+    if len(payload) < 6 or payload[:4] not in (
+        b"\x00\x00\x01\x00",
+        b"\x00\x00\x02\x00",
+    ):
+        raise ValueError("not an ICO payload")
+    return struct.unpack_from("<H", payload, 4)[0]
+
+
+def _ico_pixels_impl(payload: bytes, count: int) -> np.ndarray:
+    best = None
+    for i in range(count):
+        e = 6 + 16 * i
+        if e + 16 > len(payload):
+            raise ValueError("ICO directory truncated")
+        bw, bh = payload[e], payload[e + 1]
+        size, off = struct.unpack_from("<II", payload, e + 8)
+        area = (bw or 256) * (bh or 256)
+        if best is None or area > best[0]:
+            best = (area, off, size)
+    _area, off, size = best
+    if size < 8 or off + size > len(payload):
+        raise ValueError("ICO image data out of bounds")
+    img = payload[off : off + size]
+    if img[:8] == _PNG_MAGIC:
+        return _png_pixels(img)
+    (hdr_size,) = struct.unpack_from("<I", img, 0)
+    if hdr_size < 40 or hdr_size > len(img):
+        raise ValueError(f"unsupported ICO DIB header size {hdr_size}")
+    dib = bytearray(img)
+    (dib_h,) = struct.unpack_from("<i", dib, 8)
+    # biHeight covers XOR + AND mask: halve it (sign-preserving)
+    struct.pack_into("<i", dib, 8, int(dib_h / 2))
+    bpp = struct.unpack_from("<H", dib, 14)[0]
+    compression = struct.unpack_from("<I", dib, 16)[0]
+    data_off = 14 + hdr_size
+    if bpp <= 8:
+        clr_used = (
+            struct.unpack_from("<I", dib, 32)[0] if hdr_size >= 36 else 0
+        )
+        if bpp == 0:
+            raise ValueError("invalid ICO DIB bpp 0")
+        data_off += 4 * (clr_used or (1 << bpp))
+    if compression == 3 and hdr_size == 40:
+        data_off += 12
+    bm = b"BM" + struct.pack("<IHHI", 14 + len(dib), 0, 0, data_off) + bytes(dib)
+    return _bmp_pixels(bm)[:, :, ::-1]
+
+
+def decode_ico(payload: bytes) -> dict:
+    """Icon stats: the largest image's pixels; ``n_frames`` reports
+    the directory's image count (an icon IS a multi-resolution set —
+    the multi-page TIFF convention)."""
+    n = _ico_count(payload)
+    px = _ico_pixels(payload)
+    mean_rgb = px.reshape(-1, 3).mean(axis=0) if px.size else np.zeros(3)
+    return {
+        "kind": "image",
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "mean_r": float(mean_rgb[0]),
+        "mean_g": float(mean_rgb[1]),
+        "mean_b": float(mean_rgb[2]),
+        "n_frames": n,
+    }
+
+
+def encode_ico(images: list, png: bool = False) -> bytes:
+    """ICO encoder twin: each (h,w,3) RGB image (≤256 on a side)
+    becomes one directory entry — PNG streams when ``png``, else
+    24-bit DIBs with doubled biHeight and an all-zero AND mask."""
+    if not images:
+        raise ValueError("encode_ico takes at least one image")
+    blobs = []
+    dims = []
+    for px in images:
+        px = np.asarray(px)
+        if not (px.ndim == 3 and px.shape[2] == 3) or px.size == 0:
+            raise ValueError("encode_ico takes non-empty (h,w,3) images")
+        _check_pixels(px, "encode_ico", 255)
+        h, w = px.shape[:2]
+        if h > 256 or w > 256:
+            raise ValueError(f"ICO images are at most 256x256, got {w}x{h}")
+        if png:
+            blobs.append(encode_png(px.astype(np.uint8)))
+        else:
+            row_size = (w * 3 + 3) // 4 * 4
+            rows = np.zeros((h, row_size), dtype=np.uint8)
+            rows[:, : w * 3] = np.flipud(px.astype(np.uint8)[:, :, ::-1]).reshape(
+                h, w * 3
+            )
+            and_stride = (w + 31) // 32 * 4
+            body = rows.tobytes() + bytes(and_stride * h)
+            blobs.append(
+                struct.pack(
+                    "<IiiHHIIiiII", 40, w, 2 * h, 1, 24, 0, len(body), 0, 0, 0, 0
+                )
+                + body
+            )
+        dims.append((w, h))
+    out = bytearray(struct.pack("<HHH", 0, 1, len(images)))
+    off = 6 + 16 * len(images)
+    for (w, h), blob in zip(dims, blobs):
+        out += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 24, len(blob), off
+        )
+        off += len(blob)
+    for blob in blobs:
+        out += blob
+    return bytes(out)
+
+
 # --- QOI (r11): the Quite OK Image format ------------------------------
 #
 # Implemented from the public-domain one-page spec (qoiformat.org):
@@ -5822,8 +5962,13 @@ def _image_pixels(payload: bytes) -> np.ndarray:
     if payload[:4] == _QOI_MAGIC:
         return _qoi_pixels(payload)
     if payload.endswith(_TGA_FOOTER):
-        # TGA has no leading magic; only the v2 footer is sniffable
+        # TGA has no leading magic; only the v2 footer is sniffable.
+        # Checked BEFORE the ICO prefix: a raw truecolor TGA header
+        # starts 00 00 02 00 — byte-identical to the CUR magic — and
+        # the 18-byte trailing footer is the stronger signature.
         return _tga_pixels(payload)
+    if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        return _ico_pixels(payload)
     raise ValueError("unsupported image container (expected BMP, PNG, JPEG, or GIF)")
 
 
@@ -6416,6 +6561,8 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_tga(payload)
     if mime in ("image/qoi", "image/x-qoi"):
         return decode_qoi(payload)
+    if mime in ("image/x-icon", "image/vnd.microsoft.icon", "image/ico"):
+        return decode_ico(payload)
     if mime == "image/png":
         return decode_png(payload)
     if mime == "image/gif":
@@ -7188,6 +7335,15 @@ def synthesize_mixed_image_from_text(
                     rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
                     payloads.append(encode_qoi(rgb))
                     mimes.append("image/qoi")
+                elif int(doc_id) % 24 == 12:
+                    # r11: ICO wrapping — the DIB delegation at
+                    # % 48 == 12, the PNG delegation at % 48 == 36;
+                    # decode reads the largest (only) image
+                    rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
+                    payloads.append(
+                        encode_ico([rgb], png=int(doc_id) % 48 == 36)
+                    )
+                    mimes.append("image/x-icon")
                 elif int(doc_id) % 24 == 18:
                     # r11: 16-bit P6 (maxval 65535, v·257 samples) —
                     # the exact-round 16→8 path at driver scale

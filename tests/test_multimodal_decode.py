@@ -5387,7 +5387,10 @@ def test_tga_decode_matrix_and_fixture_rotation(spark):
     # still decodes via the mime route
     v1 = encode_tga(rgb)[: -len(b"TRUEVISION-XFILE.\x00") - 8]
     assert np.array_equal(_tga_pixels(v1), rgb)
-    with pytest.raises(ValueError, match="unsupported image container"):
+    # a truecolor TGA's 00 00 02 00 prefix doubles as the CUR magic,
+    # so the sniffed entry quarantines it THERE once the footer is
+    # gone — still ValueError, still no mis-decode
+    with pytest.raises(ValueError, match="unsupported image container|not an ICO"):
         _image_pixels(v1)
     # hostile: truncations and header lies quarantine
     good = encode_tga(rgb, rle=True)
@@ -5476,8 +5479,8 @@ def test_qoi_decode_round_trip_and_fixture_rotation(spark):
     ):
         with pytest.raises(ValueError):
             _qoi_pixels(bad)
-    # fixture: 15 ships QOI, neighbors stay BMP — one shared ahash
-    ids = (0, 15, 12, 39)
+    # fixture: 15/39 ship QOI, 0/6 stay BMP — one shared ahash
+    ids = (0, 15, 6, 39)
     docs = spark.createDataFrame(
         [(i, "same text for every row") for i in ids],
         "doc_id long, text string",
@@ -5485,7 +5488,7 @@ def test_qoi_decode_round_trip_and_fixture_rotation(spark):
     rows = {r.doc_id: r for r in synthesize_mixed_image_from_text(docs).collect()}
     assert rows[15].mime == "image/qoi" and rows[39].mime == "image/qoi"
     assert bytes(rows[15].payload)[:4] == b"qoif"
-    assert rows[0].mime == "image/bmp" and rows[12].mime == "image/bmp"
+    assert rows[0].mime == "image/bmp" and rows[6].mime == "image/bmp"
     hashes = image_ahash(
         synthesize_mixed_image_from_text(
             spark.createDataFrame(
@@ -5495,3 +5498,78 @@ def test_qoi_decode_round_trip_and_fixture_rotation(spark):
         )
     ).collect()
     assert len(hashes) == 4 and len({r.ahash for r in hashes}) == 1
+
+
+def test_ico_decodes_by_delegation_and_fixture_rotation(spark):
+    """ICO/CUR (r11): a directory of images where PNG entries route
+    through the PNG decoder and classic DIB entries get a synthetic
+    BMP file header (biHeight halved off the doubled XOR+AND layout)
+    — both existing decoders' matrices apply to icons with no new
+    pixel code. Decode reads the LARGEST entry; n_frames reports the
+    directory count. The mixed-image fixture rotates the BMP slot
+    through ICO-DIB at doc_id % 48 == 12 and ICO-PNG at % 48 == 36
+    under the unchanged ahash oracle."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _ico_pixels,
+        _image_pixels,
+        decode_ico,
+        decode_media,
+        encode_ico,
+        image_ahash,
+        synthesize_mixed_image_from_text,
+    )
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    for png in (False, True):
+        p = encode_ico([rgb], png=png)
+        assert np.array_equal(_ico_pixels(p), rgb)
+        assert np.array_equal(_image_pixels(p), rgb)
+    # multi-size: the largest entry wins; n_frames = directory count
+    small = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    big = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    p = encode_ico([small, big, rgb])
+    assert np.array_equal(_ico_pixels(p), big)
+    assert decode_ico(p)["n_frames"] == 3
+    # 256-wide entries store a 0 width byte per the spec
+    w256 = rng.integers(0, 256, (2, 256, 3), dtype=np.uint8)
+    p = encode_ico([w256])
+    assert p[6] == 0 and np.array_equal(_ico_pixels(p), w256)
+    assert decode_media(encode_ico([rgb]), "image/x-icon")["kind"] == "image"
+    # hostile: truncated directories, out-of-bounds data, bad magic
+    for bad in (
+        b"\x00\x00\x01\x00",  # 4-byte fragment: r11 fuzz leak, now pinned
+        struct.pack("<HHH", 0, 1, 2) + bytes(10),
+        struct.pack("<HHH", 0, 1, 1)
+        + struct.pack("<BBBBHHII", 8, 8, 0, 0, 1, 24, 4096, 22),
+        struct.pack("<HHH", 1, 1, 1) + bytes(16),
+    ):
+        with pytest.raises(ValueError):
+            _ico_pixels(bad)
+    for cut in (10, 30, 60):
+        try:
+            _ico_pixels(encode_ico([rgb])[:cut])
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+    # fixture: 12 ships ICO-DIB, 36 ICO-PNG, 0 stays BMP — one ahash
+    ids = (0, 12, 36)
+    docs = spark.createDataFrame(
+        [(i, "same text for every row") for i in ids],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in synthesize_mixed_image_from_text(docs).collect()}
+    assert rows[12].mime == "image/x-icon" and rows[36].mime == "image/x-icon"
+    assert b"\x89PNG" in bytes(rows[36].payload)
+    assert b"\x89PNG" not in bytes(rows[12].payload)
+    assert rows[0].mime == "image/bmp"
+    hashes = image_ahash(
+        synthesize_mixed_image_from_text(
+            spark.createDataFrame(
+                [(i, "same text for every row") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    assert len(hashes) == 3 and len({r.ahash for r in hashes}) == 1

@@ -388,6 +388,10 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
             mm.encode_qoi(gif_px),
         ),
         (
+            "ico",
+            mm.encode_ico([gif_px], png=rng.random() < 0.5),
+        ),
+        (
             "tga",
             mm.encode_tga(
                 gif_px if rng.random() < 0.5 else gif_px[:, :, 0],
@@ -550,6 +554,7 @@ _DECODERS = {
     "pnm": [mm.decode_pnm, mm._pnm_pixels, mm._image_pixels],
     "tga": [mm.decode_tga, mm._tga_pixels, mm._image_pixels],
     "qoi": [mm.decode_qoi, mm._qoi_pixels, mm._image_pixels],
+    "ico": [mm.decode_ico, mm._ico_pixels, mm._image_pixels],
     "mp4": [mm._mp4_video_stats, mm._mp4_mjpeg_frames, mm.decode_mp4_mjpeg],
     "m4a": [mm._mp4_audio_track, mm._mp4_audio_stats, mm._mp4_pcm_samples, mm.decode_mp4_pcm],
     "gifanim": [mm._gif_frames, mm._gif_pixels, mm.decode_gif],
