@@ -995,11 +995,19 @@ def _ima4_samples(
     start = ssnd[0] + 8 + offset
     if start > ssnd[1]:
         raise ValueError("AIFF sample data truncated")
-    data = payload[start : ssnd[1]]
+    return _ima4_decode_packets(payload[start : ssnd[1]], n_ch, n_frames, rate)
+
+
+def _ima4_decode_packets(
+    data: bytes, n_ch: int, n_frames: int, rate: int
+) -> tuple[np.ndarray, int, int]:
+    """The ima4 packet-stream decode shared by the AIFC and CAF
+    containers (r11): 34-byte packets, channel-interleaved per
+    64-frame group; ``n_frames`` > 0 trims final-packet padding."""
     n_pk = len(data) // 34
     if n_pk % n_ch:
         raise ValueError(
-            f"AIFC ima4 packet count {n_pk} not a multiple of {n_ch} channels"
+            f"ima4 packet count {n_pk} not a multiple of {n_ch} channels"
         )
     chans: list[list[int]] = [[] for _ in range(n_ch)]
     for p in range(n_pk):
@@ -1009,7 +1017,7 @@ def _ima4_samples(
         idx = pred & 0x7F
         pred &= ~0x7F
         if idx > 88:
-            raise ValueError(f"AIFC ima4 step index {idx} out of range")
+            raise ValueError(f"ima4 step index {idx} out of range")
         nibs = []
         for byte in data[base + 2 : base + 34]:
             nibs.append(byte & 0xF)
@@ -1094,6 +1102,156 @@ def decode_aiff(payload: bytes) -> dict:
         "rms": float(np.sqrt(np.mean(s**2))) if s.size else 0.0,
         "peak": float(np.max(np.abs(s))) if s.size else 0.0,
     }
+
+
+# --- CAF (r11): Apple Core Audio Format --------------------------------
+#
+# The QuickTime-era containers' modern successor, from Apple's public
+# CAF File Format Specification: a 'caff' header, then typed chunks
+# with SIGNED 64-bit big-endian sizes ('data' may declare -1 = to
+# end-of-file). The 'desc' chunk routes decoding, and every payload
+# format DELEGATES to machinery the engine already ships: 'lpcm'
+# (float/endian flags — the MP4 v2 lpcm semantics), 'ima4' (the AIFC
+# packet stream), 'ulaw'/'alaw' (the G.711 tables). Transform codecs
+# (aac/alac) quarantine honestly.
+
+
+def _caf_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """(samples, rate, n_channels) of a CAF file; int16 where exact,
+    int32 for native wide ints (fingerprint grid-check applies),
+    floats expanded to the int16 grid."""
+    if payload[:4] != b"caff":
+        raise ValueError("not a CAF payload")
+    try:
+        return _caf_samples_impl(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt CAF container ({exc})") from exc
+
+
+def _caf_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
+    desc = data = None
+    pos = 8
+    while pos + 12 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (csz,) = struct.unpack_from(">q", payload, pos + 4)
+        body = pos + 12
+        if csz == -1:
+            end = len(payload)  # spec: only legal for a final 'data'
+        elif csz < 0 or body + csz > len(payload):
+            # clamp an externally truncated final chunk, the RIFF rule
+            end = len(payload)
+        else:
+            end = body + csz
+        if ctype == b"desc":
+            desc = (body, end)
+        elif ctype == b"data":
+            data = (body, end)
+        pos = end
+        if csz == -1:
+            break
+    if desc is None or data is None:
+        raise ValueError("CAF missing desc/data chunks")
+    if desc[1] - desc[0] < 32:
+        raise ValueError("CAF desc chunk truncated")
+    rate_f, fmt = struct.unpack_from(">d4s", payload, desc[0])
+    flags, _bpp, fpp, n_ch, bits = struct.unpack_from(">IIIII", payload, desc[0] + 12)
+    rate = int(round(rate_f)) if np.isfinite(rate_f) and 0 < rate_f < 1e7 else 0
+    if n_ch not in (1, 2):
+        raise ValueError(f"invalid CAF channel count {n_ch}")
+    if data[1] - data[0] < 4:
+        raise ValueError("CAF data chunk truncated")
+    body = payload[data[0] + 4 : data[1]]  # skip the u32 edit count
+    if fmt == b"ima4":
+        if fpp not in (0, 64):
+            raise ValueError(f"CAF ima4 frames-per-packet {fpp} invalid")
+        return _ima4_decode_packets(body[: len(body) // 34 * 34], n_ch, 0, rate)
+    if fmt in (b"ulaw", b"alaw"):
+        table = _G711_ULAW if fmt == b"ulaw" else _G711_ALAW
+        frames = len(body) // n_ch
+        u = np.frombuffer(body[: frames * n_ch], dtype=np.uint8)
+        return table[u].astype(np.int16), rate, n_ch
+    if fmt != b"lpcm":
+        raise NotImplementedError(
+            f"CAF format {fmt!r} requires codec libraries not present; "
+            "only 'lpcm', 'ima4', and G.711 ('ulaw'/'alaw') decode here"
+        )
+    is_float, is_le = flags & 1, flags & 2
+    ok = bits in (32, 64) if is_float else bits in (16, 24, 32)
+    if not ok:
+        raise ValueError(f"unsupported CAF lpcm layout ({bits}-bit, flags={flags:#x})")
+    width = bits // 8
+    frames = len(body) // (width * n_ch)
+    body = body[: frames * width * n_ch]
+    e = "<" if is_le else ">"
+    if is_float:
+        v = np.frombuffer(body, dtype=f"{e}f{width}").astype(np.float64)
+        if v.size and not np.isfinite(v).all():
+            raise ValueError("CAF float samples non-finite")
+        return np.rint(np.clip(v, -1.0, 1.0) * 32767.0).astype(np.int16), rate, n_ch
+    if bits == 24:
+        b = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = (
+            (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+            if not is_le
+            else (b[:, 2] << 16) | (b[:, 1] << 8) | b[:, 0]
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return v.astype(np.int32), rate, n_ch
+    s = np.frombuffer(body, dtype=f"{e}i{width}")
+    return s.astype(np.int16 if bits == 16 else np.int32), rate, n_ch
+
+
+def decode_caf(payload: bytes) -> dict:
+    """CAF twin of ``decode_wav`` — same stats dict."""
+    samples, rate, n_ch = _caf_samples(payload)
+    s = samples.astype(np.float64)
+    n_frames = len(samples) // n_ch if n_ch else 0
+    return {
+        "kind": "audio",
+        "n_channels": n_ch,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_s": n_frames / rate if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(s**2))) if s.size else 0.0,
+        "peak": float(np.max(np.abs(s))) if s.size else 0.0,
+    }
+
+
+def _caf_payload(
+    raw: bytes,
+    rate: int = 8000,
+    bits: int = 16,
+    flags: int = 0,
+    stereo: bool = False,
+) -> bytes:
+    """Fixture/fuzz builder: the byte→sample contract inside a CAF
+    'lpcm' container. Default 16-bit big-endian signed (flags 0)
+    carries k directly; floats (flags&1) carry k/32767; 24/32-bit
+    ints carry k natively. ``data`` declares -1 (to end-of-file), the
+    streaming-write shape the spec calls out."""
+    samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+    n_ch = 2 if stereo and len(samples) and len(samples) % 2 == 0 else 1
+    e = "<" if flags & 2 else ">"
+    if flags & 1:
+        body = (samples.astype(np.float64) / 32767.0).astype(
+            f"{e}f{bits // 8}"
+        ).tobytes()
+    elif bits == 24:
+        v = samples.astype(np.int64)
+        trip = [(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF]
+        if flags & 2:
+            trip = trip[::-1]
+        body = np.stack(trip, axis=1).astype(np.uint8).tobytes()
+    else:
+        body = samples.astype(f"{e}i{bits // 8}").tobytes()
+    width = bits // 8
+    desc = struct.pack(
+        ">d4sIIIII", float(rate), b"lpcm", flags, width * n_ch, 1, n_ch, bits
+    )
+    out = b"caff" + struct.pack(">HH", 1, 0)
+    out += b"desc" + struct.pack(">q", len(desc)) + desc
+    out += b"data" + struct.pack(">q", -1) + bytes(4) + body
+    return out
 
 
 # Sun/NeXT .au encodings this walk decodes: field 3 of the header →
@@ -1509,6 +1667,14 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         if s.dtype != np.int16:
             if s.size and (s.max() > 32767 or s.min() < -32768):
                 raise ValueError("wide AU samples exceed the int16 grid")
+            s = s.astype(np.int16)
+        return s
+    if payload[:4] == b"caff":
+        # Apple CAF (r11): same wide-int grid rule
+        s = _caf_samples(payload)[0]
+        if s.dtype != np.int16:
+            if s.size and (s.max() > 32767 or s.min() < -32768):
+                raise ValueError("wide CAF samples exceed the int16 grid")
             s = s.astype(np.int16)
         return s
     if payload[4:8] == b"ftyp":
@@ -6528,6 +6694,8 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_aiff(payload)
     if mime in ("audio/basic", "audio/x-au", "audio/au"):
         return decode_au(payload)
+    if mime in ("audio/x-caf", "audio/caf"):
+        return decode_caf(payload)
     if mime in ("audio/flac", "audio/x-flac"):
         return decode_flac(payload)
     if mime in ("audio/mpeg", "audio/mp3", "audio/x-mp3"):
@@ -7176,7 +7344,7 @@ def synthesize_mixed_audio_from_text(
                 elif int(doc_id) % 24 == 12:
                     payloads.append(_pcm32_wav_payload(raw, rate))
                     mimes.append("audio/wav")
-                elif int(doc_id) % 48 == 24:
+                elif int(doc_id) % 96 == 24:
                     # r11: classic 16-bit PCM riding inside an
                     # audio-only AVI — the strf IS a WAVEFORMATEX, so
                     # the WAV delegation decodes it under the same
@@ -7184,6 +7352,11 @@ def synthesize_mixed_audio_from_text(
                     # driver scale
                     payloads.append(_avi_audio_container(_wav_payload(raw, rate)))
                     mimes.append("video/x-msvideo")
+                elif int(doc_id) % 96 == 72:
+                    # r11: the same 16-bit contract inside an Apple
+                    # CAF 'lpcm' chunk (to-EOF data size)
+                    payloads.append(_caf_payload(raw, rate))
+                    mimes.append("audio/x-caf")
                 elif int(doc_id) % 96 == 48:
                     # r11: the same 16-bit contract as a Sun/NeXT .au
                     # (encoding 3, big-endian) — third legacy container

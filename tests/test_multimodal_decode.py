@@ -5573,3 +5573,99 @@ def test_ico_decodes_by_delegation_and_fixture_rotation(spark):
         )
     ).collect()
     assert len(hashes) == 3 and len({r.ahash for r in hashes}) == 1
+
+
+def test_caf_decode_matrix_and_fixture_rotation(spark):
+    """Apple CAF (r11): 'caff' header, signed-64-bit chunk sizes with
+    the to-EOF -1 'data' sentinel, and per-format DELEGATION — 'lpcm'
+    via the float/endian flags (int 16/24/32 both orders, float
+    32/64 to the grid), 'ima4' via the shared AIFC packet decoder,
+    'ulaw'/'alaw' via the G.711 tables; 'aac '/'alac' quarantine.
+    The mixed-audio fixture rides the 16-bit contract at doc_id % 96
+    == 72 under the unchanged ehash oracle."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _caf_payload,
+        _caf_samples,
+        _pcm16_samples,
+        audio_energy_hash,
+        decode_caf,
+        decode_media,
+        encode_ima4,
+        synthesize_mixed_audio_from_text,
+    )
+
+    raw = bytes(range(200))
+    want = np.frombuffer(raw, np.uint8).astype(np.int16)
+    for bits, flags in (
+        (16, 0), (16, 2), (24, 0), (24, 2), (32, 0), (32, 2),
+        (32, 1), (32, 3), (64, 1), (64, 3),
+    ):
+        p = _caf_payload(raw, 44100, bits=bits, flags=flags, stereo=True)
+        s, rate, nch = _caf_samples(p)
+        assert rate == 44100 and nch == 2
+        assert np.array_equal(s, want), (bits, flags)
+        assert s.dtype == (np.int32 if bits in (24, 32) and not flags & 1 else np.int16)
+        assert np.array_equal(_pcm16_samples(p), want)
+    d = decode_caf(_caf_payload(raw))
+    assert d["n_frames"] == 200 and d["sample_rate"] == 8000
+    assert decode_media(_caf_payload(raw), "audio/x-caf")["kind"] == "audio"
+    # ima4-in-CAF reuses the AIFC packet decoder verbatim
+    sin = (8000 * np.sin(2 * np.pi * np.arange(4000) / 200)).astype(np.int16)
+    aifc = encode_ima4(sin, 8000)
+    si = aifc.find(b"SSND")
+    (ssz,) = struct.unpack(">I", aifc[si + 4 : si + 8])
+    packets = aifc[si + 16 : si + 8 + ssz]
+    desc = struct.pack(">d4sIIIII", 8000.0, b"ima4", 0, 34, 64, 1, 0)
+    caf = (
+        b"caff" + struct.pack(">HH", 1, 0)
+        + b"desc" + struct.pack(">q", len(desc)) + desc
+        + b"data" + struct.pack(">q", -1) + bytes(4) + packets
+    )
+    s = _caf_samples(caf)[0]
+    err = s[: len(sin)].astype(np.float64) - sin
+    snr = 10 * np.log10((sin.astype(np.float64) ** 2).mean() / (err**2).mean())
+    assert snr > 30, snr
+    # G.711-in-CAF pins the byte orientation
+    desc = struct.pack(">d4sIIIII", 8000.0, b"ulaw", 0, 1, 1, 1, 16)
+    caf = (
+        b"caff" + struct.pack(">HH", 1, 0)
+        + b"desc" + struct.pack(">q", len(desc)) + desc
+        + b"data" + struct.pack(">q", -1) + bytes(4) + b"\xff\x7f"
+    )
+    assert _caf_samples(caf)[0][0] == 0
+    # transform codecs quarantine honestly
+    desc = struct.pack(">d4sIIIII", 8000.0, b"aac ", 0, 0, 1024, 2, 0)
+    caf = (
+        b"caff" + struct.pack(">HH", 1, 0)
+        + b"desc" + struct.pack(">q", len(desc)) + desc
+        + b"data" + struct.pack(">q", -1) + bytes(4)
+    )
+    with pytest.raises(NotImplementedError, match="codec libraries"):
+        _caf_samples(caf)
+    good = _caf_payload(raw)
+    for cut in (6, 20, 50):
+        try:
+            _caf_samples(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+    # fixture: % 96 == 72 ships CAF, 24 stays AVI — one shared ehash
+    ids = (0, 24, 72, 96)
+    docs = spark.createDataFrame(
+        [(i, "identical text for every row") for i in ids],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in synthesize_mixed_audio_from_text(docs).collect()}
+    assert rows[72].mime == "audio/x-caf"
+    assert bytes(rows[72].payload)[:4] == b"caff"
+    assert rows[24].mime == "video/x-msvideo"
+    hashes = audio_energy_hash(
+        synthesize_mixed_audio_from_text(
+            spark.createDataFrame(
+                [(i, "identical text for every row") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    assert len(hashes) == 4 and len({r.ehash for r in hashes}) == 1

@@ -383,6 +383,12 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("avia", mm._avi_audio_container(mm._wav_payload(raw8), n_chunks=rng.randrange(1, 5))),
         ("avia", mm._avi_audio_container(_encode_ima_variant(rng), n_chunks=2)),
         ("au", mm._au_payload(raw8, encoding=rng.choice((3, 4, 5, 6, 7)), stereo=rng.random() < 0.5)),
+        ("caf", mm._caf_payload(
+            raw8,
+            bits=rng.choice((16, 24, 32)),
+            flags=rng.choice((0, 2)),
+            stereo=rng.random() < 0.5,
+        )),
         (
             "qoi",
             mm.encode_qoi(gif_px),
@@ -551,6 +557,7 @@ _DECODERS = {
     "avi": [mm._avi_mjpeg_frames, mm.decode_avi_mjpeg, mm.decode_avi, mm._avi_video_header, mm._avi_audio_as_wav],
     "avia": [mm.decode_avi, mm._avi_audio_as_wav, mm._pcm16_samples, mm.decode_avi_audio],
     "au": [mm.decode_au, mm._au_samples, mm._pcm16_samples],
+    "caf": [mm.decode_caf, mm._caf_samples, mm._pcm16_samples],
     "pnm": [mm.decode_pnm, mm._pnm_pixels, mm._image_pixels],
     "tga": [mm.decode_tga, mm._tga_pixels, mm._image_pixels],
     "qoi": [mm.decode_qoi, mm._qoi_pixels, mm._image_pixels],
