@@ -7276,8 +7276,9 @@ def synthesize_mixed_audio_from_text(
     % 48 == 45 carrying k/32767, stereo),
     driver-gating the ISO-BMFF sample-table audio decode under the
     same oracle; classic 16-bit PCM rides inside an audio-only AVI at
-    % 48 == 24 (r11, the WAV-delegation arm) and inside a Sun/NeXT
-    .au at % 96 == 48 (r11, encoding 3 big-endian). The
+    % 96 == 24 (r11, the WAV-delegation arm), a Sun/NeXT .au at
+    % 96 == 48 (encoding 3 big-endian), and an Apple CAF at
+    % 96 == 72 ('lpcm', to-EOF data). The
     remaining WAV docs (doc_id % 6 == 0) sub-rotate across the RIFF
     sample layouts (r10): IEEE-float WAVs at % 12 == 6 (float32, or
     float64 at % 24 == 18) carrying k/32767 so the tag-3 expansion
@@ -7442,10 +7443,13 @@ def synthesize_mixed_image_from_text(
     LZW docs — doc_id % 12 == 8 — ship PlanarConfiguration 2 (r10,
     plane-major strip tables); and half the Deflate docs — doc_id %
     12 == 11 — ship TWO pages (r11, page 1 inverted; decode reads
-    page 0, driver-gating the IFD chain walk); the BMP docs
-    sub-rotate netpbm (r11): % 12 == 9 ships binary PPM (P6) and
-    % 24 == 18 ships 16-bit P6 (maxval 65535, v·257 samples — the
-    exact-round 16→8 path)) carrying
+    page 0, driver-gating the IFD chain walk); the GIF docs
+    sub-rotate TGA (r11): % 12 == 7 raw truecolor, % 24 == 22 RLE;
+    the BMP docs sub-rotate the small-format family (r11): % 12 == 9
+    binary PPM (P6), % 24 == 18 16-bit P6 (maxval 65535, v·257
+    samples — the exact-round 16→8 path), % 24 == 15 QOI, and ICO at
+    % 48 == 12 (DIB delegation) / % 48 == 36 (PNG delegation))
+    carrying
     the SAME decoded-RGB pixels — pixel k =
     (raw[(3k+2)%n], raw[(3k+1)%n], raw[(3k)%n]) — so all three decode
     paths run under one unchanged text-byte oracle. 8×8 fixtures have
