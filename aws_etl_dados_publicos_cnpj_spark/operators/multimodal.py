@@ -584,16 +584,32 @@ def _riff_fmt_and_data(payload: bytes) -> tuple[tuple, bytes] | None:
     default, REQUIRED by the spec for >16-bit audio) unwraps to the
     tag in the SubFormat GUID's first two bytes when the rest of the
     GUID is the KSDATAFORMAT suffix; a foreign GUID keeps tag 0xFFFE
-    and quarantines downstream as unsupported."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+    and quarantines downstream as unsupported. RF64/BW64 (r11 — the
+    EBU >4 GB WAV standard, THE wav shape a 100 TB media pass meets):
+    the 32-bit 'data' size is 0xFFFFFFFF and the real 64-bit size
+    comes from the 'ds64' chunk that must precede it (clamped to the
+    payload, the truncation rule)."""
+    magic = payload[:4]
+    if magic not in (b"RIFF", b"RF64", b"BW64") or payload[8:12] != b"WAVE":
         return None
     pos, fmt, data = 12, None, None
+    ds64_data = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (csz,) = struct.unpack_from("<I", payload, pos + 4)
+        if (
+            csz == 0xFFFFFFFF
+            and cid == b"data"
+            and magic in (b"RF64", b"BW64")
+        ):
+            if ds64_data is None:
+                return None  # the spec requires ds64 before data
+            csz = min(ds64_data, len(payload) - pos - 8)
         if pos + 8 + csz > len(payload):
             return None
-        if cid == b"fmt " and csz >= 16:
+        if cid == b"ds64" and csz >= 16:
+            (ds64_data,) = struct.unpack_from("<Q", payload, pos + 16)
+        elif cid == b"fmt " and csz >= 16:
             tag, n_ch, rate = struct.unpack_from("<HHI", payload, pos + 8)
             block_align, bits = struct.unpack_from("<HH", payload, pos + 20)
             extensible = False
@@ -664,10 +680,13 @@ def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
         samples, n_ch, rate, n_frames = _float_wav_expand(probed)
         samples, n_frames = _apply_fact(payload, samples, n_ch, n_frames)
         return samples, n_ch, rate, n_frames
-    if probed is not None and probed[0][0] == 1 and probed[0][5]:
-        # integer PCM wrapped in WAVE_FORMAT_EXTENSIBLE: the stdlib
-        # module below rejects the 0xFFFE on-disk tag, so the probe
-        # decodes it — SAME width semantics as the stdlib branch
+    if probed is not None and probed[0][0] == 1 and (
+        probed[0][5] or payload[:4] != b"RIFF"
+    ):
+        # integer PCM wrapped in WAVE_FORMAT_EXTENSIBLE — or under an
+        # RF64/BW64 magic (r11) — which the stdlib module rejects, so
+        # the probe decodes it: SAME width semantics as the stdlib
+        # branch
         samples, n_ch, rate, n_frames = _pcm_wav_expand(probed)
         # fact is optional for PCM but when present it marks real
         # frames, same as every compressed arm (r10 advice: one rule
@@ -1699,10 +1718,13 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         # review: drift is the sampler-KeyError bug class). The probe
         # already unwrapped extensible headers to these tags.
         return _wav_samples_f64(payload)[0].astype(np.int16)
-    if probed is not None and probed[0][0] == 1 and probed[0][5]:
-        # extensible integer PCM (stdlib can't parse the header):
-        # same width contract as the stdlib arm below — 16-bit exact,
-        # 32-bit only when already on the int16 grid, 8/24 rejected
+    if probed is not None and probed[0][0] == 1 and (
+        probed[0][5] or payload[:4] != b"RIFF"
+    ):
+        # extensible integer PCM — or RF64/BW64 (r11) — whose header
+        # the stdlib can't parse: same width contract as the stdlib
+        # arm below — 16-bit exact, 32-bit only when already on the
+        # int16 grid, 8/24 rejected
         bits = probed[0][3]
         if bits not in (16, 32):
             raise ValueError(f"unsupported WAV sample width {bits // 8}")
@@ -6923,12 +6945,18 @@ def synthesize_wav_from_text(
     """Deterministic synthetic-media generator: each UTF-8 byte of the
     text becomes one 16-bit PCM sample. Exists so the REAL WAV decoder
     can be exercised (and SQL-oracled) against corpus-scale data in an
-    environment with no media files."""
+    environment with no media files. r11: doc_id % 6 == 5 ships the
+    SAME samples under the RF64 header (EBU >4 GB WAV — 0xFFFFFFFF
+    data size, real size in ds64), driver-gating the 64-bit walk
+    under the unchanged n_frames/rms/peak oracle."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = [
-                _wav_payload(t.encode("utf-8"), rate) for t in pdf[text_col]
+                _rf64_payload(t.encode("utf-8"), rate)
+                if int(doc_id) % 6 == 5
+                else _wav_payload(t.encode("utf-8"), rate)
+                for doc_id, t in zip(pdf[id_col], pdf[text_col])
             ]
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col], "payload": payloads, "mime": "audio/wav"}
@@ -6937,6 +6965,24 @@ def synthesize_wav_from_text(
     return df.select(id_col, text_col).mapInPandas(
         _batches, "doc_id long, payload binary, mime string"
     )
+
+
+def _rf64_payload(raw: bytes, rate: int = 8000) -> bytes:
+    """The SAME sample contract as ``_wav_payload`` under an RF64
+    header: 'ds64' carries the real 64-bit riff/data sizes, the
+    32-bit data size field holds the spec's 0xFFFFFFFF sentinel."""
+    samples = np.frombuffer(raw, dtype=np.uint8).astype("<i2")
+    body = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    ds64 = struct.pack("<QQQI", 0, len(body), len(samples), 0)
+    out = bytearray(b"RF64" + b"\xff\xff\xff\xff" + b"WAVE")
+    out += b"ds64" + struct.pack("<I", len(ds64)) + ds64
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + b"\xff\xff\xff\xff" + body
+    if len(body) & 1:
+        out += b"\x00"
+    struct.pack_into("<Q", out, 20, len(out) - 8)  # ds64 riffSize
+    return bytes(out)
 
 
 def _wav_payload(raw: bytes, rate: int = 8000) -> bytes:

@@ -5669,3 +5669,56 @@ def test_caf_decode_matrix_and_fixture_rotation(spark):
         )
     ).collect()
     assert len(hashes) == 4 and len({r.ehash for r in hashes}) == 1
+
+
+def test_rf64_wav_decodes_and_fixture_rotation(spark):
+    """RF64/BW64 (r11 — the EBU >4 GB WAV standard, the wav shape a
+    100 TB media pass actually meets): the 32-bit data size holds the
+    0xFFFFFFFF sentinel and the real 64-bit size comes from the ds64
+    chunk that must precede it; decode, stats, and fingerprint are
+    byte-identical to the RIFF twin. The plain-WAV fixture ships
+    doc_id % 6 == 5 as RF64 under the unchanged
+    n_frames/rms/peak oracle."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _pcm16_samples,
+        _rf64_payload,
+        _wav_payload,
+        _wav_samples_f64,
+        decode_wav,
+        synthesize_wav_from_text,
+    )
+
+    raw = bytes(range(200))
+    want = np.frombuffer(raw, np.uint8).astype(np.int16)
+    p = _rf64_payload(raw)
+    assert p[:4] == b"RF64" and b"\xff\xff\xff\xff" in p
+    assert decode_wav(p) == decode_wav(_wav_payload(raw))
+    assert np.array_equal(_pcm16_samples(p), want)
+    pb = bytearray(p)
+    pb[:4] = b"BW64"
+    assert decode_wav(bytes(pb)) == decode_wav(_wav_payload(raw))
+    # ds64's declared size clamps to the real payload (truncation rule)
+    s = _wav_samples_f64(p[:-9])[0]
+    assert len(s) == (len(want) * 2 - 9) // 2
+    # an RF64 without ds64 before data violates the spec: quarantine
+    nod = b"RF64" + b"\xff\xff\xff\xff" + b"WAVE" + p[48:]
+    with pytest.raises(ValueError):
+        decode_wav(bytes(nod))
+    for cut in (10, 30, 60):
+        try:
+            decode_wav(p[:cut])
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+    # fixture: % 6 == 5 ships RF64, others classic RIFF — same decode
+    ids = (0, 5, 11, 12)
+    docs = spark.createDataFrame(
+        [(i, "identical text for every row") for i in ids],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: bytes(r.payload) for r in synthesize_wav_from_text(docs).collect()}
+    assert rows[5][:4] == b"RF64" and rows[11][:4] == b"RF64"
+    assert rows[0][:4] == b"RIFF" and rows[12][:4] == b"RIFF"
+    stats = {i: decode_wav(p) for i, p in rows.items()}
+    assert len({(d["n_frames"], d["rms"]) for d in stats.values()}) == 1

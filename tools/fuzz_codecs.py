@@ -367,6 +367,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
             ),
         ),
         ("wav", mm._wav_payload(raw8)),
+        ("wav", mm._rf64_payload(raw8, rate=rng.choice((8000, 44100)))),
         ("wav", _encode_ima_variant(rng)),
         ("wav", mm._riff_wrap(
             __import__("struct").pack("<HHIIHH", 0x55, 2, 44100, 16000, 1, 0),
