@@ -1688,6 +1688,18 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
                 raise ValueError("wide AU samples exceed the int16 grid")
             s = s.astype(np.int16)
         return s
+    if payload[:4] == b"OggS":
+        # Ogg (r11): Ogg-FLAC fingerprints through the native-FLAC
+        # delegation; Vorbis/Opus quarantine like every transform arm
+        kind, info = _ogg_audio_info(payload)
+        if kind != "flac":
+            raise NotImplementedError(
+                f"Ogg {kind} sample decode needs a codec library"
+            )
+        samples = _flac_samples(info)[0]
+        if samples.dtype != np.int16:
+            raise ValueError("unsupported FLAC sample width 3")
+        return samples
     if payload[:4] == b"caff":
         # Apple CAF (r11): same wide-int grid rule
         s = _caf_samples(payload)[0]
@@ -2569,6 +2581,215 @@ def decode_flac(payload: bytes) -> dict:
         "rms": float(np.sqrt(np.mean(sf**2))) if sf.size else 0.0,
         "peak": float(np.max(np.abs(sf))) if sf.size else 0.0,
     }
+
+
+# --- Ogg (r11): the Xiph container --------------------------------------
+#
+# From the public RFC 3533 page structure: 'OggS' capture pattern,
+# version 0, continuation/BOS/EOS flags, 64-bit granule position,
+# stream serial, page CRC, and 255-lacing segment tables. Ogg-FLAC
+# (the Xiph mapping spec) DELEGATES: the native fLaC stream is
+# reassembled from the first packet's embedded STREAMINFO plus the
+# audio packets and decoded by the engine's FLAC machinery. Vorbis
+# and Opus get metadata-before-decode triage (identification-header
+# fields + last-granule duration); their transform payloads need
+# codec libraries, the MPEG honesty contract.
+
+
+def _ogg_packets(
+    payload: bytes, max_bytes: int = 1 << 26
+) -> tuple[list[bytes], int, int]:
+    """(packets of the FIRST stream, its last granule position, its
+    pre-skip-free page count) from an Ogg byte stream. Packets
+    reassemble across 255-lacing continuations and continued pages;
+    foreign-serial pages (chained/multiplexed streams) are skipped.
+    ``max_bytes`` bounds total reassembly (amplification cap)."""
+    if payload[:4] != b"OggS":
+        raise ValueError("not an Ogg payload")
+    packets: list[bytes] = []
+    cur = bytearray()
+    serial = None
+    last_granule = 0
+    n_pages = 0
+    pos = 0
+    total = 0
+    while pos + 27 <= len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError("Ogg page desync")
+        version = payload[pos + 4]
+        if version != 0:
+            raise ValueError(f"unsupported Ogg version {version}")
+        flags = payload[pos + 5]
+        (granule,) = struct.unpack_from("<q", payload, pos + 6)
+        (ser,) = struct.unpack_from("<I", payload, pos + 14)
+        nseg = payload[pos + 26]
+        table = payload[pos + 27 : pos + 27 + nseg]
+        if len(table) < nseg:
+            raise ValueError("Ogg segment table truncated")
+        body = pos + 27 + nseg
+        page_len = int(np.sum(np.frombuffer(table, np.uint8))) if nseg else 0
+        if body + page_len > len(payload):
+            raise ValueError("Ogg page body truncated")
+        if serial is None:
+            serial = ser
+        if ser == serial:
+            n_pages += 1
+            if granule >= 0:
+                last_granule = granule
+            if not flags & 0x01:  # not a continuation: flush any tail
+                if cur:
+                    packets.append(bytes(cur))
+                    cur = bytearray()
+            seg_pos = body
+            for lace in table:
+                cur += payload[seg_pos : seg_pos + lace]
+                seg_pos += lace
+                total += lace
+                if total > max_bytes:
+                    raise ValueError("Ogg stream exceeds the decode cap")
+                if lace < 255:
+                    packets.append(bytes(cur))
+                    cur = bytearray()
+        pos = body + page_len
+    if cur:
+        packets.append(bytes(cur))
+    if not packets:
+        raise ValueError("Ogg stream has no packets")
+    return packets, last_granule, n_pages
+
+
+def _ogg_flac_native(packets: list[bytes]) -> bytes:
+    """Native fLaC bytes from Ogg-FLAC packets (the Xiph mapping):
+    packet 0 is 0x7F 'FLAC' major minor n_headers(2BE) + the native
+    'fLaC' signature + STREAMINFO; the following n_headers packets
+    are metadata blocks (skipped — STREAMINFO is re-flagged as the
+    last block); everything after is raw FLAC frames."""
+    p0 = packets[0]
+    if len(p0) < 9 + 4 + 4 + 34 or p0[9:13] != b"fLaC":
+        raise ValueError("Ogg-FLAC first packet malformed")
+    n_headers = struct.unpack_from(">H", p0, 7)[0]
+    streaminfo = bytearray(p0[13 : 13 + 4 + 34])
+    streaminfo[0] |= 0x80  # mark STREAMINFO as the last metadata block
+    if (streaminfo[0] & 0x7F) != 0:
+        raise ValueError("Ogg-FLAC first block is not STREAMINFO")
+    out = bytearray(b"fLaC") + streaminfo
+    for pk in packets[1 + n_headers :] if n_headers else packets[1:]:
+        if pk[:1] == b"\xff":  # audio frames only; stray metadata skipped
+            out += pk
+    return bytes(out)
+
+
+def _ogg_audio_info(payload: bytes) -> tuple[str, dict | bytes]:
+    """('flac', native bytes) for Ogg-FLAC, or ('vorbis'/'opus',
+    triage dict) for the transform codecs."""
+    packets, last_granule, _ = _ogg_packets(payload)
+    p0 = packets[0]
+    if p0[:5] == b"\x7fFLAC":
+        return "flac", _ogg_flac_native(packets)
+    if p0[:7] == b"\x01vorbis":
+        if len(p0) < 30:
+            raise ValueError("Vorbis identification header truncated")
+        n_ch = p0[11]
+        (rate,) = struct.unpack_from("<I", p0, 12)
+        if n_ch < 1 or rate == 0:
+            raise ValueError("Vorbis identification header invalid")
+        return "vorbis", {
+            "kind": "audio",
+            "codec": "vorbis",
+            "n_channels": int(n_ch),
+            "sample_rate": int(rate),
+            "n_frames": int(last_granule),
+            "duration_s": last_granule / rate,
+        }
+    if p0[:8] == b"OpusHead":
+        if len(p0) < 19:
+            raise ValueError("OpusHead truncated")
+        n_ch = p0[9]
+        (pre_skip,) = struct.unpack_from("<H", p0, 10)
+        (in_rate,) = struct.unpack_from("<I", p0, 12)
+        if n_ch < 1:
+            raise ValueError("OpusHead invalid")
+        # granule positions are ALWAYS 48 kHz for Opus, minus pre-skip
+        frames = max(0, last_granule - pre_skip)
+        return "opus", {
+            "kind": "audio",
+            "codec": "opus",
+            "n_channels": int(n_ch),
+            "sample_rate": int(in_rate),
+            "n_frames": int(frames),
+            "duration_s": frames / 48000.0,
+        }
+    raise NotImplementedError(
+        "Ogg codec not decodable here (only Ogg-FLAC decodes; "
+        "Vorbis/Opus triage via decode_ogg)"
+    )
+
+
+def decode_ogg(payload: bytes) -> dict:
+    """Ogg entry: Ogg-FLAC decodes samples for REAL through the
+    native-FLAC delegation; Vorbis/Opus report identification-header
+    + granule metadata (no rms — the transform payloads need codec
+    libraries)."""
+    kind, info = _ogg_audio_info(payload)
+    if kind == "flac":
+        return decode_flac(info)
+    return info
+
+
+_OGG_CRC_TABLE = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    """The Ogg page CRC: CRC-32 poly 0x04C11DB7, no reflection, zero
+    init and final xor (RFC 3533 appendix)."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        table = np.zeros(256, dtype=np.uint32)
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) & 0xFFFFFFFF
+            table[i] = r
+        _OGG_CRC_TABLE = table
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ int(_OGG_CRC_TABLE[((crc >> 24) ^ b) & 0xFF])
+    return crc
+
+
+def _ogg_pages(
+    packets: list[bytes], serial: int = 0x1234, granules: list[int] | None = None
+) -> bytes:
+    """Ogg byte stream from whole packets (builder twin): one packet
+    per page, 255-lacing, BOS on the first page, EOS + the declared
+    granule on the last, real page CRCs."""
+    out = bytearray()
+    for i, pk in enumerate(packets):
+        laces = [255] * (len(pk) // 255) + [len(pk) % 255]
+        granule = (granules[i] if granules else 0) if i else 0
+        flags = (0x02 if i == 0 else 0) | (0x04 if i == len(packets) - 1 else 0)
+        page = bytearray(b"OggS\x00")
+        page.append(flags)
+        page += struct.pack("<qIII", granule, serial, i, 0)
+        page.append(len(laces))
+        page += bytes(laces)
+        page += pk
+        struct.pack_into("<I", page, 22, _ogg_crc(bytes(page)))
+        out += page
+    return bytes(out)
+
+
+def _ogg_flac_payload(raw: bytes, rate: int = 8000) -> bytes:
+    """The SAME sample contract as ``_flac_payload`` in an Ogg-FLAC
+    wrapping (the Xiph mapping): first packet embeds the native
+    signature + STREAMINFO, audio frames follow one per packet."""
+    native = _flac_payload(raw, rate)
+    streaminfo = bytearray(native[4 : 4 + 4 + 34])
+    streaminfo[0] &= 0x7F  # not-last: headers may follow per mapping
+    first = b"\x7fFLAC\x01\x00" + struct.pack(">H", 0) + b"fLaC" + bytes(streaminfo)
+    frames = native[4 + 4 + 34 :]
+    n = len(np.frombuffer(raw, np.uint8))
+    return _ogg_pages([first, frames], granules=[0, n])
 
 
 def _bmp_pixels(payload: bytes) -> np.ndarray:
@@ -6718,6 +6939,8 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_au(payload)
     if mime in ("audio/x-caf", "audio/caf"):
         return decode_caf(payload)
+    if mime in ("audio/ogg", "application/ogg", "audio/x-ogg", "audio/opus"):
+        return decode_ogg(payload)
     if mime in ("audio/flac", "audio/x-flac"):
         return decode_flac(payload)
     if mime in ("audio/mpeg", "audio/mp3", "audio/x-mp3"):
@@ -7309,7 +7532,9 @@ def synthesize_mixed_audio_from_text(
     """Container-diverse audio fixture: doc_id % 3 picks RIFF WAV,
     big-endian AIFF, or FLAC (real rice+fixed-predictor compression)
     around the identical byte→sample contract, so all three decode
-    paths run under one unchanged oracle gate. Half the FLAC docs
+    paths run under one unchanged oracle gate. Mono FLAC docs at
+    % 12 == 8 ship as Ogg-FLAC (r11, the Xiph mapping — native
+    reassembly from pages). Half the FLAC docs
     (doc_id % 6 == 5, even byte length) encode STEREO — even/odd
     bytes as L/R — so the r9 stereo-decorrelation decode runs under
     the same gate: the decoded interleaved stream is byte-identical
@@ -7353,10 +7578,17 @@ def synthesize_mixed_audio_from_text(
                         payloads.append(_aiff_payload(raw, rate))
                     mimes.append("audio/aiff")
                 elif kind == 2:
-                    payloads.append(
-                        _flac_payload(raw, rate, stereo=int(doc_id) % 6 == 5)
-                    )
-                    mimes.append("audio/flac")
+                    if int(doc_id) % 12 == 8:
+                        # r11: the same FLAC stream inside Ogg pages
+                        # (the Xiph mapping) — native reassembly runs
+                        # at driver scale under the unchanged oracle
+                        payloads.append(_ogg_flac_payload(raw, rate))
+                        mimes.append("audio/ogg")
+                    else:
+                        payloads.append(
+                            _flac_payload(raw, rate, stereo=int(doc_id) % 6 == 5)
+                        )
+                        mimes.append("audio/flac")
                 elif int(doc_id) % 6 == 3:
                     d = int(doc_id)
                     if d % 24 == 15:

@@ -5722,3 +5722,84 @@ def test_rf64_wav_decodes_and_fixture_rotation(spark):
     assert rows[0][:4] == b"RIFF" and rows[12][:4] == b"RIFF"
     stats = {i: decode_wav(p) for i, p in rows.items()}
     assert len({(d["n_frames"], d["rms"]) for d in stats.values()}) == 1
+
+
+def test_ogg_flac_delegation_and_vorbis_opus_triage(spark):
+    """Ogg (r11, RFC 3533): page walk with 255-lacing packet
+    reassembly across pages. Ogg-FLAC DECODES — the native fLaC
+    stream is rebuilt from the first packet's embedded STREAMINFO
+    (re-flagged last) plus the audio packets and delegated to the
+    FLAC machinery; Vorbis/Opus get identification-header triage with
+    last-granule durations (Opus granules are 48 kHz minus pre-skip)
+    while their sample layers quarantine. The mixed-audio fixture
+    ships mono FLAC docs at doc_id % 12 == 8 as Ogg-FLAC under the
+    unchanged ehash oracle."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _flac_payload,
+        _ogg_flac_payload,
+        _ogg_packets,
+        _ogg_pages,
+        _pcm16_samples,
+        audio_energy_hash,
+        decode_flac,
+        decode_media,
+        decode_ogg,
+        synthesize_mixed_audio_from_text,
+    )
+
+    raw = bytes(range(200))
+    want = np.frombuffer(raw, np.uint8).astype(np.int16)
+    p = _ogg_flac_payload(raw)
+    assert p[:4] == b"OggS"
+    assert decode_ogg(p) == decode_flac(_flac_payload(raw))
+    assert np.array_equal(_pcm16_samples(p), want)
+    assert decode_media(p, "audio/ogg")["kind"] == "audio"
+    # packets longer than 255 bytes reassemble across laces
+    pk = bytes(range(256)) * 3
+    vhead = (
+        b"\x01vorbis" + bytes(4) + bytes([2]) + struct.pack("<I", 44100)
+        + bytes(14)
+    )
+    pages = _ogg_pages([vhead, pk], granules=[0, 88200])
+    packets, granule, _ = _ogg_packets(pages)
+    assert packets[1] == pk and granule == 88200
+    dv = decode_ogg(pages)
+    assert (dv["codec"], dv["n_channels"], dv["sample_rate"]) == ("vorbis", 2, 44100)
+    assert dv["n_frames"] == 88200 and "rms" not in dv
+    # Opus: 48 kHz granules minus pre-skip
+    oh = (
+        b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+        + struct.pack("<I", 16000) + bytes(3)
+    )
+    pages_o = _ogg_pages([oh, b"\xff\xff"], granules=[0, 48312])
+    do = decode_ogg(pages_o)
+    assert do["codec"] == "opus" and do["n_frames"] == 48000
+    assert abs(do["duration_s"] - 1.0) < 1e-9
+    # transform codecs quarantine in the sample layer
+    with pytest.raises(NotImplementedError, match="codec library"):
+        _pcm16_samples(pages_o)
+    for cut in (3, 20, 60, len(p) // 2):
+        try:
+            decode_ogg(p[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+    # fixture: % 12 == 8 ships Ogg-FLAC, 2 stays native, 5 stereo FLAC
+    ids = (2, 5, 8)
+    docs = spark.createDataFrame(
+        [(i, "identical text for every row") for i in ids],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in synthesize_mixed_audio_from_text(docs).collect()}
+    assert rows[8].mime == "audio/ogg" and bytes(rows[8].payload)[:4] == b"OggS"
+    assert rows[2].mime == "audio/flac" and rows[5].mime == "audio/flac"
+    hashes = audio_energy_hash(
+        synthesize_mixed_audio_from_text(
+            spark.createDataFrame(
+                [(i, "identical text for every row") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    assert len(hashes) == 3 and len({r.ehash for r in hashes}) == 1

@@ -380,6 +380,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("aiff", _encode_ima4_variant(rng)),
         ("g711", _encode_g711(rng)),
         ("mp3", _mp3_seed(rng)),
+        ("ogg", mm._ogg_flac_payload(raw8, rate=rng.choice((8000, 44100)))),
         ("avi", mm._avi_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
         ("avia", mm._avi_audio_container(mm._wav_payload(raw8), n_chunks=rng.randrange(1, 5))),
         ("avia", mm._avi_audio_container(_encode_ima_variant(rng), n_chunks=2)),
@@ -559,6 +560,7 @@ _DECODERS = {
     "avia": [mm.decode_avi, mm._avi_audio_as_wav, mm._pcm16_samples, mm.decode_avi_audio],
     "au": [mm.decode_au, mm._au_samples, mm._pcm16_samples],
     "caf": [mm.decode_caf, mm._caf_samples, mm._pcm16_samples],
+    "ogg": [mm.decode_ogg, mm._pcm16_samples],
     "pnm": [mm.decode_pnm, mm._pnm_pixels, mm._image_pixels],
     "tga": [mm.decode_tga, mm._tga_pixels, mm._image_pixels],
     "qoi": [mm.decode_qoi, mm._qoi_pixels, mm._image_pixels],
