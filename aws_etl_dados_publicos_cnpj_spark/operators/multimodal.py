@@ -36,7 +36,7 @@ Decode status — honest per format:
   ``video_frame_hashes``); H.264/HEVC sample payloads need ffmpeg,
   absent here — frame access raises ``NotImplementedError`` and
   quarantines while container stats still return.
-- **STUB**: arithmetic-coded/lossless/hierarchical JPEG
+- **STUB**: arithmetic-coded/hierarchical JPEG
   variants need ffmpeg/PIL, absent in this container —
   ``decode_media`` raises ``NotImplementedError`` for those mimes;
   ``decode_features`` rows quarantine per-payload (``ok=false`` +
@@ -44,7 +44,11 @@ Decode status — honest per format:
   corrupt-CSV quarantine semantics. Progressive huffman JPEG (SOF2)
   decodes for REAL: spectral selection, successive approximation,
   EOB runs — the scan loop accumulates per-component coefficient
-  state and the shared iDCT finishes it.
+  state and the shared iDCT finishes it. Lossless huffman JPEG
+  (SOF3, r11) also decodes for REAL: T.81 Annex-H predictive
+  coding, all seven predictors, point transform, restarts, 2-16-bit
+  precision — with an ``encode_jpeg_lossless`` twin (exact
+  round-trip at Pt=0).
 
 At 100 TB: payloads live in parquet binary columns (or are pointers to
 object-store blobs resolved inside the batch fn); ``mapInPandas`` keeps
@@ -5239,9 +5243,13 @@ def _jpeg_pixels(payload: bytes) -> np.ndarray:
     JPEG — marker parse, DHT huffman entropy decode, dequantize,
     de-zigzag, batched-numpy iDCT, sampling-factor MCU assembly with
     replication upsampling, BT.601 YCbCr→RGB. Grayscale replicates Y.
-    Every malformed-stream failure mode surfaces as ValueError (the
-    PNG decoder's contract), so quarantine matching stays uniform."""
+    Lossless SOF3 streams (r11) route to the Annex-H predictive
+    decoder. Every malformed-stream failure mode surfaces as
+    ValueError (the PNG decoder's contract), so quarantine matching
+    stays uniform."""
     try:
+        if _jpeg_first_sof(payload) == 0xC3:
+            return _jpeg_lossless_impl(payload)
         return _jpeg_pixels_impl(payload)
     except ValueError:
         raise
@@ -5577,6 +5585,320 @@ def decode_jpeg(payload: bytes) -> dict:
         "mean_g": float(mean_rgb[1]),
         "mean_b": float(mean_rgb[2]),
     }
+
+
+def _jpeg_first_sof(payload: bytes) -> int | None:
+    """Marker byte of the first SOFn segment, or None. Every SOF
+    precedes the first SOS (T.81 B.2), so a plain segment walk — no
+    entropy-data skipping — is safe; anything malformed returns None
+    and the caller falls through to the baseline decoder's own
+    (ValueError-contracted) marker loop."""
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(payload):
+                return None
+        marker = payload[pos + 1]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return marker
+        if marker in (0xD8, 0xD9, 0xDA) or 0xD0 <= marker <= 0xD7:
+            return None  # scan data / end reached without a SOF
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if seglen < 2:
+            return None
+        pos += 2 + seglen
+    return None
+
+
+# Fixed huffman table for the lossless encoder twin: categories 0-2
+# (the overwhelmingly common small diffs) at 2 bits, category k at k
+# bits for 3..16. Kraft sum 3/4 + (2^-2 - 2^-16) < 1, so the table is
+# valid for any input; the decoder reads whatever DHT the stream
+# carries, this shape is only what encode_jpeg_lossless emits.
+_JPEG_LL_DC_BITS = bytes([0, 3] + [1] * 14)
+_JPEG_LL_DC_VALS = bytes(range(17))
+
+
+def _jpeg_lossless_predict(
+    plane: np.ndarray, y: int, x: int, psel: int, default: int, fresh: bool
+) -> int:
+    """One-sample prediction per T.81 H.1.2.1: the scan's selected
+    predictor in the interior, forced Ra on the first line, forced Rb
+    in the first column, and the 2^(P-Pt-1) default for the very
+    first sample and the sample right after a restart marker."""
+    if fresh or (y == 0 and x == 0):
+        return default
+    if y == 0:
+        return int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    rc = int(plane[y - 1, x - 1])
+    if psel == 1:
+        return ra
+    if psel == 2:
+        return rb
+    if psel == 3:
+        return rc
+    if psel == 4:
+        return ra + rb - rc
+    if psel == 5:
+        return ra + ((rb - rc) >> 1)
+    if psel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # psel == 7
+
+
+def _jpeg_lossless_impl(payload: bytes) -> np.ndarray:
+    """(h, w, 3) pixels of a lossless huffman JPEG (SOF3, T.81 Annex
+    H) — predictive coding, no DCT and no quantization. Reuses the
+    baseline decoder's DHT/bit-reader/extend machinery; each sample is
+    a DC-style huffman category + extend bits (category 16 = +32768
+    with no extra bits), added mod 2^16 to one of the seven spec
+    predictors. Lossless JPEG defines no color transform; the 3-
+    component case is returned as direct RGB (the DNG / PNM-adjacent
+    convention) and 1-component replicates gray. Precision 2-16 bits
+    scales to the uint8 grid by the exact v*255/(2^P-1) rounding the
+    16-bit TIFF path uses; the point transform left-shifts back per
+    H.2.2 before scaling."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    huff: dict[tuple[int, int], object] = {}
+    comps: list[dict] = []
+    w = h = dri = prec = 0
+    saw_scan = False
+
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(payload):
+                raise ValueError("truncated JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        data = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xC4:  # DHT
+            p = 0
+            while p < len(data):
+                tc, th = data[p] >> 4, data[p] & 15
+                nv = sum(data[p + 1 : p + 17])
+                huff[(tc, th)] = _jpeg_decode_tables(
+                    bytes(data[p + 1 : p + 17]),
+                    bytes(data[p + 17 : p + 17 + nv]),
+                )
+                p += 17 + nv
+        elif marker == 0xC3:  # SOF3
+            prec = data[0]
+            if not 2 <= prec <= 16:
+                raise ValueError(f"lossless JPEG precision {prec} out of range")
+            h, w = struct.unpack_from(">HH", data, 1)
+            if not w or not h:
+                raise ValueError("zero-dimension lossless JPEG")
+            for i in range(data[5]):
+                cid, hv, _tq = data[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15})
+            if len(comps) not in (1, 3):
+                raise ValueError("unsupported lossless JPEG component count")
+            if len(comps) > 1 and any(
+                c["h"] != 1 or c["v"] != 1 for c in comps
+            ):
+                raise ValueError(
+                    "subsampled lossless JPEG unsupported (1x1 factors only)"
+                )
+            # every sample costs >= 1 entropy bit, so lying dimensions
+            # cannot demand planes the stream can't back (the baseline
+            # decoder's allocation-bound doctrine)
+            if w * h * len(comps) > 8 * len(payload) or w * h > (1 << 24):
+                raise ValueError(
+                    "lossless JPEG dimensions exceed what the stream can encode"
+                )
+            for c in comps:
+                c["plane"] = np.zeros((h, w), dtype=np.int64)
+                c["done"] = False
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG SOF type 0x{marker:02x} inside a lossless dispatch"
+            )
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
+            ns = data[0]
+            scomps = []
+            for i in range(ns):
+                cid, tt = data[1 + 2 * i], data[2 + 2 * i]
+                match = [c for c in comps if c["id"] == cid]
+                if not match:
+                    raise ValueError("JPEG scan references unknown component")
+                match[0]["td"] = tt >> 4
+                scomps.append(match[0])
+            psel, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
+            pt = ahal & 15
+            if not 1 <= psel <= 7:
+                raise ValueError(
+                    f"lossless JPEG predictor {psel} out of range (1-7)"
+                )
+            if se != 0 or (ahal >> 4) != 0 or pt >= prec:
+                raise ValueError("corrupt lossless JPEG scan header")
+            default = 1 << (prec - pt - 1)
+            segments, end = _jpeg_entropy_segments(payload, pos + 2 + seglen)
+            reader = _JpegBitReader(segments[0])
+            seg_i = 0
+            for c in scomps:
+                tab = huff.get((0, c["td"]))
+                if tab is None:
+                    raise ValueError(
+                        "JPEG scan references undefined huffman table"
+                    )
+                c["tab"] = tab
+                c["fresh"] = True
+                c["pt"] = pt
+            # one MCU = one sample position in BOTH modes (interleaved
+            # 1x1-factor MCUs carry one sample per component; a single-
+            # component scan's MCU is one sample), so one walk serves
+            for i in range(w * h):
+                if dri and i and i % dri == 0:
+                    seg_i += 1
+                    if seg_i >= len(segments):
+                        raise ValueError("missing JPEG restart segment")
+                    reader = _JpegBitReader(segments[seg_i])
+                    for c in scomps:
+                        c["fresh"] = True
+                y, x = divmod(i, w)
+                for c in scomps:
+                    s = reader.decode(c["tab"])
+                    if s == 16:  # T.81 H.2: diff is 32768, no bits
+                        diff = 32768
+                    elif s:
+                        diff = _jpeg_extend(reader.read_bits(s), s)
+                    else:
+                        diff = 0
+                    pred = _jpeg_lossless_predict(
+                        c["plane"], y, x, psel, default, c["fresh"]
+                    )
+                    c["fresh"] = False
+                    c["plane"][y, x] = (pred + diff) & 0xFFFF
+            for c in scomps:
+                c["done"] = True
+            saw_scan = True
+            pos = end
+            continue
+        pos += 2 + seglen
+    if not comps or not saw_scan:
+        raise ValueError("missing JPEG SOF/SOS")
+    if not all(c["done"] for c in comps):
+        raise ValueError("lossless JPEG scan coverage incomplete")
+    m = (1 << prec) - 1
+    planes = []
+    for c in comps:
+        v = np.minimum(c["plane"] << c["pt"], m)
+        planes.append(((v * 255 + m // 2) // m).astype(np.uint8))
+    if len(planes) == 1:
+        return np.stack([planes[0]] * 3, axis=-1)
+    return np.stack(planes, axis=-1)
+
+
+def encode_jpeg_lossless(
+    px: np.ndarray,
+    predictor: int = 1,
+    point_transform: int = 0,
+    precision: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """Lossless JPEG (SOF3) encoder — the test/synthesizer twin of
+    ``_jpeg_lossless_impl`` (the encode_jpeg/encode_png discipline: a
+    real encoder in the fixture path so decode is exercised
+    end-to-end). Grayscale (h,w) or RGB (h,w,3), any predictor 1-7,
+    optional point transform and DRI/RSTn restarts, precision 2-16
+    (input samples must already sit in [0, 2^P-1]). At Pt=0 the
+    decode round-trips EXACTLY — the only exactly-lossless member of
+    the JPEG family, which is what the property tests pin."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1-7, got {predictor}")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision must be 2-16, got {precision}")
+    if not 0 <= point_transform < precision:
+        raise ValueError(
+            f"point transform must be in [0, {precision}), got {point_transform}"
+        )
+    px = np.asarray(px)
+    if not (px.ndim == 2 or (px.ndim == 3 and px.shape[2] == 3)):
+        raise ValueError(
+            f"encode_jpeg_lossless takes (h,w) or (h,w,3), got {px.shape}"
+        )
+    if px.size == 0:
+        raise ValueError("encode_jpeg_lossless: empty image")
+    _check_pixels(px, "encode_jpeg_lossless", (1 << precision) - 1)
+    h, w = px.shape[:2]
+    if h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("lossless JPEG dimensions exceed 16 bits")
+    planes = (
+        [px.astype(np.int64) >> point_transform]
+        if px.ndim == 2
+        else [px[..., i].astype(np.int64) >> point_transform for i in range(3)]
+    )
+    nc = len(planes)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    seg(0xC4, bytes([0x00]) + _JPEG_LL_DC_BITS + _JPEG_LL_DC_VALS)
+    seg(
+        0xC3,
+        bytes([precision])
+        + struct.pack(">HH", h, w)
+        + bytes([nc])
+        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc)),
+    )
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    seg(
+        0xDA,
+        bytes([nc])
+        + b"".join(bytes([i + 1, 0x00]) for i in range(nc))
+        + bytes([predictor, 0, point_transform]),
+    )
+    codes = _jpeg_huffman_codes(list(_JPEG_LL_DC_BITS), list(_JPEG_LL_DC_VALS))
+    default = 1 << (precision - point_transform - 1)
+    writer = _JpegBitWriter()
+    fresh = [True] * nc
+    for i in range(w * h):
+        if restart_interval and i and i % restart_interval == 0:
+            out.extend(writer.flush())
+            out.extend(
+                bytes([0xFF, 0xD0 + ((i // restart_interval - 1) % 8)])
+            )
+            fresh = [True] * nc
+        y, x = divmod(i, w)
+        for ci, plane in enumerate(planes):
+            pred = _jpeg_lossless_predict(
+                plane, y, x, predictor, default, fresh[ci]
+            )
+            fresh[ci] = False
+            diff = (int(plane[y, x]) - pred) & 0xFFFF
+            if diff >= 32768:
+                diff -= 65536
+            if diff == -32768:  # category 16: code only, no extra bits
+                writer.write(*codes[16])
+                continue
+            s = abs(diff).bit_length()
+            writer.write(*codes[s])
+            if s:
+                writer.write(s, diff if diff > 0 else diff + (1 << s) - 1)
+    out.extend(writer.flush())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
 
 
 class _JpegBitWriter:
@@ -7725,8 +8047,10 @@ def synthesize_mixed_image_from_text(
     sub-rotate TGA (r11): % 12 == 7 raw truecolor, % 24 == 22 RLE;
     the BMP docs sub-rotate the small-format family (r11): % 12 == 9
     binary PPM (P6), % 24 == 18 16-bit P6 (maxval 65535, v·257
-    samples — the exact-round 16→8 path), % 24 == 15 QOI, and ICO at
-    % 48 == 12 (DIB delegation) / % 48 == 36 (PNG delegation))
+    samples — the exact-round 16→8 path), % 24 == 15 QOI, ICO at
+    % 48 == 12 (DIB delegation) / % 48 == 36 (PNG delegation), and
+    % 24 == 6 lossless JPEG (SOF3, predictor rotating through all
+    seven — exactly lossless at Pt=0, so the oracle holds verbatim))
     carrying
     the SAME decoded-RGB pixels — pixel k =
     (raw[(3k+2)%n], raw[(3k+1)%n], raw[(3k)%n]) — so all three decode
@@ -7805,6 +8129,17 @@ def synthesize_mixed_image_from_text(
                     rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
                     payloads.append(encode_pnm(rgb, maxval=65535))
                     mimes.append("image/x-portable-pixmap")
+                elif int(doc_id) % 24 == 6:
+                    # r11: lossless JPEG (SOF3) — exactly lossless at
+                    # Pt=0, so the text-byte oracle holds verbatim;
+                    # the predictor rotates through all seven
+                    rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
+                    payloads.append(
+                        encode_jpeg_lossless(
+                            rgb, predictor=(int(doc_id) // 24) % 7 + 1
+                        )
+                    )
+                    mimes.append("image/jpeg")
                 else:
                     payloads.append(_bmp_payload(raw, width, height))
                     mimes.append("image/bmp")

@@ -371,10 +371,12 @@ def test_jpeg_restart_markers_round_trip():
 
 
 def test_jpeg_unsupported_variants_quarantine(spark):
-    """Lossless (SOF3) and 16-bit-quant JPEGs must raise — and through
-    decode_features they quarantine per row, never killing the job. A
-    baseline stream relabeled SOF2 is CORRUPT progressive (its one
-    scan has Ss=0,Se=63) and must raise too, not misdecode."""
+    """16-bit-quant JPEGs and streams relabeled to a mode their scan
+    headers contradict must raise — and through decode_features they
+    quarantine per row, never killing the job. A baseline stream
+    relabeled SOF3 is CORRUPT lossless (its scan's Ss=0 is not a
+    valid predictor) now that SOF3 decodes for real (r11); relabeled
+    SOF2 is CORRUPT progressive (its one scan has Ss=0,Se=63)."""
     from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
         _jpeg_pixels,
         decode_features,
@@ -385,7 +387,7 @@ def test_jpeg_unsupported_variants_quarantine(spark):
     sof = good.find(b"\xff\xc0")
     lossless = bytearray(good)
     lossless[sof + 1] = 0xC3
-    with pytest.raises(ValueError, match="SOF type 0xc3"):
+    with pytest.raises(ValueError, match="predictor 0 out of range"):
         _jpeg_pixels(bytes(lossless))
     fake_prog = bytearray(good)
     fake_prog[sof + 1] = 0xC2
@@ -407,7 +409,7 @@ def test_jpeg_unsupported_variants_quarantine(spark):
     rows = {r.doc_id: r for r in decode_features(df).collect()}
     assert rows[1].ok and rows[1].kind == "image"
     assert rows[1].width == 8 and rows[1].height == 8
-    assert not rows[2].ok and "SOF" in rows[2].err
+    assert not rows[2].ok and "predictor" in rows[2].err
     assert not rows[3].ok
 
 
@@ -5315,7 +5317,8 @@ def test_pnm_decode_matrix_and_fixture_rotation(spark):
             pass
         except Exception as exc:  # noqa: BLE001
             raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
-    # fixture: 9 ships P6, 18 ships 16-bit P6, 0/6 stay BMP — one ahash
+    # fixture: 9 ships P6, 18 ships 16-bit P6, 0 stays BMP, 6 ships
+    # lossless JPEG (r11) — one ahash
     ids = (0, 6, 9, 18)
     docs = spark.createDataFrame(
         [(i, "same text for every row") for i in ids],
@@ -5325,7 +5328,7 @@ def test_pnm_decode_matrix_and_fixture_rotation(spark):
     assert rows[9].mime == "image/x-portable-pixmap"
     assert bytes(rows[9].payload)[:2] == b"P6"
     assert b"65535" in bytes(rows[18].payload)[:20]
-    assert rows[0].mime == "image/bmp" and rows[6].mime == "image/bmp"
+    assert rows[0].mime == "image/bmp" and rows[6].mime == "image/jpeg"
     hashes = image_ahash(
         synthesize_mixed_image_from_text(
             spark.createDataFrame(
@@ -5479,7 +5482,8 @@ def test_qoi_decode_round_trip_and_fixture_rotation(spark):
     ):
         with pytest.raises(ValueError):
             _qoi_pixels(bad)
-    # fixture: 15/39 ship QOI, 0/6 stay BMP — one shared ahash
+    # fixture: 15/39 ship QOI, 0 stays BMP, 6 ships lossless JPEG
+    # (r11) — one shared ahash
     ids = (0, 15, 6, 39)
     docs = spark.createDataFrame(
         [(i, "same text for every row") for i in ids],
@@ -5488,7 +5492,8 @@ def test_qoi_decode_round_trip_and_fixture_rotation(spark):
     rows = {r.doc_id: r for r in synthesize_mixed_image_from_text(docs).collect()}
     assert rows[15].mime == "image/qoi" and rows[39].mime == "image/qoi"
     assert bytes(rows[15].payload)[:4] == b"qoif"
-    assert rows[0].mime == "image/bmp" and rows[6].mime == "image/bmp"
+    assert rows[0].mime == "image/bmp" and rows[6].mime == "image/jpeg"
+    assert bytes(rows[6].payload)[:3] == b"\xff\xd8\xff"
     hashes = image_ahash(
         synthesize_mixed_image_from_text(
             spark.createDataFrame(
@@ -5803,3 +5808,172 @@ def test_ogg_flac_delegation_and_vorbis_opus_triage(spark):
         )
     ).collect()
     assert len(hashes) == 3 and len({r.ehash for r in hashes}) == 1
+
+
+# ---------------------------------------------------------------- #
+# lossless JPEG (SOF3, T.81 Annex H) — r11                          #
+# ---------------------------------------------------------------- #
+
+
+def test_jpeg_lossless_round_trips_exactly_all_predictors():
+    """SOF3 is the only exactly-lossless member of the JPEG family:
+    every one of the seven Annex-H predictors must round-trip random
+    8-bit content bit-exactly, gray and RGB (no color transform —
+    3-component lossless is direct RGB)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_first_sof,
+        _jpeg_pixels,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(17)
+    gray = rng.randint(0, 256, (13, 17)).astype(np.uint8)
+    rgb = rng.randint(0, 256, (9, 11, 3)).astype(np.uint8)
+    for pred in range(1, 8):
+        stream = encode_jpeg_lossless(gray, predictor=pred)
+        assert _jpeg_first_sof(stream) == 0xC3
+        assert (_jpeg_pixels(stream) == np.stack([gray] * 3, axis=-1)).all()
+        assert (_jpeg_pixels(encode_jpeg_lossless(rgb, predictor=pred)) == rgb).all()
+
+
+def test_jpeg_lossless_restart_markers_round_trip():
+    """DRI/RSTn in a lossless scan: segment boundaries byte-align the
+    stream and reset prediction to the 2^(P-Pt-1) default; decode must
+    equal the no-restart encode exactly."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(23)
+    rgb = rng.randint(0, 256, (12, 7, 3)).astype(np.uint8)
+    plain = _jpeg_pixels(encode_jpeg_lossless(rgb, predictor=4))
+    restarted = _jpeg_pixels(
+        encode_jpeg_lossless(rgb, predictor=4, restart_interval=5)
+    )
+    assert (plain == restarted).all() and (plain == rgb).all()
+
+
+def test_jpeg_lossless_point_transform_and_wide_precision():
+    """Pt shifts samples down at encode and back up at decode (H.2.2),
+    so decode equals (v>>Pt)<<Pt; 12/16-bit precision scales to the
+    uint8 grid by the exact v*255/(2^P-1) rounding (the 16-bit TIFF
+    rule). The 16-bit case includes a 32768 jump — the huffman
+    category-16 code that carries no extend bits."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(29)
+    g = rng.randint(0, 256, (6, 9)).astype(np.uint8)
+    dec = _jpeg_pixels(encode_jpeg_lossless(g, predictor=5, point_transform=2))
+    exp = (g.astype(np.int64) >> 2) << 2
+    assert (dec == np.stack([exp.astype(np.uint8)] * 3, axis=-1)).all()
+
+    g12 = rng.randint(0, 4096, (7, 5)).astype(np.int64)
+    dec12 = _jpeg_pixels(encode_jpeg_lossless(g12, predictor=6, precision=12))
+    exp12 = ((g12 * 255 + 4095 // 2) // 4095).astype(np.uint8)
+    assert (dec12 == np.stack([exp12] * 3, axis=-1)).all()
+
+    g16 = np.array([[0, 65535, 0, 32768], [65535, 0, 32767, 1]], dtype=np.int64)
+    dec16 = _jpeg_pixels(encode_jpeg_lossless(g16, predictor=1, precision=16))
+    exp16 = ((g16 * 255 + 65535 // 2) // 65535).astype(np.uint8)
+    assert (dec16 == np.stack([exp16] * 3, axis=-1)).all()
+
+
+def test_jpeg_lossless_corrupt_payloads_quarantine():
+    """Malformed lossless streams surface ValueError (the uniform
+    quarantine contract), never IndexError/struct.error: truncated
+    entropy data, scan header defects (predictor 0, Pt >= P), a scan
+    referencing an undefined huffman table, subsampled multi-component
+    layouts, and header-bomb dimensions the stream can't back."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(31)
+    g = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    good = encode_jpeg_lossless(g, predictor=7)
+    for cut in (4, 10, 30, len(good) - 6):
+        with pytest.raises(ValueError):
+            _jpeg_pixels(good[:cut])
+    sos = good.find(b"\xff\xda")
+    # predictor 0 (Ss byte of the scan header)
+    bad = bytearray(good)
+    bad[sos + 7] = 0
+    with pytest.raises(ValueError, match="predictor 0"):
+        _jpeg_pixels(bytes(bad))
+    # point transform >= precision
+    bad = bytearray(good)
+    bad[sos + 9] = 8
+    with pytest.raises(ValueError, match="corrupt lossless"):
+        _jpeg_pixels(bytes(bad))
+    # scan references an undefined table (Td=1, only Th=0 defined)
+    bad = bytearray(good)
+    bad[sos + 6] = 0x10
+    with pytest.raises(ValueError, match="undefined huffman"):
+        _jpeg_pixels(bytes(bad))
+    # subsampled 3-component lossless is rejected, not misdecoded
+    rgb = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    c3 = bytearray(encode_jpeg_lossless(rgb))
+    sof = c3.find(b"\xff\xc3")
+    c3[sof + 11] = 0x21  # comp 1 factors 2x1
+    with pytest.raises(ValueError, match="1x1 factors"):
+        _jpeg_pixels(bytes(c3))
+    # header bomb: SOF3 claims 65535x65535 — bounded before allocation
+    bomb = bytearray(good)
+    sofg = bomb.find(b"\xff\xc3")
+    bomb[sofg + 5 : sofg + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="exceed"):
+        _jpeg_pixels(bytes(bomb))
+
+
+def test_jpeg_lossless_routes_through_spark_feature_path(spark):
+    """A lossless JPEG travels the same mapInPandas feature/aHash
+    plumbing as every other image: decode_features returns real dims
+    and image_ahash matches a BMP of the SAME pixels exactly."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        decode_features,
+        encode_jpeg_lossless,
+        image_ahash,
+    )
+
+    rng = np.random.RandomState(37)
+    rgb = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_jpeg_lossless(rgb, predictor=4)), "image/jpeg"),
+            (2, bytearray(make_bmp(rgb)), "image/bmp"),
+        ],
+        "doc_id long, payload binary, mime string",
+    )
+    feats = {r.doc_id: r for r in decode_features(df).collect()}
+    assert feats[1].ok and feats[1].width == 16 and feats[1].height == 16
+    hashes = {r.doc_id: r.ahash for r in image_ahash(df.drop("mime")).collect()}
+    assert hashes[1] == hashes[2]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    pred=st.integers(1, 7),
+    rst=st.integers(0, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_lossless_round_trip_property(h, w, pred, rst, seed):
+    """Property pin: ANY uint8 image, ANY predictor, with or without
+    restarts, round-trips bit-exactly through encode_jpeg_lossless →
+    _jpeg_pixels (including 1-pixel rows/columns, where the Annex-H
+    border rules do all the predicting)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    dec = _jpeg_pixels(encode_jpeg_lossless(g, predictor=pred, restart_interval=rst))
+    assert (dec == np.stack([g] * 3, axis=-1)).all()

@@ -343,6 +343,15 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ),
         ("gif", mm.encode_gif(gif_px)),
         ("jpeg", mm.encode_jpeg(px)),
+        (
+            "jpegll",
+            mm.encode_jpeg_lossless(
+                px if rng.random() < 0.5 else px[:, :, 0],
+                predictor=rng.randrange(1, 8),
+                point_transform=rng.choice((0, 0, 0, 2)),
+                restart_interval=rng.choice((0, 0, 3)),
+            ),
+        ),
         ("bmp", mm._bmp_payload(raw8)),
         ("bmpv", _encode_bmp_variant(rng)),
         ("flac", mm.encode_flac(samples)),
@@ -547,6 +556,7 @@ _DECODERS = {
     "pngv": [mm._png_pixels, mm.decode_png],
     "gif": [mm._gif_pixels, mm.decode_gif],
     "jpeg": [mm._jpeg_pixels, mm.decode_jpeg],
+    "jpegll": [mm._jpeg_pixels, mm.decode_jpeg, mm._image_pixels],
     "bmp": [mm._bmp_pixels, mm.decode_bmp, mm._image_pixels],
     "bmpv": [mm._bmp_pixels, mm.decode_bmp],
     "flac": [mm._flac_samples, mm.decode_flac, mm._pcm16_samples],
