@@ -26,7 +26,11 @@ Decode status — honest per format:
   lossy transform codec, with an encoder twin for fixtures), and
   Motion-JPEG AVI video (``_avi_mjpeg_frames``: RIFF/'movi' walk +
   per-frame JPEG decode — a STANDARD video container, alongside the
-  synthetic VID0 one).
+  synthetic VID0 one), and WebP VP8L lossless (r11,
+  ``_webp_pixels``: canonical prefix codes, meta groups, color
+  cache, LZ77 with the 2D distance map, all four transforms
+  inverted, ``encode_webp`` twin; VP8 lossy gets honest
+  dims-from-keyframe-header triage).
 - **MP4**: the ISO-BMFF walk is real (r8) down THROUGH the sample
   tables — box tree → 'vide' trak → tkhd/mdhd/stsd metadata
   (``_mp4_video_stats``), then stsz × stsc × stco/co64 resolved to
@@ -3521,15 +3525,24 @@ def _tga_pixels(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported TGA depth {depth}")
     pos = 18 + idlen
     cmap = None
-    if cmap_type == 1:
+    if cmap_type == 1 and cm_len:
+        # an unused-but-present map (legal for truecolor/gray types)
+        # still needs its entry size validated BEFORE the byte math:
+        # entry sizes 0-7 would reach _tga_to_rgb with a zero/one-
+        # column array and leak IndexError (r11 fuzz find)
+        if cm_bits not in (15, 16, 24, 32):
+            raise ValueError(f"unsupported TGA color map entry size {cm_bits}")
         entry_bytes = (cm_bits + 7) // 8
         need = cm_len * entry_bytes
         if pos + need > len(payload):
             raise ValueError("TGA color map truncated")
-        cmap = _tga_to_rgb(
-            np.frombuffer(payload, np.uint8, need, pos).reshape(cm_len, entry_bytes),
-            cm_bits,
-        )
+        if mapped:
+            cmap = _tga_to_rgb(
+                np.frombuffer(payload, np.uint8, need, pos).reshape(
+                    cm_len, entry_bytes
+                ),
+                cm_bits,
+            )
         pos += need
     bpp = (depth + 7) // 8
     n_px = w * h
@@ -6673,6 +6686,1051 @@ def encode_gif_animation(
     return bytes(out)
 
 
+# ------------------------------------------------------------------ #
+# WebP (RIFF) / VP8L lossless bitstream — r11. The web-crawl staple:  #
+# the container walk is real for every chunk layout (VP8L, VP8,       #
+# VP8X extended, ANIM/ANMF animation) and VP8L pixels decode for     #
+# REAL from the public lossless bitstream spec (RFC 9649): canonical #
+# prefix codes (simple + code-length-coded forms), meta prefix      #
+# groups, color cache, LZ77 backward references with the 120-entry   #
+# 2D distance map, and all four transforms inverted (predictor x14,  #
+# cross-color, subtract-green, color-indexing with sub-byte packing).#
+# VP8 lossy frames get honest header triage (dims from the keyframe  #
+# header; pixel access needs a codec library and quarantines).       #
+# ------------------------------------------------------------------ #
+
+
+class _Vp8lReader:
+    """LSB-first bit reader (the RIFF convention — opposite of the
+    JPEG/FLAC readers above). Accumulator-based for the same hot-loop
+    reason."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.n = 0
+
+    def read(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= len(self.data):
+                raise ValueError("VP8L bitstream truncated")
+            self.buf |= self.data[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+        v = self.buf & ((1 << k) - 1)
+        self.buf >>= k
+        self.n -= k
+        return v
+
+
+class _Vp8lWriter:
+    """LSB-first bit writer; prefix-code bits are emitted MSB-of-code
+    first (the DEFLATE convention VP8L shares)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, k: int, v: int) -> None:
+        self.buf |= (v & ((1 << k) - 1)) << self.n
+        self.n += k
+        while self.n >= 8:
+            self.out.append(self.buf & 0xFF)
+            self.buf >>= 8
+            self.n -= 8
+
+    def write_code(self, n: int, code: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.write(1, (code >> i) & 1)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.buf & 0xFF)
+            self.buf = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+# code-length-code symbol order (RFC 9649 §5.2.1.2)
+_VP8L_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+# 2D offsets for the 120 short distance codes (RFC 9649 §4.4.2):
+# (dx, dy) with dist = dy*xsize + dx, clamped to >= 1
+_VP8L_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+def _vp8l_canonical(lengths: list[int]):
+    """(codes, single) decode form of a canonical prefix code given
+    per-symbol bit lengths (the DEFLATE assignment VP8L shares):
+    codes maps (len, code) → symbol; a one-symbol code decodes with
+    zero bits read and is returned via ``single``. Over- or under-
+    subscribed length sets are corrupt."""
+    used = [(length, s) for s, length in enumerate(lengths) if length]
+    if not used:
+        raise ValueError("empty VP8L prefix code")
+    if len(used) == 1:
+        return {}, used[0][1]
+    kraft = sum(1 << (15 - length) for length, _ in used)
+    if kraft != 1 << 15:
+        raise ValueError("corrupt VP8L prefix code (incomplete/oversubscribed)")
+    codes: dict[tuple[int, int], int] = {}
+    code = 0
+    for length in range(1, 16):
+        for s, sym_len in enumerate(lengths):
+            if sym_len == length:
+                codes[(length, code)] = s
+                code += 1
+        code <<= 1
+    return codes, None
+
+
+def _vp8l_decode_sym(r: _Vp8lReader, table) -> int:
+    codes, single = table
+    if single is not None:
+        return single
+    code = 0
+    for n in range(1, 16):
+        code = (code << 1) | r.read(1)
+        sym = codes.get((n, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid VP8L prefix code in stream")
+
+
+def _vp8l_read_prefix_code(r: _Vp8lReader, alphabet_size: int):
+    """One prefix code from the stream: the 1-or-2-symbol 'simple'
+    form, or the normal form whose symbol lengths are themselves
+    coded by a 19-symbol code-length code with 16/17/18 repeats."""
+    if r.read(1):  # simple
+        n_sym = r.read(1) + 1
+        sym0 = r.read(8) if r.read(1) else r.read(1)
+        if sym0 >= alphabet_size:
+            raise ValueError("VP8L simple code symbol out of range")
+        if n_sym == 1:
+            return {}, sym0
+        sym1 = r.read(8)
+        if sym1 >= alphabet_size:
+            raise ValueError("VP8L simple code symbol out of range")
+        return {(1, 0): sym0, (1, 1): sym1}, None
+    clc_lengths = [0] * 19
+    num_codes = r.read(4) + 4
+    for i in range(num_codes):
+        clc_lengths[_VP8L_CLC_ORDER[i]] = r.read(3)
+    clc = _vp8l_canonical(clc_lengths)
+    lengths = [0] * alphabet_size
+    if r.read(1):  # explicit cap on coded symbols
+        length_nbits = 2 + 2 * r.read(3)
+        max_symbol = 2 + r.read(length_nbits)
+        if max_symbol > alphabet_size:
+            raise ValueError("VP8L max_symbol exceeds the alphabet")
+    else:
+        max_symbol = alphabet_size
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        code_len = _vp8l_decode_sym(r, clc)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len:
+                prev_len = code_len
+        else:
+            if code_len == 16:
+                repeat, value = 3 + r.read(2), prev_len
+            elif code_len == 17:
+                repeat, value = 3 + r.read(3), 0
+            else:
+                repeat, value = 11 + r.read(7), 0
+            if symbol + repeat > alphabet_size:
+                raise ValueError("VP8L code-length repeat overruns the alphabet")
+            for _ in range(repeat):
+                lengths[symbol] = value
+                symbol += 1
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_prefix_value(r: _Vp8lReader, code: int) -> int:
+    """LZ77 length/distance prefix decoding (RFC 9649 §4.4.1)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + r.read(extra) + 1
+
+
+def _vp8l_decode_pixels(
+    r: _Vp8lReader, w: int, h: int, allow_meta: bool, payload_len: int
+) -> list[int]:
+    """Flat row-major ARGB pixels of one VP8L image stream level
+    (spatial image, entropy image, transform data, or palette)."""
+    if w < 1 or h < 1:
+        raise ValueError("VP8L zero-dimension image level")
+    # VP8L's LZ77 + single-symbol (zero-bit) codes make amplification
+    # formally unbounded, so a strict bits-per-pixel bound (the
+    # JPEG/PNG rule) would reject legitimate highly-compressed
+    # streams. Instead: a generous payload-proportional floor (2040x,
+    # the GIF shape) with a hard 4M-pixel ceiling — a corpus of
+    # genuinely larger images wants a real codec, like the PNG
+    # Paeth note.
+    if w * h > max(2040 * payload_len, 1 << 14) or w * h > (1 << 22):
+        raise ValueError("VP8L dimensions exceed what the stream can encode")
+    cache_bits = 0
+    if r.read(1):
+        cache_bits = r.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"VP8L color-cache bits {cache_bits} out of range")
+    meta_idx = None
+    meta_bits = 0
+    mw = 1
+    n_groups = 1
+    if allow_meta and r.read(1):
+        meta_bits = r.read(3) + 2
+        mw = -(-w // (1 << meta_bits))
+        mh = -(-h // (1 << meta_bits))
+        meta_img = _vp8l_decode_pixels(r, mw, mh, False, payload_len)
+        meta_idx = [(p >> 8) & 0xFFFF for p in meta_img]
+        n_groups = max(meta_idx) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = []
+    for _ in range(n_groups):
+        groups.append(
+            (
+                _vp8l_read_prefix_code(r, 256 + 24 + cache_size),
+                _vp8l_read_prefix_code(r, 256),
+                _vp8l_read_prefix_code(r, 256),
+                _vp8l_read_prefix_code(r, 256),
+                _vp8l_read_prefix_code(r, 40),
+            )
+        )
+    cache = [0] * cache_size
+    shift = 32 - cache_bits if cache_bits else 0
+    out: list[int] = [0] * (w * h)
+    npix = w * h
+    pos = 0
+    grp = groups[0]
+    while pos < npix:
+        if meta_idx is not None:
+            y, x = divmod(pos, w)
+            gi = meta_idx[(y >> meta_bits) * mw + (x >> meta_bits)]
+            if gi >= n_groups:
+                raise ValueError("VP8L meta group index out of range")
+            grp = groups[gi]
+        s = _vp8l_decode_sym(r, grp[0])
+        if s < 256:
+            red = _vp8l_decode_sym(r, grp[1])
+            blue = _vp8l_decode_sym(r, grp[2])
+            alpha = _vp8l_decode_sym(r, grp[3])
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            if cache_size:
+                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
+            out[pos] = px
+            pos += 1
+        elif s < 280:
+            length = _vp8l_prefix_value(r, s - 256)
+            dval = _vp8l_prefix_value(r, _vp8l_decode_sym(r, grp[4]))
+            if dval > 120:
+                dist = dval - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dval - 1]
+                dist = max(dy * w + dx, 1)
+            if dist > pos or pos + length > npix:
+                raise ValueError("VP8L backward reference out of bounds")
+            for _ in range(length):
+                px = out[pos - dist]
+                if cache_size:
+                    cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
+                out[pos] = px
+                pos += 1
+        else:
+            idx = s - 280
+            if idx >= cache_size:
+                raise ValueError("VP8L color-cache index out of range")
+            out[pos] = cache[idx]
+            pos += 1
+    return out
+
+
+def _vp8l_channels(flat: list[int], w: int, h: int) -> np.ndarray:
+    """(h, w, 4) uint8 [A, R, G, B] planes from flat ARGB ints."""
+    arr = np.asarray(flat, dtype=np.uint32).reshape(h, w)
+    return np.stack(
+        [
+            (arr >> 24).astype(np.uint8),
+            ((arr >> 16) & 0xFF).astype(np.uint8),
+            ((arr >> 8) & 0xFF).astype(np.uint8),
+            (arr & 0xFF).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+
+
+def _vp8l_avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return ((a.astype(np.int64) + b.astype(np.int64)) >> 1).astype(np.int64)
+
+
+def _vp8l_inv_predictor(px: np.ndarray, bits: int, timg: list[int], tw: int) -> None:
+    """In-place inverse of the predictor transform (RFC 9649 §4.2.2):
+    residuals become pixels by adding one of 14 block-selected
+    predictions mod 256 per channel. Sequential by construction —
+    each prediction reads already-reconstructed neighbors (the PNG
+    unfilter argument); per-payload parallel under mapInPandas. The
+    top-right neighbor of a last-column pixel wraps, by flat-array
+    arithmetic, to the CURRENT row's first pixel — the spec's
+    behavior, kept without special-casing."""
+    h, w = px.shape[:2]
+    modes = np.asarray(timg, dtype=np.uint32).reshape(-1, tw)
+    p = px.astype(np.int64)
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int64)
+            elif y == 0:
+                pred = p[0, x - 1]
+            elif x == 0:
+                pred = p[y - 1, 0]
+            else:
+                mode = (int(modes[y >> bits, x >> bits]) >> 8) & 0xFF
+                left = p[y, x - 1]
+                top = p[y - 1, x]
+                tl = p[y - 1, x - 1]
+                # flat-array top-right: current row's first pixel at
+                # the last column, row above otherwise
+                tr = p[y, 0] if x == w - 1 else p[y - 1, x + 1]
+                if mode == 0:
+                    pred = np.array([255, 0, 0, 0], dtype=np.int64)
+                elif mode == 1:
+                    pred = left
+                elif mode == 2:
+                    pred = top
+                elif mode == 3:
+                    pred = tr
+                elif mode == 4:
+                    pred = tl
+                elif mode == 5:
+                    pred = _vp8l_avg2(_vp8l_avg2(left, tr), top)
+                elif mode == 6:
+                    pred = _vp8l_avg2(left, tl)
+                elif mode == 7:
+                    pred = _vp8l_avg2(left, top)
+                elif mode == 8:
+                    pred = _vp8l_avg2(tl, top)
+                elif mode == 9:
+                    pred = _vp8l_avg2(top, tr)
+                elif mode == 10:
+                    pred = _vp8l_avg2(
+                        _vp8l_avg2(left, tl), _vp8l_avg2(top, tr)
+                    )
+                elif mode == 11:
+                    est = top + left - tl
+                    if np.abs(est - top).sum() <= np.abs(est - left).sum():
+                        pred = top
+                    else:
+                        pred = left
+                elif mode == 12:
+                    pred = np.clip(left + top - tl, 0, 255)
+                elif mode == 13:
+                    ave = _vp8l_avg2(left, top)
+                    delta = ave - tl
+                    # C-truncating /2 (toward zero), per the spec code
+                    pred = np.clip(
+                        ave + np.sign(delta) * (np.abs(delta) // 2), 0, 255
+                    )
+                else:
+                    raise ValueError(f"VP8L predictor mode {mode} out of range")
+            p[y, x] = (p[y, x] + pred) & 0xFF
+    px[:] = p.astype(np.uint8)
+
+
+def _vp8l_inv_color(px: np.ndarray, bits: int, timg: list[int], tw: int) -> None:
+    """In-place inverse cross-color transform: per-block int8
+    multipliers green→red, green→blue, red→blue at >>5 (RFC 9649
+    §4.2.3). Red reconstructs first and feeds blue — but both are
+    per-pixel local, so the whole pass vectorizes."""
+    h, w = px.shape[:2]
+    t = np.asarray(timg, dtype=np.uint32).reshape(-1, tw)
+    ys = np.arange(h) >> bits
+    xs = np.arange(w) >> bits
+    blk = t[np.ix_(ys, xs)]
+    g2r = ((blk & 0xFF).astype(np.int64) + 128) % 256 - 128
+    g2b = (((blk >> 8) & 0xFF).astype(np.int64) + 128) % 256 - 128
+    r2b = (((blk >> 16) & 0xFF).astype(np.int64) + 128) % 256 - 128
+    green = ((px[:, :, 2].astype(np.int64)) + 128) % 256 - 128
+    red = (px[:, :, 1].astype(np.int64) + ((g2r * green) >> 5)) & 0xFF
+    red_s = (red + 128) % 256 - 128
+    blue = (
+        px[:, :, 3].astype(np.int64)
+        + ((g2b * green) >> 5)
+        + ((r2b * red_s) >> 5)
+    ) & 0xFF
+    px[:, :, 1] = red.astype(np.uint8)
+    px[:, :, 3] = blue.astype(np.uint8)
+
+
+def _vp8l_inv_palette(
+    px: np.ndarray, wbits: int, palette: list[int], full_w: int
+) -> np.ndarray:
+    """Inverse color-indexing: unpack sub-byte indices from the green
+    channel (1/2/4/8 bpp by palette size) and look up the delta-
+    decoded palette. Returns the widened (h, full_w, 4) image."""
+    h = px.shape[0]
+    pal = np.asarray(palette, dtype=np.uint32)
+    green = px[:, :, 2].astype(np.int64)
+    if wbits:
+        ppb = 1 << wbits
+        bpp = 8 >> wbits
+        xs = np.arange(full_w)
+        packed = green[:, xs >> wbits]
+        idx = (packed >> ((xs & (ppb - 1)) * bpp)) & ((1 << bpp) - 1)
+    else:
+        idx = green[:, :full_w]
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("VP8L palette index out of range")
+    return _vp8l_channels(pal[idx].reshape(-1).tolist(), full_w, h)
+
+
+def _vp8l_decode_stream(r: _Vp8lReader, w: int, h: int, payload_len: int) -> np.ndarray:
+    """(h, w, 4) uint8 ARGB planes of a top-level VP8L image stream:
+    read the transform list, decode the (possibly packed) spatial
+    image, then invert transforms in reverse stream order."""
+    transforms = []
+    seen = set()
+    xsize = w
+    while r.read(1):
+        t = r.read(2)
+        if t in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(t)
+        if t in (0, 1):  # predictor / cross-color
+            bits = r.read(3) + 2
+            tw = -(-xsize // (1 << bits))
+            th = -(-h // (1 << bits))
+            timg = _vp8l_decode_pixels(r, tw, th, False, payload_len)
+            transforms.append((t, bits, timg, tw))
+        elif t == 2:  # subtract-green
+            transforms.append((2, 0, None, 0))
+        else:  # color indexing
+            n_colors = r.read(8) + 1
+            praw = _vp8l_decode_pixels(r, n_colors, 1, False, payload_len)
+            # palette entries are component-wise delta-coded
+            pal = []
+            prev = 0
+            for v in praw:
+                cur = 0
+                for sh in (0, 8, 16, 24):
+                    cur |= (((v >> sh) + (prev >> sh)) & 0xFF) << sh
+                pal.append(cur)
+                prev = cur
+            if n_colors <= 2:
+                wbits = 3
+            elif n_colors <= 4:
+                wbits = 2
+            elif n_colors <= 16:
+                wbits = 1
+            else:
+                wbits = 0
+            full = xsize
+            xsize = -(-xsize // (1 << wbits))
+            transforms.append((3, wbits, pal, full))
+    flat = _vp8l_decode_pixels(r, xsize, h, True, payload_len)
+    px = _vp8l_channels(flat, xsize, h)
+    for t, bits, data, extra in reversed(transforms):
+        if t == 0:
+            _vp8l_inv_predictor(px, bits, data, extra)
+        elif t == 1:
+            _vp8l_inv_color(px, bits, data, extra)
+        elif t == 2:
+            g = px[:, :, 2].astype(np.int64)
+            px[:, :, 1] = ((px[:, :, 1] + g) & 0xFF).astype(np.uint8)
+            px[:, :, 3] = ((px[:, :, 3] + g) & 0xFF).astype(np.uint8)
+        else:
+            px = _vp8l_inv_palette(px, bits, data, extra)
+    return px
+
+
+def _webp_chunks(payload: bytes) -> Iterator[tuple[bytes, int, int]]:
+    """(fourcc, body_start, body_end) for each RIFF chunk of a WebP
+    container; a declared size overrunning the payload clamps (the
+    truncated-RIFF doctrine of the WAV walk)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP container")
+    (rsize,) = struct.unpack_from("<I", payload, 4)
+    end = min(len(payload), 8 + rsize)
+    pos = 12
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        yield cid, body, min(body + csize, end)
+        pos = body + csize + (csize & 1)
+
+
+def _vp8_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from a VP8 lossy keyframe header — the 3-byte
+    frame tag, the 9D 01 2A start code, then 14-bit dims. Real
+    metadata, honestly shallow: sample decode needs a codec library."""
+    if len(data) < 10:
+        raise ValueError("truncated VP8 frame header")
+    tag = data[0] | (data[1] << 8) | (data[2] << 16)
+    if tag & 1:
+        raise ValueError("VP8 interframe without a keyframe")
+    if data[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("bad VP8 keyframe start code")
+    w = struct.unpack_from("<H", data, 6)[0] & 0x3FFF
+    h = struct.unpack_from("<H", data, 8)[0] & 0x3FFF
+    if not w or not h:
+        raise ValueError("zero-dimension VP8 frame")
+    return w, h
+
+
+def _vp8l_pixels_from_chunk(data: bytes) -> np.ndarray:
+    if not data or data[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    r = _Vp8lReader(data, 1)
+    w = r.read(14) + 1
+    h = r.read(14) + 1
+    r.read(1)  # alpha hint
+    if r.read(3) != 0:
+        raise ValueError("unsupported VP8L version")
+    return _vp8l_decode_stream(r, w, h, len(data))
+
+
+def _webp_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) RGB pixels of a WebP: VP8L decodes for real (alpha
+    dropped, the PNG-RGBA rule); VP8 lossy needs a codec library and
+    raises NotImplementedError; animations decode the first frame's
+    VP8L. ValueError on corrupt bytes (the uniform contract)."""
+    try:
+        chunks = list(_webp_chunks(payload))
+        for cid, b, e in chunks:
+            if cid == b"VP8L":
+                px = _vp8l_pixels_from_chunk(payload[b:e])
+                return px[:, :, 1:4].copy()
+            if cid == b"ANMF" or cid == b"ANIM":
+                continue
+        for cid, b, e in chunks:
+            if cid == b"ANMF":
+                # 16 bytes of frame params, then the frame's chunks
+                sub = payload[b + 16 : e]
+                if sub[:4] == b"VP8L":
+                    (ssz,) = struct.unpack_from("<I", sub, 4)
+                    return _vp8l_pixels_from_chunk(sub[8 : 8 + ssz])[:, :, 1:4].copy()
+                if sub[:4] == b"VP8 ":
+                    raise NotImplementedError(
+                        "VP8 lossy frame decode requires a codec library"
+                    )
+        for cid, b, e in chunks:
+            if cid == b"VP8 ":
+                _vp8_dims(payload[b:e])  # validate before quarantining
+                raise NotImplementedError(
+                    "VP8 lossy frame decode requires a codec library"
+                )
+        raise ValueError("WebP container has no VP8/VP8L image chunk")
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as exc:
+        raise ValueError(f"corrupt WebP stream ({type(exc).__name__}: {exc})") from exc
+
+
+def decode_webp(payload: bytes) -> dict:
+    """Container-level metadata + real VP8L pixel stats. Lossy VP8
+    gets the metadata-before-decode routing (dims from the keyframe
+    header, no pixel means — the AVI/MP4 codec-triage shape);
+    VP8X/ANIM report canvas dims and ANMF frame count."""
+    try:
+        chunks = list(_webp_chunks(payload))
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt WebP container ({exc})") from exc
+    kinds = [c[0] for c in chunks]
+    n_frames = sum(1 for k in kinds if k == b"ANMF") or 1
+    out: dict = {"kind": "image", "n_frames": n_frames}
+    if b"VP8L" in kinds or any(k == b"ANMF" for k in kinds):
+        try:
+            px = _webp_pixels(payload)
+        except NotImplementedError:
+            px = None
+        if px is not None:
+            mean_rgb = px.reshape(-1, 3).mean(axis=0)
+            out.update(
+                {
+                    "codec": "vp8l",
+                    "width": int(px.shape[1]),
+                    "height": int(px.shape[0]),
+                    "mean_r": float(mean_rgb[0]),
+                    "mean_g": float(mean_rgb[1]),
+                    "mean_b": float(mean_rgb[2]),
+                }
+            )
+            return out
+    for cid, b, e in chunks:
+        if cid == b"VP8 ":
+            w, h = _vp8_dims(payload[b:e])
+            out.update({"codec": "vp8", "width": w, "height": h})
+            return out
+        if cid == b"VP8X" and e - b >= 10:
+            w = 1 + int.from_bytes(payload[b + 4 : b + 7], "little")
+            h = 1 + int.from_bytes(payload[b + 7 : b + 10], "little")
+            out.update({"codec": "vp8x", "width": w, "height": h})
+    if "codec" in out:
+        return out
+    raise ValueError("WebP container has no image chunk")
+
+
+def _vp8l_limited_lengths(freqs: dict[int, int], limit: int) -> dict[int, int]:
+    """Optimal length-limited prefix-code lengths (boundary package-
+    merge), Kraft-complete — the decoder validates completeness, so a
+    depth-capped heuristic would be rejected. Needs >= 2 symbols."""
+    leaves = sorted((f, (s,)) for s, f in freqs.items())
+    level: list[tuple[int, tuple]] = list(leaves)
+    for _ in range(limit - 1):
+        packages = [
+            (
+                level[i][0] + level[i + 1][0],
+                level[i][1] + level[i + 1][1],
+            )
+            for i in range(0, len(level) - 1, 2)
+        ]
+        level = sorted(leaves + packages)
+    counts: dict[int, int] = {s: 0 for s in freqs}
+    for _, syms in level[: 2 * len(leaves) - 2]:
+        for s in syms:
+            counts[s] += 1
+    return counts
+
+
+def _vp8l_emit_prefix_code(
+    wtr: _Vp8lWriter, freqs: dict[int, int], alphabet_size: int
+) -> dict[int, tuple[int, int]]:
+    """Emit one prefix-code definition; returns {symbol: (len, code)}
+    for the entropy stage. 1-2 distinct symbols use the simple form;
+    otherwise lengths go through a full 19-entry code-length code
+    with an explicit max_symbol cap (no repeat codes — fixture-scale
+    streams don't need them and the decoder handles both)."""
+    used = sorted(s for s, f in freqs.items() if f)
+    if not used:
+        used = [0]
+    if len(used) <= 2 and used[-1] < 256:
+        wtr.write(1, 1)
+        wtr.write(1, len(used) - 1)
+        wtr.write(1, 1)  # 8-bit first symbol
+        wtr.write(8, used[0])
+        if len(used) == 1:
+            return {used[0]: (0, 0)}
+        wtr.write(8, used[1])
+        return {used[0]: (1, 0), used[1]: (1, 1)}
+    lengths_map = _vp8l_limited_lengths({s: freqs[s] for s in used}, 15)
+    lengths = [0] * alphabet_size
+    for s, n in lengths_map.items():
+        lengths[s] = n
+    clc_freq: dict[int, int] = {}
+    top = used[-1] + 1
+    for n in lengths[:top]:
+        clc_freq[n] = clc_freq.get(n, 0) + 1
+    if len(clc_freq) == 1:
+        # a 1-entry CLC can't be canonical-complete; pad with a dummy
+        only = next(iter(clc_freq))
+        clc_lengths = _vp8l_limited_lengths({only: 1, 0 if only else 1: 1}, 7)
+    else:
+        clc_lengths = _vp8l_limited_lengths(clc_freq, 7)
+    wtr.write(1, 0)  # normal form
+    wtr.write(4, 19 - 4)
+    clc_full = [0] * 19
+    for s, n in clc_lengths.items():
+        clc_full[s] = n
+    for i in range(19):
+        wtr.write(3, clc_full[_VP8L_CLC_ORDER[i]])
+    # explicit cap: emit exactly `top` code-length symbols
+    wtr.write(1, 1)
+    nbits = 2
+    while (1 << nbits) - 1 < top - 2:
+        nbits += 2
+    if nbits > 16:
+        raise ValueError("VP8L alphabet too large for max_symbol field")
+    wtr.write(3, (nbits - 2) // 2)
+    wtr.write(nbits, top - 2)
+    clc_codes = _vp8l_codes_from_lengths(clc_full)
+    for n in lengths[:top]:
+        ln, code = clc_codes[n]
+        wtr.write_code(ln, code)
+    return _vp8l_codes_from_lengths(lengths)
+
+
+def _vp8l_codes_from_lengths(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """{symbol: (len, code)} canonical assignment — the encoder-side
+    mirror of ``_vp8l_canonical``."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    for length in range(1, 16):
+        for s, sym_len in enumerate(lengths):
+            if sym_len == length:
+                out[s] = (length, code)
+                code += 1
+        code <<= 1
+    return out
+
+
+def _vp8l_forward_predict(
+    a: np.ndarray, r: np.ndarray, g: np.ndarray, b: np.ndarray, mode: int
+) -> tuple[np.ndarray, ...]:
+    """Forward uniform-mode predictor transform (encoder side):
+    residual = (pixel - prediction) mod 256, where predictions read
+    ORIGINAL neighbors (reconstruction is exact, so they equal the
+    decoder's). Border rules as in the inverse."""
+    h, w = a.shape
+    chans = np.stack([a, r, g, b], axis=-1).astype(np.int64)
+    res = np.zeros_like(chans)
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int64)
+            elif y == 0:
+                pred = chans[0, x - 1]
+            elif x == 0:
+                pred = chans[y - 1, 0]
+            else:
+                left = chans[y, x - 1]
+                top = chans[y - 1, x]
+                tl = chans[y - 1, x - 1]
+                tr = chans[y, 0] if x == w - 1 else chans[y - 1, x + 1]
+                if mode == 0:
+                    pred = np.array([255, 0, 0, 0], dtype=np.int64)
+                elif mode == 1:
+                    pred = left
+                elif mode == 2:
+                    pred = top
+                elif mode == 3:
+                    pred = tr
+                elif mode == 4:
+                    pred = tl
+                elif mode == 5:
+                    pred = _vp8l_avg2(_vp8l_avg2(left, tr), top)
+                elif mode == 6:
+                    pred = _vp8l_avg2(left, tl)
+                elif mode == 7:
+                    pred = _vp8l_avg2(left, top)
+                elif mode == 8:
+                    pred = _vp8l_avg2(tl, top)
+                elif mode == 9:
+                    pred = _vp8l_avg2(top, tr)
+                elif mode == 10:
+                    pred = _vp8l_avg2(_vp8l_avg2(left, tl), _vp8l_avg2(top, tr))
+                elif mode == 11:
+                    est = top + left - tl
+                    pred = (
+                        top
+                        if np.abs(est - top).sum() <= np.abs(est - left).sum()
+                        else left
+                    )
+                elif mode == 12:
+                    pred = np.clip(left + top - tl, 0, 255)
+                elif mode == 13:
+                    ave = _vp8l_avg2(left, top)
+                    delta = ave - tl
+                    pred = np.clip(
+                        ave + np.sign(delta) * (np.abs(delta) // 2), 0, 255
+                    )
+                else:
+                    raise ValueError(f"predictor mode {mode} out of range")
+            res[y, x] = (chans[y, x] - pred) & 0xFF
+    return res[:, :, 0], res[:, :, 1], res[:, :, 2], res[:, :, 3]
+
+
+def _vp8l_emit_uniform_subimage(wtr: _Vp8lWriter, pixel: int, bits: int,
+                                w: int, h: int) -> None:
+    """Emit a constant transform sub-image (one block value for the
+    whole image): no cache, five single-symbol simple codes — every
+    'pixel' of the sub-image then costs zero entropy bits."""
+    del bits, w, h  # dims are implied by the caller's header fields
+    wtr.write(1, 0)  # no color cache
+    for chan_sym in (
+        (pixel >> 8) & 0xFF,
+        (pixel >> 16) & 0xFF,
+        pixel & 0xFF,
+        (pixel >> 24) & 0xFF,
+        0,
+    ):
+        wtr.write(1, 1)  # simple
+        wtr.write(1, 0)  # one symbol
+        wtr.write(1, 1)  # 8-bit
+        wtr.write(8, chan_sym)
+
+
+def _vp8l_emit_literal_image(wtr: _Vp8lWriter, argb: list[int]) -> None:
+    """Emit a literal-only sub-image stream (used for the delta-coded
+    palette): no cache, per-channel prefix codes, then the pixels."""
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {}
+    bf: dict[int, int] = {}
+    af: dict[int, int] = {}
+    for v in argb:
+        gf[(v >> 8) & 0xFF] = gf.get((v >> 8) & 0xFF, 0) + 1
+        rf[(v >> 16) & 0xFF] = rf.get((v >> 16) & 0xFF, 0) + 1
+        bf[v & 0xFF] = bf.get(v & 0xFF, 0) + 1
+        af[(v >> 24) & 0xFF] = af.get((v >> 24) & 0xFF, 0) + 1
+    wtr.write(1, 0)  # no color cache
+    gc = _vp8l_emit_prefix_code(wtr, gf, 280)
+    rc = _vp8l_emit_prefix_code(wtr, rf, 256)
+    bc = _vp8l_emit_prefix_code(wtr, bf, 256)
+    ac = _vp8l_emit_prefix_code(wtr, af, 256)
+    dc = _vp8l_emit_prefix_code(wtr, {}, 40)
+    del dc
+    for v in argb:
+        wtr.write_code(*gc[(v >> 8) & 0xFF])
+        wtr.write_code(*rc[(v >> 16) & 0xFF])
+        wtr.write_code(*bc[v & 0xFF])
+        wtr.write_code(*ac[(v >> 24) & 0xFF])
+
+
+def encode_webp(
+    px: np.ndarray,
+    subtract_green: bool = False,
+    use_lz77: bool = False,
+    predictor: int | None = None,
+    cross_color: tuple[int, int, int] | None = None,
+    color_cache_bits: int = 0,
+    palette: bool = False,
+) -> bytes:
+    """VP8L lossless encoder — the test/synthesizer twin of
+    ``_webp_pixels`` (the encode_png/encode_jpeg_lossless
+    discipline). Literal pixels under per-channel canonical prefix
+    codes (package-merge length-limited, Kraft-complete), plus
+    optional coverage of every decoder path: subtract-green;
+    uniform-mode predictor transform (one block value, modes 0-13);
+    uniform cross-color multipliers (g2r, g2b, r2b as int8); a real
+    color cache (pixels found in the running cache emit cache
+    symbols); color-indexing (palette) with sub-byte packed indices;
+    and LZ77 run coding of repeated pixels (distance 1 through the
+    2D map). Grayscale (h,w) or RGB (h,w,3); always lossless."""
+    px = np.asarray(px)
+    if not (px.ndim == 2 or (px.ndim == 3 and px.shape[2] == 3)):
+        raise ValueError(f"encode_webp takes (h,w) or (h,w,3), got {px.shape}")
+    if px.size == 0:
+        raise ValueError("encode_webp: empty image")
+    _check_u8_pixels(px, "encode_webp")
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=-1)
+    h, w = px.shape[:2]
+    if w > (1 << 14) or h > (1 << 14):
+        raise ValueError("VP8L dimensions exceed 14 bits")
+    if palette and (subtract_green or predictor is not None or cross_color):
+        raise ValueError("palette composes with cache/lz77 only")
+    if not 0 <= color_cache_bits <= 11:
+        raise ValueError("color_cache_bits out of range")
+    r = px[:, :, 0].astype(np.int64)
+    g = px[:, :, 1].astype(np.int64)
+    b = px[:, :, 2].astype(np.int64)
+    a = np.full_like(g, 255)
+    pal_list: list[int] = []
+    pal_wbits = 0
+    full_w = w
+    if palette:
+        argb_img = (a << 24) | (r << 16) | (g << 8) | b
+        colors = sorted(set(argb_img.reshape(-1).tolist()))
+        if len(colors) > 256:
+            raise ValueError("palette mode needs <= 256 distinct colors")
+        pal_list = colors
+        lookup = {c: i for i, c in enumerate(colors)}
+        idx = np.vectorize(lookup.__getitem__)(argb_img)
+        n_colors = len(colors)
+        if n_colors <= 2:
+            pal_wbits = 3
+        elif n_colors <= 4:
+            pal_wbits = 2
+        elif n_colors <= 16:
+            pal_wbits = 1
+        else:
+            pal_wbits = 0
+        if pal_wbits:
+            ppb = 1 << pal_wbits
+            bpp = 8 >> pal_wbits
+            packed_w = -(-w // ppb)
+            packed = np.zeros((h, packed_w), dtype=np.int64)
+            for x in range(w):
+                packed[:, x >> pal_wbits] |= idx[:, x] << ((x & (ppb - 1)) * bpp)
+        else:
+            packed_w = w
+            packed = idx
+        w = packed_w
+        r = np.zeros_like(packed)
+        g = packed
+        b = np.zeros_like(packed)
+        a = np.full_like(packed, 255)
+    if subtract_green:
+        r = (r - g) & 0xFF
+        b = (b - g) & 0xFF
+    if cross_color is not None:
+        g2r, g2b, r2b = cross_color
+        for v in cross_color:
+            if not -128 <= v <= 127:
+                raise ValueError("cross-color multipliers are int8")
+        gs = (g + 128) % 256 - 128
+        rs = (r + 128) % 256 - 128
+        b = (b - ((g2b * gs) >> 5) - ((r2b * rs) >> 5)) & 0xFF
+        r = (r - ((g2r * gs) >> 5)) & 0xFF
+    if predictor is not None:
+        if not 0 <= predictor <= 13:
+            raise ValueError("predictor mode must be 0-13")
+        a, r, g, b = _vp8l_forward_predict(a, r, g, b, predictor)
+    argb = (
+        (a.reshape(-1) << 24)
+        | (r.reshape(-1) << 16)
+        | (g.reshape(-1) << 8)
+        | b.reshape(-1)
+    ).tolist()
+    # tokenize: literals, cache hits, and dist-1 runs as LZ77 copies
+    tokens: list[tuple] = []  # ("lit", argb) | ("copy", length) | ("cache", idx)
+    cache_size = (1 << color_cache_bits) if color_cache_bits else 0
+    cache = [None] * cache_size
+    shift = 32 - color_cache_bits if color_cache_bits else 0
+
+    def _cache_key(p: int) -> int:
+        return (0x1E35A7BD * p & 0xFFFFFFFF) >> shift
+
+    i = 0
+    npix = len(argb)
+    while i < npix:
+        if use_lz77 and i and argb[i] == argb[i - 1]:
+            run = 1
+            while i + run < npix and argb[i + run] == argb[i - 1] and run < 4096:
+                run += 1
+            if run >= 3:
+                tokens.append(("copy", run))
+                if cache_size:
+                    cache[_cache_key(argb[i - 1])] = argb[i - 1]
+                i += run
+                continue
+        px_v = argb[i]
+        if cache_size and cache[_cache_key(px_v)] == px_v:
+            tokens.append(("cache", _cache_key(px_v)))
+        else:
+            tokens.append(("lit", px_v))
+            if cache_size:
+                cache[_cache_key(px_v)] = px_v
+        i += 1
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {}
+    bf: dict[int, int] = {}
+    af: dict[int, int] = {}
+    df: dict[int, int] = {}
+
+    def _len_prefix(v: int) -> tuple[int, int, int]:
+        """(prefix_code, extra_bits, extra_value) for an LZ77 value."""
+        if v <= 4:
+            return v - 1, 0, 0
+        bits = (v - 1).bit_length() - 1
+        code = 2 * bits + ((v - 1) >> (bits - 1)) - 2
+        extra = bits - 1
+        offset = (2 + (code & 1)) << extra
+        return code, extra, v - offset - 1
+
+    for kind, val in tokens:
+        if kind == "lit":
+            gf[(val >> 8) & 0xFF] = gf.get((val >> 8) & 0xFF, 0) + 1
+            rf[(val >> 16) & 0xFF] = rf.get((val >> 16) & 0xFF, 0) + 1
+            bf[val & 0xFF] = bf.get(val & 0xFF, 0) + 1
+            af[(val >> 24) & 0xFF] = af.get((val >> 24) & 0xFF, 0) + 1
+        elif kind == "copy":
+            code, _, _ = _len_prefix(val)
+            gf[256 + code] = gf.get(256 + code, 0) + 1
+            # distance 1 = 2D map entry (1, 0) = code 2 → prefix 1
+            df[1] = df.get(1, 0) + 1
+        else:
+            gf[280 + val] = gf.get(280 + val, 0) + 1
+    if not rf:
+        rf, bf, af = {0: 1}, {0: 1}, {0: 1}
+    wtr = _Vp8lWriter()
+    wtr.write(8, 0x2F)
+    wtr.write(14, full_w - 1)
+    wtr.write(14, h - 1)
+    wtr.write(1, 0)  # alpha hint
+    wtr.write(3, 0)  # version
+    # transform stream order is the REVERSE of inverse-application
+    # order: the decoder inverts last-read first, and the forward
+    # pipeline above ran subtract-green → cross-color → predictor
+    if subtract_green:
+        wtr.write(1, 1)
+        wtr.write(2, 2)
+    if cross_color is not None:
+        g2r, g2b, r2b = cross_color
+        wtr.write(1, 1)
+        wtr.write(2, 1)
+        wtr.write(3, 9 - 2)  # 512-pixel blocks: one block value
+        _vp8l_emit_uniform_subimage(
+            wtr,
+            (0xFF << 24) | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (g2r & 0xFF),
+            9, w, h,
+        )
+    if predictor is not None:
+        wtr.write(1, 1)
+        wtr.write(2, 0)
+        wtr.write(3, 9 - 2)
+        _vp8l_emit_uniform_subimage(wtr, (0xFF << 24) | (predictor << 8), 9, w, h)
+    if palette:
+        wtr.write(1, 1)
+        wtr.write(2, 3)
+        wtr.write(8, len(pal_list) - 1)
+        # the palette rides as a (n,1) literal image, delta-coded
+        deltas = []
+        prev = 0
+        for c in pal_list:
+            d = 0
+            for sh in (0, 8, 16, 24):
+                d |= (((c >> sh) - (prev >> sh)) & 0xFF) << sh
+            deltas.append(d)
+            prev = c
+        _vp8l_emit_literal_image(wtr, deltas)
+    wtr.write(1, 0)  # end of transforms
+    if color_cache_bits:
+        wtr.write(1, 1)
+        wtr.write(4, color_cache_bits)
+    else:
+        wtr.write(1, 0)
+    wtr.write(1, 0)  # no meta prefix codes
+    gc = _vp8l_emit_prefix_code(wtr, gf, 280 + cache_size)
+    rc = _vp8l_emit_prefix_code(wtr, rf, 256)
+    bc = _vp8l_emit_prefix_code(wtr, bf, 256)
+    ac = _vp8l_emit_prefix_code(wtr, af, 256)
+    dc = _vp8l_emit_prefix_code(wtr, df, 40)
+    for kind, val in tokens:
+        if kind == "lit":
+            wtr.write_code(*gc[(val >> 8) & 0xFF])
+            wtr.write_code(*rc[(val >> 16) & 0xFF])
+            wtr.write_code(*bc[val & 0xFF])
+            wtr.write_code(*ac[(val >> 24) & 0xFF])
+        elif kind == "copy":
+            code, extra, ev = _len_prefix(val)
+            wtr.write_code(*gc[256 + code])
+            if extra:
+                wtr.write(extra, ev)
+            wtr.write_code(*dc[1])  # distance prefix 1 → value 2 → map (1,0)
+        else:
+            wtr.write_code(*gc[280 + val])
+    data = wtr.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
 def _image_pixels(payload: bytes) -> np.ndarray:
     """(h, w, 3) RGB pixels of any really-decodable image format,
     sniffed by magic: 24-bit BMP (BGR converted here), 8-bit RGB/RGBA
@@ -6692,6 +7750,8 @@ def _image_pixels(payload: bytes) -> np.ndarray:
         return _pnm_pixels(payload)
     if payload[:4] == _QOI_MAGIC:
         return _qoi_pixels(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _webp_pixels(payload)
     if payload.endswith(_TGA_FOOTER):
         # TGA has no leading magic; only the v2 footer is sniffable.
         # Checked BEFORE the ICO prefix: a raw truecolor TGA header
@@ -7296,6 +8356,10 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_tga(payload)
     if mime in ("image/qoi", "image/x-qoi"):
         return decode_qoi(payload)
+    if mime == "image/webp":
+        # VP8L decodes pixels for real; lossy VP8 gets the metadata-
+        # before-decode routing (dims, no means) — the AVI/MP4 shape
+        return decode_webp(payload)
     if mime in ("image/x-icon", "image/vnd.microsoft.icon", "image/ico"):
         return decode_ico(payload)
     if mime == "image/png":
@@ -8048,9 +9112,12 @@ def synthesize_mixed_image_from_text(
     the BMP docs sub-rotate the small-format family (r11): % 12 == 9
     binary PPM (P6), % 24 == 18 16-bit P6 (maxval 65535, v·257
     samples — the exact-round 16→8 path), % 24 == 15 QOI, ICO at
-    % 48 == 12 (DIB delegation) / % 48 == 36 (PNG delegation), and
+    % 48 == 12 (DIB delegation) / % 48 == 36 (PNG delegation),
     % 24 == 6 lossless JPEG (SOF3, predictor rotating through all
-    seven — exactly lossless at Pt=0, so the oracle holds verbatim))
+    seven — exactly lossless at Pt=0, so the oracle holds verbatim),
+    and % 24 == 3 WebP VP8L (always lossless; % 48 == 3 plain
+    literals + LZ77 runs, % 48 == 27 subtract-green + rotating
+    predictor transform + color cache))
     carrying
     the SAME decoded-RGB pixels — pixel k =
     (raw[(3k+2)%n], raw[(3k+1)%n], raw[(3k)%n]) — so all three decode
@@ -8140,6 +9207,24 @@ def synthesize_mixed_image_from_text(
                         )
                     )
                     mimes.append("image/jpeg")
+                elif int(doc_id) % 24 == 3:
+                    # r11: WebP VP8L — always lossless; half plain
+                    # literals + LZ77, half subtract-green + rotating
+                    # predictor transform + color cache, so the
+                    # transform/cache inverses run at driver scale
+                    rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
+                    if int(doc_id) % 48 == 27:
+                        payloads.append(
+                            encode_webp(
+                                rgb,
+                                subtract_green=True,
+                                predictor=(int(doc_id) // 48) % 14,
+                                color_cache_bits=4,
+                            )
+                        )
+                    else:
+                        payloads.append(encode_webp(rgb, use_lz77=True))
+                    mimes.append("image/webp")
                 else:
                     payloads.append(_bmp_payload(raw, width, height))
                     mimes.append("image/bmp")

@@ -5977,3 +5977,390 @@ def test_jpeg_lossless_round_trip_property(h, w, pred, rst, seed):
     g = rng.randint(0, 256, (h, w)).astype(np.uint8)
     dec = _jpeg_pixels(encode_jpeg_lossless(g, predictor=pred, restart_interval=rst))
     assert (dec == np.stack([g] * 3, axis=-1)).all()
+
+
+# ---------------------------------------------------------------- #
+# WebP / VP8L (RFC 9649) — r11                                      #
+# ---------------------------------------------------------------- #
+
+
+def test_webp_vp8l_round_trips_full_matrix():
+    """VP8L is always lossless: every decoder path the encoder twin
+    can drive must round-trip bit-exactly — all 14 predictor modes,
+    cross-color multipliers, subtract-green, color cache, LZ77 runs,
+    palette at every sub-byte packing, and their composition."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _webp_pixels,
+        decode_webp,
+        encode_webp,
+    )
+
+    rng = np.random.RandomState(41)
+    px = rng.randint(0, 256, (11, 9, 3)).astype(np.uint8)
+    for mode in range(14):
+        assert (_webp_pixels(encode_webp(px, predictor=mode)) == px).all()
+    for cc in ((3, -5, 7), (-128, 127, 1), (0, 0, 0)):
+        assert (_webp_pixels(encode_webp(px, cross_color=cc)) == px).all()
+    assert (_webp_pixels(encode_webp(px, subtract_green=True)) == px).all()
+    comp = np.repeat(rng.randint(0, 256, (6, 4, 3)).astype(np.uint8), 3, axis=1)
+    dec = _webp_pixels(
+        encode_webp(
+            comp,
+            subtract_green=True,
+            cross_color=(2, -3, 4),
+            predictor=7,
+            use_lz77=True,
+        )
+    )
+    assert (dec == comp).all()
+    tiled = np.tile(rng.randint(0, 256, (2, 2, 3)).astype(np.uint8), (4, 5, 1))
+    for bits in (1, 4, 11):
+        assert (
+            _webp_pixels(encode_webp(tiled, color_cache_bits=bits)) == tiled
+        ).all()
+    for ncol, shape in ((2, (7, 11)), (4, (5, 9)), (16, (6, 10)), (200, (16, 16))):
+        vals = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+        img = vals[rng.randint(0, ncol, shape)]
+        assert (_webp_pixels(encode_webp(img, palette=True)) == img).all()
+    gray = rng.randint(0, 256, (5, 7)).astype(np.uint8)
+    assert (
+        _webp_pixels(encode_webp(gray)) == np.stack([gray] * 3, axis=-1)
+    ).all()
+    one = np.array([[[1, 2, 3]]], dtype=np.uint8)
+    assert (_webp_pixels(encode_webp(one)) == one).all()
+    meta = decode_webp(encode_webp(px))
+    assert meta["codec"] == "vp8l" and (meta["width"], meta["height"]) == (9, 11)
+
+
+def test_webp_vp8l_meta_prefix_groups():
+    """Meta prefix codes: a hand-built stream whose 2x1 entropy image
+    routes the left half of each row to group 0 and the right half to
+    group 1, with single-symbol codes per group — the decoder must
+    select per-block code groups, not just group 0."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _Vp8lWriter,
+        _vp8l_emit_literal_image,
+        _webp_pixels,
+    )
+
+    w, h = 8, 4
+    wtr = _Vp8lWriter()
+    wtr.write(8, 0x2F)
+    wtr.write(14, w - 1)
+    wtr.write(14, h - 1)
+    wtr.write(1, 0)
+    wtr.write(3, 0)
+    wtr.write(1, 0)  # no transforms
+    wtr.write(1, 0)  # no color cache
+    wtr.write(1, 1)  # meta prefix codes present
+    wtr.write(3, 2 - 2)  # 4-pixel blocks -> 2x1 entropy image
+    # entropy image pixels: (r<<8)|g = group index 0 then 1
+    _vp8l_emit_literal_image(wtr, [0xFF000000, 0xFF000100])
+
+    def _group(pixel: int) -> None:
+        # a code GROUP is five bare prefix codes (no cache bit —
+        # that's what distinguishes it from a sub-image stream)
+        for sym in (
+            (pixel >> 8) & 0xFF,
+            (pixel >> 16) & 0xFF,
+            pixel & 0xFF,
+            (pixel >> 24) & 0xFF,
+            0,
+        ):
+            wtr.write(1, 1)  # simple
+            wtr.write(1, 0)  # one symbol
+            wtr.write(1, 1)  # 8-bit
+            wtr.write(8, sym)
+
+    # group 0: constant ARGB(255, 10, 20, 30); group 1: (255, 40, 50, 60)
+    _group(0xFF0A141E)
+    _group(0xFF28323C)
+    data = wtr.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    px = _webp_pixels(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    assert px.shape == (4, 8, 3)
+    assert (px[:, :4] == [10, 20, 30]).all()
+    assert (px[:, 4:] == [40, 50, 60]).all()
+
+
+def test_webp_vp8l_code_length_repeats():
+    """The 16/17/18 repeat codes of the code-length code (the
+    encoder twin caps symbols instead, so these are decoder-only):
+    a hand-built green code using 17/18 zero runs and a 16
+    previous-length repeat must decode to the canonical assignment."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _Vp8lReader,
+        _Vp8lWriter,
+        _vp8l_read_prefix_code,
+    )
+
+    # green tree: symbols 0 and 255 at length 1, via 18+18 zero runs
+    wtr = _Vp8lWriter()
+    wtr.write(1, 0)  # normal form
+    wtr.write(4, 19 - 4)
+    clc = {1: 1, 18: 1}  # two CLC symbols, 1 bit each
+    order = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+    for s in order:
+        wtr.write(3, clc.get(s, 0))
+    # canonical CLC: sym 1 -> code 0, sym 18 -> code 1 (1 bit each)
+    wtr.write(1, 0)  # no max_symbol cap
+    wtr.write_code(1, 0)  # symbol 0: length 1
+    wtr.write_code(1, 1)  # 18: zero run
+    wtr.write(7, 138 - 11)
+    wtr.write_code(1, 1)  # 18: zero run
+    wtr.write(7, 116 - 11)
+    wtr.write_code(1, 0)  # symbol 255: length 1
+    table = _vp8l_read_prefix_code(_Vp8lReader(wtr.flush()), 256)
+    codes, single = table
+    assert single is None
+    assert codes == {(1, 0): 0, (1, 1): 255}
+
+    # lengths [2,2,2,2] via one literal + a 16-repeat of 3, with the
+    # explicit max_symbol cap implying the remaining 252 zeros
+    wtr = _Vp8lWriter()
+    wtr.write(1, 0)
+    wtr.write(4, 19 - 4)
+    clc = {2: 1, 16: 1}
+    for s in order:
+        wtr.write(3, clc.get(s, 0))
+    wtr.write(1, 1)  # use max_symbol: a cap on CODES READ, so 2
+    wtr.write(3, 0)  # 2-bit field
+    wtr.write(2, 2 - 2)  # one literal + one repeat = 2 codes
+    wtr.write_code(1, 0)  # symbol 0: length 2 (CLC sym 2 -> code 0)
+    wtr.write_code(1, 1)  # 16: repeat previous length
+    wtr.write(2, 3 - 3)  # 3 repeats
+    codes, single = _vp8l_read_prefix_code(_Vp8lReader(wtr.flush()), 256)
+    assert single is None
+    assert codes == {(2, 0): 0, (2, 1): 1, (2, 2): 2, (2, 3): 3}
+
+
+def _vp8_keyframe_chunk(w: int, h: int) -> bytes:
+    """Minimal VP8 lossy keyframe header (frame tag + start code +
+    14-bit dims) — enough for the triage path; not a decodable frame."""
+    tag = (0 << 0) | (3 << 1) | (1 << 4) | (64 << 5)  # keyframe, v3, shown
+    body = (
+        tag.to_bytes(3, "little")
+        + b"\x9d\x01\x2a"
+        + struct.pack("<HH", w, h)
+        + bytes(16)
+    )
+    return b"VP8 " + struct.pack("<I", len(body)) + body
+
+
+def test_webp_lossy_and_extended_metadata(spark):
+    """VP8 lossy gets metadata-before-decode routing: real dims from
+    the keyframe header, NotImplementedError (not a wrong answer) on
+    pixel access, per-row quarantine through decode_features. VP8X +
+    ANIM containers report canvas dims and ANMF frame count, and an
+    animation's first VP8L frame decodes for real."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _webp_pixels,
+        decode_features,
+        decode_webp,
+        encode_webp,
+    )
+
+    lossy_body = _vp8_keyframe_chunk(320, 240)
+    lossy = b"RIFF" + struct.pack("<I", 4 + len(lossy_body)) + b"WEBP" + lossy_body
+    meta = decode_webp(lossy)
+    assert meta["codec"] == "vp8" and (meta["width"], meta["height"]) == (320, 240)
+    assert "mean_r" not in meta
+    with pytest.raises(NotImplementedError, match="codec library"):
+        _webp_pixels(lossy)
+
+    # VP8X + ANIM + two ANMF frames, the first wrapping a real VP8L
+    rng = np.random.RandomState(43)
+    px = rng.randint(0, 256, (6, 5, 3)).astype(np.uint8)
+    inner = encode_webp(px)
+    vp8l_chunk = inner[12:]  # the VP8L chunk (incl. header + padding)
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x02]) + bytes(3) \
+        + (5 - 1).to_bytes(3, "little") + (6 - 1).to_bytes(3, "little")
+    anim = b"ANIM" + struct.pack("<I", 6) + bytes(6)
+    frames = b""
+    for _ in range(2):
+        body = bytes(16) + vp8l_chunk
+        frames += b"ANMF" + struct.pack("<I", len(body)) + body
+    payload = b"WEBP" + vp8x + anim + frames
+    animated = b"RIFF" + struct.pack("<I", len(payload)) + payload
+    meta = decode_webp(animated)
+    assert meta["n_frames"] == 2 and meta["codec"] == "vp8l"
+    assert (_webp_pixels(animated) == px).all()
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_webp(px)), "image/webp"),
+            (2, bytearray(lossy), "image/webp"),
+            (3, bytearray(encode_webp(px)[:20]), "image/webp"),
+        ],
+        "doc_id long, payload binary, mime string",
+    )
+    rows = {r.doc_id: r for r in decode_features(df).collect()}
+    assert rows[1].ok and rows[1].width == 5 and rows[1].height == 6
+    assert rows[2].ok and rows[2].codec == "vp8" and rows[2].width == 320
+    assert not rows[3].ok
+
+
+def test_webp_corrupt_payloads_quarantine():
+    """Malformed WebP/VP8L bytes surface ValueError (or the honest
+    NotImplementedError for lossy frames), never IndexError or
+    struct.error: truncations, a bad signature byte, a nonzero
+    version, out-of-range cache bits, and header-bomb dimensions."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _Vp8lWriter,
+        _webp_pixels,
+        encode_webp,
+    )
+
+    rng = np.random.RandomState(47)
+    good = encode_webp(rng.randint(0, 256, (8, 8, 3)).astype(np.uint8))
+    for cut in (3, 8, 11, 15, 21, 30, len(good) - 3):
+        try:
+            _webp_pixels(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+    bad_sig = bytearray(good)
+    bad_sig[20] ^= 0xFF  # VP8L signature byte
+    with pytest.raises(ValueError):
+        _webp_pixels(bytes(bad_sig))
+
+    def _wrap(data: bytes) -> bytes:
+        chunk = b"VP8L" + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            chunk += b"\x00"
+        riff = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    # nonzero version
+    wtr = _Vp8lWriter()
+    wtr.write(8, 0x2F)
+    wtr.write(14, 0)
+    wtr.write(14, 0)
+    wtr.write(1, 0)
+    wtr.write(3, 5)
+    with pytest.raises(ValueError, match="version"):
+        _webp_pixels(_wrap(wtr.flush()))
+    # cache bits out of range
+    wtr = _Vp8lWriter()
+    wtr.write(8, 0x2F)
+    wtr.write(14, 3)
+    wtr.write(14, 3)
+    wtr.write(1, 0)
+    wtr.write(3, 0)
+    wtr.write(1, 0)  # no transforms
+    wtr.write(1, 1)
+    wtr.write(4, 14)
+    with pytest.raises(ValueError, match="color-cache"):
+        _webp_pixels(_wrap(wtr.flush()))
+    # header bomb: 16383x16383 from a tiny stream
+    wtr = _Vp8lWriter()
+    wtr.write(8, 0x2F)
+    wtr.write(14, 16382)
+    wtr.write(14, 16382)
+    wtr.write(1, 0)
+    wtr.write(3, 0)
+    wtr.write(1, 0)
+    with pytest.raises(ValueError, match="exceed"):
+        _webp_pixels(_wrap(wtr.flush()))
+
+
+def test_webp_routes_through_spark_paths_and_fixture(spark):
+    """WebP rides the shared image plumbing: image_ahash matches a
+    BMP of the SAME pixels, and the image fixture ships VP8L at
+    doc_id%24==3 (plain at %48==3, subtract-green + predictor + cache
+    at %48==27) under the unchanged text-byte oracle."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        encode_webp,
+        image_ahash,
+        synthesize_mixed_image_from_text,
+    )
+
+    rng = np.random.RandomState(53)
+    rgb = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_webp(rgb, subtract_green=True))),
+            (2, bytearray(make_bmp(rgb))),
+        ],
+        "doc_id long, payload binary",
+    )
+    hashes = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
+    assert hashes[1] == hashes[2]
+    ids = (0, 3, 27)
+    docs = spark.createDataFrame(
+        [(i, "same text for every row") for i in ids],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in synthesize_mixed_image_from_text(docs).collect()}
+    assert rows[0].mime == "image/bmp"
+    assert rows[3].mime == "image/webp" and rows[27].mime == "image/webp"
+    assert bytes(rows[3].payload)[:4] == b"RIFF"
+    assert bytes(rows[3].payload) != bytes(rows[27].payload)  # different paths
+    hashes = image_ahash(
+        synthesize_mixed_image_from_text(
+            spark.createDataFrame(
+                [(i, "same text for every row") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    assert len(hashes) == 3 and len({r.ahash for r in hashes}) == 1
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    sg=st.booleans(),
+    pred=st.one_of(st.none(), st.integers(0, 13)),
+    cache=st.sampled_from([0, 0, 3]),
+    lz=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_webp_vp8l_round_trip_property(h, w, sg, pred, cache, lz, seed):
+    """Property pin: ANY uint8 image through ANY encoder option mix
+    round-trips bit-exactly (1-pixel rows/columns included — the
+    flat-array top-right wrap does the predicting there)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _webp_pixels,
+        encode_webp,
+    )
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    dec = _webp_pixels(
+        encode_webp(
+            px,
+            subtract_green=sg,
+            predictor=pred,
+            color_cache_bits=cache,
+            use_lz77=lz,
+        )
+    )
+    assert (dec == px).all()
+
+
+def test_tga_unused_color_map_entry_size_validated():
+    """r11 fuzz find: a truecolor/gray TGA carrying an (unused) color
+    map skipped the entry-size check, so cm_bits 0-7 reached the
+    entry parser with a zero/one-column array and leaked IndexError.
+    Now every present map validates its entry size up front."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _tga_pixels,
+        encode_tga,
+    )
+
+    rng = np.random.RandomState(59)
+    rgb = rng.randint(0, 256, (4, 5, 3)).astype(np.uint8)
+    good = bytearray(encode_tga(rgb))
+    good[1] = 1  # claim a color map is present
+    good[5:7] = struct.pack("<H", 3)  # cm_len = 3
+    for bad_bits in (0, 1, 7):
+        hdr = bytearray(good)
+        hdr[7] = bad_bits
+        with pytest.raises(ValueError, match="entry size"):
+            _tga_pixels(bytes(hdr))

@@ -352,6 +352,18 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
                 restart_interval=rng.choice((0, 0, 3)),
             ),
         ),
+        (
+            "webp",
+            mm.encode_webp(
+                px,
+                subtract_green=rng.random() < 0.5,
+                use_lz77=rng.random() < 0.5,
+                predictor=rng.choice((None, None, rng.randrange(14))),
+                cross_color=rng.choice((None, (3, -5, 7))),
+                color_cache_bits=rng.choice((0, 0, 4)),
+            ),
+        ),
+        ("webp", mm.encode_webp(gif_px, palette=True, use_lz77=True)),
         ("bmp", mm._bmp_payload(raw8)),
         ("bmpv", _encode_bmp_variant(rng)),
         ("flac", mm.encode_flac(samples)),
@@ -557,6 +569,7 @@ _DECODERS = {
     "gif": [mm._gif_pixels, mm.decode_gif],
     "jpeg": [mm._jpeg_pixels, mm.decode_jpeg],
     "jpegll": [mm._jpeg_pixels, mm.decode_jpeg, mm._image_pixels],
+    "webp": [mm._webp_pixels, mm.decode_webp, mm._image_pixels],
     "bmp": [mm._bmp_pixels, mm.decode_bmp, mm._image_pixels],
     "bmpv": [mm._bmp_pixels, mm.decode_bmp],
     "flac": [mm._flac_samples, mm.decode_flac, mm._pcm16_samples],
