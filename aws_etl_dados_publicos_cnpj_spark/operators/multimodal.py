@@ -26,11 +26,14 @@ Decode status — honest per format:
   lossy transform codec, with an encoder twin for fixtures), and
   Motion-JPEG AVI video (``_avi_mjpeg_frames``: RIFF/'movi' walk +
   per-frame JPEG decode — a STANDARD video container, alongside the
-  synthetic VID0 one), and WebP VP8L lossless (r11,
+  synthetic VID0 one), WebP VP8L lossless (r11,
   ``_webp_pixels``: canonical prefix codes, meta groups, color
   cache, LZ77 with the 2D distance map, all four transforms
   inverted, ``encode_webp`` twin; VP8 lossy gets honest
-  dims-from-keyframe-header triage).
+  dims-from-keyframe-header triage), and Matroska/WebM audio (r11,
+  ``_mkv_audio_samples``: real EBML walk with all three lacing
+  modes; A_PCM via the shared width machinery, A_FLAC via native
+  reassembly; video tracks get container triage).
 - **MP4**: the ISO-BMFF walk is real (r8) down THROUGH the sample
   tables — box tree → 'vide' trak → tkhd/mdhd/stsd metadata
   (``_mp4_video_stats``), then stsz × stsc × stco/co64 resolved to
@@ -1694,6 +1697,16 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         if s.dtype != np.int16:
             if s.size and (s.max() > 32767 or s.min() < -32768):
                 raise ValueError("wide AU samples exceed the int16 grid")
+            s = s.astype(np.int16)
+        return s
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        # Matroska/WebM (r11): PCM and A_FLAC decode through the
+        # delegation arms; wide ints fingerprint only when
+        # grid-sitting (the AU/MP4 rule)
+        s = _mkv_audio_samples(payload)[0]
+        if s.dtype != np.int16:
+            if s.size and (s.max() > 32767 or s.min() < -32768):
+                raise ValueError("wide Matroska samples exceed the int16 grid")
             s = s.astype(np.int16)
         return s
     if payload[:4] == b"OggS":
@@ -6686,6 +6699,464 @@ def encode_gif_animation(
     return bytes(out)
 
 
+# --- Matroska / WebM (r11): the EBML container ----------------------
+#
+# From the public specs (RFC 8794 EBML + the Matroska element
+# registry): variable-length element IDs/sizes, unknown-size master
+# elements, and the SimpleBlock/Block frame layer with all three
+# lacing modes (Xiph, EBML signed-delta, fixed). The walk is real
+# end-to-end; the sample layer follows the engine's delegation
+# doctrine: A_PCM tracks decode through the shared width machinery,
+# A_FLAC reassembles the native fLaC stream from CodecPrivate + block
+# frames and decodes through the FLAC machinery (the Ogg-FLAC
+# pattern); Vorbis/Opus/AAC and all video codecs get honest
+# metadata-before-decode triage.
+
+
+def _ebml_vint(buf: bytes, pos: int, mask: bool) -> tuple[int, int]:
+    """(value, n_bytes) of one EBML variable-length integer. IDs keep
+    the length-marker bit (``mask=False``, the registry convention);
+    sizes strip it."""
+    if pos >= len(buf):
+        raise ValueError("EBML vint truncated")
+    first = buf[pos]
+    if first == 0:
+        raise ValueError("EBML vint longer than 8 bytes")
+    length = 9 - first.bit_length()
+    if pos + length > len(buf):
+        raise ValueError("EBML vint truncated")
+    v = first & ((1 << (8 - length)) - 1) if mask else first
+    for i in range(1, length):
+        v = (v << 8) | buf[pos + i]
+    return v, length
+
+
+def _ebml_children(buf: bytes, start: int, end: int) -> Iterator[tuple[int, int, int]]:
+    """(id, body_start, body_end) for each child element. An
+    unknown-size element (all value bits set — legal for master
+    elements in streamed files) extends to the end of its scope; a
+    declared size overrunning the scope clamps (the RIFF truncation
+    doctrine)."""
+    pos = start
+    while pos + 2 <= end:
+        eid, n1 = _ebml_vint(buf, pos, False)
+        size, n2 = _ebml_vint(buf, pos + n1, True)
+        body = pos + n1 + n2
+        if size == (1 << (7 * n2)) - 1:  # unknown size
+            yield eid, body, end
+            return
+        yield eid, body, min(body + size, end)
+        if body + size > end:
+            return
+        pos = body + size
+
+
+def _ebml_uint(buf: bytes, b: int, e: int) -> int:
+    v = 0
+    for i in range(b, e):
+        v = (v << 8) | buf[i]
+    return v
+
+
+def _ebml_float(buf: bytes, b: int, e: int) -> float:
+    if e - b == 4:
+        return struct.unpack_from(">f", buf, b)[0]
+    if e - b == 8:
+        return struct.unpack_from(">d", buf, b)[0]
+    if e == b:
+        return 0.0
+    raise ValueError(f"EBML float of {e - b} bytes")
+
+
+def _mkv_block_frames(buf: bytes, b: int, e: int) -> tuple[int, list[bytes]]:
+    """(track_number, frames) of one SimpleBlock/Block: VINT track,
+    16-bit relative timestamp, flags, then the lacing table."""
+    tn, n = _ebml_vint(buf, b, True)
+    pos = b + n + 3
+    if pos > e:
+        raise ValueError("Matroska block header truncated")
+    lacing = (buf[b + n + 2] >> 1) & 3
+    if lacing == 0:
+        return tn, [buf[pos:e]]
+    count = buf[pos] + 1
+    pos += 1
+    sizes: list[int] = []
+    if lacing == 2:  # fixed-size
+        total = e - pos
+        if count == 0 or total % count:
+            raise ValueError("Matroska fixed lacing does not divide the block")
+        sizes = [total // count] * count
+    elif lacing == 1:  # Xiph: 255-continued sizes for all but the last
+        for _ in range(count - 1):
+            sz = 0
+            while True:
+                if pos >= e:
+                    raise ValueError("Matroska Xiph lacing truncated")
+                v = buf[pos]
+                pos += 1
+                sz += v
+                if v != 255:
+                    break
+            sizes.append(sz)
+        sizes.append(e - pos - sum(sizes))
+    else:  # EBML: first size plain, then signed vint deltas
+        first, n1 = _ebml_vint(buf, pos, True)
+        pos += n1
+        sizes.append(first)
+        for _ in range(count - 2):
+            d, nd = _ebml_vint(buf, pos, True)
+            pos += nd
+            sizes.append(sizes[-1] + d - ((1 << (7 * nd - 1)) - 1))
+        if count >= 2:
+            sizes.append(e - pos - sum(sizes))
+    if any(s < 0 for s in sizes) or pos + sum(sizes) > e:
+        raise ValueError("Matroska lacing sizes overrun the block")
+    frames = []
+    for s in sizes:
+        frames.append(buf[pos : pos + s])
+        pos += s
+    return tn, frames
+
+
+_MKV_CLUSTER = 0x1F43B675
+
+
+def _mkv_collect_blocks(
+    buf: bytes, b: int, e: int, blocks: dict[int, list[bytes]]
+) -> None:
+    """Frames of every SimpleBlock/BlockGroup under a Cluster —
+    recursing into nested clusters, which is how an unknown-size
+    cluster's successors parse (they land inside its scope)."""
+    for cid, cb, ce in _ebml_children(buf, b, e):
+        if cid == 0xA3:  # SimpleBlock
+            tn, frames = _mkv_block_frames(buf, cb, ce)
+            blocks.setdefault(tn, []).extend(frames)
+        elif cid == 0xA0:  # BlockGroup
+            for gid, gb, ge in _ebml_children(buf, cb, ce):
+                if gid == 0xA1:  # Block
+                    tn, frames = _mkv_block_frames(buf, gb, ge)
+                    blocks.setdefault(tn, []).extend(frames)
+        elif cid == _MKV_CLUSTER:
+            _mkv_collect_blocks(buf, cb, ce, blocks)
+
+
+def _mkv_doc(payload: bytes) -> dict:
+    """Parsed Matroska/WebM document: doctype, timestamp scale,
+    declared duration, track headers, and per-track block frames."""
+    if payload[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML stream")
+    doc: dict = {
+        "doctype": None,
+        "timescale": 1_000_000,
+        "duration": None,
+        "tracks": [],
+        "blocks": {},
+    }
+    try:
+        for eid, b, e in _ebml_children(payload, 0, len(payload)):
+            if eid == 0x1A45DFA3:
+                for cid, cb, ce in _ebml_children(payload, b, e):
+                    if cid == 0x4282:
+                        doc["doctype"] = payload[cb:ce].decode(
+                            "ascii", "replace"
+                        ).rstrip("\x00")
+            elif eid == 0x18538067:  # Segment
+                for cid, cb, ce in _ebml_children(payload, b, e):
+                    if cid == 0x1549A966:  # Info
+                        for iid, ib, ie in _ebml_children(payload, cb, ce):
+                            if iid == 0x2AD7B1:
+                                doc["timescale"] = _ebml_uint(payload, ib, ie)
+                            elif iid == 0x4489:
+                                doc["duration"] = _ebml_float(payload, ib, ie)
+                    elif cid == 0x1654AE6B:  # Tracks
+                        for tid, tb, te in _ebml_children(payload, cb, ce):
+                            if tid != 0xAE:
+                                continue
+                            trk: dict = {
+                                "number": None, "type": None, "codec": None,
+                                "private": b"", "width": None, "height": None,
+                                "rate": 8000.0, "channels": 1, "bits": None,
+                            }
+                            for fid, fb, fe in _ebml_children(payload, tb, te):
+                                if fid == 0xD7:
+                                    trk["number"] = _ebml_uint(payload, fb, fe)
+                                elif fid == 0x83:
+                                    trk["type"] = _ebml_uint(payload, fb, fe)
+                                elif fid == 0x86:
+                                    trk["codec"] = payload[fb:fe].decode(
+                                        "ascii", "replace"
+                                    ).rstrip("\x00")
+                                elif fid == 0x63A2:
+                                    trk["private"] = payload[fb:fe]
+                                elif fid == 0xE0:  # Video
+                                    for vid, vb, ve in _ebml_children(
+                                        payload, fb, fe
+                                    ):
+                                        if vid == 0xB0:
+                                            trk["width"] = _ebml_uint(payload, vb, ve)
+                                        elif vid == 0xBA:
+                                            trk["height"] = _ebml_uint(payload, vb, ve)
+                                elif fid == 0xE1:  # Audio
+                                    for aid, ab, ae in _ebml_children(
+                                        payload, fb, fe
+                                    ):
+                                        if aid == 0xB5:
+                                            trk["rate"] = _ebml_float(payload, ab, ae)
+                                        elif aid == 0x9F:
+                                            trk["channels"] = _ebml_uint(payload, ab, ae)
+                                        elif aid == 0x6264:
+                                            trk["bits"] = _ebml_uint(payload, ab, ae)
+                            doc["tracks"].append(trk)
+                    elif cid == _MKV_CLUSTER:
+                        _mkv_collect_blocks(payload, cb, ce, doc["blocks"])
+    except (struct.error, IndexError, OverflowError) as exc:
+        raise ValueError(f"corrupt Matroska stream ({exc})") from exc
+    return doc
+
+
+def _mkv_audio_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """(samples, rate, n_channels) of the first audio track. A_PCM
+    integer widths decode natively (int16 grid for 16-bit, int32 for
+    24/32 — the CAF/MP4 wide-int doctrine), IEEE floats round onto
+    the int16 grid (the WAV tag-3 rule), and A_FLAC decodes the
+    reassembled native stream. Transform codecs quarantine."""
+    doc = _mkv_doc(payload)
+    audio = [t for t in doc["tracks"] if t["type"] == 2]
+    if not audio:
+        raise ValueError("Matroska stream has no audio track")
+    trk = audio[0]
+    codec = trk["codec"] or ""
+    data = b"".join(doc["blocks"].get(trk["number"], []))
+    rate = int(trk["rate"]) or 8000
+    n_ch = trk["channels"] or 1
+    if codec == "A_FLAC":
+        native = bytes(trk["private"]) + data
+        if native[:4] != b"fLaC":
+            raise ValueError("A_FLAC CodecPrivate missing the fLaC header")
+        return _flac_samples(native)
+    if codec in ("A_PCM/INT/LIT", "A_PCM/INT/BIG"):
+        bits = trk["bits"] or 16
+        if bits not in (16, 24, 32):
+            raise ValueError(f"unsupported Matroska PCM width {bits}")
+        width = bits // 8
+        usable = len(data) // (width * n_ch) * (width * n_ch)
+        data = data[:usable]
+        if codec.endswith("BIG"):
+            data = (
+                np.frombuffer(data, np.uint8)
+                .reshape(-1, width)[:, ::-1]
+                .reshape(-1)
+                .tobytes()
+            )
+        samples = _pcm_width_expand(data, bits)
+        dtype = np.int16 if bits == 16 else np.int32
+        return samples.astype(dtype), rate, n_ch
+    if codec == "A_PCM/FLOAT/IEEE":
+        bits = trk["bits"] or 32
+        if bits not in (32, 64):
+            raise ValueError(f"unsupported Matroska float width {bits}")
+        width = bits // 8
+        usable = len(data) // (width * n_ch) * (width * n_ch)
+        v = np.frombuffer(
+            data[:usable], dtype="<f4" if bits == 32 else "<f8"
+        ).astype(np.float64)
+        return (
+            np.round(np.clip(v, -1.0, 1.0) * 32767.0).astype(np.int16),
+            rate,
+            n_ch,
+        )
+    raise NotImplementedError(
+        f"Matroska codec {codec!r} sample decode needs a codec library"
+    )
+
+
+def decode_mkv(payload: bytes) -> dict:
+    """Matroska/WebM stats: video tracks get real container triage
+    (dims, codec, frame count, declared duration — the AVI/MP4
+    metadata-before-decode shape); PCM/FLAC audio tracks decode
+    samples for REAL through the delegation arms."""
+    doc = _mkv_doc(payload)
+    duration_s = None
+    if doc["duration"] is not None:
+        duration_s = doc["duration"] * doc["timescale"] / 1e9
+    video = [t for t in doc["tracks"] if t["type"] == 1]
+    if video:
+        trk = video[0]
+        out = {
+            "kind": "video",
+            "codec": (trk["codec"] or "").removeprefix("V_").lower() or None,
+            "width": trk["width"],
+            "height": trk["height"],
+            "n_frames": sum(
+                1 for _ in doc["blocks"].get(trk["number"], [])
+            ),
+        }
+        if duration_s is not None:
+            out["duration_s"] = duration_s
+        return out
+    audio = [t for t in doc["tracks"] if t["type"] == 2]
+    if not audio:
+        raise ValueError("Matroska stream has no video or audio track")
+    trk = audio[0]
+    try:
+        samples, rate, n_ch = _mkv_audio_samples(payload)
+    except NotImplementedError:
+        out = {
+            "kind": "audio",
+            "codec": (trk["codec"] or "").removeprefix("A_").lower() or None,
+            "n_channels": trk["channels"],
+            "sample_rate": int(trk["rate"]),
+        }
+        if duration_s is not None:
+            out["duration_s"] = duration_s
+        return out
+    sf = samples.astype(np.float64)
+    n_frames = len(samples) // n_ch if n_ch else 0
+    return {
+        "kind": "audio",
+        "codec": (trk["codec"] or "").removeprefix("A_").lower() or None,
+        "n_channels": n_ch,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_s": n_frames / rate if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(sf**2))) if sf.size else 0.0,
+        "peak": float(np.max(np.abs(sf))) if sf.size else 0.0,
+    }
+
+
+def _ebml_size_field(n: int) -> bytes:
+    """Shortest EBML size encoding of ``n``."""
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            v = n | (1 << (7 * length))
+            return v.to_bytes(length, "big")
+    raise ValueError("EBML size too large")
+
+
+def _ebml_el(eid: bytes, body: bytes) -> bytes:
+    return eid + _ebml_size_field(len(body)) + body
+
+
+def _ebml_uint_body(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def _mkv_payload(
+    raw: bytes,
+    rate: int = 8000,
+    codec: str = "pcm",
+    lacing: str = "none",
+    doctype: str = "matroska",
+    unknown_segment_size: bool = False,
+) -> bytes:
+    """Matroska synthesizer twin: the audio-fixture byte→sample
+    contract (each byte one 16-bit sample) inside an EBML container.
+    ``codec``: 'pcm' (A_PCM/INT/LIT), 'pcm_be', 'float'
+    (A_PCM/FLOAT/IEEE carrying k/32767), or 'flac' (A_FLAC with the
+    native header in CodecPrivate — the Ogg-FLAC delegation twin).
+    ``lacing`` spreads the data over one block with Xiph/EBML/fixed
+    lacing or over plain blocks ('none')."""
+    samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+    private = b""
+    bits = 16
+    if codec == "pcm":
+        codec_id, data = b"A_PCM/INT/LIT", samples.tobytes()
+    elif codec == "pcm_be":
+        codec_id, data = b"A_PCM/INT/BIG", samples.byteswap().tobytes()
+    elif codec == "float":
+        codec_id = b"A_PCM/FLOAT/IEEE"
+        data = (samples.astype("<f4") / 32767.0).tobytes()
+        bits = 32
+    elif codec == "flac":
+        native = _flac_payload(raw, rate)
+        private = native[: 4 + 4 + 34]
+        data = native[4 + 4 + 34 :]
+        codec_id = b"A_FLAC"
+    else:
+        raise ValueError(f"unknown synthesizer codec {codec!r}")
+    audio = _ebml_el(b"\xb5", struct.pack(">f", float(rate))) + _ebml_el(
+        b"\x9f", b"\x01"
+    ) + _ebml_el(b"\x62\x64", bytes([bits]))
+    track = _ebml_el(
+        b"\xae",
+        _ebml_el(b"\xd7", b"\x01")
+        + _ebml_el(b"\x83", b"\x02")
+        + _ebml_el(b"\x86", codec_id)
+        + (_ebml_el(b"\x63\xa2", private) if private else b"")
+        + _ebml_el(b"\xe1", audio),
+    )
+    info = _ebml_el(
+        b"\x15\x49\xa9\x66",
+        _ebml_el(b"\x2a\xd7\xb1", _ebml_uint_body(1_000_000))
+        + _ebml_el(b"\x44\x89", struct.pack(">f", float(len(samples)))),
+    )
+    # frame split: thirds (at sample boundaries) to exercise multi-
+    # frame reassembly in every lacing mode
+    width = 4 if codec == "float" else 2
+    step = max(width, (len(data) // 3) // width * width)
+    frames = [data[i : i + step] for i in range(0, len(data), step)] or [b""]
+    if codec == "flac":
+        frames = [data]  # FLAC frames can't split arbitrarily
+    blocks = b""
+    if lacing == "none" or len(frames) == 1:
+        for f in frames:
+            blocks += _ebml_el(b"\xa3", b"\x81" + b"\x00\x00" + b"\x80" + f)
+    elif lacing == "xiph":
+        head = bytes([len(frames) - 1])
+        for f in frames[:-1]:
+            sz = len(f)
+            head += b"\xff" * (sz // 255) + bytes([sz % 255])
+        blocks = _ebml_el(
+            b"\xa3", b"\x81\x00\x00" + bytes([0x80 | 0x02]) + head + b"".join(frames)
+        )
+    elif lacing == "ebml":
+        head = bytes([len(frames) - 1]) + _ebml_size_field(len(frames[0]))
+        for prev, f in zip(frames, frames[1:-1]):
+            # signed delta in an EXPLICIT 2-byte vint: the bias is
+            # 2^(7n-1)-1 for the emitted length n, so the length must
+            # be pinned, not shortest-fit
+            delta = len(f) - len(prev)
+            head += ((delta + (1 << 13) - 1) | (1 << 14)).to_bytes(2, "big")
+        blocks = _ebml_el(
+            b"\xa3", b"\x81\x00\x00" + bytes([0x80 | 0x06]) + head + b"".join(frames)
+        )
+    elif lacing == "fixed":
+        eq = frames[0]
+        frames = [eq] * 3
+        data3 = eq * 3
+        blocks = _ebml_el(
+            b"\xa3", b"\x81\x00\x00" + bytes([0x80 | 0x04]) + b"\x03" + data3
+        )
+        # fixed lacing repeats the first frame — callers wanting the
+        # contract stream use the other modes
+    else:
+        raise ValueError(f"unknown lacing mode {lacing!r}")
+    # wrap a BlockGroup around the last plain block for walk coverage
+    if lacing == "none" and len(frames) > 1:
+        last = frames[-1]
+        blocks = b""
+        for f in frames[:-1]:
+            blocks += _ebml_el(b"\xa3", b"\x81\x00\x00\x80" + f)
+        blocks += _ebml_el(
+            b"\xa0", _ebml_el(b"\xa1", b"\x81\x00\x00\x00" + last)
+        )
+    cluster = _ebml_el(
+        b"\x1f\x43\xb6\x75", _ebml_el(b"\xe7", b"\x00") + blocks
+    )
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", track)
+    seg_body = info + tracks + cluster
+    if unknown_segment_size:
+        segment = b"\x18\x53\x80\x67" + b"\xff" + seg_body
+    else:
+        segment = _ebml_el(b"\x18\x53\x80\x67", seg_body)
+    header = _ebml_el(
+        b"\x1a\x45\xdf\xa3",
+        _ebml_el(b"\x42\x82", doctype.encode("ascii"))
+        + _ebml_el(b"\x42\x86", b"\x01"),
+    )
+    return header + segment
+
+
 # ------------------------------------------------------------------ #
 # WebP (RIFF) / VP8L lossless bitstream — r11. The web-crawl staple:  #
 # the container walk is real for every chunk layout (VP8L, VP8,       #
@@ -8370,6 +8841,15 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_tiff(payload)
     if mime in ("image/jpeg", "image/jpg"):
         return decode_jpeg(payload)
+    if mime in (
+        "video/x-matroska",
+        "video/webm",
+        "audio/x-matroska",
+        "audio/webm",
+    ):
+        # PCM/FLAC audio tracks decode samples for real (delegation);
+        # video tracks and transform audio codecs get container triage
+        return decode_mkv(payload)
     if mime in ("video/x-msvideo", "video/avi"):
         # MJPEG decodes frames for real; other codecs (xvid, h264,
         # ...) get header-level stats — the same metadata-before-
@@ -8943,7 +9423,10 @@ def synthesize_mixed_audio_from_text(
     directly; classic 16-bit PCM at % 24 == 0. The AIFF docs
     sub-rotate too (r10): % 6 == 4 ships AIFC ('sowt' little-endian
     at % 12 == 4, 'NONE' big-endian at % 24 == 10, 'fl32' IEEE float
-    at % 24 == 22), classic AIFF at % 6 == 1."""
+    at % 24 == 22), classic AIFF at % 6 == 1. Matroska joins in r11:
+    % 24 == 19 ships the 16-bit contract as A_PCM/INT/LIT under Xiph
+    lacing, % 24 == 14 the FLAC stream as A_FLAC (CodecPrivate +
+    block frames reassembled natively)."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -8960,9 +9443,16 @@ def synthesize_mixed_audio_from_text(
                         else:
                             comp = b"NONE"
                         payloads.append(_aifc_payload(raw, rate, comp))
+                        mimes.append("audio/aiff")
+                    elif int(doc_id) % 24 == 19:
+                        # r11: the same 16-bit contract as
+                        # A_PCM/INT/LIT inside a Matroska cluster —
+                        # the EBML walk + Xiph lacing at driver scale
+                        payloads.append(_mkv_payload(raw, rate, lacing="xiph"))
+                        mimes.append("audio/x-matroska")
                     else:
                         payloads.append(_aiff_payload(raw, rate))
-                    mimes.append("audio/aiff")
+                        mimes.append("audio/aiff")
                 elif kind == 2:
                     if int(doc_id) % 12 == 8:
                         # r11: the same FLAC stream inside Ogg pages
@@ -8970,6 +9460,12 @@ def synthesize_mixed_audio_from_text(
                         # at driver scale under the unchanged oracle
                         payloads.append(_ogg_flac_payload(raw, rate))
                         mimes.append("audio/ogg")
+                    elif int(doc_id) % 24 == 14:
+                        # r11: the same FLAC stream as A_FLAC-in-
+                        # Matroska (CodecPrivate carries the native
+                        # header — the Ogg-FLAC delegation's twin)
+                        payloads.append(_mkv_payload(raw, rate, codec="flac"))
+                        mimes.append("audio/x-matroska")
                     else:
                         payloads.append(
                             _flac_payload(raw, rate, stereo=int(doc_id) % 6 == 5)

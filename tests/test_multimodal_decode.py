@@ -107,12 +107,13 @@ def test_decode_features_mixed_media_and_quarantine(spark):
         (1, bytearray(wav), "audio/wav"),
         (2, bytearray(bmp), "image/bmp"),
         (3, bytearray(b"not really media"), "image/bmp"),  # corrupt
-        (4, bytearray(b"\x00" * 64), "video/webm"),  # unsupported codec
+        (4, bytearray(b"\x00" * 64), "video/x-flv"),  # unsupported codec
         (5, bytearray(b"\x00" * 64), "video/mp4"),  # corrupt container
+        (6, bytearray(b"\x00" * 64), "video/webm"),  # corrupt EBML (r11)
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary, mime string")
     out = {r.doc_id: r for r in decode_features(df).collect()}
-    assert len(out) == 5  # quarantine, not row loss
+    assert len(out) == 6  # quarantine, not row loss
     assert out[1].ok and out[1].kind == "audio"
     assert out[1].sample_rate == 8000 and out[1].n_frames == 100
     assert out[1].rms == pytest.approx(500.0)
@@ -122,6 +123,7 @@ def test_decode_features_mixed_media_and_quarantine(spark):
     assert not out[3].ok and "ValueError" in out[3].err
     assert not out[4].ok and "NotImplementedError" in out[4].err
     assert not out[5].ok and "ValueError" in out[5].err  # real walk, bad bytes
+    assert not out[6].ok and "ValueError" in out[6].err  # real walk, bad bytes
 
 
 def test_resize_bmp_exact_nearest_neighbor(spark):
@@ -6364,3 +6366,201 @@ def test_tga_unused_color_map_entry_size_validated():
         hdr[7] = bad_bits
         with pytest.raises(ValueError, match="entry size"):
             _tga_pixels(bytes(hdr))
+
+
+# ---------------------------------------------------------------- #
+# Matroska / WebM (EBML) — r11                                       #
+# ---------------------------------------------------------------- #
+
+
+def test_mkv_audio_decodes_across_codecs_and_lacings():
+    """The EBML walk + block layer decode the audio-fixture contract
+    bit-exactly for A_PCM/INT/LIT, A_PCM/INT/BIG, A_PCM/FLOAT/IEEE
+    (int16-grid round) and A_FLAC (native reassembly from
+    CodecPrivate + frames), across plain blocks, a BlockGroup, Xiph
+    and EBML lacing, and an unknown-size segment (the streamed-file
+    shape)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mkv_audio_samples,
+        _mkv_payload,
+        _pcm16_samples,
+        decode_mkv,
+        decode_wav,
+        _wav_payload,
+    )
+
+    raw = b"matroska sample contract bytes! 0123456789" * 3
+    exp = np.frombuffer(raw, np.uint8).astype(np.int16)
+    for codec in ("pcm", "pcm_be", "float", "flac"):
+        s, rate, ch = _mkv_audio_samples(_mkv_payload(raw, codec=codec))
+        assert (s == exp).all() and rate == 8000 and ch == 1, codec
+    for lac in ("xiph", "ebml"):
+        s, _, _ = _mkv_audio_samples(_mkv_payload(raw, lacing=lac))
+        assert (s == exp).all(), lac
+    s, _, _ = _mkv_audio_samples(
+        _mkv_payload(raw, unknown_segment_size=True)
+    )
+    assert (s == exp).all()
+    # fixed lacing repeats one frame three times — structural check
+    sfx, _, _ = _mkv_audio_samples(_mkv_payload(raw, lacing="fixed"))
+    third = len(sfx) // 3
+    assert third and (sfx[:third] == sfx[third : 2 * third]).all()
+    # stats parity with the WAV twin of the same bytes
+    dm = decode_mkv(_mkv_payload(raw))
+    dw = decode_wav(_wav_payload(raw))
+    assert dm["kind"] == "audio" and dm["codec"] == "pcm/int/lit"
+    assert dm["n_frames"] == dw["n_frames"]
+    assert abs(dm["rms"] - dw["rms"]) < 1e-9
+    # fingerprint routing sniffs the EBML magic
+    assert (_pcm16_samples(_mkv_payload(raw, codec="flac")) == exp).all()
+
+
+def test_mkv_video_triage_and_transform_codec_quarantine():
+    """Video tracks get the metadata-before-decode shape: real dims,
+    codec id, block-frame count, declared duration — no fake pixels.
+    Transform audio codecs (A_VORBIS) quarantine at the sample layer
+    while container stats still return."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _ebml_el,
+        _ebml_uint_body,
+        _mkv_audio_samples,
+        decode_mkv,
+    )
+
+    def _mkv_container(track: bytes, blocks: bytes) -> bytes:
+        info = _ebml_el(
+            b"\x15\x49\xa9\x66",
+            _ebml_el(b"\x2a\xd7\xb1", _ebml_uint_body(1_000_000))
+            + _ebml_el(b"\x44\x89", struct.pack(">f", 2000.0)),
+        )
+        cluster = _ebml_el(b"\x1f\x43\xb6\x75", _ebml_el(b"\xe7", b"\x00") + blocks)
+        segment = _ebml_el(
+            b"\x18\x53\x80\x67",
+            info + _ebml_el(b"\x16\x54\xae\x6b", track) + cluster,
+        )
+        header = _ebml_el(
+            b"\x1a\x45\xdf\xa3", _ebml_el(b"\x42\x82", b"webm")
+        )
+        return header + segment
+
+    video_track = _ebml_el(
+        b"\xae",
+        _ebml_el(b"\xd7", b"\x01")
+        + _ebml_el(b"\x83", b"\x01")
+        + _ebml_el(b"\x86", b"V_VP8")
+        + _ebml_el(
+            b"\xe0",
+            _ebml_el(b"\xb0", _ebml_uint_body(640))
+            + _ebml_el(b"\xba", _ebml_uint_body(360)),
+        ),
+    )
+    blocks = b"".join(
+        _ebml_el(b"\xa3", b"\x81\x00\x00\x80" + bytes(12)) for _ in range(5)
+    )
+    meta = decode_mkv(_mkv_container(video_track, blocks))
+    assert meta["kind"] == "video" and meta["codec"] == "vp8"
+    assert (meta["width"], meta["height"]) == (640, 360)
+    assert meta["n_frames"] == 5
+    assert abs(meta["duration_s"] - 2.0) < 1e-9
+
+    vorbis_track = _ebml_el(
+        b"\xae",
+        _ebml_el(b"\xd7", b"\x01")
+        + _ebml_el(b"\x83", b"\x02")
+        + _ebml_el(b"\x86", b"A_VORBIS")
+        + _ebml_el(
+            b"\xe1",
+            _ebml_el(b"\xb5", struct.pack(">f", 48000.0))
+            + _ebml_el(b"\x9f", b"\x02"),
+        ),
+    )
+    payload = _mkv_container(vorbis_track, blocks)
+    meta = decode_mkv(payload)
+    assert meta["kind"] == "audio" and meta["codec"] == "vorbis"
+    assert meta["sample_rate"] == 48000 and meta["n_channels"] == 2
+    assert "rms" not in meta
+    with pytest.raises(NotImplementedError, match="codec library"):
+        _mkv_audio_samples(payload)
+
+
+def test_mkv_corrupt_payloads_quarantine():
+    """Malformed EBML surfaces ValueError (never IndexError or
+    struct.error): truncations at every stage, lying lacing tables,
+    blocks for the wrong track tolerated, missing tracks rejected."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mkv_audio_samples,
+        _mkv_payload,
+        decode_mkv,
+    )
+
+    raw = b"0123456789abcdef" * 4
+    good = _mkv_payload(raw, lacing="xiph")
+    for cut in (2, 5, 12, 30, 60, len(good) - 5):
+        try:
+            decode_mkv(good[:cut])
+            _mkv_audio_samples(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+    with pytest.raises(ValueError, match="EBML"):
+        decode_mkv(b"\x00\x01\x02\x03")
+    # a Xiph lacing whose declared sizes overrun the block
+    bad = bytearray(good)
+    i = bad.find(b"\xa3")  # first SimpleBlock id
+    # blunt instrument: corrupt the lacing count byte upward
+    bad[i + 6] = 0xFE
+    try:
+        _mkv_audio_samples(bytes(bad))
+    except (ValueError, NotImplementedError):
+        pass
+    except Exception as exc:  # noqa: BLE001
+        raise AssertionError(f"lacing bomb leaked {type(exc).__name__}: {exc}")
+
+
+def test_mkv_fixture_rotation_and_spark_path(spark):
+    """doc_id%24==19 ships the 16-bit contract as A_PCM-in-Matroska
+    (Xiph lacing), %24==14 the FLAC stream as A_FLAC — both decode to
+    the identical ehash as their WAV/FLAC siblings, so the oracle
+    gate holds while the EBML walk runs at driver scale; per-row
+    quarantine through decode_features."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mkv_payload,
+        audio_energy_hash,
+        decode_features,
+        synthesize_mixed_audio_from_text,
+    )
+
+    ids = (0, 19, 14, 2)
+    docs = spark.createDataFrame(
+        [(i, "identical text for every row") for i in ids],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in synthesize_mixed_audio_from_text(docs).collect()}
+    assert rows[19].mime == "audio/x-matroska"
+    assert rows[14].mime == "audio/x-matroska"
+    assert bytes(rows[19].payload)[:4] == b"\x1a\x45\xdf\xa3"
+    assert b"A_FLAC" in bytes(rows[14].payload)
+    assert rows[0].mime == "audio/wav" and rows[2].mime == "audio/flac"
+    hashes = audio_energy_hash(
+        synthesize_mixed_audio_from_text(
+            spark.createDataFrame(
+                [(i, "identical text for every row") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    assert len(hashes) == 4 and len({r.ehash for r in hashes}) == 1
+
+    raw = b"features path bytes"
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_mkv_payload(raw)), "audio/x-matroska"),
+            (2, bytearray(_mkv_payload(raw)[:15]), "audio/x-matroska"),
+        ],
+        "doc_id long, payload binary, mime string",
+    )
+    feats = {r.doc_id: r for r in decode_features(df).collect()}
+    assert feats[1].ok and feats[1].kind == "audio"
+    assert feats[1].n_frames == len(raw)
+    assert not feats[2].ok

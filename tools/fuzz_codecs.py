@@ -402,6 +402,16 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("g711", _encode_g711(rng)),
         ("mp3", _mp3_seed(rng)),
         ("ogg", mm._ogg_flac_payload(raw8, rate=rng.choice((8000, 44100)))),
+        (
+            "mkv",
+            mm._mkv_payload(
+                raw8 or b"x",
+                rate=rng.choice((8000, 44100)),
+                codec=rng.choice(("pcm", "pcm_be", "float", "flac")),
+                lacing=rng.choice(("none", "xiph", "ebml", "fixed")),
+                unknown_segment_size=rng.random() < 0.3,
+            ),
+        ),
         ("avi", mm._avi_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
         ("avia", mm._avi_audio_container(mm._wav_payload(raw8), n_chunks=rng.randrange(1, 5))),
         ("avia", mm._avi_audio_container(_encode_ima_variant(rng), n_chunks=2)),
@@ -584,6 +594,7 @@ _DECODERS = {
     "au": [mm.decode_au, mm._au_samples, mm._pcm16_samples],
     "caf": [mm.decode_caf, mm._caf_samples, mm._pcm16_samples],
     "ogg": [mm.decode_ogg, mm._pcm16_samples],
+    "mkv": [mm.decode_mkv, mm._mkv_audio_samples, mm._pcm16_samples],
     "pnm": [mm.decode_pnm, mm._pnm_pixels, mm._image_pixels],
     "tga": [mm.decode_tga, mm._tga_pixels, mm._image_pixels],
     "qoi": [mm.decode_qoi, mm._qoi_pixels, mm._image_pixels],
