@@ -6982,17 +6982,30 @@ def decode_mkv(payload: bytes) -> dict:
     video = [t for t in doc["tracks"] if t["type"] == 1]
     if video:
         trk = video[0]
+        frames = doc["blocks"].get(trk["number"], [])
         out = {
             "kind": "video",
             "codec": (trk["codec"] or "").removeprefix("V_").lower() or None,
             "width": trk["width"],
             "height": trk["height"],
-            "n_frames": sum(
-                1 for _ in doc["blocks"].get(trk["number"], [])
-            ),
+            "n_frames": len(frames),
         }
         if duration_s is not None:
             out["duration_s"] = duration_s
+        if trk["codec"] == "V_MJPEG" and frames:
+            # the frame layer decodes for real — report first-frame
+            # pixel means like the AVI/MP4 MJPEG arms
+            px = _jpeg_pixels(frames[0])
+            mean_rgb = px.reshape(-1, 3).mean(axis=0)
+            out.update(
+                {
+                    "width": int(px.shape[1]),
+                    "height": int(px.shape[0]),
+                    "mean_r": float(mean_rgb[0]),
+                    "mean_g": float(mean_rgb[1]),
+                    "mean_b": float(mean_rgb[2]),
+                }
+            )
         return out
     audio = [t for t in doc["tracks"] if t["type"] == 2]
     if not audio:
@@ -7022,6 +7035,57 @@ def decode_mkv(payload: bytes) -> dict:
         "rms": float(np.sqrt(np.mean(sf**2))) if sf.size else 0.0,
         "peak": float(np.max(np.abs(sf))) if sf.size else 0.0,
     }
+
+
+def _mkv_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """JPEG payloads of a V_MJPEG Matroska video track — blocks carry
+    whole JPEG images, so the existing codec decodes them (the
+    MJPEG-in-AVI/MP4 delegation). Other video codecs honestly
+    quarantine."""
+    doc = _mkv_doc(payload)
+    video = [t for t in doc["tracks"] if t["type"] == 1]
+    if not video:
+        raise ValueError("Matroska stream has no video track")
+    trk = video[0]
+    if (trk["codec"] or "") != "V_MJPEG":
+        raise NotImplementedError(
+            f"Matroska video codec {trk['codec']!r} frame decode needs a "
+            "codec library"
+        )
+    return doc["blocks"].get(trk["number"], [])
+
+
+def _mkv_mjpeg_container(
+    frames: list[bytes], width: int = 64, height: int = 8
+) -> bytes:
+    """Matroska V_MJPEG synthesizer — one SimpleBlock per JPEG frame
+    (the _avi_mjpeg_container twin)."""
+    video = _ebml_el(b"\xb0", _ebml_uint_body(width)) + _ebml_el(
+        b"\xba", _ebml_uint_body(height)
+    )
+    track = _ebml_el(
+        b"\xae",
+        _ebml_el(b"\xd7", b"\x01")
+        + _ebml_el(b"\x83", b"\x01")
+        + _ebml_el(b"\x86", b"V_MJPEG")
+        + _ebml_el(b"\xe0", video),
+    )
+    blocks = b"".join(
+        _ebml_el(b"\xa3", b"\x81\x00\x00\x80" + f) for f in frames
+    )
+    cluster = _ebml_el(b"\x1f\x43\xb6\x75", _ebml_el(b"\xe7", b"\x00") + blocks)
+    info = _ebml_el(
+        b"\x15\x49\xa9\x66",
+        _ebml_el(b"\x2a\xd7\xb1", _ebml_uint_body(1_000_000)),
+    )
+    segment = _ebml_el(
+        b"\x18\x53\x80\x67",
+        info + _ebml_el(b"\x16\x54\xae\x6b", track) + cluster,
+    )
+    header = _ebml_el(
+        b"\x1a\x45\xdf\xa3", _ebml_el(b"\x42\x82", b"matroska")
+    )
+    return header + segment
 
 
 def _ebml_size_field(n: int) -> bytes:
@@ -10247,7 +10311,10 @@ def synthesize_mixed_video_from_text(
     """Container-diverse video fixture for the driver queries: doc_id
     % 3 picks VID0 (raw BMP frames), Motion-JPEG AVI, or MJPEG MP4 —
     so ALL THREE real container walks (and the JPEG codec behind two
-    of them) run under one oracle gate. One mapInPandas, one scan."""
+    of them) run under one oracle gate. r11: the AVI slot sub-rotates
+    Matroska V_MJPEG at % 12 == 7 (same JPEG frames, same hashes —
+    the EBML block walk at driver scale). One mapInPandas, one
+    scan."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -10259,10 +10326,20 @@ def synthesize_mixed_video_from_text(
                     payloads.append(_vid0_payload(raw, n_frames))
                     mimes.append("video/x-frames")
                 elif kind == 1:
-                    payloads.append(
-                        _avi_mjpeg_container(_mjpeg_frames_for_text(raw, n_frames))
-                    )
-                    mimes.append("video/x-msvideo")
+                    if int(doc_id) % 12 == 7:
+                        payloads.append(
+                            _mkv_mjpeg_container(
+                                _mjpeg_frames_for_text(raw, n_frames)
+                            )
+                        )
+                        mimes.append("video/x-matroska")
+                    else:
+                        payloads.append(
+                            _avi_mjpeg_container(
+                                _mjpeg_frames_for_text(raw, n_frames)
+                            )
+                        )
+                        mimes.append("video/x-msvideo")
                 else:
                     payloads.append(
                         _mp4_mjpeg_container(
@@ -10520,6 +10597,9 @@ def video_frame_hashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         if buf[:6] in (b"GIF87a", b"GIF89a"):
             # animated GIF = a video: composed playback frames (r9)
             return _gif_frames(buf)
+        if buf[:4] == b"\x1a\x45\xdf\xa3":
+            # Matroska V_MJPEG (r11): blocks are whole JPEG frames
+            return [_jpeg_pixels(f) for f in _mkv_mjpeg_frames(buf)]
         if buf[:4] != _VIDEO_MAGIC:
             raise ValueError("not a VID0, AVI, or MP4 container")
         (nf,) = struct.unpack_from("<I", buf, 4)

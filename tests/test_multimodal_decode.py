@@ -6564,3 +6564,55 @@ def test_mkv_fixture_rotation_and_spark_path(spark):
     assert feats[1].ok and feats[1].kind == "audio"
     assert feats[1].n_frames == len(raw)
     assert not feats[2].ok
+
+
+def test_mkv_mjpeg_video_frames_match_avi(spark):
+    """V_MJPEG-in-Matroska: blocks carry whole JPEG frames, so the
+    EBML walk + existing JPEG codec decode the same pixels as the AVI
+    twin of the SAME frames — identical frame hashes through the
+    Spark path. The video fixture sub-rotates MKV at doc_id%12==7;
+    non-MJPEG video codecs quarantine at the frame layer (no rows)
+    while decode_mkv still returns container stats."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _avi_mjpeg_container,
+        _mjpeg_frames_for_text,
+        _mkv_mjpeg_container,
+        synthesize_mixed_video_from_text,
+        video_frame_hashes,
+    )
+
+    raw = b"same frames in two containers"
+    frames = _mjpeg_frames_for_text(raw, 4)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_mkv_mjpeg_container(frames))),
+            (2, bytearray(_avi_mjpeg_container(frames))),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = video_frame_hashes(df).collect()
+    mkv_h = sorted((r.frame_id, r.fhash) for r in rows if r.doc_id == 1)
+    avi_h = sorted((r.frame_id, r.fhash) for r in rows if r.doc_id == 2)
+    assert len(mkv_h) == 4 and mkv_h == avi_h
+
+    ids = (1, 7, 19)
+    docs = spark.createDataFrame(
+        [(i, "one text for every doc") for i in ids],
+        "doc_id long, text string",
+    )
+    mixed = {r.doc_id: r for r in synthesize_mixed_video_from_text(docs).collect()}
+    assert mixed[1].mime == "video/x-msvideo"
+    assert mixed[7].mime == "video/x-matroska"
+    assert mixed[19].mime == "video/x-matroska"
+    fh = video_frame_hashes(
+        synthesize_mixed_video_from_text(
+            spark.createDataFrame(
+                [(i, "one text for every doc") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    by_doc = {}
+    for r in fh:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_id, r.fhash))
+    assert sorted(by_doc[1]) == sorted(by_doc[7]) == sorted(by_doc[19])

@@ -403,6 +403,12 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("mp3", _mp3_seed(rng)),
         ("ogg", mm._ogg_flac_payload(raw8, rate=rng.choice((8000, 44100)))),
         (
+            "mkvv",
+            mm._mkv_mjpeg_container(
+                mm._mjpeg_frames_for_text(flat or b"x", n)
+            ),
+        ),
+        (
             "mkv",
             mm._mkv_payload(
                 raw8 or b"x",
@@ -595,6 +601,7 @@ _DECODERS = {
     "caf": [mm.decode_caf, mm._caf_samples, mm._pcm16_samples],
     "ogg": [mm.decode_ogg, mm._pcm16_samples],
     "mkv": [mm.decode_mkv, mm._mkv_audio_samples, mm._pcm16_samples],
+    "mkvv": [mm.decode_mkv, mm._mkv_mjpeg_frames],
     "pnm": [mm.decode_pnm, mm._pnm_pixels, mm._image_pixels],
     "tga": [mm.decode_tga, mm._tga_pixels, mm._image_pixels],
     "qoi": [mm.decode_qoi, mm._qoi_pixels, mm._image_pixels],
