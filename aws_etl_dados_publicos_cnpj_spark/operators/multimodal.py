@@ -4807,7 +4807,7 @@ def _png_expand_samples(
     return vals[:, :pw].reshape(rows, pw, 1)
 
 
-def _png_pixels_impl(payload: bytes) -> np.ndarray:
+def _png_pixels_impl(payload: bytes, rgba: bool = False) -> np.ndarray:
     import zlib
 
     pos = 8
@@ -4897,12 +4897,17 @@ def _png_pixels_impl(payload: bytes) -> np.ndarray:
             (ys + ystep * np.arange(ph))[:, None],
             (xs + xstep * np.arange(pw))[None, :],
         ] = sub
-    # → RGB
+    # → RGB (or RGBA for the APNG composition path)
     if color_type == 3:  # palette indices are raw, never scaled
         idx = samples[:, :, 0]
         if (idx >= len(plte)).any():
             raise ValueError("PNG palette index out of range")
-        return plte[idx]
+        rgb = plte[idx]
+        if not rgba:
+            return rgb
+        return np.concatenate(
+            [rgb, np.full((height, width, 1), 255, np.uint8)], axis=2
+        )
     if depth == 16:
         # exact round-to-nearest 16→8 (v*255/65535), not the >>8
         # truncation shortcut — keeps the expansion bit-pinnable
@@ -4910,16 +4915,30 @@ def _png_pixels_impl(payload: bytes) -> np.ndarray:
     elif depth < 8:  # single-channel types only; bit-exact expansion
         samples = samples * np.uint16({1: 255, 2: 85, 4: 17}[depth])
     if color_type in (2, 6):
-        return samples.astype(np.uint8)[:, :, :3]
+        if not rgba:
+            return samples.astype(np.uint8)[:, :, :3]
+        out = np.full((height, width, 4), 255, np.uint8)
+        out[:, :, : 3 + (color_type == 6)] = samples.astype(np.uint8)[
+            :, :, : 3 + (color_type == 6)
+        ]
+        return out
     # grayscale (0) / gray+alpha (4)
     gray = samples[:, :, 0].astype(np.uint8)
-    return np.repeat(gray[:, :, None], 3, axis=2)
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    if not rgba:
+        return rgb
+    alpha = (
+        samples[:, :, 1].astype(np.uint8)
+        if color_type == 4
+        else np.full((height, width), 255, np.uint8)
+    )
+    return np.concatenate([rgb, alpha[:, :, None]], axis=2)
 
 
 def decode_png(payload: bytes) -> dict:
     px = _png_pixels(payload)
     mean_rgb = px.reshape(-1, 3).mean(axis=0) if px.size else np.zeros(3)
-    return {
+    out = {
         "kind": "image",
         "width": int(px.shape[1]),
         "height": int(px.shape[0]),
@@ -4927,6 +4946,211 @@ def decode_png(payload: bytes) -> dict:
         "mean_g": float(mean_rgb[1]),
         "mean_b": float(mean_rgb[2]),
     }
+    actl = _apng_chunks(payload)[0]
+    if actl is not None:
+        out["n_frames"] = actl
+    return out
+
+
+# --- APNG (r11): the animated-PNG frame layer ------------------------
+#
+# From the public APNG spec (now folded into the W3C PNG 3 spec):
+# acTL declares the frame count, each frame is an fcTL control chunk
+# (region, delays, dispose/blend ops) followed by fdAT data chunks
+# (IDAT-equivalent, prefixed by a sequence number); when an fcTL
+# precedes IDAT, the default image doubles as frame 0. Every frame
+# region decodes through the engine's own PNG machinery (a rebuilt
+# single-image stream), then composes per the dispose/blend rules —
+# the _gif_frames playback-composition twin.
+
+
+def _apng_chunks(payload: bytes):
+    """(n_frames_or_None, ihdr_data, plte_data, default_idat, frames)
+    — frames is a list of (fctl_fields, [raw_data...]); fctl_fields =
+    (w, h, x, y, dispose, blend). Sequence numbers are validated to
+    be contiguous per the spec."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    actl = None
+    ihdr = plte = None
+    idat: list[bytes] = []
+    frames: list = []
+    seqs: list[int] = []
+    idat_is_frame0 = False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"acTL":
+            if len(data) < 8:
+                raise ValueError("truncated acTL chunk")
+            actl = struct.unpack_from(">I", data, 0)[0]
+        elif ctype == b"fcTL":
+            if len(data) < 26:
+                raise ValueError("truncated fcTL chunk")
+            seq, w, h, x, y = struct.unpack_from(">IIIII", data, 0)
+            dispose, blend = data[24], data[25]
+            seqs.append(seq)
+            frames.append(((w, h, x, y, dispose, blend), []))
+            if not idat:
+                idat_is_frame0 = True
+        elif ctype == b"fdAT":
+            if len(data) < 4:
+                raise ValueError("truncated fdAT chunk")
+            seqs.append(struct.unpack_from(">I", data, 0)[0])
+            if not frames:
+                raise ValueError("fdAT before any fcTL")
+            frames[-1][1].append(data[4:])
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if seqs != list(range(len(seqs))):
+        raise ValueError("APNG sequence numbers are not contiguous")
+    return actl, ihdr, plte, idat, frames, idat_is_frame0
+
+
+def _png_frames(payload: bytes) -> list[np.ndarray]:
+    """Composed playback frames of an APNG as (h, w, 3) RGB — frame
+    regions decode via the engine's PNG decoder over a rebuilt
+    stream, then composite per fcTL dispose (none/background/
+    previous) and blend (source/over) ops on an RGBA canvas that
+    starts transparent black. A plain PNG returns its single image."""
+    actl, ihdr, plte, idat, frames, idat_is_frame0 = _apng_chunks(payload)
+    if actl is None or not frames:
+        return [_png_pixels(payload)]
+    if ihdr is None or not idat:
+        raise ValueError("APNG missing IHDR/IDAT")
+    cw, ch = struct.unpack_from(">II", ihdr, 0)
+    if actl != len(frames):
+        raise ValueError(
+            f"acTL declares {actl} frames, stream carries {len(frames)}"
+        )
+    if len(frames) > 1024:
+        raise ValueError("APNG frame count exceeds the playback cap")
+
+    def _region_rgba(w: int, h: int, data_parts: list[bytes]) -> np.ndarray:
+        import zlib
+
+        sub_ihdr = struct.pack(">II", w, h) + ihdr[8:]
+        stream = _PNG_MAGIC + _png_chunk(b"IHDR", sub_ihdr)
+        if plte is not None:
+            stream += _png_chunk(b"PLTE", plte)
+        for part in data_parts:
+            stream += _png_chunk(b"IDAT", part)
+        stream += _png_chunk(b"IEND", b"")
+        try:
+            return _png_pixels_impl(stream, rgba=True)
+        except ValueError:
+            raise
+        except (struct.error, zlib.error, IndexError, KeyError, OverflowError) as exc:
+            # zlib.error included (r11 fuzz find: a mutated fdAT body
+            # leaked the raw decompressor error through this rebuild)
+            raise ValueError(f"corrupt APNG frame ({exc})") from exc
+
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+    out: list[np.ndarray] = []
+    for i, ((w, h, x, y, dispose, blend), parts) in enumerate(frames):
+        if i == 0 and idat_is_frame0:
+            parts = idat
+            if (w, h, x, y) != (cw, ch, 0, 0):
+                raise ValueError("APNG frame 0 must cover the canvas")
+        if not parts:
+            raise ValueError("APNG frame without data chunks")
+        if x + w > cw or y + h > ch or not w or not h:
+            raise ValueError("APNG frame region outside the canvas")
+        if blend not in (0, 1) or dispose not in (0, 1, 2):
+            raise ValueError("invalid APNG dispose/blend op")
+        region = _region_rgba(w, h, parts)
+        if region.shape[:2] != (h, w):
+            raise ValueError("APNG frame dims disagree with its fcTL")
+        saved = canvas[y : y + h, x : x + w].copy()
+        if blend == 0:  # SOURCE: replace, alpha included
+            canvas[y : y + h, x : x + w] = region
+        else:  # OVER: standard alpha compositing, integer math
+            a = region[:, :, 3:4].astype(np.uint32)
+            dst = canvas[y : y + h, x : x + w].astype(np.uint32)
+            src = region.astype(np.uint32)
+            out_a = a + dst[:, :, 3:4] * (255 - a) // 255
+            num = src[:, :, :3] * a + dst[:, :, :3] * dst[:, :, 3:4] * (
+                255 - a
+            ) // 255
+            rgb = np.where(out_a > 0, num // np.maximum(out_a, 1), 0)
+            canvas[y : y + h, x : x + w, :3] = rgb.astype(np.uint8)
+            canvas[y : y + h, x : x + w, 3:4] = out_a.astype(np.uint8)
+        out.append(canvas[:, :, :3].copy())
+        if dispose == 1:  # BACKGROUND: region → transparent black
+            canvas[y : y + h, x : x + w] = 0
+        elif dispose == 2:  # PREVIOUS: revert the region
+            canvas[y : y + h, x : x + w] = saved
+    return out
+
+
+def encode_apng(frames: list, delay_den: int = 100) -> bytes:
+    """APNG encoder twin: frame 0 is a full-canvas (h, w, 3) array
+    riding in IDAT (fcTL-before-IDAT form); later entries are either
+    full frames or (x, y, array) region updates (blend SOURCE,
+    dispose NONE — the deterministic-composition subset the tests
+    pin). Each frame's pixel data is produced by encode_png and
+    re-wrapped as fdAT."""
+    if not frames:
+        raise ValueError("encode_apng needs at least one frame")
+
+    def _norm(f):
+        if isinstance(f, tuple):
+            x, y, arr = f
+            return int(x), int(y), np.asarray(arr)
+        return 0, 0, np.asarray(f)
+
+    first = _norm(frames[0])[2]
+    if first.ndim != 3 or first.shape[2] != 3:
+        raise ValueError("encode_apng frames are (h, w, 3) RGB")
+    ch, cw = first.shape[:2]
+
+    def _idat_of(arr: np.ndarray) -> bytes:
+        stream = encode_png(arr)
+        pos = 8
+        parts = b""
+        while pos + 8 <= len(stream):
+            (length,) = struct.unpack_from(">I", stream, pos)
+            if stream[pos + 4 : pos + 8] == b"IDAT":
+                parts += stream[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+        return parts
+
+    seq = 0
+    body = b""
+    ihdr = struct.pack(">IIBBBBB", cw, ch, 8, 2, 0, 0, 0)
+    body += _png_chunk(b"IHDR", ihdr)
+    body += _png_chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    for i, f in enumerate(frames):
+        x, y, arr = _norm(f)
+        h, w = arr.shape[:2]
+        if i == 0 and (x or y or (h, w) != (ch, cw)):
+            raise ValueError("APNG frame 0 must cover the canvas")
+        if x + w > cw or y + h > ch:
+            raise ValueError("APNG frame region outside the canvas")
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, x, y, 1, delay_den, 0, 0
+        )
+        body += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        data = _idat_of(arr)
+        if i == 0:
+            body += _png_chunk(b"IDAT", data)
+        else:
+            body += _png_chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    body += _png_chunk(b"IEND", b"")
+    return _PNG_MAGIC + body
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -8897,7 +9121,9 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_webp(payload)
     if mime in ("image/x-icon", "image/vnd.microsoft.icon", "image/ico"):
         return decode_ico(payload)
-    if mime == "image/png":
+    if mime in ("image/png", "image/apng"):
+        # APNG payloads report n_frames from acTL; the default image
+        # carries the pixel stats (the GIF first-frame rule)
         return decode_png(payload)
     if mime == "image/gif":
         return decode_gif(payload)
@@ -10323,8 +10549,26 @@ def synthesize_mixed_video_from_text(
                 raw = t.encode("utf-8")
                 kind = int(doc_id) % 3
                 if kind == 0:
-                    payloads.append(_vid0_payload(raw, n_frames))
-                    mimes.append("video/x-frames")
+                    if int(doc_id) % 12 == 9:
+                        # r11: the VID0 frame contract as an APNG —
+                        # frame f's RGB pixel byte k is raw[(192f+k)%n]
+                        # with BMP's BGR order undone, so the frame
+                        # hashes (and the oracle) are unchanged
+                        n = max(len(raw), 1)
+                        src = (
+                            np.frombuffer(raw, dtype=np.uint8)
+                            if raw
+                            else np.zeros(1, np.uint8)
+                        )
+                        fr = []
+                        for f in range(n_frames):
+                            idx = (192 * f + np.arange(8 * 8 * 3)) % n
+                            fr.append(src[idx].reshape(8, 8, 3)[:, :, ::-1])
+                        payloads.append(encode_apng(fr))
+                        mimes.append("image/apng")
+                    else:
+                        payloads.append(_vid0_payload(raw, n_frames))
+                        mimes.append("video/x-frames")
                 elif kind == 1:
                     if int(doc_id) % 12 == 7:
                         payloads.append(
@@ -10600,6 +10844,9 @@ def video_frame_hashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         if buf[:4] == b"\x1a\x45\xdf\xa3":
             # Matroska V_MJPEG (r11): blocks are whole JPEG frames
             return [_jpeg_pixels(f) for f in _mkv_mjpeg_frames(buf)]
+        if buf[:8] == _PNG_MAGIC:
+            # APNG (r11): composed playback frames, the GIF twin
+            return _png_frames(buf)
         if buf[:4] != _VIDEO_MAGIC:
             raise ValueError("not a VID0, AVI, or MP4 container")
         (nf,) = struct.unpack_from("<I", buf, 4)

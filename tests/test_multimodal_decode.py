@@ -6616,3 +6616,186 @@ def test_mkv_mjpeg_video_frames_match_avi(spark):
     for r in fh:
         by_doc.setdefault(r.doc_id, []).append((r.frame_id, r.fhash))
     assert sorted(by_doc[1]) == sorted(by_doc[7]) == sorted(by_doc[19])
+
+
+# ---------------------------------------------------------------- #
+# APNG — r11                                                        #
+# ---------------------------------------------------------------- #
+
+
+def test_apng_frames_compose_and_metadata():
+    """encode_apng → _png_frames round-trips full frames exactly,
+    composes region updates over the running canvas, reports acTL
+    n_frames through decode_png, and keeps the default image (frame
+    0) decoding through the plain-PNG path unchanged."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _png_frames,
+        _png_pixels,
+        decode_png,
+        encode_apng,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(61)
+    f0 = rng.randint(0, 256, (8, 10, 3)).astype(np.uint8)
+    f1 = rng.randint(0, 256, (8, 10, 3)).astype(np.uint8)
+    sub = rng.randint(0, 256, (3, 4, 3)).astype(np.uint8)
+    frames = _png_frames(encode_apng([f0, f1]))
+    assert len(frames) == 2
+    assert (frames[0] == f0).all() and (frames[1] == f1).all()
+    frames = _png_frames(encode_apng([f0, (2, 3, sub)]))
+    exp = f0.copy()
+    exp[3:6, 2:6] = sub
+    assert (frames[1] == exp).all()
+    meta = decode_png(encode_apng([f0, f1]))
+    assert meta["n_frames"] == 2 and meta["width"] == 10
+    assert (_png_pixels(encode_apng([f0, f1])) == f0).all()
+    assert len(_png_frames(encode_png(f0))) == 1  # plain PNG: 1 frame
+
+
+def test_apng_dispose_and_blend_ops():
+    """The decoder-only composition ops, hand-built on an RGBA
+    canvas: OVER blending with a semi-transparent region (integer
+    alpha math pinned), dispose PREVIOUS reverting the region, and
+    dispose BACKGROUND clearing it to transparent black."""
+    import zlib
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+        _png_frames,
+    )
+
+    def _rgba_idat(arr: np.ndarray) -> bytes:
+        rows = b"".join(b"\x00" + arr[y].tobytes() for y in range(arr.shape[0]))
+        return zlib.compress(rows)
+
+    cw = ch = 4
+    base = np.zeros((ch, cw, 4), np.uint8)
+    base[:, :] = (100, 150, 200, 255)
+    overlay = np.zeros((2, 2, 4), np.uint8)
+    overlay[:, :] = (30, 60, 90, 128)
+    ihdr = struct.pack(">IIBBBBB", cw, ch, 8, 6, 0, 0, 0)
+
+    def _fctl(seq, w, h, x, y, dispose, blend):
+        return _png_chunk(
+            b"fcTL",
+            struct.pack(">IIIIIHHBB", seq, w, h, x, y, 1, 100, dispose, blend),
+        )
+
+    stream = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    stream += _png_chunk(b"acTL", struct.pack(">II", 3, 0))
+    stream += _fctl(0, cw, ch, 0, 0, 0, 0)
+    stream += _png_chunk(b"IDAT", _rgba_idat(base))
+    # frame 1: OVER-blend a semi-transparent 2x2 at (1,1), dispose
+    # PREVIOUS so frame 2 starts from the base again
+    stream += _fctl(1, 2, 2, 1, 1, 2, 1)
+    stream += _png_chunk(b"fdAT", struct.pack(">I", 2) + _rgba_idat(overlay))
+    # frame 2: SOURCE-replace the same region, dispose BACKGROUND
+    stream += _fctl(3, 2, 2, 1, 1, 1, 0)
+    stream += _png_chunk(b"fdAT", struct.pack(">I", 4) + _rgba_idat(overlay))
+    stream += _png_chunk(b"IEND", b"")
+
+    frames = _png_frames(stream)
+    assert len(frames) == 3
+    assert (frames[0] == [100, 150, 200]).all()
+    # integer OVER math: out_a = 128 + 255*127//255; rgb =
+    # (src*128 + dst*255*127//255) // out_a
+    out_a = 128 + 255 * 127 // 255
+    exp_px = [
+        (s * 128 + d * (255 * 127 // 255)) // out_a
+        for s, d in ((30, 100), (60, 150), (90, 200))
+    ]
+    assert (frames[1][1:3, 1:3] == exp_px).all()
+    assert (frames[1][0, :] == [100, 150, 200]).all()  # outside region
+    # dispose PREVIOUS restored the base before frame 2's SOURCE blend
+    assert (frames[2][1:3, 1:3] == [30, 60, 90]).all()
+    assert (frames[2][3, 3] == [100, 150, 200]).all()
+
+
+def test_apng_corrupt_payloads_quarantine():
+    """Malformed APNG structure surfaces ValueError: non-contiguous
+    sequence numbers, an acTL/frame-count mismatch, out-of-canvas
+    regions, fdAT before any fcTL, and truncations."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _png_frames,
+        encode_apng,
+    )
+
+    rng = np.random.RandomState(67)
+    f0 = rng.randint(0, 256, (6, 6, 3)).astype(np.uint8)
+    f1 = rng.randint(0, 256, (6, 6, 3)).astype(np.uint8)
+    good = encode_apng([f0, f1])
+    for cut in (10, 40, 80, len(good) - 10):
+        try:
+            _png_frames(good[:cut])
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+    # acTL declares 3 frames, stream has 2
+    bad = bytearray(good)
+    i = bad.find(b"acTL")
+    bad[i + 4 : i + 8] = struct.pack(">I", 3)
+    with pytest.raises(ValueError, match="declares"):
+        _png_frames(bytes(bad))
+    # fcTL sequence corrupted
+    bad = bytearray(good)
+    i = bad.find(b"fcTL")
+    bad[i + 4 : i + 8] = struct.pack(">I", 9)
+    with pytest.raises(ValueError, match="sequence"):
+        _png_frames(bytes(bad))
+    # region escapes the canvas
+    with pytest.raises(ValueError, match="canvas"):
+        encode_apng([f0, (4, 4, f1)])
+
+
+def test_apng_video_fixture_matches_vid0(spark):
+    """doc_id%12==9 ships the VID0 frame contract as an APNG — the
+    per-frame channel-sum hashes are order-invariant, so the fixture
+    swap keeps the oracle unchanged while APNG playback composition
+    runs at driver scale."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        synthesize_mixed_video_from_text,
+        video_frame_hashes,
+    )
+
+    ids = (0, 9, 21)
+    docs = spark.createDataFrame(
+        [(i, "one text for every doc") for i in ids],
+        "doc_id long, text string",
+    )
+    mixed = {r.doc_id: r for r in synthesize_mixed_video_from_text(docs).collect()}
+    assert mixed[0].mime == "video/x-frames"
+    assert mixed[9].mime == "image/apng" and mixed[21].mime == "image/apng"
+    assert bytes(mixed[9].payload)[:8] == b"\x89PNG\r\n\x1a\n"
+    fh = video_frame_hashes(
+        synthesize_mixed_video_from_text(
+            spark.createDataFrame(
+                [(i, "one text for every doc") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    by_doc = {}
+    for r in fh:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_id, r.fhash))
+    assert sorted(by_doc[0]) == sorted(by_doc[9]) == sorted(by_doc[21])
+
+
+def test_apng_mutated_fdat_quarantines_as_value_error():
+    """r11 fuzz find: a mutated fdAT body reached the zlib inflater
+    through the rebuilt frame stream and leaked raw zlib.error; the
+    region decode now maps it to the uniform ValueError contract."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _png_frames,
+        encode_apng,
+    )
+
+    rng = np.random.RandomState(71)
+    f0 = rng.randint(0, 256, (6, 6, 3)).astype(np.uint8)
+    good = bytearray(encode_apng([f0, f0]))
+    i = good.find(b"fdAT")
+    good[i + 12] ^= 0xFF  # corrupt the deflate body, keep the walk intact
+    with pytest.raises(ValueError):
+        _png_frames(bytes(good))

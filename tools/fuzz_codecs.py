@@ -403,6 +403,18 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("mp3", _mp3_seed(rng)),
         ("ogg", mm._ogg_flac_payload(raw8, rate=rng.choice((8000, 44100)))),
         (
+            "apng",
+            mm.encode_apng(
+                [px]
+                + [
+                    (rng.randrange(0, px.shape[1] // 2),
+                     rng.randrange(0, px.shape[0] // 2),
+                     px[: px.shape[0] // 2, : px.shape[1] // 2])
+                    for _ in range(rng.randrange(0, 3))
+                ]
+            ),
+        ),
+        (
             "mkvv",
             mm._mkv_mjpeg_container(
                 mm._mjpeg_frames_for_text(flat or b"x", n)
@@ -602,6 +614,7 @@ _DECODERS = {
     "ogg": [mm.decode_ogg, mm._pcm16_samples],
     "mkv": [mm.decode_mkv, mm._mkv_audio_samples, mm._pcm16_samples],
     "mkvv": [mm.decode_mkv, mm._mkv_mjpeg_frames],
+    "apng": [mm._png_frames, mm.decode_png, mm._png_pixels, mm._image_pixels],
     "pnm": [mm.decode_pnm, mm._pnm_pixels, mm._image_pixels],
     "tga": [mm.decode_tga, mm._tga_pixels, mm._image_pixels],
     "qoi": [mm.decode_qoi, mm._qoi_pixels, mm._image_pixels],
