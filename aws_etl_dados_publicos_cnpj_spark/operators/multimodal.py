@@ -5030,6 +5030,11 @@ def _png_frames(payload: bytes) -> list[np.ndarray]:
     if ihdr is None or not idat:
         raise ValueError("APNG missing IHDR/IDAT")
     cw, ch = struct.unpack_from(">II", ihdr, 0)
+    # bound the canvas BEFORE allocating (r11 fuzz find: a mutated
+    # IHDR width demanded a 171 GiB canvas here, ahead of the pixel
+    # cap the per-frame decode would have enforced)
+    if not cw or not ch or cw * ch > _IMG_MAX_PIXELS:
+        raise ValueError(f"APNG {cw}x{ch} exceeds the decode cap")
     if actl != len(frames):
         raise ValueError(
             f"acTL declares {actl} frames, stream carries {len(frames)}"
@@ -6923,6 +6928,254 @@ def encode_gif_animation(
     return bytes(out)
 
 
+# --- DDS (r11): DirectDraw Surface, the game/graphics-asset staple --
+#
+# From the public layout (the DDS_HEADER/DDS_PIXELFORMAT structs and
+# the BC1-BC3 block formats of the D3D functional specs): 4x4 block
+# decompression for DXT1/2/3/4/5 and their DX10-header DXGI twins
+# (BC1/2/3_UNORM[_SRGB]), plus uncompressed masked-RGB surfaces via
+# exact per-mask rounding. Only the top mip level decodes (the
+# thumbnail rule); mip count reports as n_frames. Alpha — premultiplied
+# or not — is parsed past and dropped (the PNG rule), which is also
+# why DXT2/4 decode identically to their non-premultiplied twins
+# here. 2/3-color interpolation uses floor((2a+b)/3) — inside the
+# D3D decode tolerance; the encoder twin restricts blocks to their
+# two endpoints so fixtures round-trip EXACTLY anyway.
+
+
+def _dds_565_expand(c: np.ndarray) -> np.ndarray:
+    """(n, 3) uint8 RGB from (n,) uint16 RGB565 — exact rounding."""
+    r = (c >> 11) & 0x1F
+    g = (c >> 5) & 0x3F
+    b = c & 0x1F
+    return np.stack(
+        [
+            (r * 255 + 15) // 31,
+            (g * 255 + 31) // 63,
+            (b * 255 + 15) // 31,
+        ],
+        axis=1,
+    ).astype(np.int64)
+
+
+def _bc_color_decode(data: bytes, w: int, h: int, kind: int) -> np.ndarray:
+    """(h, w, 3) RGB from BC1/2/3 block data — vectorized over
+    blocks: expand both 565 endpoints, build the 4-entry palette per
+    block (BC1's c0<=c1 selects 3-color mode), gather texels by the
+    2-bit lookup table."""
+    bw = -(-w // 4)
+    bh = -(-h // 4)
+    block_bytes = 8 if kind == 1 else 16
+    need = bw * bh * block_bytes
+    if len(data) < need:
+        raise ValueError("DDS block data truncated")
+    arr = np.frombuffer(data, np.uint8, need).reshape(bw * bh, block_bytes)
+    cpart = arr[:, -8:].copy()
+    c01 = cpart[:, :4].view("<u2").astype(np.int64)  # (n, 2)
+    p0 = _dds_565_expand(c01[:, 0])
+    p1 = _dds_565_expand(c01[:, 1])
+    pal = np.zeros((len(arr), 4, 3), dtype=np.int64)
+    pal[:, 0] = p0
+    pal[:, 1] = p1
+    four = (kind != 1) | (c01[:, 0] > c01[:, 1])
+    pal[:, 2] = np.where(
+        four[:, None], (2 * p0 + p1) // 3, (p0 + p1) // 2
+    )
+    pal[:, 3] = np.where(four[:, None], (p0 + 2 * p1) // 3, 0)
+    bits = cpart[:, 4:8].copy().view("<u4").astype(np.int64).reshape(-1)
+    t = np.arange(16)
+    idx = (bits[:, None] >> (2 * t)[None, :]) & 3  # (n, 16)
+    texels = pal[np.arange(len(arr))[:, None], idx]  # (n, 16, 3)
+    img = (
+        texels.reshape(bh, bw, 4, 4, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(bh * 4, bw * 4, 3)
+    )
+    return img[:h, :w].astype(np.uint8)
+
+
+_DDS_FOURCC_KIND = {
+    b"DXT1": 1, b"DXT2": 2, b"DXT3": 2, b"DXT4": 3, b"DXT5": 3,
+}
+_DDS_DXGI_KIND = {71: 1, 72: 1, 74: 2, 75: 2, 77: 3, 78: 3}
+
+
+def _dds_mask_channel(px: np.ndarray, mask: int) -> np.ndarray:
+    if mask == 0:
+        return np.zeros(px.shape, dtype=np.int64)
+    shift = (mask & -mask).bit_length() - 1
+    m = mask >> shift
+    return ((px >> shift) & m) * 255 // m
+
+
+def _dds_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) RGB of a DDS surface (top mip level only)."""
+    if payload[:4] != b"DDS ":
+        raise ValueError("not a DDS payload")
+    try:
+        return _dds_pixels_impl(payload)
+    except (struct.error, IndexError, OverflowError) as exc:
+        raise ValueError(f"corrupt DDS header ({type(exc).__name__}: {exc})") from exc
+
+
+def _dds_pixels_impl(payload: bytes) -> np.ndarray:
+    if len(payload) < 128:
+        raise ValueError("DDS header truncated")
+    (hsize,) = struct.unpack_from("<I", payload, 4)
+    if hsize != 124:
+        raise ValueError(f"bad DDS header size {hsize}")
+    _flags, h, w = struct.unpack_from("<III", payload, 8)
+    if not w or not h:
+        raise ValueError("zero-dimension DDS surface")
+    if w * h > _IMG_MAX_PIXELS:
+        raise ValueError(f"DDS {w}x{h} exceeds the decode cap")
+    pfsize, pfflags = struct.unpack_from("<II", payload, 76)
+    if pfsize != 32:
+        raise ValueError(f"bad DDS pixel format size {pfsize}")
+    fourcc = payload[84:88]
+    data_at = 128
+    if pfflags & 0x4:  # DDPF_FOURCC
+        if fourcc == b"DX10":
+            if len(payload) < 148:
+                raise ValueError("DDS DX10 header truncated")
+            dxgi, _dim, _misc, _asize, _misc2 = struct.unpack_from(
+                "<5I", payload, 128
+            )
+            kind = _DDS_DXGI_KIND.get(dxgi)
+            if kind is None:
+                raise NotImplementedError(
+                    f"DDS DXGI format {dxgi} needs a codec library "
+                    "(BC1-BC3 decode natively)"
+                )
+            data_at = 148
+        else:
+            kind = _DDS_FOURCC_KIND.get(fourcc)
+            if kind is None:
+                raise NotImplementedError(
+                    f"DDS fourCC {fourcc!r} needs a codec library "
+                    "(DXT1-DXT5 decode natively)"
+                )
+        return _bc_color_decode(payload[data_at:], w, h, kind)
+    if pfflags & 0x40:  # DDPF_RGB: uncompressed masked channels
+        bitcount, rm, gm, bm = struct.unpack_from("<IIII", payload, 88)
+        if bitcount not in (16, 24, 32):
+            raise ValueError(f"unsupported DDS RGB bit count {bitcount}")
+        width_b = bitcount // 8
+        need = w * h * width_b
+        if len(payload) < 128 + need:
+            raise ValueError("DDS pixel data truncated")
+        raw = np.frombuffer(payload, np.uint8, need, 128).reshape(-1, width_b)
+        px = np.zeros(len(raw), dtype=np.int64)
+        for i in range(width_b):
+            px |= raw[:, i].astype(np.int64) << (8 * i)
+        rgb = np.stack(
+            [_dds_mask_channel(px, m) for m in (rm, gm, bm)], axis=1
+        )
+        return rgb.reshape(h, w, 3).astype(np.uint8)
+    raise NotImplementedError(
+        "DDS surface without fourCC or RGB masks needs a codec library"
+    )
+
+
+def decode_dds(payload: bytes) -> dict:
+    px = _dds_pixels(payload)
+    (mips,) = struct.unpack_from("<I", payload, 28)
+    fourcc = payload[84:88]
+    (pfflags,) = struct.unpack_from("<I", payload, 80)
+    codec = (
+        fourcc.decode("ascii", "replace").strip().lower()
+        if pfflags & 0x4
+        else "rgb"
+    )
+    mean_rgb = px.reshape(-1, 3).mean(axis=0)
+    return {
+        "kind": "image",
+        "codec": codec,
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "n_frames": max(int(mips), 1),
+        "mean_r": float(mean_rgb[0]),
+        "mean_g": float(mean_rgb[1]),
+        "mean_b": float(mean_rgb[2]),
+    }
+
+
+def encode_dds(px: np.ndarray, fourcc: bytes | None = b"DXT1") -> bytes:
+    """DDS encoder twin. BC modes (DXT1/3/5) fit each 4x4 block to
+    its at-most-two distinct colors — blocks with more colors are
+    rejected rather than silently lossy (the exactness doctrine:
+    fixtures round-trip bit-exactly IF their colors sit on the
+    RGB565 lattice). ``fourcc=None`` writes an uncompressed 24-bit
+    masked-RGB surface — exact for any input."""
+    px = np.asarray(px)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=-1)
+    if px.ndim != 3 or px.shape[2] != 3 or px.size == 0:
+        raise ValueError(f"encode_dds takes (h,w) or (h,w,3), got {px.shape}")
+    _check_u8_pixels(px, "encode_dds")
+    h, w = px.shape[:2]
+
+    def _header(pf: bytes, linear: int) -> bytes:
+        head = struct.pack(
+            "<4sIIIIIII", b"DDS ", 124, 0x1007, h, w, linear, 0, 1
+        ) + bytes(44)
+        return head + pf + struct.pack("<IIIII", 0x1000, 0, 0, 0, 0)
+
+    if fourcc is None:
+        pf = struct.pack(
+            "<II4sIIIII", 32, 0x40, b"\x00" * 4, 24, 0xFF, 0xFF00, 0xFF0000, 0
+        )
+        # the masks above make the little-endian byte order R,G,B —
+        # so the raw pixel array IS the surface data
+        return _header(pf, w * h * 3) + px.astype(np.uint8).tobytes()
+    if fourcc not in (b"DXT1", b"DXT3", b"DXT5"):
+        raise ValueError(f"encode_dds supports DXT1/DXT3/DXT5, got {fourcc!r}")
+    kind = _DDS_FOURCC_KIND[fourcc]
+    bw, bh = -(-w // 4), -(-h // 4)
+    padded = np.pad(px, ((0, bh * 4 - h), (0, bw * 4 - w), (0, 0)), mode="edge")
+    out = bytearray()
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4].reshape(16, 3)
+            colors = np.unique(block, axis=0)
+            if len(colors) > 2:
+                raise ValueError(
+                    "encode_dds blocks must have <= 2 distinct colors "
+                    "(the exact-fixture contract)"
+                )
+            c0 = colors[0]
+            c1 = colors[1] if len(colors) > 1 else colors[0]
+
+            def _to565(c) -> int:
+                r = (int(c[0]) * 31 + 127) // 255
+                g = (int(c[1]) * 63 + 127) // 255
+                b = (int(c[2]) * 31 + 127) // 255
+                return (r << 11) | (g << 5) | b
+
+            v0, v1 = _to565(c0), _to565(c1)
+            if kind == 1 and v0 <= v1:
+                # 4-color mode needs c0 > c1; swap (equal is fine:
+                # every texel indexes 0)
+                v0, v1 = v1, v0
+                c0, c1 = c1, c0
+            elif kind != 1 and v0 < v1:
+                v0, v1 = v1, v0
+                c0, c1 = c1, c0
+            bits = 0
+            for t in range(16):
+                if not np.array_equal(block[t], c0):
+                    bits |= 1 << (2 * t)
+            if kind == 2:
+                out += b"\xff" * 8  # 4-bit alpha plane, opaque
+            elif kind == 3:
+                out += b"\xff\xff" + bytes(6)  # a0=a1=255, indexes 0
+            out += struct.pack("<HHI", v0, v1, bits)
+    return _header(
+        struct.pack("<II4sIIIII", 32, 0x4, fourcc, 0, 0, 0, 0, 0),
+        len(out),
+    ) + bytes(out)
+
+
 # --- Matroska / WebM (r11): the EBML container ----------------------
 #
 # From the public specs (RFC 8794 EBML + the Matroska element
@@ -8511,6 +8764,8 @@ def _image_pixels(payload: bytes) -> np.ndarray:
         return _qoi_pixels(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return _webp_pixels(payload)
+    if payload[:4] == b"DDS ":
+        return _dds_pixels(payload)
     if payload.endswith(_TGA_FOOTER):
         # TGA has no leading magic; only the v2 footer is sniffable.
         # Checked BEFORE the ICO prefix: a raw truecolor TGA header
@@ -9119,6 +9374,8 @@ def decode_media(payload: bytes, mime: str) -> dict:
         # VP8L decodes pixels for real; lossy VP8 gets the metadata-
         # before-decode routing (dims, no means) — the AVI/MP4 shape
         return decode_webp(payload)
+    if mime in ("image/vnd-ms.dds", "image/x-dds", "image/dds"):
+        return decode_dds(payload)
     if mime in ("image/x-icon", "image/vnd.microsoft.icon", "image/ico"):
         return decode_ico(payload)
     if mime in ("image/png", "image/apng"):
@@ -9901,9 +10158,11 @@ def synthesize_mixed_image_from_text(
     % 48 == 12 (DIB delegation) / % 48 == 36 (PNG delegation),
     % 24 == 6 lossless JPEG (SOF3, predictor rotating through all
     seven — exactly lossless at Pt=0, so the oracle holds verbatim),
-    and % 24 == 3 WebP VP8L (always lossless; % 48 == 3 plain
+    % 24 == 3 WebP VP8L (always lossless; % 48 == 3 plain
     literals + LZ77 runs, % 48 == 27 subtract-green + rotating
-    predictor transform + color cache))
+    predictor transform + color cache), and % 48 == 24 an
+    uncompressed masked-RGB DDS surface (exact for any pixels; the
+    BC1-BC3 block modes are unit-pinned on the 565 lattice))
     carrying
     the SAME decoded-RGB pixels — pixel k =
     (raw[(3k+2)%n], raw[(3k+1)%n], raw[(3k)%n]) — so all three decode
@@ -9993,6 +10252,14 @@ def synthesize_mixed_image_from_text(
                         )
                     )
                     mimes.append("image/jpeg")
+                elif int(doc_id) % 48 == 24:
+                    # r11: uncompressed masked-RGB DDS — exact for any
+                    # pixels, driving the surface-header walk at
+                    # driver scale (BC round-trips are unit-pinned on
+                    # the 565 lattice)
+                    rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
+                    payloads.append(encode_dds(rgb, fourcc=None))
+                    mimes.append("image/x-dds")
                 elif int(doc_id) % 24 == 3:
                     # r11: WebP VP8L — always lossless; half plain
                     # literals + LZ77, half subtract-green + rotating

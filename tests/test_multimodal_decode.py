@@ -6799,3 +6799,151 @@ def test_apng_mutated_fdat_quarantines_as_value_error():
     good[i + 12] ^= 0xFF  # corrupt the deflate body, keep the walk intact
     with pytest.raises(ValueError):
         _png_frames(bytes(good))
+
+
+# ---------------------------------------------------------------- #
+# DDS (BC1-BC3) — r11                                                #
+# ---------------------------------------------------------------- #
+
+
+def _lattice(c):
+    """Project an RGB triple onto the RGB565 expansion lattice."""
+    r = ((c[0] * 31 + 127) // 255 * 255 + 15) // 31
+    g = ((c[1] * 63 + 127) // 255 * 255 + 31) // 63
+    b = ((c[2] * 31 + 127) // 255 * 255 + 15) // 31
+    return np.array([r, g, b], np.uint8)
+
+
+def test_dds_round_trips_and_block_modes():
+    """Uncompressed masked-RGB DDS round-trips ANY pixels exactly;
+    DXT1/3/5 round-trip exactly when block colors sit on the 565
+    lattice (the encoder twin's contract, including odd dims via
+    edge-padded blocks); the interpolated 2/3-color palette entries
+    follow the documented floor formulas; DXT2/4 decode as their
+    non-premultiplied twins (alpha is dropped); DX10 headers route
+    BC1-BC3 and quarantine other DXGI formats honestly."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _dds_pixels,
+        decode_dds,
+        encode_dds,
+    )
+
+    rng = np.random.RandomState(73)
+    px = rng.randint(0, 256, (9, 13, 3)).astype(np.uint8)
+    assert (_dds_pixels(encode_dds(px, fourcc=None)) == px).all()
+    ca, cb = _lattice((10, 200, 99)), _lattice((250, 3, 77))
+    img = np.zeros((8, 12, 3), np.uint8)
+    img[:, :] = ca
+    img[2:6, 3:9] = cb
+    for fc in (b"DXT1", b"DXT3", b"DXT5"):
+        assert (_dds_pixels(encode_dds(img, fourcc=fc)) == img).all(), fc
+    odd = np.zeros((5, 7, 3), np.uint8)
+    odd[:, :] = ca
+    odd[1:3, 2:5] = cb
+    assert (_dds_pixels(encode_dds(odd)) == odd).all()
+    meta = decode_dds(encode_dds(img, fourcc=b"DXT5"))
+    assert meta["codec"] == "dxt5" and (meta["width"], meta["height"]) == (12, 8)
+
+    hdr = encode_dds(np.zeros((4, 4, 3), np.uint8))[:128]
+    # 4-color mode (c0 > c1): indexes 2 and 3 hit the floor interps
+    block = struct.pack("<HHI", 0xFFFF, 0x0000, 0b1110)
+    dec = _dds_pixels(hdr + block)
+    assert tuple(dec[0, 0]) == (2 * 255 // 3,) * 3
+    assert tuple(dec[0, 1]) == (255 // 3,) * 3
+    # 3-color mode (c0 <= c1): index 2 = average, index 3 = black
+    block3 = struct.pack("<HHI", 0x0000, 0xFFFF, 0b1110)
+    dec3 = _dds_pixels(hdr + block3)
+    assert tuple(dec3[0, 0]) == (127, 127, 127)
+    assert tuple(dec3[0, 1]) == (0, 0, 0)
+    # DXT2 aliases DXT3 here (premultiplied alpha is dropped anyway)
+    d3 = bytearray(encode_dds(img, fourcc=b"DXT3"))
+    d3[84:88] = b"DXT2"
+    assert (_dds_pixels(bytes(d3)) == img).all()
+    # DX10 header: BC1_UNORM routes to the same block decode
+    plain = encode_dds(img, fourcc=b"DXT1")
+    dx10 = bytearray(plain[:128])
+    dx10[84:88] = b"DX10"
+    dx10 += struct.pack("<5I", 71, 3, 0, 1, 0) + plain[128:]
+    assert (_dds_pixels(bytes(dx10)) == img).all()
+    dx10[128:132] = struct.pack("<I", 98)  # BC7: codec-library land
+    with pytest.raises(NotImplementedError, match="DXGI"):
+        _dds_pixels(bytes(dx10))
+
+
+def test_dds_corrupt_payloads_quarantine():
+    """Malformed DDS bytes raise ValueError (or the honest
+    NotImplementedError for foreign fourCCs), never IndexError:
+    truncations, a lying header size, zero dims, short block data."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _dds_pixels,
+        encode_dds,
+    )
+
+    ca = _lattice((10, 200, 99))
+    img = np.tile(ca, (8, 8, 1))
+    good = encode_dds(img, fourcc=b"DXT1")
+    for cut in (3, 10, 100, 127, len(good) - 3):
+        try:
+            _dds_pixels(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+    bad = bytearray(good)
+    bad[4] = 100  # header size != 124
+    with pytest.raises(ValueError, match="header size"):
+        _dds_pixels(bytes(bad))
+    bad = bytearray(good)
+    bad[84:88] = b"ATI2"
+    with pytest.raises(NotImplementedError, match="fourCC"):
+        _dds_pixels(bytes(bad))
+    with pytest.raises(ValueError, match="2 distinct"):
+        rng = np.random.RandomState(79)
+        encode_dds(rng.randint(0, 256, (8, 8, 3)).astype(np.uint8), b"DXT1")
+
+
+def test_dds_fixture_rotation_shares_the_ahash(spark):
+    """doc_id%48==24 ships the fixture pixels as an uncompressed
+    masked-RGB DDS — exact decode, so the shared text-byte aHash
+    oracle holds while the surface-header walk runs at driver
+    scale."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        image_ahash,
+        synthesize_mixed_image_from_text,
+    )
+
+    ids = (0, 24, 72)
+    docs = spark.createDataFrame(
+        [(i, "same text for every row") for i in ids],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in synthesize_mixed_image_from_text(docs).collect()}
+    assert rows[0].mime == "image/bmp"
+    assert rows[24].mime == "image/x-dds" and rows[72].mime == "image/x-dds"
+    assert bytes(rows[24].payload)[:4] == b"DDS "
+    hashes = image_ahash(
+        synthesize_mixed_image_from_text(
+            spark.createDataFrame(
+                [(i, "same text for every row") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    assert len(hashes) == 3 and len({r.ahash for r in hashes}) == 1
+
+
+def test_apng_canvas_bomb_bounded_before_allocation():
+    """r11 fuzz find: a mutated IHDR width demanded a 171 GiB canvas
+    in _png_frames before the per-frame pixel cap could fire; the
+    canvas is now bounded up front."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _png_frames,
+        encode_apng,
+    )
+
+    rng = np.random.RandomState(83)
+    f0 = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    bomb = bytearray(encode_apng([f0, f0]))
+    bomb[16:20] = struct.pack(">I", 0xAB000010)  # IHDR width
+    with pytest.raises(ValueError, match="decode cap"):
+        _png_frames(bytes(bomb))

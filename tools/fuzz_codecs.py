@@ -403,6 +403,18 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("mp3", _mp3_seed(rng)),
         ("ogg", mm._ogg_flac_payload(raw8, rate=rng.choice((8000, 44100)))),
         (
+            "dds",
+            mm.encode_dds(
+                # two global colors -> <= 2 per block (the BC twin's
+                # exactness contract)
+                np.where(px[:, :, :1] > 127, 200, 40).astype(np.uint8)
+                * np.array([1, 1, 1], np.uint8),
+                fourcc=rng.choice((b"DXT1", b"DXT3", b"DXT5")),
+            )
+            if rng.random() < 0.5
+            else mm.encode_dds(px, fourcc=None),
+        ),
+        (
             "apng",
             mm.encode_apng(
                 [px]
@@ -615,6 +627,7 @@ _DECODERS = {
     "mkv": [mm.decode_mkv, mm._mkv_audio_samples, mm._pcm16_samples],
     "mkvv": [mm.decode_mkv, mm._mkv_mjpeg_frames],
     "apng": [mm._png_frames, mm.decode_png, mm._png_pixels, mm._image_pixels],
+    "dds": [mm._dds_pixels, mm.decode_dds, mm._image_pixels],
     "pnm": [mm.decode_pnm, mm._pnm_pixels, mm._image_pixels],
     "tga": [mm.decode_tga, mm._tga_pixels, mm._image_pixels],
     "qoi": [mm.decode_qoi, mm._qoi_pixels, mm._image_pixels],
