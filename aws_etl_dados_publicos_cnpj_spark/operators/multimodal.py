@@ -6928,6 +6928,287 @@ def encode_gif_animation(
     return bytes(out)
 
 
+# --- PCX (r11): ZSoft Paintbrush, the legacy-archive staple ---------
+#
+# From the public ZSoft technical reference: 128-byte header, per-
+# scanline per-plane byte RLE (two high bits set = run count), 8-bit
+# paletted with the 769-byte VGA palette trailer, 24-bit as three
+# planes per row, 1-bit bilevel.
+
+
+def _pcx_rle_row(payload: bytes, pos: int, n: int) -> tuple[np.ndarray, int]:
+    out = np.zeros(n, dtype=np.uint8)
+    filled = 0
+    while filled < n:
+        if pos >= len(payload):
+            raise ValueError("PCX RLE stream truncated")
+        b = payload[pos]
+        pos += 1
+        if b >= 0xC0:
+            if pos >= len(payload):
+                raise ValueError("PCX RLE stream truncated")
+            count = min(b & 0x3F, n - filled)
+            out[filled : filled + count] = payload[pos]
+            pos += 1
+            filled += count
+        else:
+            out[filled] = b
+            filled += 1
+    return out, pos
+
+
+def _pcx_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) RGB of a PCX: RLE decoded per scanline/plane, routed
+    by plane count — 1x1-bit bilevel, 1x8-bit VGA-paletted (0x0C
+    trailer), 3x8-bit truecolor."""
+    if len(payload) < 128 or payload[0] != 0x0A:
+        raise ValueError("not a PCX payload")
+    try:
+        return _pcx_pixels_impl(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt PCX stream ({exc})") from exc
+
+
+def _pcx_pixels_impl(payload: bytes) -> np.ndarray:
+    (_mfg, _ver, encoding, bpp, x0, y0, x1, y1) = struct.unpack_from(
+        "<BBBBHHHH", payload, 0
+    )
+    planes = payload[65]
+    stride = struct.unpack_from("<H", payload, 66)[0]
+    if encoding != 1:
+        raise ValueError(f"unsupported PCX encoding {encoding}")
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    if w <= 0 or h <= 0 or w * h > _IMG_MAX_PIXELS:
+        raise ValueError(f"invalid PCX dimensions ({w}x{h})")
+    if (bpp, planes) not in ((8, 1), (8, 3), (1, 1)):
+        raise ValueError(f"unsupported PCX layout ({bpp} bpp x {planes} planes)")
+    if stride < (w * bpp + 7) // 8:
+        raise ValueError("PCX bytes-per-line smaller than the row")
+    pos = 128
+    rows = np.zeros((h, planes, stride), dtype=np.uint8)
+    for y in range(h):
+        for p in range(planes):
+            rows[y, p], pos = _pcx_rle_row(payload, pos, stride)
+    if planes == 3:
+        return np.ascontiguousarray(
+            rows[:, :, :w].transpose(0, 2, 1)
+        )
+    if bpp == 1:
+        bits = np.unpackbits(rows[:, 0], axis=1)[:, :w]
+        gray = bits * np.uint8(255)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    # 8-bit paletted: the VGA palette rides 769 bytes from the end
+    if len(payload) < pos + 769 or payload[-769] != 0x0C:
+        raise ValueError("PCX 256-color palette trailer missing")
+    pal = np.frombuffer(payload[-768:], np.uint8).reshape(256, 3)
+    return pal[rows[:, 0, :w]]
+
+
+def decode_pcx(payload: bytes) -> dict:
+    px = _pcx_pixels(payload)
+    mean_rgb = px.reshape(-1, 3).mean(axis=0)
+    return {
+        "kind": "image",
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "mean_r": float(mean_rgb[0]),
+        "mean_g": float(mean_rgb[1]),
+        "mean_b": float(mean_rgb[2]),
+    }
+
+
+def _pcx_rle_encode(row: np.ndarray) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        v = row[i]
+        run = 1
+        while i + run < n and row[i + run] == v and run < 63:
+            run += 1
+        if run > 1 or v >= 0xC0:
+            out.append(0xC0 | run)
+            out.append(int(v))
+        else:
+            out.append(int(v))
+        i += run
+    return bytes(out)
+
+
+def encode_pcx(px: np.ndarray) -> bytes:
+    """PCX encoder twin: (h,w,3) truecolor as three RLE planes per
+    scanline — lossless, spec-reference RLE (runs emitted even for
+    single bytes >= 0xC0)."""
+    px = np.asarray(px)
+    if px.ndim != 3 or px.shape[2] != 3 or px.size == 0:
+        raise ValueError(f"encode_pcx takes (h,w,3) RGB, got {px.shape}")
+    _check_u8_pixels(px, "encode_pcx")
+    h, w = px.shape[:2]
+    stride = w + (w & 1)  # even bytes-per-line per the reference
+    header = struct.pack(
+        "<BBBBHHHHHH", 0x0A, 5, 1, 8, 0, 0, w - 1, h - 1, 72, 72
+    )
+    header += bytes(48) + bytes(1) + bytes([3]) + struct.pack("<H", stride)
+    header += struct.pack("<H", 1) + bytes(58)
+    assert len(header) == 128
+    body = bytearray()
+    row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        for p in range(3):
+            row[:w] = px[y, :, p]
+            row[w:] = 0
+            body += _pcx_rle_encode(row)
+    return header + bytes(body)
+
+
+# --- SGI RGB (r11): the .sgi/.rgb image library staple --------------
+#
+# From the public SGI image file format spec: big-endian 512-byte
+# header (magic 0x01DA), verbatim or RLE storage; RLE keeps per-
+# (row, channel) offset/length tables, packets copy-or-repeat by the
+# count byte's high bit.
+
+
+def _sgi_pixels(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"\x01\xda":
+        raise ValueError("not an SGI image payload")
+    try:
+        return _sgi_pixels_impl(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt SGI stream ({exc})") from exc
+
+
+def _sgi_pixels_impl(payload: bytes) -> np.ndarray:
+    if len(payload) < 512:
+        raise ValueError("SGI header truncated")
+    storage, bpc = payload[2], payload[3]
+    _dim, w, h, z = struct.unpack_from(">HHHH", payload, 4)
+    if bpc != 1:
+        raise ValueError(f"unsupported SGI bytes-per-channel {bpc}")
+    if storage not in (0, 1):
+        raise ValueError(f"invalid SGI storage {storage}")
+    if not w or not h or w * h > _IMG_MAX_PIXELS:
+        raise ValueError(f"invalid SGI dimensions ({w}x{h})")
+    if z not in (1, 3, 4):
+        raise ValueError(f"unsupported SGI channel count {z}")
+    chans = np.zeros((z, h, w), dtype=np.uint8)
+    if storage == 0:  # verbatim, bottom-up rows
+        need = 512 + w * h * z
+        if len(payload) < need:
+            raise ValueError("SGI pixel data truncated")
+        chans = np.frombuffer(payload, np.uint8, w * h * z, 512).reshape(z, h, w)
+    else:
+        ntab = h * z
+        if len(payload) < 512 + 8 * ntab:
+            raise ValueError("SGI RLE tables truncated")
+        starts = np.frombuffer(payload, ">u4", ntab, 512)
+        lengths = np.frombuffer(payload, ">u4", ntab, 512 + 4 * ntab)
+        rows = np.zeros((z, h, w), dtype=np.uint8)
+        for c in range(z):
+            for y in range(h):
+                pos = int(starts[c * h + y])
+                end = min(pos + int(lengths[c * h + y]), len(payload))
+                x = 0
+                while pos < end:
+                    count = payload[pos] & 0x7F
+                    copy = payload[pos] & 0x80
+                    pos += 1
+                    if count == 0:
+                        break
+                    if x + count > w:
+                        raise ValueError("SGI RLE row overruns its width")
+                    if copy:
+                        if pos + count > end:
+                            raise ValueError("SGI RLE packet truncated")
+                        rows[c, y, x : x + count] = np.frombuffer(
+                            payload, np.uint8, count, pos
+                        )
+                        pos += count
+                    else:
+                        if pos >= end:
+                            raise ValueError("SGI RLE packet truncated")
+                        rows[c, y, x : x + count] = payload[pos]
+                        pos += 1
+                    x += count
+        chans = rows
+    img = chans[:3] if z >= 3 else np.repeat(chans, 3, axis=0)
+    # rows are stored bottom-up
+    return np.ascontiguousarray(img.transpose(1, 2, 0)[::-1])
+
+
+def decode_sgi(payload: bytes) -> dict:
+    px = _sgi_pixels(payload)
+    mean_rgb = px.reshape(-1, 3).mean(axis=0)
+    return {
+        "kind": "image",
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "mean_r": float(mean_rgb[0]),
+        "mean_g": float(mean_rgb[1]),
+        "mean_b": float(mean_rgb[2]),
+    }
+
+
+def encode_sgi(px: np.ndarray, rle: bool = True) -> bytes:
+    """SGI encoder twin: (h,w,3) RGB, verbatim or RLE storage —
+    lossless."""
+    px = np.asarray(px)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=-1)
+    if px.ndim != 3 or px.shape[2] != 3 or px.size == 0:
+        raise ValueError(f"encode_sgi takes (h,w) or (h,w,3), got {px.shape}")
+    _check_u8_pixels(px, "encode_sgi")
+    h, w = px.shape[:2]
+    header = struct.pack(
+        ">2sBBHHHH", b"\x01\xda", 1 if rle else 0, 1, 3, w, h, 3
+    ) + struct.pack(">iiI", 0, 255, 0) + bytes(80) + struct.pack(">I", 0) + bytes(404)
+    assert len(header) == 512
+    flipped = px[::-1]
+    if not rle:
+        return header + np.ascontiguousarray(
+            flipped.transpose(2, 0, 1)
+        ).tobytes()
+    tables_at = 512
+    ntab = h * 3
+    data = bytearray()
+    starts, lengths = [], []
+    base = tables_at + 8 * ntab
+    for c in range(3):
+        for y in range(h):
+            row = flipped[y, :, c]
+            packet = bytearray()
+            i = 0
+            while i < w:
+                run = 1
+                while i + run < w and row[i + run] == row[i] and run < 127:
+                    run += 1
+                if run >= 3:
+                    packet += bytes([run, int(row[i])])
+                    i += run
+                else:
+                    j = i
+                    lit = 0
+                    while (
+                        j + lit < w
+                        and lit < 127
+                        and not (
+                            j + lit + 2 < w
+                            and row[j + lit] == row[j + lit + 1] == row[j + lit + 2]
+                        )
+                    ):
+                        lit += 1
+                    packet += bytes([0x80 | lit]) + row[j : j + lit].tobytes()
+                    i += lit
+            packet += b"\x00"  # row terminator
+            starts.append(base + len(data))
+            lengths.append(len(packet))
+            data += packet
+    tables = np.asarray(starts, ">u4").tobytes() + np.asarray(
+        lengths, ">u4"
+    ).tobytes()
+    return header + tables + bytes(data)
+
+
 # --- DDS (r11): DirectDraw Surface, the game/graphics-asset staple --
 #
 # From the public layout (the DDS_HEADER/DDS_PIXELFORMAT structs and
@@ -8766,6 +9047,10 @@ def _image_pixels(payload: bytes) -> np.ndarray:
         return _webp_pixels(payload)
     if payload[:4] == b"DDS ":
         return _dds_pixels(payload)
+    if payload[:2] == b"\x01\xda":
+        return _sgi_pixels(payload)
+    if len(payload) >= 128 and payload[0] == 0x0A and payload[2] == 1:
+        return _pcx_pixels(payload)
     if payload.endswith(_TGA_FOOTER):
         # TGA has no leading magic; only the v2 footer is sniffable.
         # Checked BEFORE the ICO prefix: a raw truecolor TGA header
@@ -9376,6 +9661,10 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_webp(payload)
     if mime in ("image/vnd-ms.dds", "image/x-dds", "image/dds"):
         return decode_dds(payload)
+    if mime in ("image/x-pcx", "image/pcx", "image/vnd.zbrush.pcx"):
+        return decode_pcx(payload)
+    if mime in ("image/sgi", "image/x-sgi", "image/x-rgb"):
+        return decode_sgi(payload)
     if mime in ("image/x-icon", "image/vnd.microsoft.icon", "image/ico"):
         return decode_ico(payload)
     if mime in ("image/png", "image/apng"):
@@ -10151,7 +10440,9 @@ def synthesize_mixed_image_from_text(
     plane-major strip tables); and half the Deflate docs — doc_id %
     12 == 11 — ship TWO pages (r11, page 1 inverted; decode reads
     page 0, driver-gating the IFD chain walk); the GIF docs
-    sub-rotate TGA (r11): % 12 == 7 raw truecolor, % 24 == 22 RLE;
+    sub-rotate TGA (r11): % 12 == 7 raw truecolor, % 24 == 22 RLE —
+    and late-r11, % 24 == 16 PCX (3 RLE planes per scanline) and
+    % 24 == 13 SGI RGB (RLE storage, bottom-up);
     the BMP docs sub-rotate the small-format family (r11): % 12 == 9
     binary PPM (P6), % 24 == 18 16-bit P6 (maxval 65535, v·257
     samples — the exact-round 16→8 path), % 24 == 15 QOI, ICO at
@@ -10186,6 +10477,15 @@ def synthesize_mixed_image_from_text(
                     elif int(doc_id) % 24 == 22:
                         payloads.append(encode_tga(rgb, rle=True))
                         mimes.append("image/x-targa")
+                    elif int(doc_id) % 24 == 16:
+                        # r11: PCX truecolor (3 RLE planes/scanline)
+                        payloads.append(encode_pcx(rgb))
+                        mimes.append("image/x-pcx")
+                    elif int(doc_id) % 24 == 13:
+                        # r11: SGI RGB, RLE storage (bottom-up rows +
+                        # per-(row,channel) offset tables)
+                        payloads.append(encode_sgi(rgb))
+                        mimes.append("image/sgi")
                     else:
                         payloads.append(encode_gif(rgb))
                         mimes.append("image/gif")

@@ -6947,3 +6947,105 @@ def test_apng_canvas_bomb_bounded_before_allocation():
     bomb[16:20] = struct.pack(">I", 0xAB000010)  # IHDR width
     with pytest.raises(ValueError, match="decode cap"):
         _png_frames(bytes(bomb))
+
+
+# ---------------------------------------------------------------- #
+# PCX + SGI RGB — r11                                                #
+# ---------------------------------------------------------------- #
+
+
+def test_pcx_and_sgi_round_trip_and_fixture(spark):
+    """Two legacy-archive staples: PCX (per-scanline per-plane byte
+    RLE, truecolor planes + the VGA palette trailer + bilevel) and
+    SGI RGB (verbatim + RLE storage with per-(row,channel) tables,
+    bottom-up rows). Both encoder twins are lossless; the GIF fixture
+    slot sub-rotates PCX at doc_id%24==16 and SGI at %24==13 under
+    the unchanged aHash oracle."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _pcx_pixels,
+        _sgi_pixels,
+        decode_pcx,
+        decode_sgi,
+        encode_pcx,
+        encode_sgi,
+        image_ahash,
+        synthesize_mixed_image_from_text,
+    )
+
+    rng = np.random.RandomState(89)
+    px = rng.randint(0, 256, (9, 13, 3)).astype(np.uint8)
+    assert (_pcx_pixels(encode_pcx(px)) == px).all()
+    runs = np.repeat(rng.randint(180, 256, (4, 3, 3)).astype(np.uint8), 4, axis=1)
+    assert (_pcx_pixels(encode_pcx(runs)) == runs).all()  # >=0xC0 singles
+    for rle in (True, False):
+        assert (_sgi_pixels(encode_sgi(px, rle=rle)) == px).all()
+    g = rng.randint(0, 256, (5, 6)).astype(np.uint8)
+    assert (_sgi_pixels(encode_sgi(g)) == np.stack([g] * 3, axis=-1)).all()
+    assert decode_pcx(encode_pcx(px))["width"] == 13
+    assert decode_sgi(encode_sgi(px))["height"] == 9
+
+    # 8-bit paletted PCX with the 0x0C trailer, hand-built
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, (4, 6)).astype(np.uint8)
+    hdr = struct.pack("<BBBBHHHHHH", 0x0A, 5, 1, 8, 0, 0, 5, 3, 72, 72)
+    hdr += bytes(48) + bytes(1) + bytes([1]) + struct.pack("<H", 6)
+    hdr += struct.pack("<H", 1) + bytes(58)
+    body = b""
+    for y in range(4):
+        for v in idx[y]:
+            body += bytes([0xC1, v]) if v >= 0xC0 else bytes([v])
+    p8 = hdr + body + b"\x0c" + pal.tobytes()
+    assert (_pcx_pixels(p8) == pal[idx]).all()
+
+    ids = (1, 16, 13)
+    docs = spark.createDataFrame(
+        [(i, "same text for every row") for i in ids],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in synthesize_mixed_image_from_text(docs).collect()}
+    assert rows[1].mime == "image/gif"
+    assert rows[16].mime == "image/x-pcx" and bytes(rows[16].payload)[0] == 0x0A
+    assert rows[13].mime == "image/sgi"
+    assert bytes(rows[13].payload)[:2] == b"\x01\xda"
+    hashes = image_ahash(
+        synthesize_mixed_image_from_text(
+            spark.createDataFrame(
+                [(i, "same text for every row") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    assert len(hashes) == 3 and len({r.ahash for r in hashes}) == 1
+
+
+def test_pcx_and_sgi_corrupt_payloads_quarantine():
+    """Truncations and lying tables raise ValueError, never
+    IndexError: cut streams, missing palette trailer, RLE rows
+    overrunning their width, oversized offset tables."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _pcx_pixels,
+        _sgi_pixels,
+        encode_pcx,
+        encode_sgi,
+    )
+
+    rng = np.random.RandomState(97)
+    px = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    for enc, dec in ((encode_pcx, _pcx_pixels), (encode_sgi, _sgi_pixels)):
+        good = enc(px)
+        for cut in (3, 64, 130, 300, len(good) - 3):
+            try:
+                dec(good[:cut])
+            except ValueError:
+                pass
+            except Exception as exc:  # noqa: BLE001
+                raise AssertionError(
+                    f"{dec.__name__} cut={cut} leaked {type(exc).__name__}: {exc}"
+                )
+    # SGI RLE count escaping the row width
+    good = bytearray(encode_sgi(px, rle=True))
+    tab_at = 512
+    start = struct.unpack_from(">I", good, tab_at)[0]
+    good[start] = 0x7F  # repeat 127 > width 8
+    with pytest.raises(ValueError, match="overruns"):
+        _sgi_pixels(bytes(good))

@@ -402,6 +402,8 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("g711", _encode_g711(rng)),
         ("mp3", _mp3_seed(rng)),
         ("ogg", mm._ogg_flac_payload(raw8, rate=rng.choice((8000, 44100)))),
+        ("pcx", mm.encode_pcx(px)),
+        ("sgi", mm.encode_sgi(px, rle=rng.random() < 0.7)),
         (
             "dds",
             mm.encode_dds(
@@ -628,6 +630,8 @@ _DECODERS = {
     "mkvv": [mm.decode_mkv, mm._mkv_mjpeg_frames],
     "apng": [mm._png_frames, mm.decode_png, mm._png_pixels, mm._image_pixels],
     "dds": [mm._dds_pixels, mm.decode_dds, mm._image_pixels],
+    "pcx": [mm._pcx_pixels, mm.decode_pcx, mm._image_pixels],
+    "sgi": [mm._sgi_pixels, mm.decode_sgi, mm._image_pixels],
     "pnm": [mm.decode_pnm, mm._pnm_pixels, mm._image_pixels],
     "tga": [mm.decode_tga, mm._tga_pixels, mm._image_pixels],
     "qoi": [mm.decode_qoi, mm._qoi_pixels, mm._image_pixels],
