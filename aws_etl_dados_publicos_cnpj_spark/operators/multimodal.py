@@ -7286,7 +7286,9 @@ def _dds_mask_channel(px: np.ndarray, mask: int) -> np.ndarray:
         return np.zeros(px.shape, dtype=np.int64)
     shift = (mask & -mask).bit_length() - 1
     m = mask >> shift
-    return ((px >> shift) & m) * 255 // m
+    # exact round-to-nearest (the engine-wide v*255/m rule — the BC
+    # path's 565 expansion rounds, so the masked path must too)
+    return (((px >> shift) & m) * 255 + m // 2) // m
 
 
 def _dds_pixels(payload: bytes) -> np.ndarray:
@@ -8280,36 +8282,46 @@ def _vp8l_avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return ((a.astype(np.int64) + b.astype(np.int64)) >> 1).astype(np.int64)
 
 
+def _vp8l_avg2_t(a: tuple, b: tuple) -> tuple:
+    return tuple((u + v) >> 1 for u, v in zip(a, b))
+
+
 def _vp8l_inv_predictor(px: np.ndarray, bits: int, timg: list[int], tw: int) -> None:
     """In-place inverse of the predictor transform (RFC 9649 §4.2.2):
     residuals become pixels by adding one of 14 block-selected
     predictions mod 256 per channel. Sequential by construction —
     each prediction reads already-reconstructed neighbors (the PNG
-    unfilter argument); per-payload parallel under mapInPandas. The
-    top-right neighbor of a last-column pixel wraps, by flat-array
-    arithmetic, to the CURRENT row's first pixel — the spec's
-    behavior, kept without special-casing."""
+    unfilter argument); per-payload parallel under mapInPandas, and
+    the loop runs on plain-int tuples, not per-pixel numpy ops (the
+    Paeth-unfilter constant-factor lesson). The top-right neighbor of
+    a last-column pixel wraps, by flat-array arithmetic, to the
+    CURRENT row's first pixel — the spec's behavior, kept without
+    special-casing."""
     h, w = px.shape[:2]
-    modes = np.asarray(timg, dtype=np.uint32).reshape(-1, tw)
-    p = px.astype(np.int64)
+    modes = [(int(v) >> 8) & 0xFF for v in timg]
+    rows: list[list[tuple]] = [
+        [tuple(int(c) for c in px[y, x]) for x in range(w)] for y in range(h)
+    ]
     for y in range(h):
+        cur = rows[y]
+        above = rows[y - 1] if y else None
         for x in range(w):
             if y == 0 and x == 0:
-                pred = np.array([255, 0, 0, 0], dtype=np.int64)
+                pred = (255, 0, 0, 0)
             elif y == 0:
-                pred = p[0, x - 1]
+                pred = cur[x - 1]
             elif x == 0:
-                pred = p[y - 1, 0]
+                pred = above[0]
             else:
-                mode = (int(modes[y >> bits, x >> bits]) >> 8) & 0xFF
-                left = p[y, x - 1]
-                top = p[y - 1, x]
-                tl = p[y - 1, x - 1]
+                mode = modes[(y >> bits) * tw + (x >> bits)]
+                left = cur[x - 1]
+                top = above[x]
+                tl = above[x - 1]
                 # flat-array top-right: current row's first pixel at
                 # the last column, row above otherwise
-                tr = p[y, 0] if x == w - 1 else p[y - 1, x + 1]
+                tr = cur[0] if x == w - 1 else above[x + 1]
                 if mode == 0:
-                    pred = np.array([255, 0, 0, 0], dtype=np.int64)
+                    pred = (255, 0, 0, 0)
                 elif mode == 1:
                     pred = left
                 elif mode == 2:
@@ -8319,38 +8331,50 @@ def _vp8l_inv_predictor(px: np.ndarray, bits: int, timg: list[int], tw: int) -> 
                 elif mode == 4:
                     pred = tl
                 elif mode == 5:
-                    pred = _vp8l_avg2(_vp8l_avg2(left, tr), top)
+                    pred = _vp8l_avg2_t(_vp8l_avg2_t(left, tr), top)
                 elif mode == 6:
-                    pred = _vp8l_avg2(left, tl)
+                    pred = _vp8l_avg2_t(left, tl)
                 elif mode == 7:
-                    pred = _vp8l_avg2(left, top)
+                    pred = _vp8l_avg2_t(left, top)
                 elif mode == 8:
-                    pred = _vp8l_avg2(tl, top)
+                    pred = _vp8l_avg2_t(tl, top)
                 elif mode == 9:
-                    pred = _vp8l_avg2(top, tr)
+                    pred = _vp8l_avg2_t(top, tr)
                 elif mode == 10:
-                    pred = _vp8l_avg2(
-                        _vp8l_avg2(left, tl), _vp8l_avg2(top, tr)
+                    pred = _vp8l_avg2_t(
+                        _vp8l_avg2_t(left, tl), _vp8l_avg2_t(top, tr)
                     )
                 elif mode == 11:
-                    est = top + left - tl
-                    if np.abs(est - top).sum() <= np.abs(est - left).sum():
-                        pred = top
-                    else:
-                        pred = left
+                    pt = pl = 0
+                    for t_c, l_c, c_c in zip(top, left, tl):
+                        est = t_c + l_c - c_c
+                        pt += abs(est - t_c)
+                        pl += abs(est - l_c)
+                    pred = top if pt <= pl else left
                 elif mode == 12:
-                    pred = np.clip(left + top - tl, 0, 255)
-                elif mode == 13:
-                    ave = _vp8l_avg2(left, top)
-                    delta = ave - tl
-                    # C-truncating /2 (toward zero), per the spec code
-                    pred = np.clip(
-                        ave + np.sign(delta) * (np.abs(delta) // 2), 0, 255
+                    pred = tuple(
+                        min(255, max(0, l_c + t_c - c_c))
+                        for l_c, t_c, c_c in zip(left, top, tl)
                     )
+                elif mode == 13:
+                    pred = []
+                    for l_c, t_c, c_c in zip(left, top, tl):
+                        ave = (l_c + t_c) >> 1
+                        d = ave - c_c
+                        # C-truncating /2 (toward zero), per the spec
+                        half = d // 2 if d >= 0 else -((-d) // 2)
+                        pred.append(min(255, max(0, ave + half)))
+                    pred = tuple(pred)
                 else:
                     raise ValueError(f"VP8L predictor mode {mode} out of range")
-            p[y, x] = (p[y, x] + pred) & 0xFF
-    px[:] = p.astype(np.uint8)
+            res = cur[x]
+            cur[x] = (
+                (res[0] + pred[0]) & 0xFF,
+                (res[1] + pred[1]) & 0xFF,
+                (res[2] + pred[2]) & 0xFF,
+                (res[3] + pred[3]) & 0xFF,
+            )
+    px[:] = np.asarray(rows, dtype=np.uint8)
 
 
 def _vp8l_inv_color(px: np.ndarray, bits: int, timg: list[int], tw: int) -> None:
