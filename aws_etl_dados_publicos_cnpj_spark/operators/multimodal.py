@@ -1985,7 +1985,7 @@ def _flac_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
             break
     if rate is None:
         raise ValueError("FLAC missing STREAMINFO")
-    if n_ch not in (1, 2) or bps not in (16, 24):
+    if n_ch not in (1, 2) or bps not in (8, 12, 16, 20, 24, 32):
         raise ValueError(f"unsupported FLAC layout ({n_ch} ch, {bps}-bit)")
     chunks: list[np.ndarray] = []
     done = 0  # inter-channel (per-channel) samples decoded so far
@@ -2079,7 +2079,7 @@ def _flac_samples_impl(payload: bytes) -> tuple[np.ndarray, int, int]:
     full = 1 << (bps - 1)
     if arr.size and ((arr >= full).any() or (arr < -full).any()):
         raise ValueError(f"FLAC sample out of {bps}-bit range")
-    return arr.astype(np.int16 if bps == 16 else np.int32), rate, n_ch
+    return arr.astype(np.int16 if bps <= 16 else np.int32), rate, n_ch
 
 
 # frame-header channel-assignment code -> per-subframe bit-depth
@@ -2093,9 +2093,10 @@ _FLAC_CH_DEPTHS = {
     9: (1, 0),  # side/right
     10: (0, 1),  # mid/side
 }
-# frame-header sample-size code -> bits (0 = from STREAMINFO); the
-# codes this engine's 16/24-bit scope can meet
-_FLAC_BPS_CODES = {0: None, 4: 16, 6: 24}
+# frame-header sample-size code -> bits (0 = from STREAMINFO) — the
+# full RFC 9639 matrix (late r11; 32-bit entered the spec with the
+# RFC, 011 stays reserved)
+_FLAC_BPS_CODES = {0: None, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
 def _flac_subframe(r: "_BitReader", blocksize: int, bps: int) -> np.ndarray:
@@ -2273,7 +2274,7 @@ def encode_flac(
         s = s[:, 0]
     if s.ndim not in (1, 2) or (s.ndim == 2 and s.shape[1] != 2):
         raise ValueError("encode_flac takes 1-D mono or (n, 2) stereo samples")
-    if bits not in (16, 24):
+    if bits not in (8, 12, 16, 20, 24, 32):
         raise ValueError(f"unsupported FLAC bit depth {bits}")
     full = 1 << (bits - 1)
     if s.size and (s.max() >= full or s.min() < -full):
@@ -2392,13 +2393,15 @@ def _flac_write_subframe(
         w.write(shift, 5)
         for c in qc:
             w.write(c & ((1 << prec) - 1), prec)
-    # residual: method 0 (4-bit rice params), partitioned
-    u, porder, parts, _ = plan
-    w.write(0, 2)
+    # residual: planned method (0 = 4-bit rice params, 1 = rice2
+    # 5-bit params for wide depths), partitioned
+    u, porder, parts, _, method = plan
+    field = 4 if method == 0 else 5
+    w.write(method, 2)
     w.write(porder, 4)
     for kind, val, off, cnt in parts:
         if kind == "esc":
-            w.write(0xF, 4)  # escape: raw fixed-width residuals
+            w.write((1 << field) - 1, field)  # escape: raw residuals
             w.write(val, 5)
             if val:
                 for v in u[off : off + cnt]:
@@ -2406,7 +2409,7 @@ def _flac_write_subframe(
                     s = (int(v) >> 1) ^ -(int(v) & 1)
                     w.write(s & ((1 << val) - 1), val)
         else:
-            w.write(val, 4)
+            w.write(val, field)
             # one write per symbol: q implicit leading zeros + the
             # terminating 1 + the param-bit remainder, as one value
             mask = (1 << val) - 1
@@ -2468,7 +2471,10 @@ def _flac_frame(
         raise ValueError("encoder nominal blocksize must be 4096")
     w.write(0, 4)  # rate: from STREAMINFO
     w.write(ch_field, 4)  # channel assignment
-    w.write(0b100 if bits == 16 else 0b110, 3)  # sample-size code
+    w.write(
+        {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110, 32: 0b111}[bits],
+        3,
+    )  # sample-size code
     w.write(0, 1)
     for b in _flac_utf8_frame_number(fi):
         w.write(b, 8)
@@ -2484,15 +2490,17 @@ def _flac_frame(
     return data + struct.pack(">H", _crc16(data))
 
 
-def _rice_param_bits(u: np.ndarray) -> tuple[int, int]:
+def _rice_param_bits(u: np.ndarray, pmax: int = 14) -> tuple[int, int]:
     """(best rice param, payload bits) for one partition: mean-based
     seed, then neighbor probe — the mean picks within 1 of optimal for
-    geometric-ish residuals but drifts on heavy tails."""
+    geometric-ish residuals but drifts on heavy tails. ``pmax`` is 14
+    under residual method 0 and 30 under method 1 (rice2 — the wide
+    params 32-bit audio needs; 15/31 are the escape codes)."""
     mean = int(u.mean()) if len(u) else 0
-    param = max(0, min(14, mean.bit_length() - 1)) if mean else 0
+    param = max(0, min(pmax, mean.bit_length() - 1)) if mean else 0
     bits = int((u >> param).sum()) + len(u) * (1 + param)
     for cand in (param - 1, param + 1, param + 2):
-        if 0 <= cand <= 14:
+        if 0 <= cand <= pmax:
             b = int((u >> cand).sum()) + len(u) * (1 + cand)
             if b < bits:
                 param, bits = cand, b
@@ -2507,7 +2515,12 @@ def _plan_residual(resid: np.ndarray, blocksize: int, order: int, max_porder: in
     compromise). parts entries are ('rice', param, off, cnt) or
     ('esc', raw_width, off, cnt) with offsets into the zigzag array;
     one shared plan drives both subframe selection and the write, so
-    costing and emission can never drift."""
+    costing and emission can never drift. The plan carries its
+    residual METHOD: 0 (4-bit params) when every partition fits a
+    param <= 14, else 1 (rice2, 5-bit params — what 32-bit audio
+    needs; late r11). The raw-escape width field is 5 bits, so
+    escapes are only planned at widths <= 31 — wider residuals stay
+    rice-coded (unary absorbs them; rice2's k<=30 keeps that sane)."""
     u = (resid << 1) ^ (resid >> 63)  # zigzag via arithmetic shift
     best = None
     for porder in range(0, max_porder + 1):
@@ -2518,24 +2531,29 @@ def _plan_residual(resid: np.ndarray, blocksize: int, order: int, max_porder: in
         if blocksize % nparts or (blocksize >> porder) <= order:
             break
         plen = blocksize >> porder
-        total = 4  # the porder field
         parts = []
+        payload_bits = []
+        max_param = 0
         off = 0
         for p in range(nparts):
             cnt = plen - (order if p == 0 else 0)
             pu = u[off : off + cnt]
-            param, rice_bits = _rice_param_bits(pu)
+            param, rice_bits = _rice_param_bits(pu, 30)
             maxu = int(pu.max()) if len(pu) else 0
             raw_bits = max(maxu.bit_length() + 1, 1)  # signed raw width
-            if 5 + cnt * raw_bits < rice_bits:
+            if raw_bits <= 31 and 5 + cnt * raw_bits < rice_bits:
                 parts.append(("esc", raw_bits, off, cnt))
-                total += 4 + 5 + cnt * raw_bits
+                payload_bits.append(5 + cnt * raw_bits)
             else:
                 parts.append(("rice", param, off, cnt))
-                total += 4 + rice_bits
+                payload_bits.append(rice_bits)
+                max_param = max(max_param, param)
             off += cnt
+        method = 0 if max_param <= 14 else 1
+        field = 4 if method == 0 else 5
+        total = 4 + sum(field + b for b in payload_bits)
         if best is None or total < best[3]:
-            best = (u, porder, parts, total)
+            best = (u, porder, parts, total, method)
     return best
 
 

@@ -1529,8 +1529,9 @@ def test_flac_24bit_round_trips_and_fingerprint_gate():
     # contract: range and depth validation
     with pytest.raises(ValueError, match="24-bit range"):
         encode_flac(np.array([1 << 23]), bits=24)
+    # 20-bit became a real width late-r11; 17 has no sample-size code
     with pytest.raises(ValueError, match="bit depth"):
-        encode_flac(np.zeros(4, np.int16), bits=20)
+        encode_flac(np.zeros(4, np.int16), bits=17)
     # a 24-bit stream whose frame claims 16-bit (code mismatch) raises
     bad = bytearray(p)
     # frame header starts after the metadata blocks; find the sync
@@ -7049,3 +7050,42 @@ def test_pcx_and_sgi_corrupt_payloads_quarantine():
     good[start] = 0x7F  # repeat 127 > width 8
     with pytest.raises(ValueError, match="overruns"):
         _sgi_pixels(bytes(good))
+
+
+def test_flac_full_width_matrix_and_rice2():
+    """Late-r11: the complete RFC 9639 sample-size matrix
+    (8/12/16/20/24/32) round-trips bit-exactly, mono and all four
+    stereo assignments. 32-bit random content forces the encoder's
+    residual method 1 (rice2, 5-bit params) — the decoder supported
+    it all along — and the raw-escape stays gated at its 5-bit width
+    field (<= 31), which was the r11 desync: a 34-bit escape width
+    silently wrapped in the 5-bit field."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _flac_samples,
+        _pcm16_samples,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(101)
+    for bits in (8, 12, 16, 20, 24, 32):
+        full = 1 << (bits - 1)
+        mono = rng.randint(-full, full, 2000).astype(np.int64)
+        s, rate, ch = _flac_samples(encode_flac(mono, bits=bits))
+        assert ch == 1 and np.array_equal(s.astype(np.int64), mono), bits
+        assert s.dtype == (np.int16 if bits <= 16 else np.int32)
+        st = rng.randint(-full, full, (1000, 2)).astype(np.int64)
+        for mode in ("independent", "left_side", "side_right", "mid_side"):
+            g, _, n2 = _flac_samples(encode_flac(st, bits=bits, stereo_mode=mode))
+            assert n2 == 2 and np.array_equal(
+                g.reshape(-1, 2).astype(np.int64), st
+            ), (bits, mode)
+    # method 1 appears in the emitted stream for wide random content
+    wide = rng.randint(-(1 << 31), 1 << 31, 3000).astype(np.int64)
+    p = encode_flac(wide, bits=32)
+    s, _, _ = _flac_samples(p)
+    assert np.array_equal(s.astype(np.int64), wide)
+    # 8/12-bit sit on the int16 grid and fingerprint directly
+    small = rng.randint(-128, 128, 500).astype(np.int64)
+    assert np.array_equal(
+        _pcm16_samples(encode_flac(small, bits=8)).astype(np.int64), small
+    )

@@ -381,6 +381,14 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         (
             "flac",
             mm.encode_flac(
+                (samples.astype(np.int64) << rng.choice((4, 16))),
+                bits=32,
+            ),
+        ),
+        ("flac", mm.encode_flac(samples.astype(np.int64) >> 8, bits=8)),
+        (
+            "flac",
+            mm.encode_flac(
                 np.stack([samples, samples[::-1]], axis=1),
                 stereo_mode=rng.choice(
                     ("auto", "independent", "left_side", "side_right", "mid_side")
