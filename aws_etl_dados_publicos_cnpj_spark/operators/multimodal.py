@@ -7578,14 +7578,19 @@ def _mkv_block_frames(buf: bytes, b: int, e: int) -> tuple[int, list[bytes]]:
             sizes.append(sz)
         sizes.append(e - pos - sum(sizes))
     else:  # EBML: first size plain, then signed vint deltas
-        first, n1 = _ebml_vint(buf, pos, True)
-        pos += n1
-        sizes.append(first)
-        for _ in range(count - 2):
-            d, nd = _ebml_vint(buf, pos, True)
-            pos += nd
-            sizes.append(sizes[-1] + d - ((1 << (7 * nd - 1)) - 1))
-        if count >= 2:
+        if count == 1:
+            # a 1-frame lace carries NO size fields — the whole
+            # remainder is the frame (r11 review find: reading a
+            # nonexistent vint here desynced single-frame laces)
+            sizes = [e - pos]
+        else:
+            first, n1 = _ebml_vint(buf, pos, True)
+            pos += n1
+            sizes.append(first)
+            for _ in range(count - 2):
+                d, nd = _ebml_vint(buf, pos, True)
+                pos += nd
+                sizes.append(sizes[-1] + d - ((1 << (7 * nd - 1)) - 1))
             sizes.append(e - pos - sum(sizes))
     if any(s < 0 for s in sizes) or pos + sum(sizes) > e:
         raise ValueError("Matroska lacing sizes overrun the block")

@@ -7089,3 +7089,17 @@ def test_flac_full_width_matrix_and_rice2():
     assert np.array_equal(
         _pcm16_samples(encode_flac(small, bits=8)).astype(np.int64), small
     )
+
+
+def test_mkv_single_frame_ebml_lace_has_no_size_field():
+    """r11 review find: an EBML-laced block with ONE frame carries no
+    size fields at all — the decoder was reading a nonexistent vint
+    and desyncing. The whole remainder is the frame."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mkv_block_frames,
+    )
+
+    frame = b"\x81\x02\x03\x04"  # leading byte would parse as a vint
+    block = b"\x81\x00\x00" + bytes([0x80 | 0x06]) + b"\x00" + frame
+    tn, frames = _mkv_block_frames(block, 0, len(block))
+    assert tn == 1 and frames == [frame]
