@@ -787,6 +787,63 @@ def fuzz_round_trip(seconds: float, seed: int) -> int:
         if nch != 2 or not np.array_equal(got.reshape(-1, 2), st2):
             print(f"FLAC STEREO round-trip MISMATCH seed={seed} n={m}")
             return 1
+        # r11 lossless families: VP8L (random option mix), lossless
+        # JPEG, PCX, SGI, APNG full-frame, DDS uncompressed, FLAC at a
+        # random spec width — all must be bit-exact by construction
+        wp = mm.encode_webp(
+            px,
+            subtract_green=rng.randrange(2) == 1,
+            use_lz77=rng.randrange(2) == 1,
+            predictor=rng.choice((None, rng.randrange(14))),
+            color_cache_bits=rng.choice((0, 3)),
+        )
+        if not (mm._webp_pixels(wp) == px).all():
+            print(f"VP8L round-trip MISMATCH seed={seed} h={h} w={w}")
+            return 1
+        jl = mm.encode_jpeg_lossless(
+            px, predictor=rng.randrange(1, 8),
+            restart_interval=rng.choice((0, 5)),
+        )
+        if not (mm._jpeg_pixels(jl) == px).all():
+            print(f"SOF3 round-trip MISMATCH seed={seed} h={h} w={w}")
+            return 1
+        if not (mm._pcx_pixels(mm.encode_pcx(px)) == px).all():
+            print(f"PCX round-trip MISMATCH seed={seed} h={h} w={w}")
+            return 1
+        if not (
+            mm._sgi_pixels(mm.encode_sgi(px, rle=rng.randrange(2) == 1)) == px
+        ).all():
+            print(f"SGI round-trip MISMATCH seed={seed} h={h} w={w}")
+            return 1
+        if not (mm._dds_pixels(mm.encode_dds(px, fourcc=None)) == px).all():
+            print(f"DDS round-trip MISMATCH seed={seed} h={h} w={w}")
+            return 1
+        frames = mm._png_frames(mm.encode_apng([px, 255 - px]))
+        if len(frames) != 2 or not (frames[1] == 255 - px).all():
+            print(f"APNG round-trip MISMATCH seed={seed} h={h} w={w}")
+            return 1
+        fbits = rng.choice((8, 12, 20, 32))
+        ffull = 1 << (fbits - 1)
+        wide = np.asarray(
+            [rng.randrange(-ffull, ffull) for _ in range(rng.randrange(1, 2000))],
+            dtype=np.int64,
+        )
+        got, _, _ = mm._flac_samples(mm.encode_flac(wide, bits=fbits))
+        if not np.array_equal(got.astype(np.int64), wide):
+            print(f"FLAC {fbits}-bit round-trip MISMATCH seed={seed}")
+            return 1
+        raw = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 400)))
+        exp = np.frombuffer(raw, np.uint8).astype(np.int16)
+        mk, _, _ = mm._mkv_audio_samples(
+            mm._mkv_payload(
+                raw,
+                codec=rng.choice(("pcm", "pcm_be", "flac")),
+                lacing=rng.choice(("none", "xiph", "ebml")),
+            )
+        )
+        if not np.array_equal(mk, exp):
+            print(f"MKV round-trip MISMATCH seed={seed} n={len(raw)}")
+            return 1
     print(f"round-trip fuzz OK: {trials} encode/decode trials, 0 mismatches")
     return 0
 
