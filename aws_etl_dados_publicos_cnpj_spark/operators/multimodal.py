@@ -5036,6 +5036,20 @@ def _apng_chunks(payload: bytes):
     return actl, ihdr, plte, idat, frames, idat_is_frame0
 
 
+def _alpha_over(dst: np.ndarray, region: np.ndarray) -> None:
+    """In-place OVER compositing of an RGBA region onto an RGBA
+    canvas slice — the integer alpha math both APNG and animated WebP
+    playback share."""
+    a = region[:, :, 3:4].astype(np.uint32)
+    d = dst.astype(np.uint32)
+    src = region.astype(np.uint32)
+    out_a = a + d[:, :, 3:4] * (255 - a) // 255
+    num = src[:, :, :3] * a + d[:, :, :3] * d[:, :, 3:4] * (255 - a) // 255
+    rgb = np.where(out_a > 0, num // np.maximum(out_a, 1), 0)
+    dst[:, :, :3] = rgb.astype(np.uint8)
+    dst[:, :, 3:4] = out_a.astype(np.uint8)
+
+
 def _png_frames(payload: bytes) -> list[np.ndarray]:
     """Composed playback frames of an APNG as (h, w, 3) RGB — frame
     regions decode via the engine's PNG decoder over a rebuilt
@@ -5099,16 +5113,7 @@ def _png_frames(payload: bytes) -> list[np.ndarray]:
         if blend == 0:  # SOURCE: replace, alpha included
             canvas[y : y + h, x : x + w] = region
         else:  # OVER: standard alpha compositing, integer math
-            a = region[:, :, 3:4].astype(np.uint32)
-            dst = canvas[y : y + h, x : x + w].astype(np.uint32)
-            src = region.astype(np.uint32)
-            out_a = a + dst[:, :, 3:4] * (255 - a) // 255
-            num = src[:, :, :3] * a + dst[:, :, :3] * dst[:, :, 3:4] * (
-                255 - a
-            ) // 255
-            rgb = np.where(out_a > 0, num // np.maximum(out_a, 1), 0)
-            canvas[y : y + h, x : x + w, :3] = rgb.astype(np.uint8)
-            canvas[y : y + h, x : x + w, 3:4] = out_a.astype(np.uint8)
+            _alpha_over(canvas[y : y + h, x : x + w], region)
         out.append(canvas[:, :, :3].copy())
         if dispose == 1:  # BACKGROUND: region → transparent black
             canvas[y : y + h, x : x + w] = 0
@@ -8590,6 +8595,126 @@ def _webp_pixels(payload: bytes) -> np.ndarray:
         raise ValueError(f"corrupt WebP stream ({type(exc).__name__}: {exc})") from exc
 
 
+def _riff_subchunks(payload: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """(fourcc, body_start, body_end) of bare RIFF chunks in a slice —
+    the layout ANMF frame data uses (no RIFF/WEBP preamble)."""
+    pos = start
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        yield cid, body, min(body + csize, end)
+        pos = body + csize + (csize & 1)
+
+
+def _webp_frames(payload: bytes) -> list[np.ndarray]:
+    """Composed playback frames of an animated WebP as (h, w, 3) RGB
+    — ANMF regions (even-pixel offsets stored /2, dims minus one)
+    decode through the VP8L machinery with their alpha, then
+    composite per the container's B (no-blend/alpha-blend) and D
+    (none/background) flags on an RGBA canvas — the APNG/_gif_frames
+    playback twin. A still WebP returns its single image; lossy VP8
+    frames quarantine honestly."""
+    chunks = list(_webp_chunks(payload))
+    if not any(c[0] == b"ANMF" for c in chunks):
+        return [_webp_pixels(payload)]
+    for cid, b, e in chunks:
+        if cid == b"VP8X" and e - b >= 10:
+            cw = 1 + int.from_bytes(payload[b + 4 : b + 7], "little")
+            ch = 1 + int.from_bytes(payload[b + 7 : b + 10], "little")
+            break
+    else:
+        raise ValueError("animated WebP missing its VP8X header")
+    if cw * ch > _IMG_MAX_PIXELS:
+        raise ValueError(f"WebP canvas {cw}x{ch} exceeds the decode cap")
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+    out: list[np.ndarray] = []
+    for cid, b, e in chunks:
+        if cid != b"ANMF":
+            continue
+        if len(out) >= 1024:
+            raise ValueError("animated WebP exceeds the playback cap")
+        if e - b < 16:
+            raise ValueError("truncated ANMF frame header")
+        hdr = payload[b : b + 16]
+        x = 2 * int.from_bytes(hdr[0:3], "little")
+        y = 2 * int.from_bytes(hdr[3:6], "little")
+        w = 1 + int.from_bytes(hdr[6:9], "little")
+        h = 1 + int.from_bytes(hdr[9:12], "little")
+        flags = hdr[15]
+        if x + w > cw or y + h > ch:
+            raise ValueError("ANMF frame region outside the canvas")
+        region = None
+        for scid, sb, se in _riff_subchunks(payload, b + 16, e):
+            if scid == b"VP8L":
+                argb = _vp8l_pixels_from_chunk(payload[sb:se])
+                region = argb[:, :, [1, 2, 3, 0]]  # ARGB planes → RGBA
+                break
+            if scid == b"VP8 ":
+                raise NotImplementedError(
+                    "VP8 lossy frame decode requires a codec library"
+                )
+        if region is None:
+            raise ValueError("ANMF frame without an image chunk")
+        if region.shape[:2] != (h, w):
+            raise ValueError("ANMF frame dims disagree with its header")
+        if flags & 0x02:  # B=1: do not blend — replace
+            canvas[y : y + h, x : x + w] = region
+        else:  # B=0: alpha-blend over the canvas
+            _alpha_over(canvas[y : y + h, x : x + w], region)
+        out.append(canvas[:, :, :3].copy())
+        if flags & 0x01:  # D=1: dispose to transparent black
+            canvas[y : y + h, x : x + w] = 0
+    if not out:
+        raise ValueError("animated WebP carries no frames")
+    return out
+
+
+def encode_webp_anim(frames: list, duration_ms: int = 40) -> bytes:
+    """Animated-WebP encoder twin: each entry is a full (h, w, 3)
+    frame or an (x, y, array) region update (even offsets, B=no-blend,
+    D=none — the deterministic subset the tests pin); every frame
+    rides as a lossless VP8L chunk built by ``encode_webp``."""
+    if not frames:
+        raise ValueError("encode_webp_anim needs at least one frame")
+
+    def _norm(f):
+        if isinstance(f, tuple):
+            fx, fy, arr = f
+            return int(fx), int(fy), np.asarray(arr)
+        return 0, 0, np.asarray(f)
+
+    first = _norm(frames[0])[2]
+    if first.ndim != 3 or first.shape[2] != 3:
+        raise ValueError("encode_webp_anim frames are (h, w, 3) RGB")
+    ch, cw = first.shape[:2]
+    body = b"VP8X" + struct.pack("<I", 10) + bytes([0x02]) + bytes(3)
+    body += (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    body += b"ANIM" + struct.pack("<I", 6) + bytes(6)
+    for f in frames:
+        x, y, arr = _norm(f)
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even pixels")
+        h, w = arr.shape[:2]
+        if x + w > cw or y + h > ch:
+            raise ValueError("ANMF frame region outside the canvas")
+        vp8l_chunk = encode_webp(arr)[12:]
+        hdr = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + int(duration_ms).to_bytes(3, "little")
+            + bytes([0x02])  # B=1 no-blend, D=0 none
+        )
+        anmf = hdr + vp8l_chunk
+        body += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) & 1:
+            body += b"\x00"
+    riff = b"WEBP" + body
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
 def decode_webp(payload: bytes) -> dict:
     """Container-level metadata + real VP8L pixel stats. Lossy VP8
     gets the metadata-before-decode routing (dims from the keyframe
@@ -11153,8 +11278,10 @@ def synthesize_mixed_video_from_text(
     so ALL THREE real container walks (and the JPEG codec behind two
     of them) run under one oracle gate. r11: the AVI slot sub-rotates
     Matroska V_MJPEG at % 12 == 7 (same JPEG frames, same hashes —
-    the EBML block walk at driver scale). One mapInPandas, one
-    scan."""
+    the EBML block walk at driver scale); the VID0 slot sub-rotates
+    APNG at % 12 == 9 and animated WebP (VP8L ANMF frames) at
+    % 12 == 6, both carrying the VID0 frame contract. One
+    mapInPandas, one scan."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -11163,7 +11290,23 @@ def synthesize_mixed_video_from_text(
                 raw = t.encode("utf-8")
                 kind = int(doc_id) % 3
                 if kind == 0:
-                    if int(doc_id) % 12 == 9:
+                    if int(doc_id) % 12 == 6:
+                        # r11: the VID0 frame contract as an animated
+                        # WebP (full-frame VP8L ANMF updates) — the
+                        # channel-sum hashes keep the oracle unchanged
+                        n = max(len(raw), 1)
+                        src = (
+                            np.frombuffer(raw, dtype=np.uint8)
+                            if raw
+                            else np.zeros(1, np.uint8)
+                        )
+                        fr = []
+                        for f in range(n_frames):
+                            idx = (192 * f + np.arange(8 * 8 * 3)) % n
+                            fr.append(src[idx].reshape(8, 8, 3))
+                        payloads.append(encode_webp_anim(fr))
+                        mimes.append("image/webp")
+                    elif int(doc_id) % 12 == 9:
                         # r11: the VID0 frame contract as an APNG —
                         # frame f's RGB pixel byte k is raw[(192f+k)%n]
                         # with BMP's BGR order undone, so the frame
@@ -11461,6 +11604,9 @@ def video_frame_hashes(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         if buf[:8] == _PNG_MAGIC:
             # APNG (r11): composed playback frames, the GIF twin
             return _png_frames(buf)
+        if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+            # animated WebP (r11): ANMF playback composition
+            return _webp_frames(buf)
         if buf[:4] != _VIDEO_MAGIC:
             raise ValueError("not a VID0, AVI, or MP4 container")
         (nf,) = struct.unpack_from("<I", buf, 4)

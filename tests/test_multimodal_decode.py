@@ -7103,3 +7103,80 @@ def test_mkv_single_frame_ebml_lace_has_no_size_field():
     block = b"\x81\x00\x00" + bytes([0x80 | 0x06]) + b"\x00" + frame
     tn, frames = _mkv_block_frames(block, 0, len(block))
     assert tn == 1 and frames == [frame]
+
+
+def test_webp_animation_playback_and_video_fixture(spark):
+    """Animated WebP (r11 late): ANMF regions decode with their VP8L
+    alpha and compose per the container's B/D flags — no-blend
+    replacement, alpha-blend OVER, dispose-to-background — on the
+    VP8X canvas; routed through video_frame_hashes like APNG/GIF.
+    The VID0 fixture slot sub-rotates animated WebP at doc_id%12==6
+    with hashes pinned identical to the raw-frames twin."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _webp_frames,
+        decode_webp,
+        encode_webp_anim,
+        synthesize_mixed_video_from_text,
+        video_frame_hashes,
+    )
+
+    rng = np.random.RandomState(103)
+    f0 = rng.randint(0, 256, (8, 10, 3)).astype(np.uint8)
+    f1 = rng.randint(0, 256, (8, 10, 3)).astype(np.uint8)
+    sub = rng.randint(0, 256, (3, 4, 3)).astype(np.uint8)
+    frames = _webp_frames(encode_webp_anim([f0, f1]))
+    assert len(frames) == 2
+    assert (frames[0] == f0).all() and (frames[1] == f1).all()
+    frames = _webp_frames(encode_webp_anim([f0, (2, 4, sub)]))
+    exp = f0.copy()
+    exp[4:7, 2:6] = sub
+    assert (frames[1] == exp).all()
+    assert decode_webp(encode_webp_anim([f0, f1]))["n_frames"] == 2
+
+    # hand-flip flags: D=1 disposes the region to transparent black,
+    # B=0 alpha-blends (VP8L regions are opaque -> equals replacement)
+    p = bytearray(encode_webp_anim([f0, (2, 4, sub), f1]))
+    i = p.find(b"ANMF", p.find(b"ANMF") + 4)  # second frame's header
+    p[i + 8 + 15] = 0x01  # B=0 blend, D=1 background
+    frames = _webp_frames(bytes(p))
+    assert (frames[1] == exp).all()  # opaque OVER == replacement
+    assert (frames[2] == f1).all()  # full frame 3 repaints everything
+
+    # corrupt structure quarantines
+    import pytest as _pytest
+
+    good = encode_webp_anim([f0, f1])
+    for cut in (14, 30, 60, len(good) - 5):
+        try:
+            _webp_frames(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+    bomb = bytearray(good)
+    i = bomb.find(b"VP8X") + 8 + 4
+    bomb[i : i + 3] = (1 << 23).to_bytes(3, "little")
+    with _pytest.raises(ValueError, match="cap|exceed"):
+        _webp_frames(bytes(bomb))
+
+    ids = (0, 6, 18)
+    docs = spark.createDataFrame(
+        [(i, "one text for every doc") for i in ids],
+        "doc_id long, text string",
+    )
+    mixed = {r.doc_id: r for r in synthesize_mixed_video_from_text(docs).collect()}
+    assert mixed[0].mime == "video/x-frames"
+    assert mixed[6].mime == "image/webp" and mixed[18].mime == "image/webp"
+    assert bytes(mixed[6].payload)[:4] == b"RIFF"
+    fh = video_frame_hashes(
+        synthesize_mixed_video_from_text(
+            spark.createDataFrame(
+                [(i, "one text for every doc") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+    ).collect()
+    by_doc = {}
+    for r in fh:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_id, r.fhash))
+    assert sorted(by_doc[0]) == sorted(by_doc[6]) == sorted(by_doc[18])

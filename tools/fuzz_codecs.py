@@ -364,6 +364,20 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
             ),
         ),
         ("webp", mm.encode_webp(gif_px, palette=True, use_lz77=True)),
+        (
+            "webpa",
+            mm.encode_webp_anim(
+                [px]
+                + [
+                    (
+                        rng.randrange(0, max(px.shape[1] // 4, 1)) * 2,
+                        rng.randrange(0, max(px.shape[0] // 4, 1)) * 2,
+                        px[: px.shape[0] // 2, : px.shape[1] // 2],
+                    )
+                    for _ in range(rng.randrange(0, 3))
+                ]
+            ),
+        ),
         ("bmp", mm._bmp_payload(raw8)),
         ("bmpv", _encode_bmp_variant(rng)),
         ("flac", mm.encode_flac(samples)),
@@ -620,6 +634,7 @@ _DECODERS = {
     "jpeg": [mm._jpeg_pixels, mm.decode_jpeg],
     "jpegll": [mm._jpeg_pixels, mm.decode_jpeg, mm._image_pixels],
     "webp": [mm._webp_pixels, mm.decode_webp, mm._image_pixels],
+    "webpa": [mm._webp_frames, mm._webp_pixels, mm.decode_webp],
     "bmp": [mm._bmp_pixels, mm.decode_bmp, mm._image_pixels],
     "bmpv": [mm._bmp_pixels, mm.decode_bmp],
     "flac": [mm._flac_samples, mm.decode_flac, mm._pcm16_samples],
