@@ -2863,7 +2863,43 @@ def _bmp_palette(payload: bytes, bpp: int) -> np.ndarray:
     return np.frombuffer(payload, np.uint8, 4 * n, start).reshape(n, 4)[:, :3]
 
 
+def _bmp_core_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) BGR of an OS/2 BITMAPCOREHEADER BMP (r11 late — the
+    12-byte header's u16 dims and 3-byte palette entries predate the
+    Windows layout every other arm parses): uncompressed 24-bit and
+    8-bit paletted, bottom-up 4-byte-aligned rows."""
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h, _planes, bpp = struct.unpack_from("<HHHH", payload, 18)
+    if not w or not h:
+        raise ValueError(f"invalid BMP dimensions ({w}x{h})")
+    if w * h > _IMG_MAX_PIXELS:
+        raise ValueError(f"BMP {w}x{h} exceeds the decode cap")
+    if bpp not in (8, 24):
+        raise ValueError(f"unsupported OS/2 BMP depth {bpp}")
+    pal = None
+    min_offset = 26
+    if bpp == 8:
+        min_offset += 3 * 256
+        if len(payload) < 26 + 3 * 256:
+            raise ValueError("OS/2 BMP palette truncated")
+        pal = np.frombuffer(payload, np.uint8, 3 * 256, 26).reshape(256, 3)
+    if data_offset < min_offset:
+        raise ValueError("OS/2 BMP data offset inside the header/palette")
+    stride = (w * (bpp // 8) + 3) // 4 * 4
+    need = stride * h
+    if len(payload) < data_offset + need:
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(payload, np.uint8, need, data_offset).reshape(h, stride)
+    if bpp == 24:
+        px = rows[:, : w * 3].reshape(h, w, 3)
+    else:
+        px = pal[rows[:, :w]]
+    return np.ascontiguousarray(px[::-1])  # bottom-up
+
+
 def _bmp_pixels_impl(payload: bytes) -> np.ndarray:
+    if len(payload) >= 18 and struct.unpack_from("<I", payload, 14)[0] == 12:
+        return _bmp_core_pixels(payload)
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]

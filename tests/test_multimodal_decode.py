@@ -7180,3 +7180,41 @@ def test_webp_animation_playback_and_video_fixture(spark):
     for r in fh:
         by_doc.setdefault(r.doc_id, []).append((r.frame_id, r.fhash))
     assert sorted(by_doc[0]) == sorted(by_doc[6]) == sorted(by_doc[18])
+
+
+def test_bmp_os2_core_header_decodes():
+    """OS/2 BITMAPCOREHEADER (12-byte, r11 late): u16 dims, 3-byte
+    palette entries — a different field layout than every Windows
+    header; 24-bit and 8-bit paletted decode, truncations raise."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _bmp_pixels,
+        decode_bmp,
+    )
+
+    def make_core(px, bpp=24, pal=None):
+        h, w = px.shape[:2]
+        stride = (w * (bpp // 8) + 3) // 4 * 4
+        body = bytearray()
+        for y in range(h):
+            row = px[::-1][y].tobytes()
+            body += row + bytes(stride - len(row))
+        paldata = pal.tobytes() if pal is not None else b""
+        off = 26 + len(paldata)
+        hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        core = struct.pack("<IHHHH", 12, w, h, 1, bpp)
+        return bytes(hdr + core + paldata + body)
+
+    rng = np.random.RandomState(107)
+    bgr = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
+    assert (_bmp_pixels(make_core(bgr)) == bgr).all()
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, (4, 6)).astype(np.uint8)
+    assert (_bmp_pixels(make_core(idx, bpp=8, pal=pal)) == pal[idx]).all()
+    d = decode_bmp(make_core(bgr))
+    assert (d["width"], d["height"]) == (7, 5)
+    for cut in (10, 20, 30, 100):
+        with pytest.raises(ValueError):
+            _bmp_pixels(make_core(bgr)[:cut])
+    # 4-bit core headers stay honestly unsupported
+    with pytest.raises(ValueError, match="OS/2"):
+        _bmp_pixels(make_core(bgr)[:26].ljust(64, b"\x00")[:18] + struct.pack("<HHHH", 4, 4, 1, 4) + bytes(200))

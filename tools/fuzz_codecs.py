@@ -151,6 +151,26 @@ def _encode_png_variant(rng: random.Random) -> bytes:
 
 
 
+def _encode_bmp_core(rng: random.Random) -> bytes:
+    """Seed for the OS/2 BITMAPCOREHEADER arm (12-byte header, u16
+    dims, 3-byte palette entries)."""
+    import struct
+
+    w, h = rng.randrange(1, 10), rng.randrange(1, 8)
+    bpp = rng.choice((8, 24))
+    stride = (w * (bpp // 8) + 3) // 4 * 4
+    body = bytes(rng.randrange(256) for _ in range(stride * h))
+    pal = bytes(rng.randrange(256) for _ in range(3 * 256)) if bpp == 8 else b""
+    off = 26 + len(pal)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IHHHH", 12, w, h, 1, bpp)
+        + pal
+        + body
+    )
+
+
 def _encode_bmp_variant(rng: random.Random) -> bytes:
     """Seed twin for the r9 BMP widening: 8/4-bit paletted, RLE8,
     RLE4, 16-bit 555, BITFIELDS, and 32-bit BGRA layouts."""
@@ -380,6 +400,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ),
         ("bmp", mm._bmp_payload(raw8)),
         ("bmpv", _encode_bmp_variant(rng)),
+        ("bmpv", _encode_bmp_core(rng)),
         ("flac", mm.encode_flac(samples)),
         (
             "flac",
