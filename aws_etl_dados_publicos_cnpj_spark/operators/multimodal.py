@@ -9257,6 +9257,11 @@ def _image_pixels(payload: bytes) -> np.ndarray:
         return _dds_pixels(payload)
     if payload[:2] == b"\x01\xda":
         return _sgi_pixels(payload)
+    if payload[4:8] == b"ftyp" and payload[8:12] in _HEIF_BRANDS:
+        info = _heif_info(payload)  # real container walk first
+        raise NotImplementedError(
+            f"HEIF/AVIF pixel decode ({info['codec']}) requires a codec library"
+        )
     if len(payload) >= 128 and payload[0] == 0x0A and payload[2] == 1:
         return _pcx_pixels(payload)
     if payload.endswith(_TGA_FOOTER):
@@ -9300,6 +9305,81 @@ def _mp4_child(buf: bytes, start: int, end: int, btype: bytes) -> tuple[int, int
         if t == btype:
             return b, e
     return None
+
+
+_HEIF_BRANDS = (b"heic", b"heix", b"heim", b"heis", b"mif1", b"msf1",
+                b"avif", b"avis")
+
+
+def _heif_info(payload: bytes) -> dict:
+    """Container triage for HEIF/HEIC and AVIF stills (r11 late — the
+    phone-photo and modern-web staples): the ISO-BMFF 'meta' FullBox
+    walk resolves the primary codec (infe item types: hvc1/av01/...),
+    the canvas dims (largest 'ispe' property — grid-tiled images
+    carry one per tile plus the full-size one), and the coded-item
+    count. HEVC/AV1 payload decode needs a codec library — the
+    metadata-before-decode honesty contract of the MP4/AVI arms."""
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload")
+    brand = payload[8:12]
+    if brand not in _HEIF_BRANDS:
+        raise ValueError(f"not a HEIF/AVIF brand ({brand!r})")
+    try:
+        return _heif_info_impl(payload, brand)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt HEIF container ({exc})") from exc
+
+
+def _heif_info_impl(payload: bytes, brand: bytes) -> dict:
+    meta = _mp4_child(payload, 0, len(payload), b"meta")
+    if meta is None:
+        raise ValueError("HEIF container missing its meta box")
+    mb, me = meta[0] + 4, meta[1]  # meta is a FullBox: skip version/flags
+    item_types: list[bytes] = []
+    dims: list[tuple[int, int]] = []
+    for btype, b, e in _mp4_boxes(payload, mb, me):
+        if btype == b"iinf":
+            version = payload[b]
+            pos = b + 4 + (2 if version == 0 else 4)
+            for itype, ib, ie in _mp4_boxes(payload, pos, e):
+                if itype != b"infe" or ie - ib < 12:
+                    continue
+                iversion = payload[ib]
+                if iversion >= 2:
+                    # infe v2/v3: vf(4) + item_id(2 or 4) +
+                    # protection(2) + item_type(4)
+                    off = ib + 4 + (2 if iversion == 2 else 4) + 2
+                    item_types.append(payload[off : off + 4])
+        elif btype == b"iprp":
+            ipco = _mp4_child(payload, b, e, b"ipco")
+            if ipco is not None:
+                for ptype, pb, pe in _mp4_boxes(payload, ipco[0], ipco[1]):
+                    if ptype == b"ispe" and pe - pb >= 12:
+                        w, h = struct.unpack_from(">II", payload, pb + 4)
+                        dims.append((w, h))
+    coded = [t for t in item_types if t in (b"hvc1", b"av01", b"avc1", b"jpeg")]
+    if not dims and not coded:
+        raise ValueError("HEIF meta carries no image items")
+    w, h = max(dims, default=(None, None), key=lambda d: (d[0] or 0) * (d[1] or 0))
+    codec = None
+    if coded:
+        codec = {b"hvc1": "hevc", b"av01": "av1", b"avc1": "avc",
+                 b"jpeg": "jpeg"}[coded[0]]
+    elif brand in (b"avif", b"avis"):
+        codec = "av1"
+    elif brand.startswith(b"hei"):
+        codec = "hevc"
+    return {
+        "kind": "image",
+        "codec": codec,
+        "width": w,
+        "height": h,
+        "n_frames": max(len(coded), 1),
+    }
+
+
+def decode_heif(payload: bytes) -> dict:
+    return _heif_info(payload)
 
 
 def _mp4_video_track(payload: bytes) -> dict:
@@ -9873,6 +9953,13 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_pcx(payload)
     if mime in ("image/sgi", "image/x-sgi", "image/x-rgb"):
         return decode_sgi(payload)
+    if mime in (
+        "image/heic", "image/heif", "image/avif",
+        "image/heic-sequence", "image/heif-sequence",
+    ):
+        # container triage (dims/codec/item count from the meta walk);
+        # HEVC/AV1 pixel decode needs a codec library
+        return decode_heif(payload)
     if mime in ("image/x-icon", "image/vnd.microsoft.icon", "image/ico"):
         return decode_ico(payload)
     if mime in ("image/png", "image/apng"):

@@ -7218,3 +7218,73 @@ def test_bmp_os2_core_header_decodes():
     # 4-bit core headers stay honestly unsupported
     with pytest.raises(ValueError, match="OS/2"):
         _bmp_pixels(make_core(bgr)[:26].ljust(64, b"\x00")[:18] + struct.pack("<HHHH", 4, 4, 1, 4) + bytes(200))
+
+
+# ---------------------------------------------------------------- #
+# HEIF / HEIC / AVIF triage — r11                                    #
+# ---------------------------------------------------------------- #
+
+
+def _heif_fixture(brand=b"heic", item=b"hvc1", dims=((512, 512), (4032, 3024))):
+    def box(t, body):
+        return struct.pack(">I", len(body) + 8) + t + body
+
+    def full(t, body, version=0):
+        return box(t, bytes([version]) + bytes(3) + body)
+
+    infe = full(b"infe", struct.pack(">HH", 1, 0) + item + b"img\x00", version=2)
+    iinf = full(b"iinf", struct.pack(">H", 1) + infe)
+    ipco = box(b"ipco", b"".join(full(b"ispe", struct.pack(">II", *d)) for d in dims))
+    meta = full(
+        b"meta",
+        box(b"hdlr", bytes(4) + b"pict" + bytes(12)) + iinf + box(b"iprp", ipco),
+    )
+    return box(b"ftyp", brand + bytes(4) + b"mif1" + brand) + meta + box(
+        b"mdat", bytes(64)
+    )
+
+
+def test_heif_avif_container_triage(spark):
+    """HEIC/AVIF (the phone-photo and modern-web stills): the meta
+    FullBox walk resolves the codec from infe item types, the canvas
+    dims from the LARGEST ispe (grid-tiled photos carry per-tile
+    entries too), and the coded-item count — real metadata, honest
+    NotImplementedError on pixel access (HEVC/AV1 need codec libs),
+    per-row quarantine through decode_features."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _image_pixels,
+        decode_features,
+        decode_heif,
+    )
+
+    m = decode_heif(_heif_fixture())
+    assert m == {
+        "kind": "image", "codec": "hevc",
+        "width": 4032, "height": 3024, "n_frames": 1,
+    }
+    m = decode_heif(_heif_fixture(brand=b"avif", item=b"av01"))
+    assert m["codec"] == "av1" and m["width"] == 4032
+    with pytest.raises(NotImplementedError, match="codec library"):
+        _image_pixels(_heif_fixture())
+    good = _heif_fixture()
+    for cut in (6, 20, 40, len(good) - 10):
+        try:
+            decode_heif(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"cut={cut} leaked {type(exc).__name__}: {exc}")
+    with pytest.raises(ValueError, match="brand"):
+        decode_heif(b"\x00\x00\x00\x10ftypisom" + bytes(8))
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_heif_fixture()), "image/heic"),
+            (2, bytearray(_heif_fixture(brand=b"avif", item=b"av01")), "image/avif"),
+            (3, bytearray(good[:25]), "image/heic"),
+        ],
+        "doc_id long, payload binary, mime string",
+    )
+    rows = {r.doc_id: r for r in decode_features(df).collect()}
+    assert rows[1].ok and rows[1].codec == "hevc" and rows[1].width == 4032
+    assert rows[2].ok and rows[2].codec == "av1"
+    assert not rows[3].ok

@@ -151,6 +151,30 @@ def _encode_png_variant(rng: random.Random) -> bytes:
 
 
 
+def _encode_heif_seed(rng: random.Random) -> bytes:
+    """Minimal HEIC/AVIF meta tree for the triage walk."""
+    import struct
+
+    def box(t, body):
+        return struct.pack(">I", len(body) + 8) + t + body
+
+    def full(t, body, version=0):
+        return box(t, bytes([version]) + bytes(3) + body)
+
+    brand, item = rng.choice(((b"heic", b"hvc1"), (b"avif", b"av01")))
+    infe = full(b"infe", struct.pack(">HH", 1, 0) + item + b"img\x00", version=2)
+    iinf = full(b"iinf", struct.pack(">H", 1) + infe)
+    dims = [(rng.randrange(1, 5000), rng.randrange(1, 5000)) for _ in range(2)]
+    ipco = box(b"ipco", b"".join(full(b"ispe", struct.pack(">II", *d)) for d in dims))
+    meta = full(
+        b"meta",
+        box(b"hdlr", bytes(4) + b"pict" + bytes(12)) + iinf + box(b"iprp", ipco),
+    )
+    return box(b"ftyp", brand + bytes(4) + b"mif1" + brand) + meta + box(
+        b"mdat", bytes(rng.randrange(1, 64))
+    )
+
+
 def _encode_bmp_core(rng: random.Random) -> bytes:
     """Seed for the OS/2 BITMAPCOREHEADER arm (12-byte header, u16
     dims, 3-byte palette entries)."""
@@ -384,6 +408,10 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
             ),
         ),
         ("webp", mm.encode_webp(gif_px, palette=True, use_lz77=True)),
+        (
+            "heif",
+            _encode_heif_seed(rng),
+        ),
         (
             "webpa",
             mm.encode_webp_anim(
@@ -656,6 +684,7 @@ _DECODERS = {
     "jpegll": [mm._jpeg_pixels, mm.decode_jpeg, mm._image_pixels],
     "webp": [mm._webp_pixels, mm.decode_webp, mm._image_pixels],
     "webpa": [mm._webp_frames, mm._webp_pixels, mm.decode_webp],
+    "heif": [mm.decode_heif, mm._image_pixels],
     "bmp": [mm._bmp_pixels, mm.decode_bmp, mm._image_pixels],
     "bmpv": [mm._bmp_pixels, mm.decode_bmp],
     "flac": [mm._flac_samples, mm.decode_flac, mm._pcm16_samples],
