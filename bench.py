@@ -229,6 +229,18 @@ def fitted_line(out: dict, budget: int = TAIL_BUDGET) -> str:
     total to truncation). The COMPLETE payload lives in
     BENCH.out.json; this line is what the driver records."""
     compact = dict(out)
+    # same_box_ab per-query detail is the first thing to shrink (the
+    # full detail always survives in BENCH.out.json); the block's
+    # SUMMARY (ratio + verdict) is dropped last — it's the r11 drift
+    # adjudication the driver artifact exists to carry.
+    if (
+        len(json.dumps(compact, separators=(",", ":"))) > budget
+        and isinstance(compact.get("same_box_ab"), dict)
+        and "queries" in compact["same_box_ab"]
+    ):
+        compact["same_box_ab"] = {
+            k: v for k, v in compact["same_box_ab"].items() if k != "queries"
+        }
     for drop in (
         "adjudicated",
         "cold_total",
@@ -237,6 +249,7 @@ def fitted_line(out: dict, budget: int = TAIL_BUDGET) -> str:
         "git_head",
         "run_total",
         "cpu_probe_sec",
+        "same_box_ab",
     ):
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) <= budget:
@@ -281,6 +294,184 @@ def _cpu_probe() -> float:
     for i in range(10_000_000):
         s += i
     return round(time.perf_counter() - t, 3)
+
+
+# --- same-box worktree A/B (r11 verdict item #2) ---------------------------
+#
+# cpu_probe is single-thread; this box's MULTI-core throughput drifts
+# independently of it (r11 close burned three re-measures arguing a
+# 53.5s-vs-45.85s headline that the judge settled in one run by
+# checking out the prior round's tree in a git worktree and running the
+# drifted queries through BOTH trees back-to-back on the same box: the
+# r10 tree reproduced the r11 timings exactly → box drift, not engine
+# drift). The harness now owns that method: when the full-run headline
+# drifts past AB_GATE vs the last landed round artifact, the drifted
+# queries are re-run through both trees and the measured RATIO lands in
+# the artifact — cross-round comparisons stop depending on box luck.
+
+AB_GATE = 1.2  # headline drift ratio (vs last landed round) that triggers A/B
+AB_MAX_QUERIES = 8  # bound the extra wall-clock: worst drifters only
+AB_MIN_DELTA_SEC = 0.15  # sub-0.15s swings are scheduler noise (ADJUDICATE_ABS)
+AB_EQUAL_BAND = 0.10  # trees within ±10% on the same box = same engine
+
+
+def _parse_bench_line(stdout: str) -> dict | None:
+    """Last stdout line that parses as a bench payload (mini-runs print
+    exactly one fitted JSON line, but Spark/Ivy banners may precede it)."""
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(d, dict) and "queries" in d:
+                return d
+    return None
+
+
+def _latest_landed_bench(repo: str) -> tuple[str, dict] | None:
+    """(basename, payload) of the highest-numbered landed BENCH_r*.json
+    — the prior round's close measurement, the drift reference."""
+    import glob
+    import re
+
+    rounds: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            d = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = d.get("parsed") if isinstance(d.get("parsed"), dict) else d
+        if isinstance(parsed, dict) and parsed.get("queries"):
+            return os.path.basename(path), parsed
+    return None
+
+
+def _prior_close_commit(repo: str, artifact: str) -> str | None:
+    """The commit that landed the prior round's bench artifact — the
+    driver's round-close commit, i.e. the prior round's final tree."""
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "-C", repo, "log", "-1", "--format=%H", "--", artifact],
+            capture_output=True, text=True, timeout=10, check=True,
+        ).stdout.strip()
+        return sha or None
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _run_tree_bench(tree: str, queries: list[str], sf_dir: str) -> dict | None:
+    """One SPARK_GRAFT_BENCH_ONLY mini-run of ``tree``'s bench.py in a
+    subprocess (fresh JVM either way — symmetric process state for the
+    A and B sides). Returns the per-query timings dict or None."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(queries)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_NO_AB"] = "1"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(tree, "bench.py")],
+            capture_output=True, text=True, timeout=2400, cwd=tree, env=env,
+        )
+    except (subprocess.TimeoutExpired, OSError):
+        return None
+    payload = _parse_bench_line(proc.stdout)
+    return payload.get("queries") if payload else None
+
+
+def same_box_ab(repo: str, timings: dict[str, float], sf_dir: str) -> dict | None:
+    """When this run's headline drifts >AB_GATE past the last landed
+    round artifact on their common query set, adjudicate engine-vs-box:
+    check out the prior round's close commit in a scratch git worktree
+    and run the worst-drifted queries through BOTH trees back-to-back
+    on the same box. Trees equal within AB_EQUAL_BAND → the box moved
+    (the r11 outcome); prior tree faster → a real engine regression,
+    recorded at its measured ratio. Returns the artifact block, or
+    None when the gate doesn't trip; never raises into the caller."""
+    import subprocess
+
+    landed = _latest_landed_bench(repo)
+    if not landed:
+        return None
+    artifact, prior = landed
+    prior_q = {
+        q: float(t)
+        for q, t in prior["queries"].items()
+        if isinstance(t, (int, float)) and t > 0
+    }
+    common = sorted(set(timings) & set(prior_q))
+    if not common:
+        return None
+    cur_total = sum(timings[q] for q in common)
+    old_total = sum(prior_q[q] for q in common)
+    if old_total <= 0 or cur_total <= old_total * AB_GATE:
+        return None
+    # worst absolute drifters (they carry the headline delta); if the
+    # drift is diffuse, the top absolute deltas still represent it
+    drifted = sorted(
+        (q for q in common if timings[q] - prior_q[q] > AB_MIN_DELTA_SEC),
+        key=lambda q: prior_q[q] - timings[q],
+    )[:AB_MAX_QUERIES]
+    if not drifted:
+        return None
+    sha = _prior_close_commit(repo, artifact)
+    if not sha:
+        return {"error": f"gate tripped but no close commit for {artifact}"}
+    block: dict = {
+        "gate": AB_GATE,
+        "prior_artifact": artifact,
+        "prior_commit": sha[:12],
+        "drift_ratio_vs_artifact": round(cur_total / old_total, 3),
+    }
+    wt = os.path.join("/tmp", f"spark_graft_ab_{sha[:12]}")
+    added = False
+    try:
+        if not os.path.isdir(wt):
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "add", "--detach", wt, sha],
+                capture_output=True, text=True, timeout=60, check=True,
+            )
+            added = True
+        prior_tree = _run_tree_bench(wt, drifted, sf_dir)
+        cur_tree = _run_tree_bench(repo, drifted, sf_dir)
+        if not prior_tree or not cur_tree:
+            block["error"] = "mini-run failed on one side"
+            return block
+        both = [q for q in drifted if q in prior_tree and q in cur_tree]
+        a = round(sum(prior_tree[q] for q in both), 3)
+        b = round(sum(cur_tree[q] for q in both), 3)
+        block["queries"] = {
+            q: [prior_tree[q], cur_tree[q]] for q in both  # [prior, current]
+        }
+        block["prior_tree_sec"] = a
+        block["current_tree_sec"] = b
+        if a > 0:
+            ratio = round(b / a, 3)
+            block["ratio"] = ratio
+            block["verdict"] = (
+                "box drift (trees equal on today's box)"
+                if abs(ratio - 1.0) <= AB_EQUAL_BAND
+                else "engine change (trees differ on the same box)"
+            )
+        return block
+    except Exception as exc:  # noqa: BLE001 — A/B must never kill the bench
+        block["error"] = f"{type(exc).__name__}: {exc}"[:200]
+        return block
+    finally:
+        if added:
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "remove", "--force", wt],
+                capture_output=True, text=True, timeout=60,
+            )
 
 
 def main() -> None:
@@ -391,6 +582,17 @@ def main() -> None:
         iso.stop()
 
     total = round(sum(timings.values()), 3)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    # same-box A/B (r11 verdict item #2): only full runs adjudicate —
+    # a mini-run's partial set can't trip a headline gate honestly.
+    ab = None
+    if not only and not os.environ.get("SPARK_GRAFT_NO_AB"):
+        try:
+            ab = same_box_ab(here, timings, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — never kill the bench
+            ab = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     out = {
         "metric": "headline_queries_wall_clock",
         "value": total,
@@ -421,6 +623,8 @@ def main() -> None:
         out["adjudicated"] = adjudicated
     if errors:
         out["errors"] = errors
+    if ab:
+        out["same_box_ab"] = ab
 
     # Artifact fix (r6 verdict item #1): the one-line JSON outgrew the
     # driver's 2000-char tail capture, so BENCH_r06.json landed with
@@ -432,7 +636,6 @@ def main() -> None:
     # so the driver's parse always succeeds and always carries every
     # per-query timing. Recovery of older truncated artifacts lives in
     # recover_timings_from_tail().
-    here = os.path.dirname(os.path.abspath(__file__))
     if not only:  # a SPARK_GRAFT_BENCH_ONLY mini-run must never
         # clobber the committed full-headline artifact (it did, once)
         out_path = os.path.join(here, "BENCH.out.json")

@@ -234,3 +234,136 @@ def test_window_regenerated_from_latest_correctness():
         "stale driver window — re-run `python tools/driver_window.py "
         "[--front touched,...]` after landing correctness results"
     )
+
+
+def test_same_box_ab_gate_and_block_shape(monkeypatch, tmp_path):
+    """The A/B harness (r11 verdict item #2): no trip below the 1.2x
+    gate; above it, the worst drifters run through BOTH trees and the
+    measured ratio lands in the block — with the verdict keyed to the
+    tree-vs-tree ratio, not the artifact delta (the whole point: the
+    r11 53.5s-vs-45.85s argument was box drift the trees disproved)."""
+    import json
+
+    import bench
+
+    prior = {
+        "parsed": {
+            "queries": {"qa": 1.0, "qb": 1.0, "qc": 1.0, "qd": 0.05},
+            "value": 3.05,
+        }
+    }
+    (tmp_path / "BENCH_r11.json").write_text(json.dumps(prior))
+
+    # below the gate: no A/B, no worktree, no block
+    assert bench.same_box_ab(str(tmp_path), {"qa": 1.1, "qb": 1.1, "qc": 1.1}, "sf") is None
+
+    # above the gate: both trees run the drifted set
+    calls = []
+
+    def fake_run_tree(tree, queries, sf_dir):
+        calls.append((tree, tuple(queries)))
+        # prior tree reproduces the drifted timings -> box drift
+        return {q: 2.0 for q in queries}
+
+    monkeypatch.setattr(bench, "_run_tree_bench", fake_run_tree)
+    monkeypatch.setattr(bench, "_prior_close_commit", lambda r, a: "a" * 40)
+
+    import subprocess as sp
+
+    real_run = sp.run
+
+    def fake_git(cmd, **kw):
+        if cmd[:1] == ["git"] or (len(cmd) > 2 and cmd[0] == "git"):
+            class R:
+                returncode, stdout, stderr = 0, "", ""
+            return R()
+        return real_run(cmd, **kw)
+
+    monkeypatch.setattr(sp, "run", fake_git)
+    cur = {"qa": 2.1, "qb": 2.0, "qc": 2.0, "qd": 0.06}
+    block = bench.same_box_ab(str(tmp_path), cur, "sf")
+    assert block is not None and "error" not in block
+    assert block["prior_artifact"] == "BENCH_r11.json"
+    # qd's 0.01s swing is below AB_MIN_DELTA_SEC — excluded
+    assert set(block["queries"]) == {"qa", "qb", "qc"}
+    # worst drifter first in both mini-runs
+    assert calls[0][1][0] == "qa" and len(calls) == 2
+    assert block["ratio"] == 1.017 or abs(block["ratio"] - 1.0) <= 0.05
+    assert block["verdict"].startswith("box drift")
+    # per-query detail is [prior_tree, current_tree]
+    assert block["queries"]["qa"] == [2.0, 2.0]
+
+
+def test_same_box_ab_engine_regression_verdict(monkeypatch, tmp_path):
+    import json
+
+    import bench
+
+    prior = {"queries": {"qa": 1.0, "qb": 1.0}}
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(prior))
+    monkeypatch.setattr(bench, "_prior_close_commit", lambda r, a: "b" * 40)
+
+    def fake_run_tree(tree, queries, sf_dir):
+        # prior tree (the /tmp worktree) is fast; current tree is slow
+        fast = tree.startswith("/tmp/spark_graft_ab_")
+        return {q: (1.0 if fast else 2.0) for q in queries}
+
+    monkeypatch.setattr(bench, "_run_tree_bench", fake_run_tree)
+    import subprocess as sp
+
+    monkeypatch.setattr(
+        sp, "run",
+        lambda cmd, **kw: type("R", (), {"returncode": 0, "stdout": "", "stderr": ""})(),
+    )
+    block = bench.same_box_ab(str(tmp_path), {"qa": 2.0, "qb": 2.0}, "sf")
+    assert block["ratio"] == 2.0
+    assert block["verdict"].startswith("engine change")
+
+
+def test_fitted_line_keeps_same_box_ab_summary():
+    """Over budget, the A/B block sheds its per-query detail first and
+    its summary (ratio + verdict) survives past every diagnostic — the
+    full detail always lives in BENCH.out.json."""
+    import json
+
+    import bench
+
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": 12.3,
+        "unit": "sec",
+        "queries": {f"query_name_number_{i:03d}": 0.123 for i in range(40)},
+        "cold_total": 99.9,
+        "sf": 0.1,
+        "methodology": {"report": "x" * 200},
+        "git_head": "a" * 120,
+        "cpu_probe_sec": 0.41,
+        "run_total": 12.5,
+        "same_box_ab": {
+            "gate": 1.2,
+            "prior_artifact": "BENCH_r11.json",
+            "prior_commit": "c" * 12,
+            "drift_ratio_vs_artifact": 1.31,
+            "queries": {f"query_name_number_{i:03d}": [2.0, 2.1] for i in range(8)},
+            "prior_tree_sec": 16.0,
+            "current_tree_sec": 16.2,
+            "ratio": 1.013,
+            "verdict": "box drift (trees equal on today's box)",
+        },
+    }
+    line = bench.fitted_line(out)
+    assert len(line) <= bench.TAIL_BUDGET
+    parsed = json.loads(line)
+    assert parsed["same_box_ab"]["ratio"] == 1.013
+    assert "queries" not in parsed["same_box_ab"]
+    # small payloads keep the full detail
+    small = dict(out, queries={"q01": 1.0})
+    parsed_small = json.loads(bench.fitted_line(small))
+    assert "queries" in parsed_small["same_box_ab"]
+
+def test_parse_bench_line_skips_banners():
+    import bench
+
+    stdout = 'ivy banner\n{"not": "bench"}\n{"queries": {"qa": 1.0}, "value": 1.0}\n'
+    assert bench._parse_bench_line(stdout) == {"queries": {"qa": 1.0}, "value": 1.0}
+    assert bench._parse_bench_line("no json here") is None

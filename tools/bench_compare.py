@@ -3,6 +3,19 @@ same analysis the round-3/4 drift investigations did by hand: common
 total, per-query deltas, and queries regressing past a threshold.
 
 Usage: python tools/bench_compare.py BENCH_r04.json BENCH_r05.json [pct]
+
+Same-box A/B mode (r11 verdict item #2 — the judge's worktree method):
+
+  python tools/bench_compare.py --ab <git-ref> q1,q2,... [sf_dir]
+
+checks <git-ref> out in a scratch worktree and runs the named queries
+through BOTH trees back-to-back on the same box (each side a fresh
+subprocess JVM), printing per-query [prior, current] and the measured
+ratio. This separates engine drift from box drift in one run — the
+cpu_probe fingerprint is single-thread-only and cannot (r11's close
+burned three full re-measures learning this). bench.py runs the same
+method automatically when a full run's headline drifts >1.2x past the
+last landed round artifact (bench.same_box_ab).
 """
 
 from __future__ import annotations
@@ -57,7 +70,60 @@ def _queries(path: str) -> dict[str, float]:
     return _payload(path)["queries"]
 
 
+def _ab_main() -> None:
+    import subprocess
+
+    import bench
+
+    ref = sys.argv[2]
+    queries = [q for q in sys.argv[3].split(",") if q]
+    sf_dir = sys.argv[4] if len(sys.argv) > 4 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sha = subprocess.run(
+        ["git", "-C", repo, "rev-parse", ref],
+        capture_output=True, text=True, timeout=10, check=True,
+    ).stdout.strip()
+    wt = os.path.join("/tmp", f"spark_graft_ab_{sha[:12]}")
+    added = False
+    try:
+        if not os.path.isdir(wt):
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "add", "--detach", wt, sha],
+                capture_output=True, text=True, timeout=60, check=True,
+            )
+            added = True
+        print(f"A = {ref} ({sha[:12]}) in {wt}\nB = working tree {repo}")
+        prior = bench._run_tree_bench(wt, queries, sf_dir)
+        cur = bench._run_tree_bench(repo, queries, sf_dir)
+        if not prior or not cur:
+            raise SystemExit(f"mini-run failed: A={'ok' if prior else 'FAIL'} "
+                             f"B={'ok' if cur else 'FAIL'}")
+        both = [q for q in queries if q in prior and q in cur]
+        for q in both:
+            print(f"  {q:40s} A {prior[q]:6.3f}s   B {cur[q]:6.3f}s")
+        a_t, b_t = sum(prior[q] for q in both), sum(cur[q] for q in both)
+        ratio = b_t / a_t if a_t else float("nan")
+        verdict = (
+            "box-equal: same engine speed on today's box"
+            if abs(ratio - 1.0) <= bench.AB_EQUAL_BAND
+            else "trees DIFFER on the same box — engine change"
+        )
+        print(f"A total {a_t:.3f}s   B total {b_t:.3f}s   "
+              f"ratio B/A {ratio:.3f} — {verdict}")
+    finally:
+        if added:
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "remove", "--force", wt],
+                capture_output=True, text=True, timeout=60,
+            )
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--ab"]:
+        _ab_main()
+        return
     a, b = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
     pa, pb = _payload(a), _payload(b)
@@ -71,6 +137,15 @@ def main() -> None:
             "WARNING: methodology differs — deltas mix harness and engine "
             f"changes\n  {a}: {ma}\n  {b}: {mb}"
         )
+    for path, p in ((a, pa), (b, pb)):
+        ab = p.get("same_box_ab")
+        if isinstance(ab, dict) and ab.get("ratio") is not None:
+            print(
+                f"same-box A/B in {path}: prior tree "
+                f"{ab.get('prior_tree_sec')}s vs current "
+                f"{ab.get('current_tree_sec')}s (ratio {ab['ratio']}) — "
+                f"{ab.get('verdict', '')}"
+            )
     for path, p in ((a, pa), (b, pb)):
         if p.get("adjudicated"):
             adj = ", ".join(
