@@ -9442,9 +9442,12 @@ def _vp8l_pixels_from_chunk(data: bytes) -> np.ndarray:
 
 def _webp_pixels(payload: bytes) -> np.ndarray:
     """(h, w, 3) RGB pixels of a WebP: VP8L decodes for real (alpha
-    dropped, the PNG-RGBA rule); VP8 lossy needs a codec library and
-    raises NotImplementedError; animations decode the first frame's
-    VP8L. ValueError on corrupt bytes (the uniform contract)."""
+    dropped, the PNG-RGBA rule); VP8 lossy quarantines as
+    NotImplementedError — not a library dependency but a verification
+    boundary: its entropy layer needs ~2.2 KB of arbitrary normative
+    probability tables with no structural validator and no on-box
+    ground truth (SCALE.md residue map). Animations decode the first
+    frame's VP8L. ValueError on corrupt bytes (the uniform contract)."""
     try:
         chunks = list(_webp_chunks(payload))
         for cid, b, e in chunks:
@@ -9462,13 +9465,21 @@ def _webp_pixels(payload: bytes) -> np.ndarray:
                     return _vp8l_pixels_from_chunk(sub[8 : 8 + ssz])[:, :, 1:4].copy()
                 if sub[:4] == b"VP8 ":
                     raise NotImplementedError(
-                        "VP8 lossy frame decode requires a codec library"
+                        "VP8 lossy frame decode not implemented here: RFC 6386 is "
+                    "public, but its entropy layer rests on ~2.2 KB of "
+                    "arbitrary normative probability tables that admit no "
+                    "structural validation (unlike the MP3 Kraft/PR gates) "
+                    "and no on-box ground truth — see SCALE.md residue map"
                     )
         for cid, b, e in chunks:
             if cid == b"VP8 ":
                 _vp8_dims(payload[b:e])  # validate before quarantining
                 raise NotImplementedError(
-                    "VP8 lossy frame decode requires a codec library"
+                    "VP8 lossy frame decode not implemented here: RFC 6386 is "
+                    "public, but its entropy layer rests on ~2.2 KB of "
+                    "arbitrary normative probability tables that admit no "
+                    "structural validation (unlike the MP3 Kraft/PR gates) "
+                    "and no on-box ground truth — see SCALE.md residue map"
                 )
         raise ValueError("WebP container has no VP8/VP8L image chunk")
     except (ValueError, NotImplementedError):
@@ -9534,7 +9545,11 @@ def _webp_frames(payload: bytes) -> list[np.ndarray]:
                 break
             if scid == b"VP8 ":
                 raise NotImplementedError(
-                    "VP8 lossy frame decode requires a codec library"
+                    "VP8 lossy frame decode not implemented here: RFC 6386 is "
+                    "public, but its entropy layer rests on ~2.2 KB of "
+                    "arbitrary normative probability tables that admit no "
+                    "structural validation (unlike the MP3 Kraft/PR gates) "
+                    "and no on-box ground truth — see SCALE.md residue map"
                 )
         if region is None:
             raise ValueError("ANMF frame without an image chunk")

@@ -6176,7 +6176,10 @@ def test_webp_lossy_and_extended_metadata(spark):
     meta = decode_webp(lossy)
     assert meta["codec"] == "vp8" and (meta["width"], meta["height"]) == (320, 240)
     assert "mean_r" not in meta
-    with pytest.raises(NotImplementedError, match="codec library"):
+    # r12 wording: VP8 lossy is quarantined on the measured
+    # unverifiability of its ~2.2 KB probability tables, not on a
+    # library dependency (see SCALE.md residue map)
+    with pytest.raises(NotImplementedError, match="probability tables"):
         _webp_pixels(lossy)
 
     # VP8X + ANIM + two ANMF frames, the first wrapping a real VP8L
