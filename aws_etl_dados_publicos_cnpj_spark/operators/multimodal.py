@@ -1885,6 +1885,10 @@ def _mp3_huffman(br, g, rate, end_bit):
                 f"MP3 huffman table {tid} transcription unverified "
                 "(see _mp3_tables residue notes)"
             )
+        if tid not in _m3t.HUFF_PAIR:
+            # tables 4 and 14 do not exist in the spec: selecting one
+            # is stream corruption, not a capability gap (fuzz r12)
+            raise ValueError(f"MP3 forbidden huffman table select {tid}")
         dim, linbits, codes = _m3t.HUFF_PAIR[tid]
         hlen, hcod = 0, 0
         while True:
@@ -2125,9 +2129,10 @@ _SYNTH_N = None
 
 
 def _mp3_synth_granule(sub, state):
-    """32-band polyphase synthesis (2.4.3.2): 18 time slots of 32
-    subband samples -> 576 PCM samples. ``state`` is the per-channel
-    1024-entry V FIFO; the window is _mp3_tables.synthesis_window()."""
+    """32-band polyphase synthesis (2.4.3.2): T time slots of 32
+    subband samples -> 32*T PCM samples (T=18 per Layer III granule,
+    T=12 per Layer I frame). ``state`` is the per-channel 1024-entry
+    V FIFO; the window is _mp3_tables.synthesis_window()."""
     global _SYNTH_N
     if _SYNTH_N is None:
         _SYNTH_N = np.cos(
@@ -2139,8 +2144,9 @@ def _mp3_synth_granule(sub, state):
     D = _m3t.synthesis_window()
     V = state["V"]
     U = np.empty(512)
-    pcm = np.empty(576)
-    for t in range(18):
+    n_slots = sub.shape[1]
+    pcm = np.empty(32 * n_slots)
+    for t in range(n_slots):
         V[64:] = V[:-64]
         V[:64] = _SYNTH_N @ sub[:, t]
         for i in range(8):
@@ -2150,22 +2156,169 @@ def _mp3_synth_granule(sub, state):
     return pcm
 
 
+def _layer1_scalefactor(idx: int) -> float:
+    """Layer I/II scalefactor (Table B.1): 2 * 2**(-idx/3), a closed
+    form — the printed table is these values to nine digits. Index 63
+    is forbidden."""
+    if not 0 <= idx <= 62:
+        raise ValueError("MPEG scalefactor index 63 is forbidden")
+    return 2.0 * 2.0 ** (-idx / 3.0)
+
+
+def _layer1_frame_subbands(payload, off, frame_len, nch):
+    """Decode one Layer I frame's 12 x 32 subband samples per channel
+    (2.4.2.5 / 2.4.3.3): 4-bit allocation, 6-bit scalefactors,
+    linearly-quantized samples with the inverted-MSB offset code."""
+    crc = 0 if payload[off + 1] & 1 else 2
+    br = _Mp3Bits(payload[off + 4 + crc : off + frame_len])
+    alloc = [[0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            a = br.read(4)
+            if a == 15:
+                raise ValueError("Layer I allocation 15 is forbidden")
+            alloc[ch][sb] = a
+    sf = [[0.0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                sf[ch][sb] = _layer1_scalefactor(br.read(6))
+    sub = np.zeros((nch, 32, 12))
+    for s in range(12):
+        for sb in range(32):
+            for ch in range(nch):
+                a = alloc[ch][sb]
+                if not a:
+                    continue
+                nb = a + 1
+                code = br.read(nb)
+                base = 0.0 if (code >> (nb - 1)) & 1 else -1.0
+                frac = base + (code & ((1 << (nb - 1)) - 1)) / float(
+                    1 << (nb - 1)
+                )
+                frac = (frac + 2.0 ** (1 - nb)) * (1 << nb) / ((1 << nb) - 1)
+                sub[ch, sb, s] = frac * sf[ch][sb]
+    return sub
+
+
+def _mp1_payload(
+    samples: np.ndarray, rate: int = 32000, br_idx: int = 14
+) -> bytes:
+    """Layer I encoder twin: uniform allocation sized to the frame
+    budget, per-subband scalefactors off the closed-form table, exact
+    inversion of the decoder's offset code. Everything here is
+    formula-math (no transcribed tables), so the round trip gates the
+    full Layer I path at the quantizer's own SNR."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    nch = x.shape[1]
+    if nch not in (1, 2):
+        raise ValueError("mono or stereo only")
+    n = x.shape[0]
+    n_frames = max(1, -(-n // 384))
+    if n_frames * 384 > n:
+        x = np.vstack([x, np.zeros((n_frames * 384 - n, nch))])
+    kbps = _MP3_BITRATES[(1, 1)][br_idx - 1]
+    frame_len = (12 * kbps * 1000 // rate) * 4
+    avail = frame_len * 8 - 32 - nch * 32 * (4 + 6)
+    nb = min(15, avail // (12 * 32 * nch))
+    if nb < 2:
+        raise ValueError("Layer I frame too small for any allocation")
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[rate]
+    h = (
+        (0x7FF << 21) | (3 << 19) | (3 << 17) | (1 << 16) | (br_idx << 12)
+        | (sr_idx << 10) | ((3 if nch == 1 else 0) << 6)
+    )
+    hdr = h.to_bytes(4, "big")
+    subs = [_mp3_analysis(x[:, ch]) for ch in range(nch)]  # (slots, 32)
+    out = bytearray()
+    for fr in range(n_frames):
+        w = _Mp3BitWriter()
+        blk = [s[fr * 12 : (fr + 1) * 12] for s in subs]  # (12, 32) each
+        for sb in range(32):
+            for _ch in range(nch):
+                w.write(nb - 1, 4)
+        sfi = [[0] * 32 for _ in range(nch)]
+        for sb in range(32):
+            for ch in range(nch):
+                mx = float(np.max(np.abs(blk[ch][:, sb])))
+                idx = 62 if mx == 0.0 else int(
+                    np.clip(np.floor(3.0 * np.log2(2.0 / (mx * 1.0001))), 0, 62)
+                )
+                sfi[ch][sb] = idx
+                w.write(idx, 6)
+        for s in range(12):
+            for sb in range(32):
+                for ch in range(nch):
+                    sfv = _layer1_scalefactor(sfi[ch][sb])
+                    y = blk[ch][s, sb] / sfv
+                    pre = y * ((1 << nb) - 1) / (1 << nb) - 2.0 ** (1 - nb)
+                    msb = 1 if pre >= 0 else 0
+                    lsb = int(round((pre - (0.0 if msb else -1.0)) * (1 << (nb - 1))))
+                    lsb = min(max(lsb, 0), (1 << (nb - 1)) - 1)
+                    w.write((msb << (nb - 1)) | lsb, nb)
+        body = w.bytes_padded()
+        body += bytes(frame_len - 4 - len(body))
+        out += hdr + body
+    return bytes(out)
+
+
+def _layer1_decode_stream(payload, off, stream):
+    rate = stream["sample_rate"]
+    nch = stream["n_channels"]
+    synth = [{"V": np.zeros(1024)} for _ in range(nch)]
+    chunks = []
+    while True:
+        info = _mp3_frame_info(payload, off)
+        if info is None:
+            break
+        frame_len, spf, f = info
+        if off + frame_len > len(payload):
+            break
+        if (
+            f["mpeg_version"] != stream["mpeg_version"]
+            or f["layer"] != 1
+            or f["sample_rate"] != rate
+        ):
+            break
+        mode = (int.from_bytes(payload[off : off + 4], "big") >> 6) & 3
+        if mode == 1:
+            raise NotImplementedError(
+                "Layer I intensity (joint) stereo not implemented"
+            )
+        sub = _layer1_frame_subbands(payload, off, frame_len, nch)
+        pcm = np.empty((spf, nch))
+        for ch in range(nch):
+            pcm[:, ch] = _mp3_synth_granule(sub[ch], synth[ch])
+        chunks.append(pcm)
+        off += frame_len
+    if not chunks:
+        raise ValueError("Layer I stream truncated before one complete frame")
+    return np.concatenate(chunks, axis=0), rate, nch
+
+
 def _mp3_decode_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """Full Layer III sample decode. Returns (samples, rate, channels)
-    with ``samples`` float64 of shape (n, channels) on the [-1, 1)
-    full-scale grid. Raises ValueError on corrupt streams and
-    NotImplementedError for honestly-quarantined features (unverified
-    huffman tables, intensity stereo, Layer I/II)."""
+    """Full MPEG audio sample decode: Layer III (MPEG-1 + MPEG-2 LSF)
+    and Layer I. Returns (samples, rate, channels) with ``samples``
+    float64 of shape (n, channels) on the [-1, 1) full-scale grid.
+    Raises ValueError on corrupt streams and NotImplementedError for
+    honestly-quarantined features (unverified huffman tables,
+    intensity stereo, Layer II — whose allocation tables B.2a-d are
+    transcription-unvalidatable here, the VP8 doctrine)."""
     off = _id3v2_size(payload)
     first = _mp3_frame_info(payload, off)
     if first is None:
         raise ValueError("MP3 frame sync not found")
     _, _, stream = first
-    if stream["layer"] != 3:
+    if stream["layer"] == 2:
         raise NotImplementedError(
-            f"MPEG Layer {stream['layer']} sample decode not implemented "
-            "(public spec; Layer III only here)"
+            "MPEG Layer 2 sample decode not implemented: its allocation "
+            "tables (B.2a-d) drive stream PARSING yet admit no structural "
+            "validation — the VP8 doctrine (see SCALE.md residue map)"
         )
+    if stream["layer"] == 1:
+        return _layer1_decode_stream(payload, off, stream)
     rate = stream["sample_rate"]
     if rate not in _m3t.SFB_LONG:
         raise NotImplementedError(
@@ -9520,6 +9673,13 @@ def _webp_frames(payload: bytes) -> list[np.ndarray]:
         raise ValueError("animated WebP missing its VP8X header")
     if cw * ch > _IMG_MAX_PIXELS:
         raise ValueError(f"WebP canvas {cw}x{ch} exceeds the decode cap")
+    # data-backed canvas bound (fuzz r12: a 796-byte mutant declared a
+    # 4194328x8 canvas — inside the absolute cap, but each COMPOSED
+    # playback frame is a canvas-sized copy, so a small payload could
+    # amplify by ~100000x). Same payload-proportional shape as the
+    # VP8L image guard and the GIF screen rule.
+    if cw * ch > max(2040 * len(payload), 1 << 16):
+        raise ValueError("WebP canvas exceeds what the payload can back")
     canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
     out: list[np.ndarray] = []
     for cid, b, e in chunks:

@@ -7572,3 +7572,105 @@ def test_mp3_in_wav_decodes_real_samples():
     assert s.dtype == np.int16 and len(s) == 2 * 1152
     bare = _pcm16_samples(mpeg)
     assert np.array_equal(s, bare)
+
+
+def test_mpeg_layer1_round_trip():
+    """Layer I decode (r12): everything is closed-form math (the B.1
+    scalefactor table IS 2*2^(-i/3); the offset code is formulaic), so
+    the twin round trip gates the full path at the quantizer's own
+    SNR — near-transparent, unlike the table-10-limited Layer III
+    twin. Silence exact; noise >60 dB at unit scale; stereo."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp1_payload,
+    )
+
+    p = _mp1_payload(np.zeros(2 * 384))
+    s, rate, nch = _mp3_decode_samples(p)
+    assert (rate, nch) == (32000, 1) and np.abs(s).max() == 0.0
+    n = 12 * 384
+    x = _bl_noise(n, seed=2)
+    s, _, _ = _mp3_decode_samples(_mp1_payload(x))
+    snr, delay, a = _aligned_snr(x, s[:, 0], search=1500, win=3000)
+    assert snr > 60.0, f"Layer I round-trip SNR {snr:.1f} dB"
+    assert abs(a - 1.0) < 0.01
+    assert delay == 481  # pure filterbank delay: no MDCT stage in L1
+    x2 = np.stack([x, -x], axis=1)
+    s2, _, nch2 = _mp3_decode_samples(_mp1_payload(x2))
+    assert nch2 == 2
+    snr2, _, a2 = _aligned_snr(-x, s2[:, 1], search=1500, win=3000)
+    # stereo halves the per-channel budget: 448 kbps / 32 kHz / 2 ch
+    # leaves a 6-bit allocation -> the quantizer's own ~33 dB
+    assert snr2 > 25.0 and abs(a2 - 1.0) < 0.02
+    d = _decode_mp3(_mp1_payload(x))
+    assert d["rms"] > 0 and d["n_frames"] == n
+
+
+def test_mpeg_layer1_hostile_payloads():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp1_payload,
+    )
+
+    p = bytearray(_mp1_payload(_bl_noise(384)))
+    # allocation 15 is forbidden: force the first 4 alloc bits to 1111
+    q = bytearray(p)
+    q[4] |= 0xF0
+    with pytest.raises(ValueError, match="allocation 15"):
+        _mp3_decode_samples(bytes(q))
+    # intensity (joint) stereo quarantines
+    x2 = np.stack([_bl_noise(384), _bl_noise(384)], axis=1)
+    j = bytearray(_mp1_payload(x2))
+    j[3] = (j[3] & 0x0F) | (1 << 6)
+    with pytest.raises(NotImplementedError, match="intensity"):
+        _mp3_decode_samples(bytes(j))
+    # Layer II quarantine wording carries the doctrine
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp3_stream_payload,
+    )
+    with pytest.raises(NotImplementedError, match="allocation tables"):
+        _mp3_decode_samples(_mp3_stream_payload(layer=2))
+
+
+def test_mp3_forbidden_table_select_is_corruption():
+    """Fuzz r12 finding: tables 4/14 do not exist in the spec — a
+    stream selecting one must raise ValueError (corruption), not leak
+    a KeyError through the Arrow batch."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp3_frame_info,
+    )
+
+    w = _Mp3BitWriter()
+    w.write(0, 9); w.write(0, 5); w.write(0, 4)
+    for _gr in range(2):
+        w.write(100, 12); w.write(1, 9); w.write(210, 8); w.write(0, 4)
+        w.write(0, 1)
+        for _ in range(3):
+            w.write(14, 5)  # forbidden table
+        w.write(0, 4); w.write(0, 3); w.write(0, 1); w.write(0, 1); w.write(0, 1)
+    side = w.bytes_padded()
+    h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) | (9 << 12) | (3 << 6)
+    hdr = h.to_bytes(4, "big")
+    frame_len = _mp3_frame_info(hdr, 0)[0]
+    payload = hdr + side + bytes(frame_len - 4 - len(side))
+    with pytest.raises(ValueError, match="forbidden huffman table"):
+        _mp3_decode_samples(payload)
+
+
+def test_webp_animation_canvas_is_data_backed():
+    """Fuzz r12 finding: a 796-byte animated WebP declared a
+    4194328x8 canvas — inside the absolute pixel cap, but every
+    composed playback frame copies the canvas, amplifying a sub-KB
+    payload by ~1e5. The canvas must now be payload-backed (the GIF
+    screen rule / VP8L image guard shape)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _webp_frames,
+    )
+
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x02, 0, 0, 0]) + (
+        (4194327).to_bytes(3, "little") + (7).to_bytes(3, "little")
+    )
+    anmf_hdr = bytes(12) + bytes(3) + bytes([0])
+    anmf = b"ANMF" + struct.pack("<I", len(anmf_hdr)) + anmf_hdr
+    body = b"WEBP" + vp8x + anmf
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="payload can back"):
+        _webp_frames(payload)

@@ -360,6 +360,18 @@ def _mp3_twin_seed(rng: random.Random) -> bytes:
     return mm._mp3_lossy_payload(x)
 
 
+def _mp1_twin_seed(rng: random.Random) -> bytes:
+    """Layer I fuzz seed (r12): twin streams reach the allocation/
+    scalefactor/offset-code sample path."""
+    import numpy as np
+
+    n = rng.randrange(1, 6) * 384
+    x = np.sin(np.arange(n) * (0.01 + rng.random() * 0.4)) * rng.random() * 0.7
+    if rng.random() < 0.3:
+        x = np.stack([x, -x], axis=1)
+    return mm._mp1_payload(x)
+
+
 def _encode_g711(rng: random.Random) -> bytes:
     """Seed twin for the r9 G.711 path: µ-law/A-law RIFF container."""
     import struct
@@ -488,6 +500,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("g711", _encode_g711(rng)),
         ("mp3", _mp3_seed(rng)),
         ("mp3", _mp3_twin_seed(rng)),
+        ("mp3", _mp1_twin_seed(rng)),
         ("ogg", mm._ogg_flac_payload(raw8, rate=rng.choice((8000, 44100)))),
         ("pcx", mm.encode_pcx(px)),
         ("sgi", mm.encode_sgi(px, rle=rng.random() < 0.7)),
