@@ -7674,3 +7674,79 @@ def test_webp_animation_canvas_is_data_backed():
     payload = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(ValueError, match="payload can back"):
         _webp_frames(payload)
+
+
+# --- real-world cross-container agreement (r12) ------------------------------
+
+_CPY_AUDIO = "/root/.pyenv/versions/3.7.16/lib/python3.7/test/audiodata"
+
+
+def _cpy(name):
+    import os
+
+    path = os.path.join(_CPY_AUDIO, name)
+    if not os.path.exists(path):
+        pytest.skip("CPython audiodata fixtures not on this box")
+    return open(path, "rb").read()
+
+
+def test_real_world_cross_container_agreement():
+    """CPython's test suite ships the SAME plucked-string recording in
+    WAV, AIFF, and AU at several widths — real third-party files, so
+    three INDEPENDENT container decoders can be checked against each
+    other with no fixture of ours in the loop. The 24/32-bit variants
+    are bit-identical across containers (one master); the 16-bit and
+    G.711 variants are independent transcodes, equal within a few LSB."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _au_samples,
+        _pcm16_samples,
+        decode_aiff,
+        decode_au,
+        decode_wav,
+    )
+
+    # stereo 16-bit: same audio through three container decoders
+    w = _pcm16_samples(_cpy("pluck-pcm16.wav")).astype(np.int64)
+    a = _pcm16_samples(_cpy("pluck-pcm16.aiff")).astype(np.int64)
+    u = _pcm16_samples(_cpy("pluck-pcm16.au")).astype(np.int64)
+    assert len(w) == len(a) == len(u) == 6614  # 3307 frames x 2 ch
+    assert np.abs(w - a).max() <= 16  # independent transcodes: LSB dither
+    assert np.abs(w - u).max() <= 16
+    dw = decode_wav(_cpy("pluck-pcm16.wav"))
+    assert dw["n_channels"] == 2 and dw["sample_rate"] == 11025
+    assert dw["n_frames"] == 3307
+
+    # 24/32-bit: one master, three containers, bit-identical stats
+    for width in ("pcm24", "pcm32"):
+        stats = [
+            decode_wav(_cpy(f"pluck-{width}.wav")),
+            decode_aiff(_cpy(f"pluck-{width}.aiff")),
+            decode_au(_cpy(f"pluck-{width}.au")),
+        ]
+        for k in ("n_frames", "sample_rate", "rms", "peak"):
+            vals = {round(s[k], 9) if isinstance(s[k], float) else s[k] for s in stats}
+            assert len(vals) == 1, f"{width} {k} disagrees across containers: {vals}"
+
+    # native 24-bit AU samples sit 8 bits above the 16-bit master
+    s24 = _au_samples(_cpy("pluck-pcm24.au"))[0].astype(np.int64)
+    assert np.abs((s24 >> 8) - u).max() <= 16
+
+    # G.711: u-law (AU + AIFC) and A-law (AIFC) expand through the
+    # spec tables to ~37 dB of the linear original — the real-world
+    # companding bound
+    def snr(x, y):
+        x = x.astype(np.float64)
+        y = y.astype(np.float64)
+        return 10 * np.log10(np.dot(x, x) / np.dot(x - y, x - y))
+
+    for name in ("pluck-ulaw.au", "pluck-ulaw.aifc", "pluck-alaw.aifc"):
+        g = _pcm16_samples(_cpy(name)).astype(np.int64)
+        assert len(g) == 6614
+        s = snr(w, g)
+        assert 30.0 < s < 45.0, f"{name}: companded SNR {s:.1f} dB off-band"
+
+    # 8-bit AIFF/AU (signed linear): same audio at 8-bit precision
+    e8a = _pcm16_samples(_cpy("pluck-pcm8.aiff")).astype(np.int64)
+    e8u = _pcm16_samples(_cpy("pluck-pcm8.au")).astype(np.int64)
+    assert np.abs(e8a - e8u).max() <= 2
+    assert snr(w, e8a * 256) > 25.0
