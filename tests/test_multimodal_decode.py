@@ -7750,3 +7750,62 @@ def test_real_world_cross_container_agreement():
     e8u = _pcm16_samples(_cpy("pluck-pcm8.au")).astype(np.int64)
     assert np.abs(e8a - e8u).max() <= 2
     assert snr(w, e8a * 256) > 25.0
+
+
+_CPY_IMG = "/root/.pyenv/versions/3.7.16/lib/python3.7/test/imghdrdata"
+
+
+def test_real_world_cross_format_image_agreement():
+    """CPython's imghdrdata ships the same 16x16 logo in every classic
+    image format — real third-party encodes, so five independent
+    decoders (PNG, BMP, PPM, SGI RLE, TIFF) can be required to agree
+    PIXEL-EXACTLY with no home-made fixture in the loop; GIF agrees
+    through its 8-bit palette, JPEG through its quantization, and the
+    real VP8-lossy WebP exercises the verification-boundary
+    quarantine on a genuine bitstream."""
+    import os
+
+    if not os.path.isdir(_CPY_IMG):
+        pytest.skip("CPython imghdrdata fixtures not on this box")
+
+    def px(name, fn):
+        return fn(open(os.path.join(_CPY_IMG, name), "rb").read())
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _gif_pixels,
+        _image_pixels,
+        _jpeg_pixels,
+        _png_pixels,
+        _pnm_pixels,
+        _webp_pixels,
+    )
+
+    ref = px("python.png", _png_pixels)
+    assert ref.shape == (16, 16, 3)
+    # the format-agnostic surface must agree PIXEL-EXACTLY across four
+    # more decoders — this also proves the BMP stored-BGR convention
+    # is converted at the _image_pixels boundary on a real file (the
+    # first draft of this test compared _bmp_pixels raw and caught the
+    # channel swap that sum-invariant oracles can never see)
+    for name in ("python.bmp", "python.ppm", "python.sgi", "python.tiff"):
+        got = px(name, _image_pixels)
+        assert np.array_equal(got, ref), f"{name} disagrees with python.png"
+
+    gif = px("python.gif", _gif_pixels).astype(np.int64)
+    assert gif.shape == ref.shape
+    assert np.abs(gif - ref.astype(np.int64)).mean() < 20  # 8-bit palette
+
+    jpg = px("python.jpg", _jpeg_pixels).astype(np.float64)
+    err = jpg - ref.astype(np.float64)
+    psnr = 10 * np.log10(255.0**2 / np.mean(err**2))
+    # hard-edged 16x16 graphic: this third-party encode measures
+    # 23.4 dB against the lossless original — a sane decode sits well
+    # above 20; a channel swap or dequant error would crater it
+    assert psnr > 20.0, f"JPEG logo PSNR {psnr:.1f} dB"
+
+    pbm = px("python.pbm", _pnm_pixels)
+    assert set(np.unique(pbm)) <= {0, 255}  # bilevel
+
+    # a REAL lossy-VP8 bitstream hits the documented quarantine
+    with pytest.raises(NotImplementedError, match="probability tables"):
+        px("python.webp", _webp_pixels)
