@@ -4255,6 +4255,222 @@ def encode_pnm(px: np.ndarray, kind: int = 6, maxval: int = 255) -> bytes:
 # with no new pixel code.
 
 
+# --- Sun Raster + XBM (r12): two classic formats with REAL on-box
+# third-party fixtures (CPython's imghdrdata logo), so both decoders
+# are gated by pixel-exact agreement with the PNG/TIFF/BMP arms on
+# genuine files — the doctrine's gold standard. Implemented from the
+# public rasterfile.h layout / X11 XBM conventions; the reference repo
+# has no image code at all ([EXT] surface).
+
+_RAS_MAGIC = 0x59A66A95
+
+
+def _ras_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) RGB pixels of a Sun Raster file: 8-word big-endian
+    header; depths 1/8/24/32; RT_STANDARD (BGR order, rows padded to
+    16 bits) / RT_FORMAT_RGB (RGB order) / RT_BYTE_ENCODED (the
+    0x80-escape RLE over the standard layout); RMT_EQUAL_RGB colormaps
+    (three concatenated planes). ValueError on corrupt bytes."""
+    try:
+        if len(payload) < 32:
+            raise ValueError("Sun Raster header truncated")
+        magic, w, h, depth, length, rtype, maptype, maplen = struct.unpack(
+            ">8I", payload[:32]
+        )
+        if magic != _RAS_MAGIC:
+            raise ValueError("not a Sun Raster payload")
+        if not 0 < w <= 1 << 15 or not 0 < h <= 1 << 15 or w * h > _IMG_MAX_PIXELS:
+            raise ValueError(f"Sun Raster dimensions {w}x{h} out of range")
+        if depth not in (1, 8, 24, 32):
+            raise ValueError(f"unsupported Sun Raster depth {depth}")
+        if rtype not in (0, 1, 2, 3):
+            raise NotImplementedError(f"Sun Raster type {rtype} not implemented")
+        pos = 32
+        cmap = None
+        if maptype == 1:  # RMT_EQUAL_RGB: all R, all G, all B
+            if maplen % 3 or pos + maplen > len(payload):
+                raise ValueError("corrupt Sun Raster colormap")
+            n = maplen // 3
+            planes = np.frombuffer(payload, np.uint8, maplen, pos).reshape(3, n)
+            cmap = planes.T.copy()  # (n, 3) RGB
+            pos += maplen
+        elif maptype != 0:
+            raise NotImplementedError(f"Sun Raster maptype {maptype} not implemented")
+        elif maplen:
+            pos += maplen  # RMT_NONE with a (spec-legal) dummy map
+        # row stride rounds up to 16 bits
+        stride = ((w * depth + 15) // 16) * 2
+        need = stride * h
+        if rtype == 2:
+            data = bytearray()
+            end = min(len(payload), pos + length) if length else len(payload)
+            i = pos
+            while i < end and len(data) < need:
+                b = payload[i]
+                if b == 0x80:
+                    if i + 1 >= end:
+                        raise ValueError("Sun Raster RLE truncated")
+                    n = payload[i + 1]
+                    if n == 0:
+                        data.append(0x80)
+                        i += 2
+                    else:
+                        if i + 2 >= end:
+                            raise ValueError("Sun Raster RLE truncated")
+                        data += bytes([payload[i + 2]]) * (n + 1)
+                        i += 3
+                else:
+                    data.append(b)
+                    i += 1
+            raw = bytes(data)
+        else:
+            raw = payload[pos : pos + need]
+        if len(raw) < need:
+            raise ValueError("Sun Raster pixel data truncated")
+        rows = np.frombuffer(raw, np.uint8, need).reshape(h, stride)
+        if depth == 1:
+            bits = np.unpackbits(rows, axis=1)[:, :w]  # MSB-first per spec
+            gray = np.where(bits == 0, 255, 0).astype(np.uint8)  # 1 = ink
+            if cmap is not None and len(cmap) >= 2:
+                return cmap[bits.astype(np.intp)].astype(np.uint8)
+            return np.repeat(gray[:, :, None], 3, axis=2)
+        if depth == 8:
+            idx = rows[:, :w]
+            if cmap is None:
+                return np.repeat(idx[:, :, None], 3, axis=2).copy()
+            if idx.max() >= len(cmap):
+                raise ValueError("Sun Raster index exceeds the colormap")
+            return cmap[idx.astype(np.intp)].astype(np.uint8)
+        npx = depth // 8
+        px = rows[:, : w * npx].reshape(h, w, npx)
+        if depth == 32:
+            px = px[:, :, 1:]  # leading pad/alpha byte per rasterfile.h
+        # RT_FORMAT_RGB stores RGB; every other type stores BGR
+        return (px if rtype == 3 else px[:, :, ::-1]).copy()
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt Sun Raster stream ({exc})") from exc
+
+
+def decode_ras(payload: bytes) -> dict:
+    px = _ras_pixels(payload)
+    mean_rgb = px.reshape(-1, 3).mean(axis=0) if px.size else np.zeros(3)
+    return {
+        "kind": "image",
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "mean_r": float(mean_rgb[0]),
+        "mean_g": float(mean_rgb[1]),
+        "mean_b": float(mean_rgb[2]),
+    }
+
+
+def encode_ras(px: np.ndarray, rtype: int = 1, depth: int = 24) -> bytes:
+    """Sun Raster encoder twin: RT_STANDARD (BGR) / RT_FORMAT_RGB /
+    RT_BYTE_ENCODED at 24 or 32 bits — lossless, covering every truecolor
+    decode arm for the round-trip fuzz campaign."""
+    h, w, _ = px.shape
+    if depth == 32:
+        body = np.zeros((h, w, 4), dtype=np.uint8)
+        body[:, :, 1:] = px if rtype == 3 else px[:, :, ::-1]
+    else:
+        body = px if rtype == 3 else px[:, :, ::-1]
+    stride = ((w * depth + 15) // 16) * 2
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * depth // 8] = body.reshape(h, -1)
+    raw = rows.tobytes()
+    if rtype == 2:
+        out = bytearray()
+        i = 0
+        while i < len(raw):
+            b = raw[i]
+            run = 1
+            while i + run < len(raw) and raw[i + run] == b and run < 256:
+                run += 1
+            if run >= 3 or b == 0x80:
+                # a lone 0x80 escapes as (0x80, 0x00); runs emit
+                # (0x80, n-1, value) — including 0x80 runs
+                if run == 1:  # only reachable for b == 0x80
+                    out += bytes([0x80, 0x00])
+                else:
+                    out += bytes([0x80, run - 1, b])
+            else:
+                out += bytes([b]) * run
+            i += run
+        raw = bytes(out)
+    hdr = struct.pack(
+        ">8I", _RAS_MAGIC, w, h, depth, len(raw), rtype, 0, 0
+    )
+    return hdr + raw
+
+
+def _xbm_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) pixels of an X11 XBM (a C-source text format): parse
+    the #define width/height and the bits[] initializer; bits are
+    LSB-first per byte, rows padded to whole bytes, 1 = foreground
+    (rendered black, 0 = white) — the PBM polarity."""
+    try:
+        text = payload.decode("ascii", errors="strict")
+    except UnicodeDecodeError as exc:
+        raise ValueError("XBM payload is not ASCII C source") from exc
+    import re as _re
+
+    dims = dict(
+        (m.group(1), int(m.group(2)))
+        for m in _re.finditer(r"#define\s+\w*?_?(width|height)\s+(\d+)", text)
+    )
+    if "width" not in dims or "height" not in dims:
+        raise ValueError("XBM missing width/height defines")
+    w, h = dims["width"], dims["height"]
+    if not 0 < w <= 1 << 14 or not 0 < h <= 1 << 14 or w * h > _IMG_MAX_PIXELS:
+        raise ValueError(f"XBM dimensions {w}x{h} out of range")
+    body = _re.search(r"\{(.*)\}", text, _re.S)
+    if body is None:
+        raise ValueError("XBM missing bits initializer")
+    vals = [
+        int(tok, 0)
+        for tok in _re.findall(r"0[xX][0-9a-fA-F]+|\d+", body.group(1))
+    ]
+    stride = (w + 7) // 8
+    if len(vals) < stride * h:
+        raise ValueError("XBM bits shorter than width*height")
+    if any(not 0 <= v <= 255 for v in vals[: stride * h]):
+        raise ValueError("XBM byte out of range")
+    rows = np.asarray(vals[: stride * h], dtype=np.uint8).reshape(h, stride)
+    bits = np.unpackbits(rows, axis=1, bitorder="little")[:, :w]
+    gray = np.where(bits, 0, 255).astype(np.uint8)
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def decode_xbm(payload: bytes) -> dict:
+    px = _xbm_pixels(payload)
+    mean_rgb = px.reshape(-1, 3).mean(axis=0) if px.size else np.zeros(3)
+    return {
+        "kind": "image",
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "mean_r": float(mean_rgb[0]),
+        "mean_g": float(mean_rgb[1]),
+        "mean_b": float(mean_rgb[2]),
+    }
+
+
+def encode_xbm(px: np.ndarray, name: str = "img") -> bytes:
+    """XBM encoder twin: any pixel strictly below 128 gray encodes as
+    a set (foreground) bit — lossless for bilevel inputs."""
+    h, w, _ = px.shape
+    bits = (px.reshape(h, w, 3).mean(axis=2) < 128).astype(np.uint8)
+    pad = (-w) % 8
+    if pad:
+        bits = np.concatenate([bits, np.zeros((h, pad), np.uint8)], axis=1)
+    rows = np.packbits(bits, axis=1, bitorder="little")
+    vals = ", ".join(f"0x{b:02X}" for b in rows.reshape(-1))
+    src = (
+        f"#define {name}_width {w}\n#define {name}_height {h}\n"
+        f"static char {name}_bits[] = {{\n  {vals}\n}};\n"
+    )
+    return src.encode("ascii")
+
+
 def _ico_pixels(payload: bytes) -> np.ndarray:
     """(h, w, 3) RGB pixels of the LARGEST image in an ICO/CUR
     container."""
@@ -10268,6 +10484,10 @@ def _image_pixels(payload: bytes) -> np.ndarray:
         return _jpeg_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _gif_pixels(payload)
+    if payload[:4] == b"\x59\xa6\x6a\x95":
+        return _ras_pixels(payload)
+    if payload[:7] == b"#define":
+        return _xbm_pixels(payload)
     if len(payload) >= 2 and payload[0:1] == b"P" and payload[1] in range(0x31, 0x37):
         return _pnm_pixels(payload)
     if payload[:4] == _QOI_MAGIC:
@@ -10934,9 +11154,8 @@ def decode_media(payload: bytes, mime: str) -> dict:
     if mime in ("audio/flac", "audio/x-flac"):
         return decode_flac(payload)
     if mime in ("audio/mpeg", "audio/mp3", "audio/x-mp3"):
-        # metadata-before-decode triage: exact frame/sample counts
-        # from the header walk; the frame payloads themselves need a
-        # codec library (same honesty contract as mp4a/AAC)
+        # r12: REAL Layer III / Layer I sample decode with rms/peak;
+        # honest-quarantine streams degrade to header-walk triage
         return decode_mp3(payload)
     if mime in ("audio/mp4", "audio/x-m4a", "audio/m4a"):
         # Raw-PCM tracks ('twos'/'sowt') decode samples for real
@@ -10962,6 +11181,10 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_pnm(payload)
     if mime in ("image/x-targa", "image/x-tga", "image/targa"):
         return decode_tga(payload)
+    if mime in ("image/x-cmu-raster", "image/x-sun-raster"):
+        return decode_ras(payload)
+    if mime in ("image/x-xbitmap", "image/x-xbm"):
+        return decode_xbm(payload)
     if mime in ("image/qoi", "image/x-qoi"):
         return decode_qoi(payload)
     if mime == "image/webp":
@@ -11767,9 +11990,11 @@ def synthesize_mixed_image_from_text(
     seven — exactly lossless at Pt=0, so the oracle holds verbatim),
     % 24 == 3 WebP VP8L (always lossless; % 48 == 3 plain
     literals + LZ77 runs, % 48 == 27 subtract-green + rotating
-    predictor transform + color cache), and % 48 == 24 an
+    predictor transform + color cache), % 48 == 24 an
     uncompressed masked-RGB DDS surface (exact for any pixels; the
-    BC1-BC3 block modes are unit-pinned on the 565 lattice))
+    BC1-BC3 block modes are unit-pinned on the 565 lattice), and
+    % 96 == 48 a Sun Raster (r12, type cycling RT_STANDARD /
+    RT_BYTE_ENCODED / RT_FORMAT_RGB — all lossless))
     carrying
     the SAME decoded-RGB pixels — pixel k =
     (raw[(3k+2)%n], raw[(3k+1)%n], raw[(3k)%n]) — so all three decode
@@ -11876,6 +12101,18 @@ def synthesize_mixed_image_from_text(
                     rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
                     payloads.append(encode_dds(rgb, fourcc=None))
                     mimes.append("image/x-dds")
+                elif int(doc_id) % 96 == 48:
+                    # r12: Sun Raster — lossless at every type, so it
+                    # joins the oracle-exact rotation; the type cycles
+                    # RT_STANDARD / RT_BYTE_ENCODED / RT_FORMAT_RGB so
+                    # the BGR order, the RLE, and the RGB order all
+                    # run at driver scale (decoder cross-gated
+                    # pixel-exact on CPython's real python.ras too)
+                    rgb = _fixture_bgr(raw, width, height)[:, :, ::-1]
+                    payloads.append(
+                        encode_ras(rgb, rtype=1 + (int(doc_id) // 96) % 3)
+                    )
+                    mimes.append("image/x-cmu-raster")
                 elif int(doc_id) % 24 == 3:
                     # r11: WebP VP8L — always lossless; half plain
                     # literals + LZ77, half subtract-green + rotating

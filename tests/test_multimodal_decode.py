@@ -7787,9 +7787,22 @@ def test_real_world_cross_format_image_agreement():
     # is converted at the _image_pixels boundary on a real file (the
     # first draft of this test compared _bmp_pixels raw and caught the
     # channel swap that sum-invariant oracles can never see)
-    for name in ("python.bmp", "python.ppm", "python.sgi", "python.tiff"):
+    for name in (
+        "python.bmp", "python.ppm", "python.sgi", "python.tiff",
+        "python.ras",  # r12: Sun Raster, gated by this real file
+    ):
         got = px(name, _image_pixels)
         assert np.array_equal(got, ref), f"{name} disagrees with python.png"
+
+    # r12: XBM (a real X11 C-source bitmap) must equal the PBM arm's
+    # bilevel rendering exactly — two text formats, two parsers
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _xbm_pixels,
+    )
+
+    assert np.array_equal(
+        px("python.xbm", _xbm_pixels), px("python.pbm", _pnm_pixels)
+    )
 
     gif = px("python.gif", _gif_pixels).astype(np.int64)
     assert gif.shape == ref.shape
@@ -7809,3 +7822,56 @@ def test_real_world_cross_format_image_agreement():
     # a REAL lossy-VP8 bitstream hits the documented quarantine
     with pytest.raises(NotImplementedError, match="probability tables"):
         px("python.webp", _webp_pixels)
+
+
+def test_ras_and_xbm_twins_and_hostile_payloads():
+    """Sun Raster + XBM (r12): lossless encoder twins across the
+    type/depth matrix; corrupt payloads quarantine as ValueError;
+    unimplemented variants quarantine by name."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _ras_pixels,
+        _xbm_pixels,
+        decode_ras,
+        decode_xbm,
+        encode_ras,
+        encode_xbm,
+    )
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, (7, 9, 3)).astype(np.uint8)
+    for rtype in (1, 2, 3):
+        for depth in (24, 32):
+            assert np.array_equal(_ras_pixels(encode_ras(px, rtype=rtype, depth=depth)), px)
+    d = decode_ras(encode_ras(px))
+    assert (d["width"], d["height"]) == (9, 7)
+    # RLE literal-0x80 escape and run-of-0x80 both round-trip
+    edge = np.full((2, 24, 3), 0x80, dtype=np.uint8)
+    edge[0, 0] = (0x80, 1, 0x80)
+    assert np.array_equal(_ras_pixels(encode_ras(edge, rtype=2)), edge)
+
+    bilevel = np.repeat((rng.randint(0, 2, (5, 11, 1)) * 255), 3, axis=2).astype(np.uint8)
+    assert np.array_equal(_xbm_pixels(encode_xbm(bilevel)), bilevel)
+    assert decode_xbm(encode_xbm(bilevel))["width"] == 11
+
+    good = encode_ras(px)
+    with pytest.raises(ValueError):
+        _ras_pixels(good[:20])  # truncated header
+    bomb = bytearray(good)
+    bomb[4:12] = struct.pack(">II", 1 << 14, 1 << 14)  # 256M-pixel lie
+    with pytest.raises(ValueError, match="out of range|truncated"):
+        _ras_pixels(bytes(bomb))
+    rle = bytearray(encode_ras(px, rtype=2))
+    with pytest.raises(ValueError):
+        _ras_pixels(bytes(rle[:-10]))  # cut mid-RLE
+    odd = bytearray(good)
+    odd[20:24] = struct.pack(">I", 5)  # rtype 5: not a real type
+    with pytest.raises(NotImplementedError, match="type 5"):
+        _ras_pixels(bytes(odd))
+
+    with pytest.raises(ValueError, match="width/height"):
+        _xbm_pixels(b"static char bits[] = {0x00};")
+    with pytest.raises(ValueError, match="shorter"):
+        _xbm_pixels(b"#define w_width 64\n#define w_height 64\n"
+                    b"static char b[] = {0x00};")
+    with pytest.raises(ValueError, match="ASCII"):
+        _xbm_pixels(b"#define \xff\xfe")

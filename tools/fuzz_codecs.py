@@ -504,6 +504,10 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("ogg", mm._ogg_flac_payload(raw8, rate=rng.choice((8000, 44100)))),
         ("pcx", mm.encode_pcx(px)),
         ("sgi", mm.encode_sgi(px, rle=rng.random() < 0.7)),
+        ("ras", mm.encode_ras(
+            px, rtype=rng.choice((1, 2, 3)), depth=rng.choice((24, 32)))),
+        ("xbm", mm.encode_xbm(
+            (px > 127).astype(np.uint8) * 255)),
         (
             "dds",
             mm.encode_dds(
@@ -734,6 +738,8 @@ _DECODERS = {
     "dds": [mm._dds_pixels, mm.decode_dds, mm._image_pixels],
     "pcx": [mm._pcx_pixels, mm.decode_pcx, mm._image_pixels],
     "sgi": [mm._sgi_pixels, mm.decode_sgi, mm._image_pixels],
+    "ras": [mm._ras_pixels, mm.decode_ras, mm._image_pixels],
+    "xbm": [mm._xbm_pixels, mm.decode_xbm, mm._image_pixels],
     "pnm": [mm.decode_pnm, mm._pnm_pixels, mm._image_pixels],
     "tga": [mm.decode_tga, mm._tga_pixels, mm._image_pixels],
     "qoi": [mm.decode_qoi, mm._qoi_pixels, mm._image_pixels],
@@ -911,6 +917,19 @@ def fuzz_round_trip(seconds: float, seed: int) -> int:
             return 1
         if not (mm._dds_pixels(mm.encode_dds(px, fourcc=None)) == px).all():
             print(f"DDS round-trip MISMATCH seed={seed} h={h} w={w}")
+            return 1
+        if not (
+            mm._ras_pixels(mm.encode_ras(
+                px, rtype=rng.choice((1, 2, 3)), depth=rng.choice((24, 32))
+            )) == px
+        ).all():
+            print(f"Sun Raster round-trip MISMATCH seed={seed} h={h} w={w}")
+            return 1
+        bilevel = np.repeat(
+            ((px[:, :, 0] > 127).astype(np.uint8) * 255)[:, :, None], 3, axis=2
+        )
+        if not (mm._xbm_pixels(mm.encode_xbm(bilevel)) == bilevel).all():
+            print(f"XBM round-trip MISMATCH seed={seed} h={h} w={w}")
             return 1
         frames = mm._png_frames(mm.encode_apng([px, 255 - px]))
         if len(frames) != 2 or not (frames[1] == 255 - px).all():
