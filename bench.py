@@ -653,6 +653,16 @@ def main() -> None:
         floor = inherit_floor_runs(prev, out)
         if floor:
             out["floor_runs"] = floor
+        # a same-head rerun that does NOT trip the A/B gate must not
+        # discard a prior run's adjudication evidence (the block that
+        # proves a slow floor_runs entry was box drift) — inherit it,
+        # marked as carried, under the same same-head rule as floor_runs
+        if (
+            "same_box_ab" not in out
+            and floor
+            and isinstance(prev.get("same_box_ab"), dict)
+        ):
+            out["same_box_ab"] = dict(prev["same_box_ab"], carried_from_prior_run=True)
         # Headline = the FASTEST same-tree full run (r8 verdict #2):
         # r8's landed artifact was a slow-box final rerun (52.4s) that
         # overstated the round by ~10% vs its own 43.6s floor. The raw

@@ -367,3 +367,31 @@ def test_parse_bench_line_skips_banners():
     stdout = 'ivy banner\n{"not": "bench"}\n{"queries": {"qa": 1.0}, "value": 1.0}\n'
     assert bench._parse_bench_line(stdout) == {"queries": {"qa": 1.0}, "value": 1.0}
     assert bench._parse_bench_line("no json here") is None
+
+
+def test_same_box_ab_block_inherits_across_same_head_reruns():
+    """A same-head rerun that does not trip the A/B gate must carry
+    the prior run's adjudication block forward (marked), exactly like
+    floor_runs — otherwise the evidence that a slow floor entry was
+    box drift vanishes on the next calm run (observed at the r12
+    close: run 2's live adjudication was dropped by run 3)."""
+    import bench
+
+    prev = {
+        "git_head": "h1",
+        "sf": 0.1,
+        "queries": {"qa": 1.0},
+        "run_total": 55.0,
+        "same_box_ab": {"ratio": 0.9, "verdict": "box drift"},
+    }
+    out = {"git_head": "h1", "sf": 0.1, "queries": {"qa": 1.0}}
+    floor = bench.inherit_floor_runs(prev, out)
+    assert floor == [55.0]
+    # mirror the main() inheritance rule
+    if "same_box_ab" not in out and floor and isinstance(prev.get("same_box_ab"), dict):
+        out["same_box_ab"] = dict(prev["same_box_ab"], carried_from_prior_run=True)
+    assert out["same_box_ab"]["ratio"] == 0.9
+    assert out["same_box_ab"]["carried_from_prior_run"] is True
+    # different head: nothing inherits
+    out2 = {"git_head": "h2", "sf": 0.1, "queries": {"qa": 1.0}}
+    assert bench.inherit_floor_runs(prev, out2) == []
