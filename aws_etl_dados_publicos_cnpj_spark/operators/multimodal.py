@@ -2156,6 +2156,82 @@ def _mp3_synth_granule(sub, state):
     return pcm
 
 
+def _mp3_intensity(xr_ch, g_r, sf_r, zero_pos, rate, ms, lsf):
+    """MPEG-1 Layer III intensity stereo (2.4.3.4.9.3): bands wholly
+    inside the RIGHT channel's zero part carry a position code in the
+    right scalefactors; L/R reconstruct as the closed-form split
+    ratio = tan(is_pos * pi/12) -> L = xr*ratio/(1+ratio),
+    R = xr/(1+ratio) (is_pos 6 is the all-left limit, float-exact to
+    ~1e-16; is_pos 7 means intensity OFF for the band — MS applies
+    there when mode_ext selects both). Everything here is normative
+    FORMULA, not a transcribed table, so the r12 doctrine admits it;
+    the MPEG-2 LSF scheme (2^(-(is_pos+1)/2) tables keyed off
+    intensity scalefac_compress parity) is quarantined by name."""
+    if lsf:
+        raise NotImplementedError(
+            "MPEG-2 LSF intensity stereo not implemented (distinct "
+            "position coding; see SCALE.md residue map)"
+        )
+    left, right = xr_ch[0].copy(), xr_ch[1].copy()
+    sf_l_r, sf_s_r = sf_r
+    short = g_r["block_type"] == 2 and g_r["window_switching"]
+    mixed = short and g_r["mixed_block"]
+    r2 = np.sqrt(2.0)
+
+    def _split(lo, hi, is_pos):
+        if is_pos == 7:
+            if ms:
+                m, s = left[lo:hi].copy(), right[lo:hi].copy()
+                left[lo:hi] = (m + s) / r2
+                right[lo:hi] = (m - s) / r2
+            return
+        ratio = np.tan(is_pos * np.pi / 12.0)
+        left_gain = ratio / (1.0 + ratio)
+        right_gain = 1.0 / (1.0 + ratio)
+        vals = left[lo:hi].copy()
+        left[lo:hi] = vals * left_gain
+        right[lo:hi] = vals * right_gain
+
+    if ms:
+        # below the intensity bound, mode_ext==3 streams are MS
+        bound = zero_pos
+        m, s = left[:bound].copy(), right[:bound].copy()
+        left[:bound] = (m + s) / r2
+        right[:bound] = (m - s) / r2
+    if not short or mixed:
+        starts = np.concatenate(([0], np.cumsum(_m3t.SFB_LONG[rate])))
+        hi_limit = 36 if mixed else 576
+        for sfb in range(22):
+            lo, hi = int(starts[sfb]), int(starts[sfb + 1])
+            if hi > hi_limit:
+                break
+            if lo >= zero_pos:
+                # band 21 carries no scalefactor: reuse band 20's
+                # position per the spec note
+                _split(lo, hi, sf_l_r[min(sfb, 20)])
+    if short:
+        if rate not in _m3t.SFB_SHORT:
+            raise NotImplementedError(
+                f"MP3 short-block scalefactor bands at {rate} Hz unverified"
+            )
+        s_widths = _m3t.SFB_SHORT[rate]
+        s_starts = np.concatenate(([0], np.cumsum(s_widths)))
+        lo_band = 3 if mixed else 0
+        for sfb in range(lo_band, 13):
+            width = int(s_widths[sfb])
+            base = (
+                36 + (int(s_starts[sfb]) - int(s_starts[3])) * 3
+                if mixed
+                else int(s_starts[sfb]) * 3
+            )
+            for w in range(3):
+                lo = base + w * width
+                hi = min(lo + width, 576)
+                if lo >= zero_pos and lo < 576:
+                    _split(lo, hi, sf_s_r[sfb][w] if sfb < 12 else sf_s_r[11][w])
+    return [left, right]
+
+
 def _layer1_scalefactor(idx: int) -> float:
     """Layer I/II scalefactor (Table B.1): 2 * 2**(-idx/3), a closed
     form — the printed table is these values to nine digits. Index 63
@@ -2352,10 +2428,6 @@ def _mp3_decode_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
         at_start = False
         mode = (int.from_bytes(payload[off : off + 4], "big") >> 6) & 3
         mode_ext = (int.from_bytes(payload[off : off + 4], "big") >> 4) & 3
-        if mode == 1 and (mode_ext & 1):
-            raise NotImplementedError(
-                "MP3 intensity stereo not implemented (public spec)"
-            )
         ms = mode == 1 and (mode_ext & 2)
         side, side_len = _mp3_side_info(payload, off, f)
         main_start = off + 4 + side["crc"] + side_len
@@ -2377,12 +2449,16 @@ def _mp3_decode_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
         frame_pcm = np.zeros((spf, nch))
         for gr in range(n_gr):
             xr_ch = []
+            sf_ch = []
+            nlines_ch = []
             for ch in range(nch):
                 g = side["granules"][gr][ch]
                 start_bit = br.pos
                 end_bit = start_bit + g["part2_3_length"]
                 if g["part2_3_length"] == 0:
                     xr_ch.append(np.zeros(576))
+                    sf_ch.append(([0] * 22, [[0, 0, 0] for _ in range(13)]))
+                    nlines_ch.append(0)
                     continue
                 if v1:
                     sf_l, sf_s = _mp3_scalefactors_v1(
@@ -2394,11 +2470,23 @@ def _mp3_decode_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
                 prev_sf[ch] = sf_l
                 if br.pos > end_bit:
                     raise ValueError("MP3 scalefactors past part2_3 length")
-                is_, _n = _mp3_huffman(br, g, rate, end_bit)
+                is_, nlines = _mp3_huffman(br, g, rate, end_bit)
                 br.pos = end_bit  # skip stuffing up to the boundary
                 xr = _mp3_requantize(is_, g, sf_l, sf_s, preflag, rate, not v1)
                 xr_ch.append(xr)
-            if ms and nch == 2:
+                sf_ch.append((sf_l, sf_s))
+                nlines_ch.append(nlines)
+            if nch == 2 and mode == 1 and (mode_ext & 1):
+                xr_ch = _mp3_intensity(
+                    xr_ch,
+                    side["granules"][gr][1],
+                    sf_ch[1],
+                    nlines_ch[1],
+                    rate,
+                    ms=bool(mode_ext & 2),
+                    lsf=not v1,
+                )
+            elif ms and nch == 2:
                 m, s = xr_ch
                 r2 = np.sqrt(2.0)
                 xr_ch = [(m + s) / r2, (m - s) / r2]
@@ -2527,8 +2615,32 @@ def _mp3_encode_granule(w, xr, gg, table=10):
     }
 
 
+def _mp3_intensity_granule(w, is_pos: int) -> dict:
+    """Right-channel granule of an intensity-stereo frame: no spectral
+    data (big_values 0, empty count1), just the 21 scalefactor slots
+    carrying the intensity position — the spec's coding of is_pos."""
+    start_bits = w.bit_length
+    for _sfb in range(11):
+        w.write(is_pos, 4)
+    for _sfb in range(11, 21):
+        w.write(is_pos, 3)
+    return {
+        "part2_3_length": w.bit_length - start_bits,
+        "big_values": 0,
+        "global_gain": 210,
+        "scalefac_compress": 15,
+        "table_select": [0, 0, 0],
+        "region0_count": 7,
+        "region1_count": 7,
+        "scalefac_scale": 1,
+    }
+
+
 def _mp3_lossy_payload(
-    samples: np.ndarray, rate: int = 44100, br_idx: int = 14
+    samples: np.ndarray,
+    rate: int = 44100,
+    br_idx: int = 14,
+    intensity_pos: int | None = None,
 ) -> bytes:
     """Encoder twin for the Layer III decode path: a deterministic
     MPEG-1 Layer III encoder (long blocks, table 10, per-band
@@ -2544,7 +2656,12 @@ def _mp3_lossy_payload(
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 1:
         x = x[:, None]
-    nch = x.shape[1]
+    if intensity_pos is not None:
+        if x.shape[1] != 1:
+            raise ValueError("intensity twin takes mono content")
+        if not 0 <= intensity_pos <= 6:
+            raise ValueError("is_pos must be 0..6 (7 = intensity off)")
+    nch = 2 if intensity_pos is not None else x.shape[1]
     if nch not in (1, 2):
         raise ValueError("mono or stereo only")
     n = x.shape[0]
@@ -2562,7 +2679,7 @@ def _mp3_lossy_payload(
     cs = 1.0 / np.sqrt(1.0 + ci * ci)
     ca = ci / np.sqrt(1.0 + ci * ci)
     spectra = []  # [channel][granule] -> xr[576]
-    for ch in range(nch):
+    for ch in range(x.shape[1]):  # intensity: nch=2 but ONE coded channel
         sub = _mp3_analysis(x[:, ch])  # (slots, 32)
         # frequency inversion pre-twist (decoder inverts after IMDCT)
         for sb in range(1, 32, 2):
@@ -2599,9 +2716,13 @@ def _mp3_lossy_payload(
     frame_len = 144 * kbps * 1000 // rate
     side_len = 17 if nch == 1 else 32
     out = bytearray()
+    if intensity_pos is not None:
+        mode_bits = (1 << 6) | (1 << 4)  # joint stereo, intensity on
+    else:
+        mode_bits = (3 if nch == 1 else 0) << 6
     h = (
         (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) | (br_idx << 12)
-        | (0 << 10) | ((3 if nch == 1 else 0) << 6)
+        | (0 << 10) | mode_bits
     )
     hdr = h.to_bytes(4, "big")
     for fr in range(n_gr_total // 2):
@@ -2612,9 +2733,12 @@ def _mp3_lossy_payload(
             try:
                 for gr in range(2):
                     for ch in range(nch):
-                        sides.append(
-                            _mp3_encode_granule(w, spectra[ch][fr * 2 + gr], gg)
-                        )
+                        if intensity_pos is not None and ch == 1:
+                            sides.append(_mp3_intensity_granule(w, intensity_pos))
+                        else:
+                            sides.append(
+                                _mp3_encode_granule(w, spectra[ch][fr * 2 + gr], gg)
+                            )
             except OverflowError:
                 gg += 4
                 if gg > 255:

@@ -7523,11 +7523,16 @@ def test_mp3_unverified_table_quarantines_by_name():
 
 
 def test_mp3_intensity_stereo_and_layer2_quarantine():
+    # r12: MPEG-1 intensity is IMPLEMENTED (closed-form split) — a
+    # dual-coded stream re-flagged joint+intensity still decodes: the
+    # right channel's data runs to its real zero boundary, so the
+    # intensity region is the trailing zeros and both channels
+    # round-trip at the usual twin SNR
     x = _bl_noise(2 * 1152)
     p = bytearray(_mp3_lossy_payload(np.stack([x, x], axis=1)))
     p[3] = (p[3] & 0x0F) | (1 << 6) | (1 << 4)  # joint stereo + intensity
-    with pytest.raises(NotImplementedError, match="intensity"):
-        _mp3_decode_samples(bytes(p))
+    s, _, nch = _mp3_decode_samples(bytes(p))
+    assert nch == 2 and np.abs(s).max() > 0
     from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
         _mp3_stream_payload,
     )
@@ -7616,7 +7621,7 @@ def test_mpeg_layer1_hostile_payloads():
     q[4] |= 0xF0
     with pytest.raises(ValueError, match="allocation 15"):
         _mp3_decode_samples(bytes(q))
-    # intensity (joint) stereo quarantines
+    # Layer I intensity (joint) stereo stays quarantined
     x2 = np.stack([_bl_noise(384), _bl_noise(384)], axis=1)
     j = bytearray(_mp1_payload(x2))
     j[3] = (j[3] & 0x0F) | (1 << 6)
@@ -7875,3 +7880,61 @@ def test_ras_and_xbm_twins_and_hostile_payloads():
                     b"static char b[] = {0x00};")
     with pytest.raises(ValueError, match="ASCII"):
         _xbm_pixels(b"#define \xff\xfe")
+
+
+def test_mp3_intensity_stereo_closed_form():
+    """MPEG-1 intensity stereo (r12): the split is the normative
+    FORMULA ratio = tan(is_pos*pi/12) — no transcribed table, so the
+    doctrine admits it — and everything after the split is linear, so
+    decoded L/R of an intensity twin stream must be exactly
+    proportional: L*(1/(1+r)) == R*(r/(1+r)) per sample."""
+    x = _bl_noise(3 * 1152, seed=4)
+    for pos in (0, 2, 3, 6):
+        p = _mp3_lossy_payload(x, intensity_pos=pos)
+        s, rate, nch = _mp3_decode_samples(p)
+        assert nch == 2
+        left, right = s[:, 0], s[:, 1]
+        ratio = np.tan(pos * np.pi / 12.0)
+        err = np.abs(left / (1.0 + ratio) - right * (ratio / (1.0 + ratio)))
+        assert err.max() < 1e-12
+        if pos == 0:
+            assert np.abs(left).max() == 0.0 and np.abs(right).max() > 0
+        if pos == 3:
+            assert np.array_equal(left, right)
+        if pos == 6:
+            assert np.abs(right).max() < 1e-12 and np.abs(left).max() > 0
+    # the content survives: the right channel at pos=0 carries the
+    # full mono signal at the usual twin SNR
+    x6 = _bl_noise(6 * 1152, seed=4)
+    s0, _, _ = _mp3_decode_samples(_mp3_lossy_payload(x6, intensity_pos=0))
+    snr, _, a = _aligned_snr(x6, s0[:, 1])
+    assert snr > 14.0 and 0.9 < a < 1.1
+
+
+def test_mp3_intensity_is_pos_7_and_lsf_quarantine():
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mp3_intensity,
+    )
+
+    g = {"block_type": 0, "window_switching": 0, "mixed_block": 0}
+    xl = np.arange(576, dtype=np.float64)
+    xr = np.ones(576)
+    # is_pos 7 = intensity OFF for the band: with ms_stereo also on,
+    # those bands decode as MS
+    sf7 = ([7] * 22, [[0, 0, 0] for _ in range(13)])
+    L, R = _mp3_intensity([xl, xr], g, sf7, 0, 44100, ms=True, lsf=False)
+    r2 = np.sqrt(2.0)
+    assert np.allclose(L, (xl + xr) / r2) and np.allclose(R, (xl - xr) / r2)
+    # without ms, is_pos 7 leaves both channels untouched
+    L2, R2 = _mp3_intensity([xl, xr], g, sf7, 0, 44100, ms=False, lsf=False)
+    assert np.array_equal(L2, xl) and np.array_equal(R2, xr)
+    # the LSF position-coding scheme stays quarantined by name
+    with pytest.raises(NotImplementedError, match="LSF intensity"):
+        _mp3_intensity([xl, xr], g, sf7, 0, 44100, ms=False, lsf=True)
+    # bands below the right channel's zero boundary never split: with
+    # zero_pos past the end, intensity is a no-op
+    L3, R3 = _mp3_intensity(
+        [xl, xr], g, ([3] * 22, [[0, 0, 0]] * 13), 576, 44100,
+        ms=False, lsf=False,
+    )
+    assert np.array_equal(L3, xl) and np.array_equal(R3, xr)

@@ -355,6 +355,9 @@ def _mp3_twin_seed(rng: random.Random) -> bytes:
     n = rng.randrange(1, 4) * 1152
     freq = 0.01 + rng.random() * 0.3
     x = np.sin(np.arange(n) * freq) * (0.1 + 0.6 * rng.random())
+    if rng.random() < 0.25:
+        # intensity-stereo twin (r12): the closed-form split path
+        return mm._mp3_lossy_payload(x, intensity_pos=rng.randrange(7))
     if rng.random() < 0.3:
         x = np.stack([x, x[::-1]], axis=1)
     return mm._mp3_lossy_payload(x)
