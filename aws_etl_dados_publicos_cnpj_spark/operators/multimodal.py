@@ -1427,6 +1427,308 @@ _MP3_RATES = {  # by version bits: 3=MPEG1, 2=MPEG2, 0=MPEG2.5
 }
 
 
+# --- 8SVX + VOC (r12): two legacy audio containers with REAL on-box
+# third-party fixtures (CPython's sndhdrdata), implemented from the
+# public EA-IFF-85 8SVX and Creative Voice specs. The fixtures gate
+# the container walks on genuine files (the test.mp3 pattern); encoder
+# twins + fuzz families gate the sample paths.
+
+_FIB_DELTAS = [-34, -21, -13, -8, -5, -3, -2, -1, 0, 1, 2, 3, 5, 8, 13, 21]
+
+
+def _8svx_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """(int16 interleaved samples, rate, n_channels) of an IFF 8SVX:
+    VHDR + optional CHAN (2/4 = mono, 6 = stereo: BODY is the left
+    block then the right block), signed 8-bit BODY, Fibonacci-delta
+    compression (sCompression 1) expanded per channel. Multi-octave
+    files quarantine by name."""
+    try:
+        if payload[:4] != b"FORM" or payload[8:12] != b"8SVX":
+            raise ValueError("not an 8SVX payload")
+        (form_len,) = struct.unpack_from(">I", payload, 4)
+        end = min(len(payload), 8 + form_len)
+        pos = 12
+        vhdr = None
+        chan = 6 - 4  # default mono
+        body = None
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack_from(">I", payload, pos + 4)
+            data = payload[pos + 8 : pos + 8 + clen]
+            if len(data) < clen:
+                raise ValueError(f"8SVX chunk {cid!r} truncated")
+            if cid == b"VHDR":
+                if clen < 20:
+                    raise ValueError("8SVX VHDR too short")
+                vhdr = struct.unpack(">IIIHBBI", data[:20])
+            elif cid == b"CHAN":
+                if clen < 4:
+                    raise ValueError("8SVX CHAN too short")
+                chan = struct.unpack(">I", data[:4])[0]
+            elif cid == b"BODY":
+                body = data
+            pos += 8 + clen + (clen & 1)
+        if vhdr is None or body is None:
+            raise ValueError("8SVX missing VHDR/BODY")
+        one_shot, repeat, _cycle, rate, octaves, compression, _vol = vhdr
+        if rate == 0:
+            raise ValueError("8SVX zero sample rate")
+        if octaves > 1:
+            raise NotImplementedError(
+                f"8SVX multi-octave ({octaves}) not implemented"
+            )
+        nch = 2 if chan == 6 else 1
+        per_ch = len(body) // nch
+
+        def _expand(block: bytes) -> np.ndarray:
+            if compression == 0:
+                return np.frombuffer(block, dtype=np.int8).astype(np.int16)
+            if compression == 1:
+                # Fibonacci-delta: byte 0 pad, byte 1 initial value,
+                # then two 4-bit delta codes per byte (high first)
+                if len(block) < 2:
+                    raise ValueError("8SVX fib-delta block too short")
+                codes = np.frombuffer(block, np.uint8, len(block) - 2, 2)
+                nib = np.empty(2 * len(codes), dtype=np.int64)
+                nib[0::2] = codes >> 4
+                nib[1::2] = codes & 0xF
+                deltas = np.asarray(_FIB_DELTAS, dtype=np.int64)[nib]
+                out = np.int8(block[1]) + np.cumsum(deltas)
+                if out.max() > 127 or out.min() < -128:
+                    raise ValueError("8SVX fib-delta runs off the 8-bit range")
+                return out.astype(np.int16)
+            raise NotImplementedError(
+                f"8SVX compression {compression} not implemented"
+            )
+
+        n_declared = one_shot + repeat
+        if nch == 2:
+            left = _expand(body[:per_ch])
+            right = _expand(body[per_ch:])
+            n = min(len(left), len(right), n_declared or len(left))
+            out = np.empty(2 * n, dtype=np.int16)
+            out[0::2] = left[:n]
+            out[1::2] = right[:n]
+            return out, rate, 2
+        mono = _expand(body)
+        n = min(len(mono), n_declared or len(mono))
+        return mono[:n], rate, 1
+    except struct.error as exc:
+        raise ValueError(f"corrupt 8SVX stream ({exc})") from exc
+
+
+def decode_8svx(payload: bytes) -> dict:
+    s, rate, nch = _8svx_samples(payload)
+    n_frames = len(s) // max(nch, 1)
+    f = s.astype(np.float64)
+    return {
+        "kind": "audio",
+        "n_channels": nch,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_s": n_frames / rate if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(f**2))) if f.size else 0.0,
+        "peak": float(np.max(np.abs(f))) if f.size else 0.0,
+    }
+
+
+def _8svx_payload(
+    raw: bytes, rate: int = 8000, stereo: bool = False
+) -> bytes:
+    """8SVX encoder twin: text bytes as signed 8-bit samples (the AU/
+    AIFF-8 grid rule — values reinterpreted int8), uncompressed;
+    stereo splits even/odd bytes into the left/right blocks."""
+    data = np.frombuffer(raw, dtype=np.uint8).astype(np.int8)
+    if stereo:
+        if len(data) % 2:
+            data = data[:-1]
+        body = data[0::2].tobytes() + data[1::2].tobytes()
+        per_ch = len(data) // 2
+    else:
+        body = data.tobytes()
+        per_ch = len(data)
+    vhdr = struct.pack(">IIIHBBI", per_ch, 0, 0, rate, 1, 0, 0x10000)
+    chunks = b"VHDR" + struct.pack(">I", len(vhdr)) + vhdr
+    if stereo:
+        chunks += b"CHAN" + struct.pack(">I", 4) + struct.pack(">I", 6)
+    chunks += b"BODY" + struct.pack(">I", len(body)) + body
+    if len(body) & 1:
+        chunks += b"\x00"
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"8SVX" + chunks
+
+
+_VOC_MAGIC = b"Creative Voice File\x1a"
+
+
+def _voc_samples(
+    payload: bytes, grid_only: bool = False
+) -> tuple[np.ndarray, int, int]:
+    """(int16 interleaved samples, rate, n_channels) of a Creative
+    Voice file: classic type-1/2 blocks (8-bit unsigned PCM at the
+    256-code rate, centered to the int16-grid convention the WAV
+    8-bit stats use), type-8 extension (stereo + fine rate), type-9
+    new-format blocks (u8 / s16le), type-3 silence, type 4/5 marker/
+    text skipped. Compressed codecs quarantine by name."""
+    try:
+        if payload[: len(_VOC_MAGIC)] != _VOC_MAGIC:
+            raise ValueError("not a VOC payload")
+        if len(payload) < 26:
+            raise ValueError("VOC header truncated")
+        hdr_size, version, check = struct.unpack_from("<HHH", payload, 20)
+        if ((~version + 0x1234) & 0xFFFF) != check:
+            raise ValueError("VOC header checksum mismatch")
+        pos = hdr_size
+        rate = None
+        nch = 1
+        wide = False
+        pieces: list[np.ndarray] = []
+        ext = None  # pending type-8 extension for the next type-1
+        while pos < len(payload):
+            btype = payload[pos]
+            if btype == 0:
+                break
+            if pos + 4 > len(payload):
+                raise ValueError("VOC block header truncated")
+            blen = int.from_bytes(payload[pos + 1 : pos + 4], "little")
+            data = payload[pos + 4 : pos + 4 + blen]
+            if len(data) < blen:
+                raise ValueError("VOC block truncated")
+            if btype == 1:
+                if blen < 2:
+                    raise ValueError("VOC sound block too short")
+                sr_code, codec = data[0], data[1]
+                if codec != 0:
+                    raise NotImplementedError(
+                        f"VOC codec {codec} not implemented (8-bit PCM only "
+                        "in type-1 blocks)"
+                    )
+                if ext is not None:
+                    e_code, e_mode = ext
+                    nch = 2 if e_mode else 1
+                    rate = round(256000000.0 / (65536 - e_code) / nch)
+                    ext = None
+                else:
+                    if sr_code == 256:
+                        raise ValueError("VOC rate code 256 invalid")
+                    rate = round(1000000.0 / (256 - sr_code))
+                if grid_only:
+                    raise ValueError(
+                        "VOC 8-bit samples need a centering choice "
+                        "(stats only — the WAV-8 fingerprint rule)"
+                    )
+                pieces.append(
+                    np.frombuffer(data, np.uint8, blen - 2, 2).astype(np.int16)
+                    - 128
+                )
+            elif btype == 2:
+                if rate is None:
+                    raise ValueError("VOC continuation before a sound block")
+                if grid_only:
+                    raise ValueError(
+                        "VOC 8-bit samples need a centering choice"
+                    )
+                pieces.append(
+                    np.frombuffer(data, np.uint8, blen).astype(np.int16) - 128
+                )
+            elif btype == 3:
+                if blen < 3:
+                    raise ValueError("VOC silence block too short")
+                n_sil, code = struct.unpack_from("<HB", data, 0)
+                r = round(1000000.0 / (256 - code))
+                rate = rate or r
+                pieces.append(np.zeros((n_sil + 1) * nch, dtype=np.int16))
+            elif btype == 8:
+                if blen < 4:
+                    raise ValueError("VOC extension block too short")
+                e_code = struct.unpack_from("<H", data, 0)[0]
+                if data[2] != 0:
+                    raise NotImplementedError(
+                        f"VOC extended codec {data[2]} not implemented"
+                    )
+                ext = (e_code, data[3])
+            elif btype == 9:
+                if blen < 12:
+                    raise ValueError("VOC new-format block too short")
+                r32, bits, ch, fmt = struct.unpack_from("<IBBH", data, 0)
+                rate, nch = r32, ch
+                if ch not in (1, 2) or r32 == 0:
+                    raise ValueError("VOC bad channel count / rate")
+                if fmt == 0 and bits == 8:
+                    if grid_only:
+                        raise ValueError(
+                            "VOC 8-bit samples need a centering choice"
+                        )
+                    pieces.append(
+                        np.frombuffer(data, np.uint8, blen - 12, 12).astype(
+                            np.int16
+                        )
+                        - 128
+                    )
+                elif fmt == 4 and bits == 16:
+                    wide = True
+                    pieces.append(
+                        np.frombuffer(
+                            data, "<i2", (blen - 12) // 2, 12
+                        ).astype(np.int16)
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"VOC format {fmt}/{bits}-bit not implemented"
+                    )
+            elif btype in (4, 5, 6, 7):
+                pass  # marker / text / repeat control: no samples
+            else:
+                raise ValueError(f"unknown VOC block type {btype}")
+            pos += 4 + blen
+        if rate is None:
+            raise ValueError("VOC carries no sound block")
+        out = (
+            np.concatenate(pieces) if pieces else np.zeros(0, dtype=np.int16)
+        )
+        _ = wide
+        return out, int(rate), nch
+    except struct.error as exc:
+        raise ValueError(f"corrupt VOC stream ({exc})") from exc
+
+
+def decode_voc(payload: bytes) -> dict:
+    s, rate, nch = _voc_samples(payload)
+    n_frames = len(s) // max(nch, 1)
+    f = s.astype(np.float64)
+    return {
+        "kind": "audio",
+        "n_channels": nch,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_s": n_frames / rate if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(f**2))) if f.size else 0.0,
+        "peak": float(np.max(np.abs(f))) if f.size else 0.0,
+    }
+
+
+def _voc_payload(
+    raw: bytes, rate: int = 8000, new_format: bool = False
+) -> bytes:
+    """VOC encoder twin: classic type-1 (8-bit unsigned at the 256-code
+    rate grid) or type-9 new-format (16-bit signed carrying the text
+    bytes verbatim on the int16 grid — the real sndhdr fixture's
+    shape)."""
+    out = bytearray(_VOC_MAGIC)
+    version = 0x010A
+    out += struct.pack("<HHH", 26, version, (~version + 0x1234) & 0xFFFF)
+    if new_format:
+        body = struct.pack(
+            "<IBBH", rate, 16, 1, 4
+        ) + bytes(4) + np.frombuffer(raw, np.uint8).astype("<i2").tobytes()
+        out += bytes([9]) + len(body).to_bytes(3, "little") + body
+    else:
+        code = 256 - round(1000000.0 / rate)
+        body = bytes([code & 0xFF, 0]) + raw
+        out += bytes([1]) + len(body).to_bytes(3, "little") + body
+    out += bytes([0])
+    return bytes(out)
+
+
 def _id3v2_size(payload: bytes) -> int:
     """Total bytes of a leading ID3v2 tag (header + syncsafe size +
     the 10-byte footer when the v2.4 footer flag is set — the footer
@@ -2781,6 +3083,10 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
     magic — the container-agnostic entry the audio fingerprint family
     uses, so fixtures can mix containers while the sample CONTRACT
     (and every SQL oracle built on it) stays identical."""
+    if payload[:4] == b"FORM" and payload[8:12] == b"8SVX":
+        # 8SVX (r12): signed 8-bit sits on the int16 grid verbatim
+        # (the AIFF-8/AU rule — no conversion choice)
+        return _8svx_samples(payload)[0]
     if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
         samples = _aiff_samples(payload)[0]
         if samples.dtype != np.int16:
@@ -2844,6 +3150,11 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         if samples.dtype != np.int16:
             raise ValueError("unsupported FLAC sample width 3")
         return samples
+    if payload[: len(_VOC_MAGIC)] == _VOC_MAGIC:
+        # VOC (r12): 16-bit new-format blocks are grid-verbatim; 8-bit
+        # unsigned needs a centering CHOICE, so it fingerprints only
+        # when the stream is 16-bit throughout (the WAV-8 rule)
+        return _voc_samples(payload, grid_only=True)[0]
     if payload[:4] == b"caff":
         # Apple CAF (r11): same wide-int grid rule
         s = _caf_samples(payload)[0]
@@ -11273,6 +11584,10 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return decode_au(payload)
     if mime in ("audio/x-caf", "audio/caf"):
         return decode_caf(payload)
+    if mime in ("audio/x-8svx", "audio/8svx"):
+        return decode_8svx(payload)
+    if mime in ("audio/x-voc", "audio/voc"):
+        return decode_voc(payload)
     if mime in ("audio/ogg", "application/ogg", "audio/x-ogg", "audio/opus"):
         return decode_ogg(payload)
     if mime in ("audio/flac", "audio/x-flac"):

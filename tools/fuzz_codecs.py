@@ -501,6 +501,8 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("aiff", mm._aifc_payload(raw8, compression=rng.choice((b"sowt", b"NONE", b"fl32", b"fl64")))),
         ("aiff", _encode_ima4_variant(rng)),
         ("g711", _encode_g711(rng)),
+        ("8svx", mm._8svx_payload(raw8, stereo=rng.random() < 0.4)),
+        ("voc", mm._voc_payload(raw8, new_format=rng.random() < 0.5)),
         ("mp3", _mp3_seed(rng)),
         ("mp3", _mp3_twin_seed(rng)),
         ("mp3", _mp1_twin_seed(rng)),
@@ -730,6 +732,8 @@ _DECODERS = {
     "aiff": [mm._aiff_samples, mm.decode_aiff, mm._pcm16_samples],
     "g711": [mm.decode_wav, lambda p: mm._wav_samples_f64(p)[0]],
     "mp3": [mm.decode_mp3, mm._pcm16_samples],
+    "8svx": [mm.decode_8svx, mm._pcm16_samples],
+    "voc": [mm.decode_voc, mm._pcm16_samples],
     "avi": [mm._avi_mjpeg_frames, mm.decode_avi_mjpeg, mm.decode_avi, mm._avi_video_header, mm._avi_audio_as_wav],
     "avia": [mm.decode_avi, mm._avi_audio_as_wav, mm._pcm16_samples, mm.decode_avi_audio],
     "au": [mm.decode_au, mm._au_samples, mm._pcm16_samples],
