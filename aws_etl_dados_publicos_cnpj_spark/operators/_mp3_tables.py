@@ -217,6 +217,16 @@ _LINBITS_HI = {16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
 _RAW = {0: None, 1: _T1, 2: _T2, 3: _T3, 5: _T5, 6: _T6, 7: _T7, 8: _T8,
         9: _T9, 10: _T10, 11: _T11, 12: _T12, 13: _T13, 15: _T15}
 
+# Table 7's transcription failed Kraft validation with a deficit of
+# exactly one leaf, and a constraint search found a UNIQUE single-edit
+# completion — but Kraft + prefix-freeness cannot distinguish the spec
+# assignment from same-length alternatives, and the repair presumes the
+# error was that single edit (r12 advice). With no external known-good
+# vector on this box to adjudicate, the r12 verification doctrine says
+# quarantine: a granule selecting table 7 degrades to triage rather
+# than decoding through an unverified code assignment.
+_REPAIR_UNVERIFIED = {7}
+
 
 def _validate_pairs(entries: list[tuple[int, int]]) -> bool:
     """True iff the (hlen, hcod) list is a complete prefix code: every
@@ -263,7 +273,7 @@ for _tid in range(32):
             HUFF_UNVERIFIED.add(_tid)
         continue
     dim, _lb, entries = base
-    if not _validate_pairs(entries):
+    if _tid in _REPAIR_UNVERIFIED or not _validate_pairs(entries):
         HUFF_UNVERIFIED.add(_tid)
         continue
     linbits = _LINBITS_HI.get(_tid, 0)
@@ -341,76 +351,90 @@ ALIAS_CI = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037]
 # --- synthesis window (Table B.3) -------------------------------------------
 # 512 integers k with D[i] = k / 65536 (the spec prints nine-decimal
 # values that are all exact multiples of 2**-16). Provenance, honestly:
-# the table was transcribed from the public spec (the smooth prototype
-# listing, 257-entry half + mirror), reached only ~27 dB filterbank
-# reconstruction — so the transcription had local errors — and was then
-# REFINED by solving the filterbank's perfect-reconstruction objective
-# itself: the synthesis output is linear in D per 32-sample phase, so
-# alternating ridge least-squares over (analysis window = D/32,
-# synthesis window = D), seeded from the transcription and snapped to
-# the 2**-16 grid, converges to 78 dB reconstruction at the filterbank
-# delay of 481 samples (the spec filterbank's published behavior; the
-# refit is pinned by tests/test_multimodal_decode.py). Entries in
-# structurally-unobservable positions (V-FIFO slots the U extraction
-# never reads) keep their transcribed values. Individual taps may
-# differ by ~1/65536 from the printed table where the PR objective is
-# insensitive — inaudible and far below any Layer III quantization
-# noise; the encoder twin uses exactly this window, so the round-trip
-# gate exercises the identical filterbank both ways.
+# the table was transcribed from the public spec, reached only ~27 dB
+# filterbank reconstruction (local transcription errors), and was then
+# REFINED against the filterbank's own perfect-reconstruction
+# objective (alternating ridge least-squares over analysis = D/32 and
+# synthesis = D, snapped to the 2**-16 grid), r13: then PROJECTED onto
+# the normative table's exact mirror law |D[i]| == |D[512-i]| (the r12
+# refit violated it by up to 5454/65536) and re-polished to 78.3 dB
+# reconstruction at the spec filterbank delay of 481 samples.
+#
+# What self-reconstruction CAN and CANNOT verify (r13, measured):
+# - The only structurally-unobservable taps are the 8 at i = 16+64m:
+#   they multiply V-FIFO slots fed by matrixing row 16, which is
+#   identically zero (cos((2j+1)*pi/2)). EVERY other tap is live --
+#   the r12 claim that the anomalous taps were unobservable was FALSE
+#   (perturbing the center tap measurably destroys reconstruction).
+# - PR is provably blind to per-output-phase factorizations shared by
+#   the tied analysis (D/32) and synthesis (D) windows. Measured: the
+#   16 taps at i = 32m admit equal-PR branches spanning a ~2x range,
+#   including center = +75038 (the spec's printed 1.144989014 peak)
+#   and the landed -76878, all at 78.2-78.3 dB. No on-box ground
+#   truth (the one real MPEG fixture is digital silence, where the
+#   window is a no-op) can adjudicate the branch.
+# Deviation bound, stated honestly: off-phase-0 taps are pinned by
+# the mirror law + PR to ~+-2/65536 of the transcription consensus;
+# the 16 phase-0 taps (1/32 of output phases) deviate from the
+# normative print by an UNQUANTIFIED margin (the equal-PR family
+# spans ~5% there). Twin-encoded streams are exact by construction;
+# real third-party streams decode through a filterbank whose
+# self-reconstruction holds 78.3 dB but whose phase-0 response is
+# unverified against the spec -- decode_mp3 documents this.
 
 _WIN_K = [
-    2, 2, 1, 1, 1, 2, 2, 0, 1, 2,
-    2, 5, 4, 2, 3, 5, 5, 5, 9, 9,
-    8, 9, 12, 13, 13, 17, 16, 17, 23, 22,
-    25, 24, 30, 33, 35, 38, 40, 46, 47, 55,
-    61, 62, 68, 69, 78, 87, 90, 99, 104, 111,
-    116, 126, 132, 139, 145, 155, 160, 165, 177, 183,
-    188, 194, 204, 209, -214, -218, -220, -225, -227, -227,
-    -230, -228, -223, -220, -214, -210, -201, -188, -180, -161,
-    -146, -128, -107, -82, -57, -30, -1, 36, 70, 110,
-    154, 195, 243, 291, 346, 403, 476, 517, 581, 645,
-    709, 780, 849, 919, 992, 1063, 1137, 1210, 1284, 1355,
-    1429, 1498, 1568, 1634, 1698, 1761, 1817, 1870, 1919, 1962,
-    2001, 2033, 2058, 2074, 2086, 2088, 2080, 2063, -2148, -1999,
-    -1953, -1894, -1822, -1740, -1643, -1536, -1412, -1281, -1132, -970,
-    -794, -603, -402, -188, 45, 290, 546, 813, 1096, 1386,
-    1692, 2005, 2328, 2664, 3005, 3351, 3705, 4065, 4427, 4787,
-    5391, 5517, 5879, 6234, 6587, 6934, 7272, 7598, 7911, 8212,
-    8492, 8755, 8997, 9218, 9415, 9585, 9727, 9840, 9914, 9961,
-    9965, 9935, 9861, 9750, 9592, 9390, 9137, 8840, 8490, 8092,
-    7640, 7135, -7189, -5958, -5287, -4560, -3779, -2937, -2038, -1081,
-    -70, 1000, 2120, 3300, 4531, 5818, 7154, 8540, 9975, 11456,
-    12978, 14545, 16155, 17800, 19479, 21191, 22929, 24694, 26481, 28289,
-    30112, 31944, 33791, 35641, 38511, 39333, 41176, 43005, 44820, 46617,
-    48390, 50136, 51852, 53533, 55173, 56779, 58332, 59843, 61290, 62687,
-    64018, 65290, 66496, 67631, 68690, 69678, 70593, 71419, 72168, 72836,
-    73416, 73905, 74313, 74629, 74857, 74991, -76876, -74994, -74855, -74631,
-    -74313, -73911, -73413, -72834, -72170, -71422, -70586, -69681, -68693, -67627,
-    -66493, -65290, -64019, -62681, -61288, -59832, -58334, -56778, -55182, -53536,
-    -51854, -50137, -48389, -46616, -44822, -43006, -41176, -39339, -33057, -35638,
-    -33791, -31949, -30112, -28289, -26483, -24693, -22929, -21187, -19477, -17798,
-    -16154, -14550, -12983, -11454, -9974, -8541, -7154, -5817, -4534, -3300,
-    -2123, -996, 71, 1083, 2037, 2934, 3774, 4562, 5289, 5960,
-    -3119, -7134, -7640, -8092, -8494, -8841, -9141, -9389, -9592, -9750,
-    -9865, -9935, -9968, -9958, -9917, -9836, -9727, -9585, -9416, -9221,
-    -8999, -8755, -8490, -8206, -7909, -7596, -7270, -6937, -6591, -6240,
-    -5879, -5517, -7250, -4790, -4423, -4061, -3705, -3350, -3002, -2662,
-    -2332, -2007, -1692, -1389, -1094, -814, -543, -285, -44, 183,
-    403, 608, 795, 971, 1131, 1279, 1416, 1535, 1646, 1739,
-    1823, 1893, 1951, 2001, -1938, -2063, -2080, -2086, -2084, -2077,
-    -2056, -2032, -2001, -1962, -1919, -1870, -1817, -1757, -1698, -1634,
-    -1567, -1498, -1427, -1357, -1281, -1209, -1137, -1064, -989, -918,
-    -847, -777, -713, -644, -580, -520, -2026, -398, -346, -296,
-    -244, -198, -151, -111, -72, -35, -4, 29, 58, 85,
-    107, 128, 146, 166, 176, 191, 200, 207, 216, 222,
-    226, 226, 226, 229, 226, 224, 223, 217, -1258, -206,
-    -199, -197, -191, -181, -174, -172, -162, -152, -147, -138,
-    -131, -123, -118, -110, -104, -94, -91, -82, -79, -77,
-    -68, -63, -55, -51, -51, -45, -44, -40, -37, -31,
-    247, -31, -26, -23, -18, -20, -19, -14, -15, -12,
-    -10, -10, -9, -6, -5, -7, -5, -5, -5, -7,
-    -3, -1, -3, -3, -2, -3, 1, 0, -1, 0,
-    1, 1,
+    2, 1, 0, 1, 1, 2, 1, 2, 2, 2,
+    1, 2, 4, 4, 4, 5, 5, 6, 8, 8,
+    8, 11, 12, 13, 14, 16, 18, 19, 20, 23,
+    26, 28, 30, 31, 35, 37, 42, 44, 49, 52,
+    58, 61, 69, 74, 78, 84, 90, 96, 104, 110,
+    117, 124, 132, 138, 146, 154, 161, 168, 175, 182,
+    190, 196, 201, 207, -214, -218, -222, -224, -226, -228,
+    -228, -227, -224, -222, -215, -208, -200, -190, -178, -164,
+    -146, -128, -107, -84, -58, -30, 2, 36, 71, 110,
+    151, 195, 244, 293, 347, 401, 477, 518, 580, 644,
+    711, 779, 850, 918, 991, 1064, 1136, 1210, 1283, 1356,
+    1428, 1498, 1566, 1634, 1698, 1759, 1817, 1870, 1919, 1962,
+    2001, 2032, 2057, 2075, 2086, 2087, 2080, 2064, -2148, -2000,
+    -1952, -1894, -1822, -1740, -1644, -1537, -1414, -1280, -1132, -970,
+    -794, -606, -402, -186, 44, 288, 544, 814, 1095, 1388,
+    1692, 2006, 2330, 2663, 3004, 3350, 3706, 4064, 4425, 4789,
+    5392, 5517, 5879, 6237, 6589, 6936, 7271, 7596, 7911, 8210,
+    8491, 8755, 8998, 9220, 9417, 9585, 9727, 9838, 9916, 9960,
+    9966, 9935, 9863, 9750, 9592, 9390, 9139, 8840, 8492, 8091,
+    7640, 7135, -7189, -5959, -5288, -4561, -3776, -2936, -2038, -1082,
+    -70, 998, 2122, 3300, 4532, 5818, 7155, 8540, 9974, 11455,
+    12980, 14548, 16154, 17799, 19477, 21190, 22929, 24694, 26483, 28290,
+    30112, 31946, 33792, 35641, 38511, 39336, 41176, 43006, 44821, 46616,
+    48390, 50136, 51853, 53534, 55178, 56778, 58333, 59837, 61289, 62684,
+    64019, 65290, 66494, 67629, 68692, 69680, 70590, 71420, 72169, 72835,
+    73414, 73908, 74313, 74630, 74856, 74992, -76878, -74992, -74856, -74630,
+    -74313, -73908, -73414, -72835, -72169, -71420, -70590, -69680, -68692, -67629,
+    -66494, -65290, -64019, -62684, -61289, -59837, -58333, -56778, -55178, -53534,
+    -51853, -50136, -48390, -46616, -44821, -43006, -41176, -39336, -33055, -35641,
+    -33792, -31946, -30112, -28290, -26483, -24694, -22929, -21190, -19477, -17799,
+    -16154, -14548, -12980, -11455, -9974, -8540, -7155, -5818, -4532, -3300,
+    -2122, -998, 70, 1082, 2038, 2936, 3776, 4561, 5288, 5959,
+    -3124, -7135, -7640, -8091, -8492, -8840, -9139, -9390, -9592, -9750,
+    -9863, -9935, -9966, -9960, -9916, -9838, -9727, -9585, -9417, -9220,
+    -8998, -8755, -8491, -8210, -7911, -7596, -7271, -6936, -6589, -6237,
+    -5879, -5517, -7238, -4789, -4425, -4064, -3706, -3350, -3004, -2663,
+    -2330, -2006, -1692, -1388, -1095, -814, -544, -288, -44, 186,
+    402, 606, 794, 970, 1132, 1280, 1414, 1537, 1644, 1740,
+    1822, 1894, 1952, 2000, -1934, -2064, -2080, -2087, -2086, -2075,
+    -2057, -2032, -2001, -1962, -1919, -1870, -1817, -1759, -1698, -1634,
+    -1566, -1498, -1428, -1356, -1283, -1210, -1136, -1064, -991, -918,
+    -850, -779, -711, -644, -580, -518, -2024, -401, -347, -293,
+    -244, -195, -151, -110, -71, -36, -2, 30, 58, 84,
+    107, 128, 146, 164, 178, 190, 200, 208, 215, 222,
+    224, 227, 228, 228, 226, 224, 222, 218, -1257, -207,
+    -201, -196, -190, -182, -175, -168, -161, -154, -146, -138,
+    -132, -124, -117, -110, -104, -96, -90, -84, -78, -74,
+    -69, -61, -58, -52, -49, -44, -42, -37, -35, -31,
+    250, -28, -26, -23, -20, -19, -18, -16, -14, -13,
+    -12, -11, -8, -8, -8, -6, -5, -5, -4, -4,
+    -4, -2, -1, -2, -2, -2, -1, -2, -1, -1,
+    0, -1,
 ]
 
 if len(_WIN_K) != 512:

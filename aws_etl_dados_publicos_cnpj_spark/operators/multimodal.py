@@ -1580,7 +1580,6 @@ def _voc_samples(
         pos = hdr_size
         rate = None
         nch = 1
-        wide = False
         pieces: list[np.ndarray] = []
         ext = None  # pending type-8 extension for the next type-1
         while pos < len(payload):
@@ -1608,8 +1607,6 @@ def _voc_samples(
                     rate = round(256000000.0 / (65536 - e_code) / nch)
                     ext = None
                 else:
-                    if sr_code == 256:
-                        raise ValueError("VOC rate code 256 invalid")
                     rate = round(1000000.0 / (256 - sr_code))
                 if grid_only:
                     raise ValueError(
@@ -1665,7 +1662,6 @@ def _voc_samples(
                         - 128
                     )
                 elif fmt == 4 and bits == 16:
-                    wide = True
                     pieces.append(
                         np.frombuffer(
                             data, "<i2", (blen - 12) // 2, 12
@@ -1685,7 +1681,6 @@ def _voc_samples(
         out = (
             np.concatenate(pieces) if pieces else np.zeros(0, dtype=np.int16)
         )
-        _ = wide
         return out, int(rate), nch
     except struct.error as exc:
         raise ValueError(f"corrupt VOC stream ({exc})") from exc
@@ -1875,11 +1870,20 @@ def decode_mp3(payload: bytes) -> dict:
     other audio arm); the MPEG frame count rides in
     ``_mp3_stream_info``'s ``n_mpeg_frames``. r12: Layer III payloads
     decode REAL samples (``_mp3_decode_samples``) and report rms/peak
-    on the int16 grid like the WAV arm; streams that hit an honest
-    quarantine inside the sample layer (a huffman table whose spec
-    transcription failed structural validation, intensity stereo,
-    Layer I/II) degrade to the header-walk triage stats — rms/peak
-    stay null rather than wrong."""
+    on the int16 grid like the WAV arm — as do Layer I payloads
+    (``_layer1_decode_stream``) and MPEG-1 intensity stereo
+    (``_mp3_intensity``); streams that hit an honest quarantine inside
+    the sample layer (a huffman table whose spec transcription failed
+    structural validation, MPEG-2 LSF intensity stereo, Layer II)
+    degrade to the header-walk triage stats — rms/peak stay null
+    rather than wrong. Authority note (r13): twin-encoded streams are
+    exact by construction, but REAL third-party streams decode through
+    a synthesis window whose 16 phase-0 taps cannot be verified
+    against ISO Table B.3 by any on-box means (see the provenance
+    block in ``_mp3_tables``) — their rms/peak carry that filterbank's
+    78 dB self-reconstruction plus an unquantified deviation on 1/32
+    of output phases, so treat them as high-fidelity estimates, not
+    exact PCM."""
     info = _mp3_stream_info(payload)
     out = {
         k: info[k]
@@ -9896,11 +9900,13 @@ def _vp8l_decode_pixels(
     # VP8L's LZ77 + single-symbol (zero-bit) codes make amplification
     # formally unbounded, so a strict bits-per-pixel bound (the
     # JPEG/PNG rule) would reject legitimate highly-compressed
-    # streams. Instead: a generous payload-proportional floor (2040x,
-    # the GIF shape) with a hard 4M-pixel ceiling — a corpus of
-    # genuinely larger images wants a real codec, like the PNG
-    # Paeth note.
-    if w * h > max(2040 * payload_len, 1 << 14) or w * h > (1 << 22):
+    # streams. Instead: a payload-proportional bound (2040x, the GIF
+    # shape) with a 1M-pixel floor — a ~90-byte uniform-color
+    # 1000x1000 stream is legitimate VP8L (r12 advice) and must not
+    # read as corrupt — and a hard 4M-pixel ceiling that alone bounds
+    # per-level decode output at 16 MB; a corpus of genuinely larger
+    # images wants a real codec, like the PNG Paeth note.
+    if w * h > max(2040 * payload_len, 1 << 20) or w * h > (1 << 22):
         raise ValueError("VP8L dimensions exceed what the stream can encode")
     cache_bits = 0
     if r.read(1):
@@ -10324,13 +10330,19 @@ def _webp_frames(payload: bytes) -> list[np.ndarray]:
         raise ValueError("animated WebP missing its VP8X header")
     if cw * ch > _IMG_MAX_PIXELS:
         raise ValueError(f"WebP canvas {cw}x{ch} exceeds the decode cap")
-    # data-backed canvas bound (fuzz r12: a 796-byte mutant declared a
-    # 4194328x8 canvas — inside the absolute cap, but each COMPOSED
-    # playback frame is a canvas-sized copy, so a small payload could
-    # amplify by ~100000x). Same payload-proportional shape as the
-    # VP8L image guard and the GIF screen rule.
-    if cw * ch > max(2040 * len(payload), 1 << 16):
-        raise ValueError("WebP canvas exceeds what the payload can back")
+    # data-backed COMPOSED-volume bound (fuzz r12: a 796-byte mutant
+    # declared a 4194328x8 canvas — inside the absolute cap, but each
+    # COMPOSED playback frame is a canvas-sized copy, so a small
+    # payload could amplify by ~100000x). The amplification vector is
+    # frames x canvas, not the canvas alone (r12 advice: VP8L encodes
+    # a large uniform canvas in far fewer bytes than 1 B / 2040 px),
+    # so the budget scales by ANMF count with a floor that admits
+    # legitimate tiny-payload large-canvas animations.
+    n_anmf = sum(1 for c in chunks if c[0] == b"ANMF")
+    if n_anmf * cw * ch > max(2040 * len(payload), 1 << 24):
+        raise ValueError(
+            "animated WebP composed volume exceeds what the payload can back"
+        )
     canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
     out: list[np.ndarray] = []
     for cid, b, e in chunks:

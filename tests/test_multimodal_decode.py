@@ -7352,9 +7352,10 @@ def test_mp3_tables_structural_validation():
     prefix-freeness; the quarantined set is exactly the documented
     one; both count1 tables are live; scalefactor bands partition
     576/192 by construction (module import enforces it)."""
-    assert set(m3t.HUFF_PAIR) == {1, 2, 3, 5, 6, 7, 9, 10}
+    assert set(m3t.HUFF_PAIR) == {1, 2, 3, 5, 6, 9, 10}
     assert 0 not in m3t.HUFF_UNVERIFIED  # table 0 is the empty table
-    assert {8, 11, 12, 13, 15, 16, 24} <= m3t.HUFF_UNVERIFIED
+    # 7 = Kraft-repaired but externally unverified (r13 quarantine)
+    assert {7, 8, 11, 12, 13, 15, 16, 24} <= m3t.HUFF_UNVERIFIED
     assert set(m3t.COUNT1) == {0, 1}
     for tid, (dim, linbits, codes) in m3t.HUFF_PAIR.items():
         assert len(codes) == dim * dim
@@ -7389,6 +7390,20 @@ def test_mp3_filterbank_near_perfect_reconstruction():
     snr = 10 * np.log10(np.dot(xx, xx) / np.dot(err, err))
     assert snr > 70.0, f"filterbank PR degraded: {snr:.1f} dB"
     assert abs(a - 1.0) < 0.01
+
+
+def test_mp3_window_obeys_normative_mirror_law():
+    """r13: the landed window sits exactly on the normative table's
+    mirror symmetry |D[i]| == |D[512-i]| at every non-phase-0 tap
+    (the r12 refit violated it by up to 5454/65536 — the r12 advice
+    finding). Phase-0 taps (i = 32m) are exempt: their values are
+    PR-unidentifiable and documented as such in the provenance
+    block."""
+    K = [int(round(v * 65536)) for v in m3t.synthesis_window()]
+    for i in range(1, 256):
+        if i % 32 == 0:
+            continue
+        assert abs(K[i]) == abs(K[512 - i]), (i, K[i], K[512 - i])
 
 
 def test_mp3_mdct_pair_is_exact():
@@ -7679,6 +7694,29 @@ def test_webp_animation_canvas_is_data_backed():
     payload = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(ValueError, match="payload can back"):
         _webp_frames(payload)
+
+
+def test_webp_large_uniform_canvas_is_legitimate():
+    """r12 advice: VP8L encodes a large uniform canvas in far fewer
+    bytes than 1 B / 2040 px (a ~90-byte 1000x1000 animation is
+    valid), so the composed-volume guard scales by ANMF frame count
+    and the VP8L level guard floors at 1M pixels — neither may
+    classify these as corrupt."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _webp_frames,
+        _webp_pixels,
+        encode_webp,
+        encode_webp_anim,
+    )
+
+    big = np.full((1000, 1000, 3), 77, np.uint8)
+    anim = encode_webp_anim([big])
+    assert len(anim) < 1000 * 1000 // 2040  # the old guard's reject zone
+    frames = _webp_frames(anim)
+    assert len(frames) == 1 and frames[0].shape == (1000, 1000, 3)
+    assert np.array_equal(np.unique(frames[0]), [77])
+    still = encode_webp(big)
+    assert np.array_equal(_webp_pixels(still), big)
 
 
 # --- real-world cross-container agreement (r12) ------------------------------
