@@ -2999,18 +2999,22 @@ def test_gif_playback_resource_bounds_review_findings():
     with pytest.raises(ValueError, match="decode cap"):
         _gif_frames(bytes(big))
     # (c) total-output cap: patch the cap down so the case stays fast
-    # while exercising the real guard (n_frames * canvas > cap)
-    from aws_etl_dados_publicos_cnpj_spark.operators import multimodal as mm
+    # while exercising the real guard (n_frames * canvas > cap).
+    # r13: the guard reads its OWN module's global, so patch the
+    # implementing submodule, not the facade.
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        image as mm_image,
+    )
 
     frames = [np.zeros((64, 64, 3), dtype=np.uint8)] * 8  # 8 x 12 KB
     payload = encode_gif_animation(frames)
-    saved = mm._GIF_MAX_OUTPUT_BYTES
+    saved = mm_image._GIF_MAX_OUTPUT_BYTES
     try:
-        mm._GIF_MAX_OUTPUT_BYTES = 4 * 64 * 64 * 3
+        mm_image._GIF_MAX_OUTPUT_BYTES = 4 * 64 * 64 * 3
         with pytest.raises(ValueError, match="output exceeds"):
             _gif_frames(payload)
     finally:
-        mm._GIF_MAX_OUTPUT_BYTES = saved
+        mm_image._GIF_MAX_OUTPUT_BYTES = saved
     assert len(_gif_frames(payload)) == 8  # under the real cap: fine
 
 
