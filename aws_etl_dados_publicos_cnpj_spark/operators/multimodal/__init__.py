@@ -71,9 +71,9 @@ bytes zero-copy between JVM and Python.
 # namespace (verdict r12 "what's wrong" item 2: split behind an
 # import-compatible facade, zero behavior change).
 
-from . import audio, containers, image, media, queries  # noqa: F401
+from . import audio, containers, image, media, queries, vorbis  # noqa: F401
 
-for _m in (audio, image, containers, media, queries):
+for _m in (audio, image, containers, media, queries, vorbis):
     for _k, _v in vars(_m).items():
         if not _k.startswith("__"):
             globals()[_k] = _v

@@ -3089,8 +3089,19 @@ def _pcm16_samples(payload: bytes) -> np.ndarray:
         return s
     if payload[:4] == b"OggS":
         # Ogg (r11): Ogg-FLAC fingerprints through the native-FLAC
-        # delegation; Vorbis/Opus quarantine like every transform arm
+        # delegation; r13: Vorbis decodes REAL samples (the MP3 rule:
+        # float output fingerprints on the int16 grid for energy
+        # hashes — lossy samples never join the exact-contract
+        # fixtures); Opus quarantines like every transform arm
         kind, info = _ogg_audio_info(payload)
+        if kind == "vorbis":
+            from .vorbis import vorbis_samples  # back edge of the split
+
+            s, _rate, _nch = vorbis_samples(payload)
+            flat = s.reshape(-1)
+            return np.clip(
+                np.round(flat * 32768.0), -32768, 32767
+            ).astype(np.int16)
         if kind != "flac":
             raise NotImplementedError(
                 f"Ogg {kind} sample decode needs a codec library"
@@ -4149,12 +4160,25 @@ def _ogg_audio_info(payload: bytes) -> tuple[str, dict | bytes]:
 
 def decode_ogg(payload: bytes) -> dict:
     """Ogg entry: Ogg-FLAC decodes samples for REAL through the
-    native-FLAC delegation; Vorbis/Opus report identification-header
-    + granule metadata (no rms — the transform payloads need codec
-    libraries)."""
+    native-FLAC delegation; r13: Vorbis decodes REAL samples
+    (floor1 + residues 0/1/2 + coupling + IMDCT — see
+    ``vorbis.py``'s doctrine note), degrading to identification-
+    header triage on the named floor-0 quarantine; Opus reports
+    triage metadata only (no rms — the codec needs external
+    normative tables)."""
     kind, info = _ogg_audio_info(payload)
     if kind == "flac":
         return decode_flac(info)
+    if kind == "vorbis":
+        from .vorbis import decode_vorbis  # back edge of the split
+
+        try:
+            return decode_vorbis(payload)
+        except (NotImplementedError, ValueError):
+            # floor-0 quarantine or a sample layer the headers
+            # misdescribe: honest triage, rms/peak stay null (the
+            # decode_mp3 degradation contract)
+            return info
     return info
 
 

@@ -375,6 +375,35 @@ def _mp1_twin_seed(rng: random.Random) -> bytes:
     return mm._mp1_payload(x)
 
 
+def _vorbis_twin_seed(rng: random.Random) -> bytes:
+    """Vorbis fuzz seed (r13): twin streams with in-stream codebooks
+    reach the setup parser (codebook/floor/residue/mapping/mode), the
+    packet walk, and the floor1/residue/coupling/IMDCT sample path."""
+    import numpy as np
+
+    n = rng.randrange(400, 4000)
+    x = np.sin(np.arange(n) * (0.01 + rng.random() * 0.4)) * (
+        0.1 + 0.7 * rng.random()
+    )
+    stereo = rng.random() < 0.5
+    if stereo:
+        x = np.stack([x, -x * rng.random()], axis=1)
+    res_type = rng.choice((0, 1, 2))
+    return mm._vorbis_payload(
+        x,
+        rate=rng.choice((8000, 44100)),
+        res_type=res_type,
+        couple=stereo and res_type == 2 and rng.random() < 0.5,
+        dual=rng.random() < 0.4,
+        ordered=rng.random() < 0.3,
+        **(
+            dict(levels=9, lookup2=True)
+            if rng.random() < 0.25
+            else {}
+        ),
+    )
+
+
 def _encode_g711(rng: random.Random) -> bytes:
     """Seed twin for the r9 G.711 path: µ-law/A-law RIFF container."""
     import struct
@@ -507,6 +536,7 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
         ("mp3", _mp3_twin_seed(rng)),
         ("mp3", _mp1_twin_seed(rng)),
         ("ogg", mm._ogg_flac_payload(raw8, rate=rng.choice((8000, 44100)))),
+        ("ogg", _vorbis_twin_seed(rng)),
         ("pcx", mm.encode_pcx(px)),
         ("sgi", mm.encode_sgi(px, rle=rng.random() < 0.7)),
         ("ras", mm.encode_ras(
