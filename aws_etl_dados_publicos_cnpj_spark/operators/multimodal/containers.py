@@ -266,6 +266,41 @@ def _mkv_audio_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
         if native[:4] != b"fLaC":
             raise ValueError("A_FLAC CodecPrivate missing the fLaC header")
         return _flac_samples(native)
+    if codec == "A_VORBIS":
+        # Matroska Vorbis (r13): the three header packets ride
+        # CodecPrivate in Xiph-lacing form (count byte == 2, then
+        # 255-run sizes for the first two, third implicit); each block
+        # frame is one audio packet. Delegates to the Ogg machinery's
+        # container-agnostic core; no granule -> no tail truncation.
+        from .vorbis import vorbis_samples_from_packets  # back edge
+
+        priv = bytes(trk["private"])
+        if len(priv) < 3 or priv[0] != 2:
+            raise ValueError("A_VORBIS CodecPrivate must lace 3 packets")
+        sizes = []
+        pos = 1
+        for _ in range(2):
+            sz = 0
+            while True:
+                if pos >= len(priv):
+                    raise ValueError("A_VORBIS CodecPrivate lacing truncated")
+                b = priv[pos]
+                pos += 1
+                sz += b
+                if b != 255:
+                    break
+            sizes.append(sz)
+        p0 = priv[pos : pos + sizes[0]]
+        p1 = priv[pos + sizes[0] : pos + sizes[0] + sizes[1]]
+        p2 = priv[pos + sizes[0] + sizes[1] :]
+        pkts = [p0, p1, p2] + list(doc["blocks"].get(trk["number"], []))
+        s, vrate, vch = vorbis_samples_from_packets(pkts, -1)
+        flat = s.reshape(-1)  # row-major = interleaved, like every arm
+        return (
+            np.clip(np.round(flat * 32768.0), -32768, 32767).astype(np.int16),
+            vrate,
+            vch,
+        )
     if codec in ("A_PCM/INT/LIT", "A_PCM/INT/BIG"):
         bits = trk["bits"] or 16
         if bits not in (16, 24, 32):
@@ -345,6 +380,23 @@ def decode_mkv(payload: bytes) -> dict:
     trk = audio[0]
     try:
         samples, rate, n_ch = _mkv_audio_samples(payload)
+    except ValueError:
+        # r13: A_VORBIS decodes for real, so its sample layer can fail
+        # on headers the track entry misdescribes (e.g. missing
+        # CodecPrivate) — degrade to track-metadata triage, the
+        # decode_ogg rule; any OTHER codec's ValueError still means a
+        # corrupt payload and propagates
+        if (trk["codec"] or "") != "A_VORBIS":
+            raise
+        out = {
+            "kind": "audio",
+            "codec": "vorbis",
+            "n_channels": trk["channels"],
+            "sample_rate": int(trk["rate"]),
+        }
+        if duration_s is not None:
+            out["duration_s"] = duration_s
+        return out
     except NotImplementedError:
         out = {
             "kind": "audio",
@@ -551,6 +603,58 @@ def _mkv_payload(
         b"\x1a\x45\xdf\xa3",
         _ebml_el(b"\x42\x82", doctype.encode("ascii"))
         + _ebml_el(b"\x42\x86", b"\x01"),
+    )
+    return header + segment
+
+
+def _mkv_vorbis_payload(samples, rate: int = 8000, **twin_kw) -> bytes:
+    """Matroska A_VORBIS builder twin (r13): the SAME packets the Ogg
+    Vorbis twin emits, re-wrapped — three headers Xiph-laced into
+    CodecPrivate, one plain block per audio packet — so the Ogg and
+    Matroska decode paths can be cross-checked for exact agreement."""
+    import numpy as np
+
+    from .audio import _ogg_packets
+    from .vorbis import _vorbis_payload
+
+    samples = np.asarray(samples, dtype=np.float64)
+    packets, _, _ = _ogg_packets(_vorbis_payload(samples, rate, **twin_kw))
+    private = bytearray([2])
+    for pk in packets[:2]:
+        sz = len(pk)
+        private += b"\xff" * (sz // 255) + bytes([sz % 255])
+    private += packets[0] + packets[1] + packets[2]
+    n_ch = samples.shape[1] if samples.ndim == 2 else 1
+    audio = (
+        _ebml_el(b"\xb5", struct.pack(">f", float(rate)))
+        + _ebml_el(b"\x9f", bytes([n_ch]))
+    )
+    track = _ebml_el(
+        b"\xae",
+        _ebml_el(b"\xd7", b"\x01")
+        + _ebml_el(b"\x83", b"\x02")
+        + _ebml_el(b"\x86", b"A_VORBIS")
+        + _ebml_el(b"\x63\xa2", bytes(private))
+        + _ebml_el(b"\xe1", audio),
+    )
+    info = _ebml_el(
+        b"\x15\x49\xa9\x66",
+        _ebml_el(b"\x2a\xd7\xb1", _ebml_uint_body(1_000_000))
+        + _ebml_el(b"\x44\x89", struct.pack(">f", float(len(samples)))),
+    )
+    blocks = b"".join(
+        _ebml_el(b"\xa3", b"\x81\x00\x00\x80" + pk) for pk in packets[3:]
+    )
+    cluster = _ebml_el(
+        b"\x1f\x43\xb6\x75", _ebml_el(b"\xe7", b"\x00") + blocks
+    )
+    segment = _ebml_el(
+        b"\x18\x53\x80\x67",
+        info + _ebml_el(b"\x16\x54\xae\x6b", track) + cluster,
+    )
+    header = _ebml_el(
+        b"\x1a\x45\xdf\xa3",
+        _ebml_el(b"\x42\x82", b"matroska") + _ebml_el(b"\x42\x86", b"\x01"),
     )
     return header + segment
 

@@ -830,6 +830,15 @@ def vorbis_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
     The final page's granule position truncates the tail (section
     A.2)."""
     packets, last_granule, _ = _ogg_packets(payload)
+    return vorbis_samples_from_packets(packets, last_granule)
+
+
+def vorbis_samples_from_packets(
+    packets: list[bytes], last_granule: int
+) -> tuple[np.ndarray, int, int]:
+    """Container-agnostic core of ``vorbis_samples``: three header
+    packets + audio packets, however they were carried (Ogg pages or
+    Matroska CodecPrivate + blocks)."""
     st = _VorbisStream(packets[:3])
     chunks: list[np.ndarray] = []
     acc: np.ndarray | None = None  # pending, starts at emit boundary

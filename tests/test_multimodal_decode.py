@@ -6434,8 +6434,9 @@ def test_mkv_audio_decodes_across_codecs_and_lacings():
 def test_mkv_video_triage_and_transform_codec_quarantine():
     """Video tracks get the metadata-before-decode shape: real dims,
     codec id, block-frame count, declared duration — no fake pixels.
-    Transform audio codecs (A_VORBIS) quarantine at the sample layer
-    while container stats still return."""
+    r13: A_VORBIS decodes for real, so a headerless track exercises
+    the DEGRADATION path — decode_mkv falls back to track-metadata
+    triage while the sample layer raises the malformed-file error."""
     from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
         _ebml_el,
         _ebml_uint_body,
@@ -6495,7 +6496,10 @@ def test_mkv_video_triage_and_transform_codec_quarantine():
     assert meta["kind"] == "audio" and meta["codec"] == "vorbis"
     assert meta["sample_rate"] == 48000 and meta["n_channels"] == 2
     assert "rms" not in meta
-    with pytest.raises(NotImplementedError, match="codec library"):
+    # r13: A_VORBIS decodes for real now, so a track with NO
+    # CodecPrivate headers is MALFORMED (ValueError), not a named
+    # codec quarantine — decode_mkv above degrades to triage
+    with pytest.raises(ValueError, match="lace 3 packets"):
         _mkv_audio_samples(payload)
 
 
@@ -8262,3 +8266,65 @@ def test_vorbis_decode_caps_bound_hostile_setup_headers():
     )
     with pytest.raises(ValueError, match="decode cap"):
         vb._read_codebook(r)
+
+
+def test_decode_features_survives_vorbis_rows(spark):
+    """An audio/ogg Vorbis doc through decode_features yields a normal
+    stats row with REAL rms/peak (r13), Opus triages with null rms,
+    and garbage quarantines per payload — the MP3 Arrow-batch rule."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _ogg_pages,
+        _vorbis_payload,
+        decode_features,
+    )
+
+    tone = 0.4 * np.sin(2 * np.pi * 500 * np.arange(2000) / 8000)
+    opus_head = (
+        b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 0)
+        + struct.pack("<I", 16000) + bytes(3)
+    )
+    rows = [
+        (1, bytearray(_vorbis_payload(tone, rate=8000)), "audio/ogg"),
+        (2, bytearray(_ogg_pages([opus_head, b"\xff"], granules=[0, 480])),
+         "audio/ogg"),
+        (3, bytearray(b"OggSgarbage-not-a-page"), "audio/ogg"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, mime string")
+    got = {r.doc_id: r for r in decode_features(df).collect()}
+    assert got[1].ok and got[1].codec == "vorbis"
+    assert got[1].n_frames == 2000 and got[1].rms > 0 and got[1].peak > 0
+    assert got[2].ok and got[2].codec == "opus" and got[2].rms is None
+    assert not got[3].ok and got[3].err
+
+
+def test_matroska_vorbis_delegation_agrees_with_ogg_exactly():
+    """A_VORBIS (r13): three header packets Xiph-laced in CodecPrivate
+    + one packet per block delegate to the same Vorbis core as Ogg —
+    decoding the SAME twin packets through both containers must agree
+    BIT-EXACTLY on the common prefix (Matroska has no granule, so its
+    tail keeps the lap padding the Ogg granule truncates)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mkv_audio_samples,
+        _mkv_vorbis_payload,
+        _pcm16_samples,
+        _vorbis_payload,
+        decode_mkv,
+    )
+
+    t = 0.4 * np.sin(2 * np.pi * 500 * np.arange(3000) / 8000)
+    st = np.stack([t, -0.5 * t], axis=1)
+    for src, kw in ((t, {}), (st, dict(res_type=2, couple=True)),
+                    (t, dict(dual=True))):
+        mkv = _mkv_vorbis_payload(src, rate=8000, **kw)
+        ogg = _vorbis_payload(src, rate=8000, **kw)
+        s_m = _mkv_audio_samples(mkv)[0]
+        s_o = _pcm16_samples(ogg)
+        assert np.array_equal(s_m[: len(s_o)], s_o), kw
+    d = decode_mkv(_mkv_vorbis_payload(t, rate=8000))
+    assert d["kind"] == "audio" and d["rms"] > 0 and d["peak"] > 0
+    # corrupt CodecPrivate quarantines by name
+    broken = bytearray(_mkv_vorbis_payload(t, rate=8000))
+    idx = bytes(broken).find(b"A_VORBIS") + len(b"A_VORBIS") + 3
+    broken[idx] = 9  # lace-count byte != 2
+    with pytest.raises(ValueError):
+        _mkv_audio_samples(bytes(broken))

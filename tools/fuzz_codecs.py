@@ -583,6 +583,10 @@ def _seed_payloads(rng: random.Random) -> list[tuple[str, bytes]]:
                 unknown_segment_size=rng.random() < 0.3,
             ),
         ),
+        ("mkv", mm._mkv_vorbis_payload(
+            np.sin(np.arange(rng.randrange(400, 2000)) * 0.1) * 0.5,
+            rate=rng.choice((8000, 44100)),
+        )),
         ("avi", mm._avi_mjpeg_container(mm._mjpeg_frames_for_text(flat or b"x", n))),
         ("avia", mm._avi_audio_container(mm._wav_payload(raw8), n_chunks=rng.randrange(1, 5))),
         ("avia", mm._avi_audio_container(_encode_ima_variant(rng), n_chunks=2)),
