@@ -728,22 +728,34 @@ def _window_slope(n: int) -> np.ndarray:
     return np.sin(np.pi / 2.0 * np.sin(x) ** 2)
 
 
-_IMDCT_CACHE: dict[int, np.ndarray] = {}
+def _imdct_direct(spec: np.ndarray) -> np.ndarray:
+    """Textbook O(n^2) IMDCT (section 1.3.2): the exactness oracle the
+    FFT path is tested against."""
+    half = spec.shape[-1]
+    n = 2 * half
+    j = np.arange(n)[:, None]
+    k = np.arange(half)[None, :]
+    M = np.cos(np.pi / (2.0 * n) * (2 * j + 1 + n // 2) * (2 * k + 1))
+    return M @ spec
 
 
 def _imdct(spec: np.ndarray) -> np.ndarray:
-    """Direct IMDCT (section 1.3.2 transform): n output samples from
-    n/2 spectral lines. O(n^2) matrix, cached per block size — fixture
-    scale; per-payload parallel inside mapInPandas at corpus scale."""
+    """IMDCT via a zero-padded odd-bin IFFT, O(n log n) (r13):
+    y[j] = sum_k X[k] cos(pi/(2n) (2j+1+n/2)(2k+1)) — absorb the
+    j-independent phase into a twiddle c_k = X_k e^{i a (1+n/2) q},
+    q = 2k+1, and the rest is Re of a length-2n inverse DFT evaluated
+    on odd bins. Correct by construction (no index gymnastics) and it
+    avoids caching an n x n/2 matrix per block size (268 MB at the
+    spec's 8192 cap). Matches _imdct_direct to ~3e-10 at n=8192
+    (pinned in tests)."""
     half = spec.shape[-1]
     n = 2 * half
-    M = _IMDCT_CACHE.get(n)
-    if M is None:
-        j = np.arange(n)[:, None]
-        k = np.arange(half)[None, :]
-        M = np.cos(np.pi / (2.0 * n) * (2 * j + 1 + n // 2) * (2 * k + 1))
-        _IMDCT_CACHE[n] = M
-    return M @ spec
+    a = np.pi / (2.0 * n)
+    q = 2 * np.arange(half) + 1
+    c = spec * np.exp(1j * a * (1 + n // 2) * q)
+    z = np.zeros(2 * n, dtype=complex)
+    z[1:n:2] = c
+    return np.real(np.fft.ifft(z)[:n]) * (2 * n)
 
 
 def _vorbis_decode_packet(st: _VorbisStream, packet: bytes):

@@ -8328,3 +8328,16 @@ def test_matroska_vorbis_delegation_agrees_with_ogg_exactly():
     broken[idx] = 9  # lace-count byte != 2
     with pytest.raises(ValueError):
         _mkv_audio_samples(bytes(broken))
+
+
+def test_vorbis_fft_imdct_matches_direct_transform():
+    """The O(n log n) odd-bin-IFFT IMDCT must match the textbook
+    O(n^2) transform to float precision at every legal block size —
+    including the spec's 8192 cap, where the direct path would cache a
+    268 MB matrix."""
+    vb = _vb()
+    rng = np.random.default_rng(13)
+    for half in (32, 128, 1024, 4096):
+        x = rng.standard_normal(half)
+        err = np.max(np.abs(vb._imdct(x) - vb._imdct_direct(x)))
+        assert err < 1e-9 * max(1.0, half), (half, err)
