@@ -4023,10 +4023,12 @@ def decode_flac(payload: bytes) -> dict:
 # stream serial, page CRC, and 255-lacing segment tables. Ogg-FLAC
 # (the Xiph mapping spec) DELEGATES: the native fLaC stream is
 # reassembled from the first packet's embedded STREAMINFO plus the
-# audio packets and decoded by the engine's FLAC machinery. Vorbis
-# and Opus get metadata-before-decode triage (identification-header
-# fields + last-granule duration); their transform payloads need
-# codec libraries, the MPEG honesty contract.
+# audio packets and decoded by the engine's FLAC machinery. r13:
+# Vorbis decodes REAL samples lib-free (vorbis.py — in-stream
+# codebooks, the doctrine's ideal case; floor 0 quarantines by name).
+# Opus gets metadata-before-decode triage (identification-header
+# fields + last-granule duration); its payloads need normative tables
+# with no structural validation, the MPEG honesty contract.
 
 
 def _ogg_packets(
