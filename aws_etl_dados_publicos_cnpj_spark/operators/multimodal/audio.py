@@ -2633,10 +2633,19 @@ def _mp3_decode_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
         raise ValueError("MP3 frame sync not found")
     _, _, stream = first
     if stream["layer"] == 2:
+        # r13 attempt (verdict #6): the Table B.4 quantization
+        # machinery (grouping, codeword bits, C/D) IS closed-form
+        # validatable — see test_layer2_quantization_machinery_is_
+        # closed_form — but the allocation tables B.2a-d (per-subband
+        # class lists, sblimit, the rate->table selection matrix)
+        # drive stream PARSING, have no generating formula, no on-box
+        # fixture, and the frame-budget property is an inequality
+        # with >3x slack, so they stay quarantined by name.
         raise NotImplementedError(
             "MPEG Layer 2 sample decode not implemented: its allocation "
             "tables (B.2a-d) drive stream PARSING yet admit no structural "
-            "validation — the VP8 doctrine (see SCALE.md residue map)"
+            "validation (the B.4 quantization machinery does, and is "
+            "test-pinned) — the VP8 doctrine (see SCALE.md residue map)"
         )
     if stream["layer"] == 1:
         return _layer1_decode_stream(payload, off, stream)

@@ -7661,6 +7661,89 @@ def test_mpeg_layer1_hostile_payloads():
         _mp3_decode_samples(_mp3_stream_payload(layer=2))
 
 
+def test_layer2_quantization_machinery_is_closed_form():
+    """r13 verdict item #6: the Layer II un-quarantine ATTEMPT
+    (documented in SCALE.md's residue map). Outcome: Table B.4 — the
+    per-class quantization machinery (grouping, codeword bits, the C/D
+    requantization coefficients) — is fully closed-form, derivable
+    from the uniform-midtread reconstruction through the inverted-MSB
+    offset code, exactly like the Layer I formula already shipped in
+    ``_layer1_frame_subbands``:
+
+        nb      = ceil(log2(steps + 1))          (code bits / sample)
+        grouped = 3-sample base-``steps`` packing strictly saves bits
+        bits    = ceil(log2(steps**3)) if grouped else 3 * 0 + nb
+        C       = 2**nb / steps
+        D       = 1 - (steps - 1) / 2**nb
+
+    which reduces, for steps = 2**nb - 1, to Layer I's inline
+    ``(frac + 2**(1-nb)) * 2**nb / (2**nb - 1)``.  The pinned decimals
+    below are the 11-digit values the spec prints for Table B.4; all
+    34 of them agree with the closed forms to <= 1e-10 (the spec's own
+    last-digit truncation), so the machinery is validated by
+    construction — the same gate class as the Layer I landing.
+
+    What this does NOT validate — and why Layer II sample decode stays
+    a named quarantine: tables B.2a-d (which class LIST each subband
+    uses per allocation table, sblimit per table, and the
+    (sample-rate, bitrate)->table selection matrix) are ~120
+    independent small integers that drive stream PARSING.  They have
+    no generating formula, no on-box fixture (the only real MPEG
+    stream on this box is Layer III), and the frame-budget property is
+    an inequality with >3x slack in both directions (a maximal B.2a
+    allocation would need ~32k bits against a 9216-bit 384 kbps frame,
+    while real frames route unused bits to ancillary data by design —
+    there is no exact-fill invariant to solve against).  A wrong B.2
+    entry desyncs or silently mis-decodes, so the doctrine says
+    quarantine by name."""
+    import math
+
+    # Table B.4, transcribed: steps -> (grouped, bits per codeword
+    # [triplet bits when grouped], C, D) at the spec's printed digits.
+    B4 = {
+        3: (True, 5, 1.33333333333, 0.50000000000),
+        5: (True, 7, 1.60000000000, 0.50000000000),
+        7: (False, 3, 1.14285714286, 0.25000000000),
+        9: (True, 10, 1.77777777777, 0.50000000000),
+        15: (False, 4, 1.06666666666, 0.12500000000),
+        31: (False, 5, 1.03225806452, 0.06250000000),
+        63: (False, 6, 1.01587301587, 0.03125000000),
+        127: (False, 7, 1.00787401575, 0.01562500000),
+        255: (False, 8, 1.00392156863, 0.00781250000),
+        511: (False, 9, 1.00195694716, 0.00390625000),
+        1023: (False, 10, 1.00097751711, 0.00195312500),
+        2047: (False, 11, 1.00048851979, 0.00097656250),
+        4095: (False, 12, 1.00024420024, 0.00048828125),
+        8191: (False, 13, 1.00012208522, 0.00024414063),
+        16383: (False, 14, 1.00006103888, 0.00012207031),
+        32767: (False, 15, 1.00003051851, 0.00006103516),
+        65535: (False, 16, 1.00001525902, 0.00003051758),
+    }
+    assert len(B4) == 17
+    for steps, (grouped, bits, c_pin, d_pin) in B4.items():
+        nb = math.ceil(math.log2(steps + 1))
+        grouped_cf = math.ceil(math.log2(steps**3)) < 3 * nb
+        bits_cf = math.ceil(math.log2(steps**3)) if grouped_cf else nb
+        c_cf = 2.0**nb / steps
+        d_cf = 1.0 - (steps - 1) / 2.0**nb
+        assert grouped_cf == grouped, steps
+        assert bits_cf == bits, steps
+        assert abs(c_cf - c_pin) <= 1e-10, steps
+        assert abs(d_cf - d_pin) <= 1e-10, steps
+        if steps == 2**nb - 1:
+            # the Layer I reduction: C, D as shipped in
+            # _layer1_frame_subbands' inline requantization
+            assert abs(c_cf - 2.0**nb / (2**nb - 1)) < 1e-15
+            assert abs(d_cf - 2.0 ** (1 - nb)) < 1e-15
+    # the grouping rule reproduces exactly the spec's grouped classes
+    assert {s for s, v in B4.items() if v[0]} == {3, 5, 9}
+    # grouped packing is tight: base-steps fits the triplet bits and
+    # one fewer bit would not hold steps**3 codewords
+    for steps in (3, 5, 9):
+        bits = B4[steps][1]
+        assert steps**3 <= 2**bits < 2 * steps**3
+
+
 def test_mp3_forbidden_table_select_is_corruption():
     """Fuzz r12 finding: tables 4/14 do not exist in the spec — a
     stream selecting one must raise ValueError (corruption), not leak
