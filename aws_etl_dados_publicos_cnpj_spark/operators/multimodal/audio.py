@@ -729,9 +729,10 @@ def _float_wav_expand(probed: tuple) -> tuple[np.ndarray, int, int, int]:
     n_frames = len(data) // (width * n_ch)
     # whole frames only — same ragged-tail rule as the G.711 arm
     data = data[: n_frames * width * n_ch]
-    v = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8").astype(
-        np.float64
-    )
+    with np.errstate(invalid="ignore"):  # sNaN f4->f64 cast signals
+        v = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8").astype(
+            np.float64
+        )
     if v.size and not np.isfinite(v).all():
         raise ValueError("float WAV contains non-finite samples")
     samples = np.rint(np.clip(v, -1.0, 1.0) * 32767.0)
@@ -1281,9 +1282,10 @@ def _au_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
     elif kind == "i32":
         s = np.frombuffer(data, dtype=">i4").astype(np.int32)
     else:
-        v = np.frombuffer(data, dtype=">f4" if kind == "f32" else ">f8").astype(
-            np.float64
-        )
+        with np.errstate(invalid="ignore"):  # sNaN f4->f64 cast signals
+            v = np.frombuffer(
+                data, dtype=">f4" if kind == "f32" else ">f8"
+            ).astype(np.float64)
         if v.size and not np.isfinite(v).all():
             raise ValueError("AU float samples non-finite")
         s = np.rint(np.clip(v, -1.0, 1.0) * 32767.0).astype(np.int16)

@@ -324,9 +324,16 @@ def _mkv_audio_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
             raise ValueError(f"unsupported Matroska float width {bits}")
         width = bits // 8
         usable = len(data) // (width * n_ch) * (width * n_ch)
-        v = np.frombuffer(
-            data[:usable], dtype="<f4" if bits == 32 else "<f8"
-        ).astype(np.float64)
+        with np.errstate(invalid="ignore"):  # sNaN f4->f64 cast signals
+            v = np.frombuffer(
+                data[:usable], dtype="<f4" if bits == 32 else "<f8"
+            ).astype(np.float64)
+        # same contract as the WAV/AU float arms: NaN/inf samples are
+        # corruption, not data — astype(int16) of NaN is platform-
+        # defined, so without this check the reported stats would be
+        # nondeterministic (r13 fuzz-campaign warning)
+        if v.size and not np.isfinite(v).all():
+            raise ValueError("Matroska float samples non-finite")
         return (
             np.round(np.clip(v, -1.0, 1.0) * 32767.0).astype(np.int16),
             rate,

@@ -6431,6 +6431,32 @@ def test_mkv_audio_decodes_across_codecs_and_lacings():
     assert (_pcm16_samples(_mkv_payload(raw, codec="flac")) == exp).all()
 
 
+def test_mkv_float_nan_samples_are_corruption():
+    """r13 fuzz-campaign warning: the Matroska A_PCM/FLOAT/IEEE arm
+    pushed NaN through astype(int16), whose result is platform-
+    defined — stats would be silently nondeterministic. The arm now
+    carries the same contract as the WAV/AU float arms: non-finite
+    samples raise ValueError by name."""
+    import struct
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _mkv_audio_samples,
+        _mkv_payload,
+    )
+
+    raw = b"matroska nan contract bytes 0123"
+    p = _mkv_payload(raw, codec="float")
+    needle = struct.pack("<f", raw[0] / 32767.0)
+    assert needle in p
+    bad = p.replace(needle, struct.pack("<f", float("nan")), 1)
+    with pytest.raises(ValueError, match="non-finite"):
+        _mkv_audio_samples(bad)
+    # inf is the same corruption class
+    bad = p.replace(needle, struct.pack("<f", float("inf")), 1)
+    with pytest.raises(ValueError, match="non-finite"):
+        _mkv_audio_samples(bad)
+
+
 def test_mkv_video_triage_and_transform_codec_quarantine():
     """Video tracks get the metadata-before-decode shape: real dims,
     codec id, block-frame count, declared duration — no fake pixels.
