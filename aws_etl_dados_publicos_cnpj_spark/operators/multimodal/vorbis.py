@@ -144,6 +144,14 @@ class _Codebook:
                 raise ValueError("Vorbis codeword walks off the tree")
 
     def decode_vq(self, r: _VBitReader) -> np.ndarray:
+        if self.vq is None:
+            # spec 3.3: a codebook without a value mapping may only be
+            # used in a scalar context — a residue referencing it is
+            # corruption (r13 fuzz finding: bitflip in the setup header
+            # leaked a TypeError here)
+            raise ValueError(
+                "Vorbis residue uses a scalar-only codebook in VQ context"
+            )
         entry = self.decode_scalar(r)
         return self.vq[entry]
 
@@ -652,6 +660,17 @@ class _VorbisStream:
         self.residues = [
             _read_residue(r, n_books) for _ in range(r.read(6) + 1)
         ]
+        # spec 8.6.2: residue value books are VQ contexts — a book
+        # with no value mapping (maptype 0) listed there renders the
+        # stream undecodable. Reject at setup (fail-fast twin of the
+        # decode_vq guard; r13 fuzz finding).
+        for res in self.residues:
+            for row in res["books"]:
+                for b in row:
+                    if b >= 0 and self.books[b].vq is None:
+                        raise ValueError(
+                            "Vorbis residue lists a scalar-only codebook"
+                        )
         self.mappings = []
         for _ in range(r.read(6) + 1):
             if r.read(16) != 0:

@@ -8377,6 +8377,41 @@ def test_vorbis_decode_caps_bound_hostile_setup_headers():
         vb._read_codebook(r)
 
 
+
+
+def test_vorbis_scalar_only_codebook_in_residue_is_corruption():
+    """Fuzz r13 finding (seed 777, bitflip@271): one flipped setup
+    byte made a residue reference a codebook with no value mapping —
+    decode_vq then subscripted vq=None and leaked a TypeError through
+    the Arrow batch. Spec 8.6.2 says maptype-0 books may not be used
+    as residue value books, so this is corruption twice over: the
+    setup parse now rejects it fail-fast, and decode_vq carries a
+    belt-and-braces ValueError. Pinned on the exact mutated stream."""
+    import base64
+    import zlib
+
+    vb = _vb()
+    payload = zlib.decompress(base64.b64decode(
+        "eNrzT08PZmBigAITIQgtGX81iVGOsSy/KCmzGCTA6LKGAQXMZPQH6WRA1skIpDeeeX2OUZ0Z"
+        "olMcKFBckFiUrZtelJhWogARVSgpz8wDG4ppBMgl/oLZ0YwtrBDFjE7OYUwMLAwMLQJMHLyR"
+        "nAwsTgwx9f4JQJEudoaGdkkHBwMFER52F6eNCSYy/B4uRgtDdMR93DY/LLGRD/AwUZrqox7i"
+        "tTVpa4x+hI/Z4qs55jF+2x9/rbFXANoENEQAYjcHww8QoYDiRxZM9zEDad/jBZ8YTays5x+8"
+        "lWirOaXB7kHzQ/G/jCIHHkrbMcrumCjcpCjwR1EASDKhIKDPIOYxIswDuoAhdinzWUaZsvLp"
+        "yYYiTOiaZPYs5IfpY0LoYwXSecd92hhlwsK/f1YyaHNSYEFBBhLOfDB9zAh9bEBabVaGHqNM"
+        "XPz2lffEG9HsOyid4wh3JwtCHzuQNp0gZgdy5/N998SZMPQ5IfSxIvRxAOmXBvosjDJBwext"
+        "/97XousT/+TICtPHhtDHCaS/Z/H0M5oEBfO7/nu/T1GgUVCAEYQkmBQlnBSlChrl/6AHFmo4"
+        "z0UyjwtIT7m4qoOxho+f3237wV7dTDtNEQbGCQx6M/boSeXvk3i2EGjek/2Cb4CoXvDJ/4Py"
+        "Tf+kD/6TdvxXzvKznqPF4UP7gv+uE0Co3YGDpZ7jVzwQsfyMZ2lzQMi2g9hgd/xRfFEPcivE"
+        "m/Kg1IDFXdxAWrpAMIaREYskD5D+f+fKTqySvEBaMLrCASbJgizJB6RfLzUWAEoCAIbY0Ow="
+    ))
+    with pytest.raises(ValueError, match="scalar-only codebook"):
+        vb.vorbis_samples(payload)
+    # unit guard: a VQ read on a mapless book is ValueError, not TypeError
+    book = vb._Codebook(2, 2, [1, 1], None, 0)
+    with pytest.raises(ValueError, match="scalar-only codebook"):
+        book.decode_vq(vb._VBitReader(b"\x00"))
+
+
 def test_decode_features_survives_vorbis_rows(spark):
     """An audio/ogg Vorbis doc through decode_features yields a normal
     stats row with REAL rms/peak (r13), Opus triages with null rms,
