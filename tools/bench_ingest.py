@@ -99,6 +99,26 @@ def make_csv_fast(path: str, target_mb: int, seed: int) -> int:
     return n_rows
 
 
+def _rmtree_at_exit(path: str) -> None:
+    """Remove the fixture dir on ANY exit — normal, exception, or
+    SIGTERM (a `timeout`-killed refresh run leaked 1.7 GB in /tmp)."""
+    import atexit
+    import shutil
+    import signal
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    prev = signal.getsignal(signal.SIGTERM)
+
+    def _term(signum, frame):
+        shutil.rmtree(path, ignore_errors=True)
+        if callable(prev):
+            prev(signum, frame)
+        else:
+            sys.exit(143)
+
+    signal.signal(signal.SIGTERM, _term)
+
+
 def refresh_main() -> None:
     """--refresh: one full-table multi-part refresh through run_pipeline."""
     import zipfile
@@ -113,6 +133,7 @@ def refresh_main() -> None:
     n_parts = int(args[1]) if len(args) > 1 else 10
 
     tmp = tempfile.mkdtemp(prefix="bench_refresh_")
+    _rmtree_at_exit(tmp)  # ~12 GB of fixtures must not outlive a killed run
     total_csv_mb = 0.0
     rows = []
     for p in range(n_parts):
@@ -173,6 +194,7 @@ def main() -> None:
 
     mb = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     tmp = tempfile.mkdtemp()
+    _rmtree_at_exit(tmp)
     csv_path = os.path.join(tmp, "Empresas0.csv")
     n_rows = make_csv(csv_path, mb)
     actual_mb = os.path.getsize(csv_path) / 1e6
