@@ -8485,3 +8485,64 @@ def test_vorbis_fft_imdct_matches_direct_transform():
         x = rng.standard_normal(half)
         err = np.max(np.abs(vb._imdct(x) - vb._imdct_direct(x)))
         assert err < 1e-9 * max(1.0, half), (half, err)
+
+
+# --- real-world NON-SILENT ground truth (r13) ---------------------------------
+
+
+def test_real_world_nonsilent_tone_and_voice():
+    """Every real-fixture gate before this one decoded digital silence
+    or a 3-5 frame snippet — regimes where most of a decoder is a
+    no-op (the r12-advice circularity critique). The two non-silent
+    third-party recordings on this box close that hole with signal
+    PHYSICS no header check can fake:
+
+    - CPython 2.7's ``Sine-1000Hz-300ms.aif`` is a labelled pure tone.
+      The AIFF-PCM path must reproduce the label (48 kHz stereo,
+      14400 frames = 300 ms) and the waveform: a windowed FFT peak
+      within one bin of 1000 Hz on EACH de-interleaved channel, >99%
+      of AC spectral energy inside peak±3 bins (a byte-swap, channel
+      smear, or sign error scatters energy broadband), and the pure-
+      sine rms/peak ratio 1/sqrt(2) to three decimals.
+    - CPython 3.7's ``audiotest.au`` is the classic Sun µ-law voice
+      clip: header geometry (mono, 8012 Hz, 28110 frames) plus a peak
+      of EXACTLY 32124 — the µ-law table maximum, so the clip's
+      clipped syllable pins the table's top rung — and voice-level rms.
+    """
+    import os
+
+    from aws_etl_dados_publicos_cnpj_spark.operators.multimodal import (
+        _aiff_samples,
+        decode_aiff,
+        decode_au,
+    )
+
+    sine_path = (
+        "/root/.pyenv/versions/2.7.18/lib/python2.7/test/Sine-1000Hz-300ms.aif"
+    )
+    au_path = "/root/.pyenv/versions/3.7.16/lib/python3.7/test/audiotest.au"
+    if not (os.path.exists(sine_path) and os.path.exists(au_path)):
+        pytest.skip("CPython non-silent audio fixtures not on this box")
+
+    p = open(sine_path, "rb").read()
+    d = decode_aiff(p)
+    assert (d["n_channels"], d["sample_rate"], d["n_frames"]) == (2, 48000, 14400)
+    assert abs(d["duration_s"] - 0.3) < 1e-9
+    assert abs(d["rms"] / d["peak"] - 1 / np.sqrt(2)) < 1e-3
+    s, rate, nch = _aiff_samples(p)
+    assert (rate, nch) == (48000, 2)
+    for ch in (s[0::2], s[1::2]):
+        x = ch.astype(np.float64) * np.hanning(len(ch))
+        spec = np.abs(np.fft.rfft(x))
+        freqs = np.fft.rfftfreq(len(ch), 1 / rate)
+        k = int(np.argmax(spec))
+        assert abs(freqs[k] - 1000.0) <= rate / len(ch) + 1e-9, freqs[k]
+        ac = spec[1:] ** 2
+        window = ac[max(k - 4, 0) : k + 3]  # peak±3 bins in AC indexing
+        assert window.sum() > 0.99 * ac.sum()
+
+    a = open(au_path, "rb").read()
+    da = decode_au(a)
+    assert (da["n_channels"], da["sample_rate"], da["n_frames"]) == (1, 8012, 28110)
+    assert da["peak"] == 32124.0  # the µ-law expansion-table maximum
+    assert 1000 < da["rms"] < 10000
