@@ -714,10 +714,24 @@ def semantic_dedup(
     oracle-checkable equivalent for a frozen quantizer). Output:
     (id, cell, keep ∈ {0,1}).
 
-    Scale shape: identical to the IVF search path — cell assignment is a
-    map-side codegen expression, the quadratic cosine work is blocked
-    per cell (cells ≈ √N sized in practice), and nothing ever shuffles
-    the full N×N pair space."""
+    Scale shape (r13 optimization, guide §2.3/§4.2 — "shuffle keys and
+    metadata, move heavy bytes once"): cell assignment is a map-side
+    expression; then ONE exchange groups vectors by cell and the
+    within-cell quadratic runs inside ``applyInPandas`` as chunked
+    numpy einsum over index pairs. The r12 form self-joined on cell —
+    every within-cell PAIR became a shuffled row carrying TWO d-dim
+    double arrays (s²·d bytes per cell through the exchange + the
+    Arrow boundary), then a distinct + left-join re-attached the drop
+    flags (3 parquet scans, the interpreted 16-center assignment HOF
+    evaluated 3× per row, a SortMergeJoin). The grouped form ships
+    each vector ONCE (s·d bytes), computes the SAME per-pair
+    ``einsum("ij,ij->i")`` / norm-product / round-half-away floats
+    (bit-identical results, verified on all three SFs), and emits
+    (id, cell, keep) directly — no pair rows, no re-join. Memory: a
+    cell must fit in one task (SemDeDup cells are ≈√N by quantizer
+    design — the paper's clustering bounds cell size); the pair loop
+    is chunked so the quadratic temp stays bounded regardless of cell
+    size."""
     from .dedup import spread
 
     # spread BEFORE the per-row nearest-cell expression: a one-file
@@ -730,25 +744,50 @@ def semantic_dedup(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     ).withColumn("cell", F.element_at(_nearest_cells_expr(F.col("v"), centers, 1), 1))
-    a = base.select(F.col(id_col).alias("id_a"), "cell", F.col("v").alias("va"))
-    b = base.select(F.col(id_col).alias("id_b"), "cell", F.col("v").alias("vb"))
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", pairwise_cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("sim") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-        .withColumn("__dropped", F.lit(1))
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cell", IntegerType()),
+            StructField("keep", IntegerType()),
+        ]
     )
-    return (
-        base.join(dropped, id_col, "left")
-        .select(
-            id_col,
-            "cell",
-            F.when(F.col("__dropped").isNull(), 1).otherwise(0).alias("keep"),
+    # pairs per einsum chunk: 4M pairs × d=64 × 8 B × 2 operands ≈ 4 GB
+    # peak at d=64 would be too fat — chunk by ELEMENTS instead so the
+    # temp is ~128 MB regardless of dimension
+    chunk_elems = 16_000_000
+
+    def _cell_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")  # i<j ⇔ id_i < id_j
+        ids = ids[order]
+        n = len(ids)
+        keep = np.ones(n, dtype=np.int32)
+        if n > 1:
+            A = np.stack(pdf["v"].to_numpy()[order])
+            ii, jj = np.triu_indices(n, k=1)
+            step = max(1, chunk_elems // max(1, A.shape[1]))
+            dropped = np.zeros(n, dtype=bool)
+            for s in range(0, len(ii), step):
+                i, j = ii[s : s + step], jj[s : s + step]
+                # identical per-pair float ops as the r12 pairwise_cosine
+                # pandas UDF (einsum + norm product + round-half-away):
+                # each pair's dot is independent, so chunking cannot
+                # change the floats
+                num = np.einsum("ij,ij->i", A[i], A[j])
+                den = np.linalg.norm(A[i], axis=1) * np.linalg.norm(A[j], axis=1)
+                sim = _round_half_away(num / den)
+                dropped[j[sim >= threshold]] = True
+            keep[dropped] = 0
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": pdf["cell"].to_numpy()[order],
+                "keep": keep,
+            }
         )
-    )
+
+    return base.groupBy("cell").applyInPandas(_cell_dedup, out_schema)
 
 
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
