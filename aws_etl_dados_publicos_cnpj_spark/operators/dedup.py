@@ -182,7 +182,18 @@ def lsh_candidate_pairs(
     the join key space is large, so buckets stay small and the shuffle
     is balanced; no cross join. Band structs are unrolled statically
     (codegen'd slice+hash) rather than built with an interpreted
-    ``transform`` lambda."""
+    ``transform`` lambda.
+
+    The banded relation is localCheckpointed (lazy): the self-join
+    references it twice, and when one side is planned as a broadcast
+    the ReusedExchange rule cannot kick in — without the pin BOTH
+    sides recompute the whole upstream signature pipeline (shingle
+    explode + K min-agg shuffle, the r13 before-plan's duplicate
+    Exchange 6/15 subtrees). The only caller feeds signatures computed
+    from raw text (never a scan-backed table), so materializing
+    (docs × bands) small rows once is strictly cheaper than computing
+    signatures twice — at any scale (this is the banded projection of
+    the signature table the incremental path persists anyway)."""
     banded = signatures.select(
         F.col(id_col),
         F.explode(
@@ -196,7 +207,9 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    ).localCheckpoint(eager=False)
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "bh")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "bh")
     return (
