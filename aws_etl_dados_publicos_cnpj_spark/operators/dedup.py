@@ -170,6 +170,95 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", k: int = NUM_MINHA
     )
 
 
+def _xxh64_long(v, seed):
+    """Vectorized numpy twin of Spark's ``XxHash64`` on a LongType
+    input (XXH64 of the 8 little-endian bytes): hash = fmix(rotl(seed +
+    P5 + 8 ^ rotl(v·P2, 31)·P1, 27)·P1 + P4). Bit-exactness vs the JVM
+    expression is pinned by tests/test_ext_operators.py (signature
+    equality across the exploded-agg and set-based paths). ``v`` and
+    ``seed`` are uint64 arrays/scalars and broadcast together."""
+    import numpy as np
+
+    p1 = np.uint64(0x9E3779B185EBCA87)
+    p2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    p3 = np.uint64(0x165667B19E3779F9)
+    p4 = np.uint64(0x85EBCA77C2B2AE63)
+    p5 = np.uint64(0x27D4EB2F165667C5)
+    with np.errstate(over="ignore"):
+        h = seed + p5 + np.uint64(8)
+        k1 = v * p2
+        k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
+        k1 = k1 * p1
+        h = h ^ k1
+        h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * p1 + p4
+        h = h ^ (h >> np.uint64(33))
+        h = h * p2
+        h = h ^ (h >> np.uint64(29))
+        h = h * p3
+        h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def minhash_signatures_from_sets(
+    base: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "sh_set",
+    k: int = NUM_MINHASH,
+    passthrough: bool = False,
+) -> DataFrame:
+    """K min-hashes per doc straight from the per-doc shingle ARRAY —
+    the map-side form of ``minhash_signatures`` (r13 optimization,
+    guide §4.2): the shingle string is base-hashed ONCE in the JVM
+    (one ``xxhash64`` per element through ``transform``), then the
+    K-family derivation (``xxhash64(i, base)``) and the per-doc min
+    run as one vectorized numpy pass inside ``mapInPandas`` —
+    seeds[i] = xxh64(i, 42), H = xxh64(base, seeds), segmented min
+    via ``minimum.reduceat``. Bit-identical signatures to the
+    exploded-aggregation form (pinned by test), with NO explode and
+    NO shuffle: at 100 TB the signature stage becomes embarrassingly
+    parallel map work instead of a (docs × shingles) explode feeding
+    a 96-slot partial-agg exchange.
+
+    ``passthrough=True`` carries ``set_col`` through to the output
+    (the persisted signature-table shape) — one pipeline instead of
+    a sig⋈base re-join."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = base.schema[id_col].dataType
+    cols = [F.col(id_col), F.expr(f"transform({set_col}, s -> xxhash64(s))").alias("__hbs")]
+    if passthrough:
+        cols.append(F.col(set_col))
+    hashed = base.filter(F.size(set_col) > 0).select(*cols)
+
+    out_fields = [
+        T.StructField(id_col, id_type),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ]
+    if passthrough:
+        out_fields.append(base.schema[set_col])
+    out_schema = T.StructType(out_fields)
+
+    def gen(batches):
+        seeds = _xxh64_long(np.arange(k, dtype=np.uint64), np.uint64(42))[:, None]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["__hbs"]]
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+            flat = np.concatenate(arrs).astype(np.uint64)
+            h = _xxh64_long(flat[None, :], seeds).view(np.int64)
+            offs = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            sig = np.minimum.reduceat(h, offs, axis=1)  # (k, docs)
+            out = {id_col: pdf[id_col], "sig": list(sig.T)}
+            if passthrough:
+                out[set_col] = pdf[set_col]
+            yield pd.DataFrame(out)
+
+    return hashed.mapInPandas(gen, out_schema)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -229,10 +318,11 @@ def minhash_lsh_dedup(
     """Near-dup pairs at `threshold` Jaccard via MinHash-LSH candidate
     generation + exact verification on candidates only.
 
-    Plan shape (the 100 TB path): signatures via one partial-agg
-    shuffle (see ``minhash_signatures``); candidates via the band-bucket
-    equi-join; exact Jaccard via ``array_intersect`` on just the
-    candidate pairs — never on the full pair space."""
+    Plan shape (the 100 TB path): signatures map-side from the per-doc
+    shingle arrays (``minhash_signatures_from_sets`` — no explode, no
+    shuffle; r13); candidates via the band-bucket equi-join; exact
+    Jaccard via ``array_intersect`` on just the candidate pairs —
+    never on the full pair space."""
     # localCheckpoint (lazy), not cache(): same compute-once sharing across
     # the sigs/sa/sb branches, but storage is released by the ContextCleaner
     # when the result DF is dropped — CacheManager entries would pin
@@ -242,8 +332,7 @@ def minhash_lsh_dedup(
         .select(F.col(id_col), shingle_array(text_col).alias("sh_set"))
         .localCheckpoint(eager=False)
     )
-    sh = base.select(id_col, F.explode("sh_set").alias("shingle"))
-    sigs = minhash_signatures(sh, id_col)
+    sigs = minhash_signatures_from_sets(base, id_col)
     candidates = lsh_candidate_pairs(sigs, id_col)
     sa = base.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sh_a"))
     sb = base.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sh_b"))
@@ -263,10 +352,14 @@ def minhash_signature_table(
 ) -> DataFrame:
     """Persistable (id, sig, sh_set) signature table for INCREMENTAL
     dedup: compute once per ingest batch, store next to the corpus, and
-    future batches dedup against it without re-shingling history."""
+    future batches dedup against it without re-shingling history.
+
+    r13: signatures come map-side from the shingle arrays with the
+    set column passed through — one pipeline, no explode/shuffle and
+    no sig⋈base re-join (bit-identical rows; column order preserved)."""
     base = df.select(F.col(id_col), shingle_array(text_col).alias("sh_set"))
-    sh = base.select(id_col, F.explode("sh_set").alias("shingle"))
-    return minhash_signatures(sh, id_col).join(base, id_col)
+    sigs = minhash_signatures_from_sets(base, id_col, passthrough=True)
+    return sigs.select(id_col, "sig", "sh_set")
 
 
 def minhash_lsh_dedup_incremental(

@@ -55,6 +55,32 @@ def test_minhash_identical_signatures(spark):
     assert len(sigs[1]) == 96
 
 
+def test_minhash_set_path_bit_identical(spark):
+    """The r13 map-side signature path (numpy xxh64 twin over the
+    per-doc shingle array, ``minhash_signatures_from_sets``) must be
+    BIT-identical to the exploded 96-min-agg JVM form — candidate sets
+    and therefore LSH outputs depend on it. Also pins the passthrough
+    signature-table shape (id, sig, sh_set)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import (
+        minhash_signature_table,
+        minhash_signatures_from_sets,
+        shingle_array,
+    )
+
+    df = _docs(
+        spark,
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4"), (3, "a"), (4, "x y z")],
+    )
+    base = df.select(F.col("doc_id"), shingle_array("text").alias("sh_set"))
+    agg = {r.doc_id: list(r.sig) for r in minhash_signatures(shingles(df)).collect()}
+    vec = {r.doc_id: list(r.sig) for r in minhash_signatures_from_sets(base).collect()}
+    assert agg == vec
+    table = minhash_signature_table(df)
+    assert table.columns == ["doc_id", "sig", "sh_set"]
+    rows = {r.doc_id: list(r.sig) for r in table.collect()}
+    assert rows == agg
+
+
 def test_lsh_finds_identical_pair(spark):
     df = _docs(spark, [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w4"), (3, "a b c d")])
     cands = lsh_candidate_pairs(minhash_signatures(shingles(df))).collect()
