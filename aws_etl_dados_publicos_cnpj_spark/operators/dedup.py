@@ -1118,36 +1118,59 @@ def prefix_filter_jaccard_pairs(
     window for prefix ranks, a candidate equi-join on (rare) prefix
     shingles, and a candidate-restricted verify join — never an
     all-pairs product and never a hot-bucket quadratic blowup.
+
+    r13 plan work (guide §2.3 — shuffle fewer bytes): (1) ranking and
+    candidate joining run on the 8-byte ``xxhash64`` of the shingle,
+    not the string — the prefix theorem holds for ANY fixed total
+    order of the shingle universe, and a hash collision can only ADD
+    a candidate (equal strings ⇒ equal hashes), never lose one, so
+    recall stays exact and the brute-force oracle still proves it;
+    (2) the per-doc set size rides the ranking window as a windowed
+    count instead of a separate aggregate + join; (3) verification is
+    ``array_intersect`` over the checkpointed per-doc STRING arrays
+    (exact, same as the minhash verify) instead of re-exploding the
+    candidates to (pair × shingle) rows through a join + count-agg.
     """
-    # compute-once sharing: the shingle relation feeds FOUR branches
-    # (doc sizes, global frequencies, prefix ranking, verify join) —
-    # without pinning, each branch re-shingles the corpus from the scan.
-    # Lazy localCheckpoint (not cache) so the ContextCleaner releases
-    # the blocks when the result is dropped (same rationale as
-    # minhash_lsh_dedup above).
-    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
-    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
-    ranked = sh.join(freq, "shingle").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy(id_col).orderBy(F.asc("df_sh"), F.asc("shingle"))
-        ),
+    # compute-once sharing: the per-doc array relation feeds the
+    # ranking branch and both verify sides — without pinning, each
+    # branch re-shingles the corpus from the scan. Lazy localCheckpoint
+    # (not cache) so the ContextCleaner releases the blocks when the
+    # result is dropped (same rationale as minhash_lsh_dedup above).
+    base = (
+        spread(df)
+        .select(F.col(id_col), shingle_array(text_col, n).alias("sh_set"))
+        .localCheckpoint(eager=False)
+    )
+    # hashed shingle rows pinned too: referenced by the frequency agg
+    # and the ranking join — and (id, long) rows are far smaller than
+    # the string rows the r12 form checkpointed
+    sh = base.select(
+        F.col(id_col), F.explode("sh_set").alias("shingle")
+    ).select(id_col, F.xxhash64("shingle").alias("shl")).localCheckpoint(eager=False)
+    freq = sh.groupBy("shl").agg(F.count("*").alias("df_sh"))
+    w = Window.partitionBy(id_col)
+    ranked = (
+        sh.join(freq, "shl")
+        .withColumn(
+            "rk",
+            F.row_number().over(w.orderBy(F.asc("df_sh"), F.asc("shl"))),
+        )
+        .withColumn("n_sh", F.count("*").over(w))
     )
     pref = (
-        ranked.join(counts, id_col)
-        # prefix length |d| - ceil(t|d|) + 1
-        .filter(F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
-        .select(F.col(id_col), "shingle", "n_sh")
+        # prefix length |d| - ceil(t|d|) + 1; pinned — the candidate
+        # self-join references it twice and broadcast planning defeats
+        # ReusedExchange (same duplication the r13 before-plan showed
+        # for the LSH band join)
+        ranked.filter(
+            F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        ).select(F.col(id_col), "shl", "n_sh")
+        .localCheckpoint(eager=False)
     )
-    a = pref.select(
-        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
-    )
-    b = pref.select(
-        F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
-    )
+    a = pref.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "shl")
+    b = pref.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"), "shl")
     cand = (
-        a.join(b, "shingle")
+        a.join(b, "shl")
         .filter(F.col("doc_a") < F.col("doc_b"))
         # length filter: jaccard >= t requires min(|A|,|B|)/max(|A|,|B|) >= t
         .filter(
@@ -1156,17 +1179,14 @@ def prefix_filter_jaccard_pairs(
         .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
     )
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("_db"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("_db")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    sa = base.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    sb = base.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        inter.withColumn("jaccard", F.round(jac, 4))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -1202,44 +1222,49 @@ def containment_pairs(
 
     Scale shape: same as ``prefix_filter_jaccard_pairs`` — frequency
     attach, per-doc window, candidate equi-join on rare prefix
-    shingles, candidate-restricted verify; never all-pairs."""
-    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=False)
-    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
-    ranked = sh.join(freq, "shingle").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy(id_col).orderBy(F.asc("df_sh"), F.asc("shingle"))
-        ),
+    shingles, candidate-restricted verify; never all-pairs. Same r13
+    plan work as that function too: hashed-shingle ranking/joining
+    (exact recall for any fixed total order; collisions only add
+    candidates), windowed per-doc count, and ``array_intersect``
+    verification over the checkpointed string arrays."""
+    base = (
+        spread(df)
+        .select(F.col(id_col), shingle_array(text_col, n).alias("sh_set"))
+        .localCheckpoint(eager=False)
     )
-    pref = (
-        ranked.join(counts, id_col)
-        .filter(
-            F.col("rk")
-            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    # pinned like the jaccard form: referenced by the frequency agg,
+    # the ranking join, and the candidate probe side
+    sh = base.select(
+        F.col(id_col), F.explode("sh_set").alias("shingle")
+    ).select(id_col, F.xxhash64("shingle").alias("shl")).localCheckpoint(eager=False)
+    freq = sh.groupBy("shl").agg(F.count("*").alias("df_sh"))
+    w = Window.partitionBy(id_col)
+    ranked = (
+        sh.join(freq, "shl")
+        .withColumn(
+            "rk",
+            F.row_number().over(w.orderBy(F.asc("df_sh"), F.asc("shl"))),
         )
-        .select(F.col(id_col), "shingle", "n_sh")
+        .withColumn("n_sh", F.count("*").over(w))
     )
-    a = pref.select(
-        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
-    )
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    pref = ranked.filter(
+        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select(F.col(id_col), "shl", "n_sh")
+    a = pref.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "shl")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shl")
     cand = (
-        a.join(b, "shingle")
+        a.join(b, "shl")
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b", "n_a")
         .distinct()
     )
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("_db"), F.col("shingle").alias("sh_b"))
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("_db")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b", "n_a")
-        .agg(F.count("*").alias("inter"))
-    )
+    sa = base.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    sb = base.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        inter.withColumn("containment", F.round(F.col("inter") / F.col("n_a"), 4))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", F.round(inter / F.col("n_a"), 4))
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )
