@@ -491,7 +491,16 @@ def hamming_block_pairs(
     any threshold — never an all-pairs compare.
 
     Scale shape: one (blocks)× explode + one equi-join (AQE splits hot
-    buckets) + exact Hamming on candidates only."""
+    buckets) + exact Hamming on candidates only.
+
+    The signature relation is pinned (lazy localCheckpoint) because the
+    self-join references it twice and broadcast planning defeats
+    ReusedExchange — without the pin every caller's signature pipeline
+    runs twice, which for the multimodal callers means decoding every
+    image/audio/video payload twice (r13 before-plans showed the
+    MapInPandas decode duplicated on both join sides). Signatures are
+    one long per doc, so the pinned blocks are tiny."""
+    sigs = sigs.localCheckpoint(eager=False)
     nblocks = min(max_hamming + 1, bits)
     base_w, extra = divmod(bits, nblocks)
     bounds = []  # (start_bit, width) per block — widths differ by ≤1
@@ -594,11 +603,17 @@ def edit_distance_near_pairs(
     # scans as one partition, serializing the segment/probe substring
     # enumeration (measured −12% at sf0.1; same internal-spread
     # discipline as minhash_lsh_dedup/simhash)
+    # pinned (lazy localCheckpoint): five branches reference this
+    # relation (index segments, corpus lengths, probe enumeration, and
+    # both short-pool sides) — without the pin each branch re-scans the
+    # source table with its full-width key column (the r13 before-plan
+    # showed four parquet scans of `documents` for one query). The
+    # pinned rows are (id, ≤40-char key, len) — tiny.
     base = spread(
         df.select(
             F.col(id_col), F.col(key_col).alias("k"), F.length(key_col).alias("l")
         )
-    )
+    ).localCheckpoint(eager=False)
 
     idx_structs = ", ".join(
         f"struct({i} AS i, substring(k, {_seg_start(i, k, 'l')} + 1, "

@@ -1933,8 +1933,19 @@ def video_near_dup_pairs(
     sample frames → perceptual hash → candidates share hashed frames):
     an equi-join on the EXACT frame hash — never pairwise video
     comparison — then a per-pair distinct-shared-hash count with a
-    ``min_shared`` floor."""
-    fh = video_frame_hashes(df, id_col).select(id_col, "fhash").distinct()
+    ``min_shared`` floor.
+
+    The frame-hash relation is pinned (lazy localCheckpoint): the
+    self-join references it twice and broadcast planning defeats
+    ReusedExchange, so without the pin every video payload is decoded
+    twice (r13 before-plan showed the MapInPandas decode duplicated).
+    Frame hashes are a few longs per video — the pin is tiny."""
+    fh = (
+        video_frame_hashes(df, id_col)
+        .select(id_col, "fhash")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     a = fh.select(F.col(id_col).alias("doc_a"), "fhash")
     b = fh.select(F.col(id_col).alias("doc_b"), "fhash")
     return (
