@@ -865,13 +865,16 @@ def repeated_ngram_spans(
             ng, F.slice(w, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
         )
     pos = df.select(F.col(id_col), F.explode(ng).alias("ngram"))
-    # an n-gram is "shared" if it appears in >= 2 DISTINCT documents
+    # an n-gram is "shared" if it appears in >= 2 DISTINCT documents —
+    # detected as min(doc) != max(doc), which is exactly equivalent and
+    # needs ONE partial-agg shuffle (min/max collapse map-side) instead
+    # of the r12 distinct + count-distinct pair (two shuffles of the
+    # full (doc, ngram) string relation; guide §2.3 aggregate-before-
+    # you-shuffle)
     shared = (
-        pos.select(id_col, "ngram")
-        .distinct()
-        .groupBy("ngram")
-        .agg(F.count("*").alias("ndocs"))
-        .filter(F.col("ndocs") >= 2)
+        pos.groupBy("ngram")
+        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
         .select("ngram")
     )
     dup_counts = (
@@ -924,14 +927,26 @@ def scrub_repeated_ngrams(
             ng, F.slice(w, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
         )
     pos = df.select(F.col(id_col), F.posexplode(ng).alias("p0", "ngram"))
-    shared = (
-        pos.select(id_col, "ngram")
-        .distinct()
-        .groupBy("ngram")
-        .agg(F.count("*").alias("ndocs"))
-        .filter(F.col("ndocs") >= min_docs)
-        .select("ngram")
-    )
+    if min_docs == 2:
+        # min(doc) != max(doc) is exactly "appears in >= 2 distinct
+        # docs" and needs one partial-agg shuffle instead of the
+        # distinct + count-distinct pair (same rewrite as
+        # repeated_ngram_spans; guide §2.3)
+        shared = (
+            pos.groupBy("ngram")
+            .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select("ngram")
+        )
+    else:
+        shared = (
+            pos.select(id_col, "ngram")
+            .distinct()
+            .groupBy("ngram")
+            .agg(F.count("*").alias("ndocs"))
+            .filter(F.col("ndocs") >= min_docs)
+            .select("ngram")
+        )
     starts = (
         pos.join(shared, "ngram")
         .groupBy(id_col)
