@@ -603,13 +603,33 @@ def bloom_decontaminate(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # all k position sets come from ONE explode + distinct over b_sh
+    # (pinned — the k broadcast builds each reference it) instead of k
+    # separate distinct aggregations, each its own exchange + two agg
+    # phases over the benchmark shingles (guide §2.4 shared exchanges)
+    pos_all = (
+        b_sh.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            F.pmod(
+                                F.xxhash64("shingle", F.lit(i)), F.lit(m)
+                            ).alias("p"),
+                        )
+                        for i in range(k)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select(F.col("s.i").alias("i"), F.col("s.p").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     probe = t_sh
     for i in range(k):
-        pos = (
-            b_sh.select(
-                F.pmod(F.xxhash64("shingle", F.lit(i)), F.lit(m)).alias("p")
-            ).distinct()
-        )
+        pos = pos_all.filter(F.col("i") == i).select("p")
         probe = (
             probe.withColumn(
                 "p", F.pmod(F.xxhash64("shingle", F.lit(i)), F.lit(m))

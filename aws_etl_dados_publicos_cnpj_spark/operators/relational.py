@@ -2025,20 +2025,26 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
     )
     # ONE aggregation over the joined facts: the sole-late-supplier
-    # condition is (distinct suppliers ≥ 2) ∧ (late-supplier set has
-    # exactly one member), and that member IS the answer — so
-    # collect_set(late suppliers) replaces the second pass over `lo`
-    # (the r5 plan audit caught the original join-back recomputing the
-    # lineitem⋈orders fact join twice; exchanges 5 → 3).
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "late_supps"
-        ),
+    # condition is (distinct suppliers ≥ 2) ∧ (exactly one distinct
+    # late supplier), and that supplier IS the answer (r5 plan audit:
+    # the original join-back recomputed the fact join; exchanges
+    # 5 → 3). r13: the distinct-set machinery runs as plain min/max/sum
+    # aggregates over a per-(order, supplier) pre-collapse — when
+    # n_late == 1, max(late supplier) is THE late supplier — replacing
+    # the r12 collect_set/countDistinct plan's three
+    # ObjectHashAggregate levels with two codegen'd HashAggregates
+    # carrying fixed-width state (guide §2.3 partial aggregation).
+    per_pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count("l_suppkey").alias("n_supp"),
+        F.sum(F.col("late").cast("long")).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("l_suppkey"),
     )
     sole_late = per_order.filter(
-        (F.col("n_supp") >= 2) & (F.size("late_supps") == 1)
-    ).select(F.col("late_supps").getItem(0).alias("l_suppkey"))
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    ).select("l_suppkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         sole_late.groupBy("l_suppkey")
