@@ -40,33 +40,50 @@ def funnel(events: DataFrame, stages: list[str] | None = None) -> DataFrame:
     the first aggregate pays a full shuffle of the events table.
     """
     stages = stages or FUNNEL_STAGES
-    reached = (
-        events.filter(F.col("event_type") == stages[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("entered_at"))
-    )
-    out = [reached.agg(
-        F.lit(stages[0]).alias("stage"),
-        F.lit(1).alias("stage_ord"),
-        F.count("*").alias("users"),
-    )]
-    for ord_, stage in enumerate(stages[1:], start=2):
-        nxt = events.filter(F.col("event_type") == stage).select("user_id", "ts")
-        reached = (
-            nxt.join(reached, "user_id")
-            .filter(F.col("ts") > F.col("entered_at"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("entered_at"))
+    # r13 (guide §2.4/§2.3): ONE scan + ONE per-user aggregation
+    # instead of a per-stage filter→join→aggregate chain (the before-
+    # plan scanned `events` per stage and re-aggregated per round).
+    # Stage-1 entry is a plain conditional min; each later stage keeps
+    # its per-user sorted timestamp list and enters at the first
+    # element strictly after the previous stage's entry (array filter +
+    # array_min — nulls propagate exactly like the join chain: no
+    # prior entry, or no later event, means no entry).
+    aggs = [
+        F.min(F.when(F.col("event_type") == stages[0], F.col("ts"))).alias("e1")
+    ]
+    for i, stage in enumerate(stages[1:], start=2):
+        aggs.append(
+            F.sort_array(
+                F.collect_list(F.when(F.col("event_type") == stage, F.col("ts")))
+            ).alias(f"_l{i}")
         )
-        out.append(reached.agg(
-            F.lit(stage).alias("stage"),
-            F.lit(ord_).alias("stage_ord"),
-            F.count("*").alias("users"),
-        ))
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res
+    per_user = events.groupBy("user_id").agg(*aggs)
+    for i in range(2, len(stages) + 1):
+        per_user = per_user.withColumn(
+            f"e{i}",
+            F.array_min(
+                F.filter(F.col(f"_l{i}"), lambda x: x > F.col(f"e{i-1}"))
+            ),
+        )
+    counts = per_user.agg(
+        *[
+            F.count(f"e{i}").alias(f"c{i}")
+            for i in range(1, len(stages) + 1)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(stage).alias("stage"),
+                F.lit(i).alias("stage_ord"),
+                F.col(f"c{i}").alias("users"),
+            )
+            for i, stage in enumerate(stages, start=1)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select(
+        "r.stage", "r.stage_ord", "r.users"
+    )
 
 
 def retention_cohorts(events: DataFrame) -> DataFrame:

@@ -814,3 +814,55 @@ def test_connected_components_raises_on_nonconvergence(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
     with _pytest.raises(RuntimeError, match="non-empty after 0 rounds"):
         connected_components(pairs, max_iter=0, local_threshold=0)
+
+
+def test_funnel_single_pass_matches_stage_chain_semantics(spark):
+    """r13 rewrote funnel as one scan + one per-user aggregation
+    (conditional min + sorted stage lists + array filter). Pin the
+    ordered-funnel semantics the old per-stage join chain enforced:
+    strictly-later progression, out-of-order events don't count, and a
+    user re-entering a stage uses the EARLIEST valid timestamp."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.behavioral import funnel
+
+    rows = [
+        # u1: clean path view(1) -> cart(2) -> purchase(3)
+        (1, "view", 1), (1, "cart", 2), (1, "purchase", 3),
+        # u2: cart BEFORE view -> cart never counts (strictly after)
+        (2, "cart", 1), (2, "view", 2),
+        # u3: cart at the SAME ts as view -> strict > excludes it,
+        #     but a later cart re-entry at 5 counts
+        (3, "view", 4), (3, "cart", 4), (3, "cart", 5),
+        # u4: purchase without ever viewing -> counts nowhere
+        (4, "purchase", 9),
+    ]
+    events = spark.createDataFrame(
+        [(u, t, f"2024-01-01 00:00:{s:02d}") for u, t, s in rows],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.stage_ord: r.users for r in
+           funnel(events, ["view", "cart", "purchase"]).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}
+
+
+def test_scrub_repeated_ngrams_min_docs_general_branch(spark):
+    """min_docs=2 takes the r13 min/max single-shuffle path; other
+    values keep the counting path — both must enforce their threshold
+    (the 2-doc shared span survives min_docs=3, the 3-doc one doesn't)."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.text import scrub_repeated_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e shared x y z w only two docs"),
+            (2, "a b c d e shared q r s t only two docs2"),
+            (1000, "p q r s t u tail1"),
+            (1001, "p q r s t u tail2"),
+            (1002, "p q r s t u tail3"),
+        ],
+        "doc_id long, text string",
+    )
+    out3 = {r.doc_id: r for r in scrub_repeated_ngrams(docs, n=5, min_docs=3).collect()}
+    # the 2-doc 5-gram "a b c d e" survives at min_docs=3...
+    assert out3[1].clean_text.startswith("a b c d e")
+    # ...but the 3-doc "p q r s t" span is scrubbed
+    assert out3[1000].n_removed_words >= 5
+    assert not out3[1000].clean_text.startswith("p")
