@@ -356,8 +356,13 @@ def minhash_signature_table(
 
     r13: signatures come map-side from the shingle arrays with the
     set column passed through — one pipeline, no explode/shuffle and
-    no sig⋈base re-join (bit-identical rows; column order preserved)."""
-    base = df.select(F.col(id_col), shingle_array(text_col).alias("sh_set"))
+    no sig⋈base re-join (bit-identical rows; column order preserved).
+    The input is spread first (adaptive no-op when the scan already
+    splits >= cores): the whole per-doc hash/min pass now rides the
+    scan partitioning, and a small one-file table would otherwise run
+    it on one or two cores — the r12 form was insulated because its
+    heavy aggregation ran post-shuffle on full parallelism."""
+    base = spread(df).select(F.col(id_col), shingle_array(text_col).alias("sh_set"))
     sigs = minhash_signatures_from_sets(base, id_col, passthrough=True)
     return sigs.select(id_col, "sig", "sh_set")
 
