@@ -1177,16 +1177,15 @@ def prefix_filter_jaccard_pairs(
         )
         .withColumn("n_sh", F.count("*").over(w))
     )
-    pref = (
-        # prefix length |d| - ceil(t|d|) + 1; pinned — the candidate
-        # self-join references it twice and broadcast planning defeats
-        # ReusedExchange (same duplication the r13 before-plan showed
-        # for the LSH band join)
-        ranked.filter(
-            F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-        ).select(F.col(id_col), "shl", "n_sh")
-        .localCheckpoint(eager=False)
-    )
+    # prefix length |d| - ceil(t|d|) + 1 — NOT pinned: the candidate
+    # self-join's two sides are identical plans over the pinned `sh`,
+    # so the ranking window's exchange is shared via ReusedExchange;
+    # a checkpoint here replaced that reuse with a serialize/read
+    # barrier and measured strictly slower (interleaved 5-round A/B:
+    # median 2.89 -> 2.45 s without it)
+    pref = ranked.filter(
+        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select(F.col(id_col), "shl", "n_sh")
     a = pref.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "shl")
     b = pref.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"), "shl")
     cand = (
