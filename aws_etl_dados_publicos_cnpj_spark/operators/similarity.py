@@ -384,30 +384,33 @@ def embedding_near_dup_pairs(
     )
 
 
-def _nearest_cells_expr(vec: Column, centers: list[list[float]], n: int) -> Column:
-    """JVM expression for the ``n`` nearest center cells of ``vec`` by
-    squared L2 (ties → lower cell id, via struct array_sort): the
-    coarse-quantizer assignment as a codegen'd map-side expression —
-    no shuffle, no UDF, and exactly reproducible in oracle SQL when the
-    centers are literals."""
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(float(x)) for x in center]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, center in enumerate(centers)
-        ]
+def _nearest_cells_expr(vec_col: str, centers: list[list[float]], n: int) -> Column:
+    """JVM expression for the ``n`` nearest center cells of column
+    ``vec_col`` by squared L2 (ties → lower cell id, via struct
+    array_sort): the coarse-quantizer assignment as a map-side
+    expression — no shuffle, no UDF, and exactly reproducible in oracle
+    SQL when the centers are literals.
+
+    Built as ONE SQL string handed to ``F.expr`` (r14, guide §1/§5 —
+    driver-side cost is part of every timed run): the Column-tree form
+    issued one py4j round trip per literal — 8 centers × 64 dims ≈ 520
+    ``F.lit`` calls ≈ 0.36 s of driver time on EVERY query
+    construction. The parsed expression is identical (same zip_with/
+    aggregate lambdas, same left-to-right float accumulation, string
+    float literals parse to the same correctly-rounded doubles), so
+    assignments are bit-equal — pinned by the oracle hash and a
+    side-by-side collect at all three SFs."""
+    cells = ", ".join(
+        "named_struct('d', aggregate(zip_with({v}, array({lits}), "
+        "(a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x), 'cell', {i})".format(
+            v=vec_col,
+            lits=", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in center),
+            i=i,
+        )
+        for i, center in enumerate(centers)
     )
-    return F.slice(F.array_sort(dists), 1, n).getField("cell")
+    return F.expr(f"slice(array_sort(array({cells})), 1, {n}).cell")
 
 
 def ann_ivf_topk(
@@ -437,7 +440,7 @@ def ann_ivf_topk(
     driver form."""
     if centers is not None:
         # NOTE: deliberately NOT spread — unlike semantic_dedup, the
-        # 16-center assignment here is light and the broadcast-probed
+        # pinned-center assignment here is light and the broadcast-probed
         # search join dominates; the extra exchange measured flat-to-
         # slower (1.54→1.70 s A/B at sf0.1)
         train = corpus.select(
@@ -445,7 +448,7 @@ def ann_ivf_topk(
             F.col(vec_col).cast("array<double>").alias("cvec"),
         )
         assigned = train.withColumn(
-            "cell", F.element_at(_nearest_cells_expr(F.col("cvec"), centers, 1), 1)
+            "cell", F.element_at(_nearest_cells_expr("cvec", centers, 1), 1)
         )
     else:
         from pyspark.ml.clustering import KMeans
@@ -465,7 +468,7 @@ def ann_ivf_topk(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).cast("array<double>").alias("pvec"),
     ).withColumn(
-        "cell", F.explode(_nearest_cells_expr(F.col("pvec"), centers, n_probe_cells))
+        "cell", F.explode(_nearest_cells_expr("pvec", centers, n_probe_cells))
     )
 
     scored = (
@@ -696,12 +699,18 @@ WHERE rk <= 5
 """
 
 
+SEMDEDUP_BLOCK_CAP = 4096  # hard per-task row bound (memory safety at scale)
+SEMDEDUP_MIN_BLOCK = 32  # don't shred cells below this many rows per block
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     centers: list[list[float]],
     threshold: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_cap: int = SEMDEDUP_BLOCK_CAP,
+    min_block: int = SEMDEDUP_MIN_BLOCK,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): assign every embedding to its nearest
@@ -714,24 +723,37 @@ def semantic_dedup(
     oracle-checkable equivalent for a frozen quantizer). Output:
     (id, cell, keep ∈ {0,1}).
 
-    Scale shape (r13 optimization, guide §2.3/§4.2 — "shuffle keys and
-    metadata, move heavy bytes once"): cell assignment is a map-side
-    expression; then ONE exchange groups vectors by cell and the
-    within-cell quadratic runs inside ``applyInPandas`` as chunked
-    numpy einsum over index pairs. The r12 form self-joined on cell —
-    every within-cell PAIR became a shuffled row carrying TWO d-dim
-    double arrays (s²·d bytes per cell through the exchange + the
-    Arrow boundary), then a distinct + left-join re-attached the drop
-    flags (3 parquet scans, the interpreted 16-center assignment HOF
-    evaluated 3× per row, a SortMergeJoin). The grouped form ships
-    each vector ONCE (s·d bytes), computes the SAME per-pair
-    ``einsum("ij,ij->i")`` / norm-product / round-half-away floats
-    (bit-identical results, verified on all three SFs), and emits
-    (id, cell, keep) directly — no pair rows, no re-join. Memory: a
-    cell must fit in one task (SemDeDup cells are ≈√N by quantizer
-    design — the paper's clustering bounds cell size); the pair loop
-    is chunked so the quadratic temp stays bounded regardless of cell
+    Scale shape (r14 rewrite — guide §2.5 salting + §4.2): the r13 form
+    ran the whole within-cell quadratic as ONE ``applyInPandas`` task
+    per cell, which caps parallelism at the pinned quantizer's k=8
+    cells and, at scale, materializes an entire cell (plus O(n²)
+    ``triu_indices`` arrays) in one Python worker — an OOM for any
+    large cell, because k is FROZEN so cells grow as N/k. This form
+    salts each cell into contiguous id-rank blocks of ≤ ``block_cap``
+    rows and enumerates the block-pair upper triangle as INDEPENDENT
+    tasks:
+
+    - one window over ``cell`` ranks ids and sizes blocks —
+      ``n_blocks`` is ``ceil(cnt/block_cap)`` (memory bound) floored at
+      enough blocks to fill ``defaultParallelism`` across cells
+      (parallelism bound, scale-adaptive: derived from the cluster, not
+      a local constant);
+    - each row replicates to its block's pair tasks (≤ n_blocks copies)
+      and ``groupBy(cell, lo, hi).applyInPandas`` computes the SAME
+      per-pair ``einsum("ij,ij->i")`` / norm-product / round-half-away
+      floats as r12/r13 (pair results depend only on the two rows, so
+      blocking cannot change the floats — verified bit-identical on all
+      three SFs);
+    - blocks are contiguous in id-rank, so in a cross task every left
+      id < every right id and only right rows can drop; the diagonal
+      task emits every row's within-block verdict, so a final tiny
+      (id)-aggregation ORs the verdicts into ``keep``.
+
+    Per-task memory is now ≤ 2·block_cap vectors + one pair-band of
+    index/einsum temps (bounded by ``chunk_elems``), regardless of cell
     size."""
+    import math
+
     from .dedup import spread
 
     # spread BEFORE the per-row nearest-cell expression: a one-file
@@ -743,51 +765,132 @@ def semantic_dedup(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
-    ).withColumn("cell", F.element_at(_nearest_cells_expr(F.col("v"), centers, 1), 1))
+    ).withColumn("cell", F.element_at(_nearest_cells_expr("v", centers, 1), 1))
+
+    # blocks per cell: memory bound always wins; otherwise just enough
+    # block pairs across the k cells to fill the cluster's cores
+    # (k·b(b+1)/2 tasks ≥ defaultParallelism ⇒ b ≈ sqrt(2·P/k))
+    k = max(1, len(centers))
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    b_par = max(1, math.ceil(math.sqrt(2.0 * max(1, par) / k)))
+    w = Window.partitionBy("cell")
+    cnt = F.count("*").over(w)
+    rk = F.row_number().over(w.orderBy(id_col)) - 1
+    nblk = F.greatest(
+        F.ceil(cnt / F.lit(block_cap)),
+        F.least(F.lit(b_par), F.ceil(cnt / F.lit(min_block))),
+    ).cast("int")
+    blocked = base.select(
+        F.col(id_col),
+        "v",
+        "cell",
+        F.floor(rk * nblk / cnt).cast("int").alias("blk"),
+        (nblk - 1).cast("int").alias("mb"),
+    )
+    # replicate each row to every block pair it participates in:
+    # (blk, hi) for hi in blk..mb, plus (lo, blk) for lo in 0..blk-1
+    as_low = F.transform(
+        F.sequence(F.col("blk"), F.col("mb")),
+        lambda h: F.struct(F.col("blk").alias("lo"), h.alias("hi")),
+    )
+    as_high = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.col("blk")),
+            lambda lo: F.struct(lo.alias("lo"), F.col("blk").alias("hi")),
+        ),
+        lambda s: s["lo"] < s["hi"],
+    )
+    rep = blocked.select(
+        F.col(id_col),
+        "v",
+        "cell",
+        "blk",
+        F.explode(F.concat(as_low, as_high)).alias("p"),
+    ).select(id_col, "v", "cell", "blk", "p.lo", "p.hi")
 
     out_schema = StructType(
         [
-            StructField(id_col, LongType()),
+            StructField(id_col, embeddings.schema[id_col].dataType),
             StructField("cell", IntegerType()),
-            StructField("keep", IntegerType()),
+            StructField("dropped", IntegerType()),
         ]
     )
-    # pairs per einsum chunk: 4M pairs × d=64 × 8 B × 2 operands ≈ 4 GB
-    # peak at d=64 would be too fat — chunk by ELEMENTS instead so the
-    # temp is ~128 MB regardless of dimension
+    # pairs per einsum band: 4M pairs × d=64 × 8 B × 2 operands ≈ 4 GB
+    # peak at d=64 would be too fat — band by ELEMENTS instead so the
+    # temp is ~128 MB regardless of dimension; pair INDEX arrays are
+    # generated band-by-band too (never a whole-triangle triu_indices)
     chunk_elems = 16_000_000
 
-    def _cell_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _pair_bands(n_lo: int, n_hi: int, diag: bool, band_pairs: int):
+        rows_per_band = max(1, band_pairs // max(1, n_hi))
+        for i0 in range(0, n_lo, rows_per_band):
+            i1 = min(i0 + rows_per_band, n_lo)
+            ii = np.repeat(np.arange(i0, i1), n_hi)
+            jj = np.tile(np.arange(n_hi), i1 - i0)
+            if diag:
+                keep_m = jj > ii
+                ii, jj = ii[keep_m], jj[keep_m]
+            if len(ii):
+                yield ii, jj
+
+    def _block_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(key[1]), int(key[2])
         ids = pdf[id_col].to_numpy()
-        order = np.argsort(ids, kind="stable")  # i<j ⇔ id_i < id_j
-        ids = ids[order]
-        n = len(ids)
-        keep = np.ones(n, dtype=np.int32)
-        if n > 1:
-            A = np.stack(pdf["v"].to_numpy()[order])
-            ii, jj = np.triu_indices(n, k=1)
-            step = max(1, chunk_elems // max(1, A.shape[1]))
-            dropped = np.zeros(n, dtype=bool)
-            for s in range(0, len(ii), step):
-                i, j = ii[s : s + step], jj[s : s + step]
+        blk = pdf["blk"].to_numpy()
+        diag = lo == hi
+        lo_m = blk == lo
+        lo_order = np.argsort(ids[lo_m], kind="stable")
+        A_lo = np.stack(pdf["v"].to_numpy()[lo_m][lo_order]) if lo_m.any() else None
+        ids_lo = ids[lo_m][lo_order]
+        if diag:
+            A_hi, ids_hi = A_lo, ids_lo
+        else:
+            hi_m = blk == hi
+            hi_order = np.argsort(ids[hi_m], kind="stable")
+            A_hi = np.stack(pdf["v"].to_numpy()[hi_m][hi_order]) if hi_m.any() else None
+            ids_hi = ids[hi_m][hi_order]
+        dropped_hi = np.zeros(len(ids_hi), dtype=bool)
+        if A_lo is not None and A_hi is not None and len(ids_lo) and len(ids_hi):
+            d = A_lo.shape[1]
+            # per-row norms once per side: same bits as computing them
+            # on the gathered pair rows (row-wise independent op)
+            nrm_lo = np.linalg.norm(A_lo, axis=1)
+            nrm_hi = nrm_lo if diag else np.linalg.norm(A_hi, axis=1)
+            band = max(1, chunk_elems // max(1, d))
+            for ii, jj in _pair_bands(len(ids_lo), len(ids_hi), diag, band):
                 # identical per-pair float ops as the r12 pairwise_cosine
                 # pandas UDF (einsum + norm product + round-half-away):
-                # each pair's dot is independent, so chunking cannot
-                # change the floats
-                num = np.einsum("ij,ij->i", A[i], A[j])
-                den = np.linalg.norm(A[i], axis=1) * np.linalg.norm(A[j], axis=1)
-                sim = _round_half_away(num / den)
-                dropped[j[sim >= threshold]] = True
-            keep[dropped] = 0
+                # each pair's result depends only on its two rows, so
+                # banding cannot change the floats
+                num = np.einsum("ij,ij->i", A_lo[ii], A_hi[jj])
+                sim = _round_half_away(num / (nrm_lo[ii] * nrm_hi[jj]))
+                dropped_hi[jj[sim >= threshold]] = True
+        cell_val = int(key[0])
+        if diag:
+            # the diagonal task covers every row of its block exactly
+            # once — it emits ALL verdicts, so every id reaches the
+            # final aggregation even when nothing matches
+            return pd.DataFrame(
+                {
+                    id_col: ids_hi,
+                    "cell": np.full(len(ids_hi), cell_val, dtype=np.int32),
+                    "dropped": dropped_hi.astype(np.int32),
+                }
+            )
+        out_ids = ids_hi[dropped_hi]
         return pd.DataFrame(
             {
-                id_col: ids,
-                "cell": pdf["cell"].to_numpy()[order],
-                "keep": keep,
+                id_col: out_ids,
+                "cell": np.full(len(out_ids), cell_val, dtype=np.int32),
+                "dropped": np.ones(len(out_ids), dtype=np.int32),
             }
         )
 
-    return base.groupBy("cell").applyInPandas(_cell_dedup, out_schema)
+    verdicts = rep.groupBy("cell", "lo", "hi").applyInPandas(_block_pair, out_schema)
+    return verdicts.groupBy(id_col).agg(
+        F.max("cell").alias("cell"),
+        (F.lit(1) - F.max("dropped")).cast("int").alias("keep"),
+    )
 
 
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

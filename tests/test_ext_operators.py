@@ -81,6 +81,37 @@ def test_minhash_set_path_bit_identical(spark):
     assert rows == agg
 
 
+def test_minhash_set_path_sub_chunking_bit_identical(spark):
+    """r14 bounds the (k × shingles) numpy temporaries by splitting each
+    Arrow batch into doc-aligned ≤chunk_elems groups. Forcing a chunk
+    smaller than any doc (every doc its own group) and a mid-size chunk
+    must both reproduce the unchunked signatures bit-for-bit."""
+    from aws_etl_dados_publicos_cnpj_spark.operators.dedup import (
+        minhash_signatures_from_sets,
+        shingle_array,
+    )
+
+    df = _docs(
+        spark,
+        [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(20)]
+        + [(100, "a"), (101, "x y z")],
+    )
+    base = df.select(F.col("doc_id"), shingle_array("text").alias("sh_set"))
+    big = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures_from_sets(base, chunk_elems=10**9).collect()
+    }
+    tiny = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures_from_sets(base, chunk_elems=1).collect()
+    }
+    mid = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures_from_sets(base, chunk_elems=64).collect()
+    }
+    assert big == tiny == mid
+
+
 def test_lsh_finds_identical_pair(spark):
     df = _docs(spark, [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w4"), (3, "a b c d")])
     cands = lsh_candidate_pairs(minhash_signatures(shingles(df))).collect()
@@ -478,6 +509,44 @@ def test_semantic_dedup_keeps_one_per_duplicate_group(spark):
     # exact duplicates of id 1 dropped; opposite-direction vector kept
     assert out[1] == 1 and out[2] == 0 and out[3] == 0
     assert out[10] == 1 and out[11] == 1
+
+
+def test_semantic_dedup_blocked_path_matches_single_block(spark):
+    """Forcing many rank-blocks per cell (tiny block_cap) must yield
+    bit-identical keep verdicts to the one-block path: the r14 salted
+    block-pair tasks only change WHERE pairs are computed, never which
+    pairs exist or their floats. Uses near-duplicate vectors so real
+    drops cross block boundaries."""
+    import random
+
+    from aws_etl_dados_publicos_cnpj_spark.operators._ivf_centers import (
+        IVF_PINNED_CENTERS,
+    )
+    from aws_etl_dados_publicos_cnpj_spark.operators.similarity import semantic_dedup
+
+    dim = len(IVF_PINNED_CENTERS[0])
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, base))
+        if i % 3 == 0:  # a near-duplicate that must be dropped
+            rows.append((1000 + i, [x * 1.0001 for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    one = {
+        (r.vec_id, r.cell, r.keep)
+        for r in semantic_dedup(
+            df, IVF_PINNED_CENTERS, block_cap=10_000, min_block=10_000
+        ).collect()
+    }
+    many = {
+        (r.vec_id, r.cell, r.keep)
+        for r in semantic_dedup(
+            df, IVF_PINNED_CENTERS, block_cap=3, min_block=1
+        ).collect()
+    }
+    assert one == many
+    assert any(k == 0 for (_, _, k) in one)  # real drops exercised
 
 
 def test_frequent_ngrams_doc_frequency_semantics(spark):
