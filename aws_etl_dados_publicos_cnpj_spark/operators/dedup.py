@@ -205,6 +205,7 @@ def minhash_signatures_from_sets(
     set_col: str = "sh_set",
     k: int = NUM_MINHASH,
     passthrough: bool = False,
+    chunk_elems: int = 100_000,
 ) -> DataFrame:
     """K min-hashes per doc straight from the per-doc shingle ARRAY —
     the map-side form of ``minhash_signatures`` (r13 optimization,
@@ -239,6 +240,14 @@ def minhash_signatures_from_sets(
         out_fields.append(base.schema[set_col])
     out_schema = T.StructType(out_fields)
 
+    # Sub-batch chunking (r14, guide §5): the (k × shingles) hash pass
+    # allocates ~4 k·N·8 B of temporaries per call — unbounded by the
+    # Arrow batch's ROW count when docs are long (10k rows × 15k
+    # shingles × k=96 would be >100 GB). Splitting each batch into
+    # doc-aligned groups of ≤ chunk_elems base hashes bounds the peak
+    # at ~max(chunk_elems, longest single doc) × k × 8 B × 4 ≈ 256 MB,
+    # and per-doc results are untouched (the reduceat segments are the
+    # same) — bit-equality stays pinned by the existing twin test.
     def gen(batches):
         seeds = _xxh64_long(np.arange(k, dtype=np.uint64), np.uint64(42))[:, None]
         for pdf in batches:
@@ -246,11 +255,22 @@ def minhash_signatures_from_sets(
                 continue
             arrs = [np.asarray(a, dtype=np.int64) for a in pdf["__hbs"]]
             lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
-            flat = np.concatenate(arrs).astype(np.uint64)
-            h = _xxh64_long(flat[None, :], seeds).view(np.int64)
-            offs = np.zeros(len(arrs), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offs[1:])
-            sig = np.minimum.reduceat(h, offs, axis=1)  # (k, docs)
+            bounds = [0]  # doc-index boundaries of ≤chunk_elems groups
+            acc = 0
+            for di, ln in enumerate(lens):
+                if acc and acc + ln > chunk_elems:
+                    bounds.append(di)
+                    acc = 0
+                acc += ln
+            bounds.append(len(arrs))
+            sig_parts = []
+            for g0, g1 in zip(bounds[:-1], bounds[1:]):
+                flat = np.concatenate(arrs[g0:g1]).astype(np.uint64)
+                h = _xxh64_long(flat[None, :], seeds).view(np.int64)
+                offs = np.zeros(g1 - g0, dtype=np.int64)
+                np.cumsum(lens[g0 : g1 - 1], out=offs[1:])
+                sig_parts.append(np.minimum.reduceat(h, offs, axis=1))
+            sig = np.concatenate(sig_parts, axis=1)  # (k, docs)
             out = {id_col: pdf[id_col], "sig": list(sig.T)}
             if passthrough:
                 out[set_col] = pdf[set_col]
