@@ -9,10 +9,10 @@ compositions (no UDFs) with DuckDB oracles.
 
 Scale shapes:
 
-- funnel: three per-user conditional-min aggregates on the SAME key —
-  after the first shuffle the stream stays hash-partitioned by
-  ``user_id``, so stages 2-3 reuse the partitioning (AQE/exchange
-  reuse); the final stage counts are three scalar aggregates unioned.
+- funnel: stage-type filter at the scan, ONE shuffle by ``user_id``,
+  chained window minima (constant per-row state — skew-safe), and a
+  per-user aggregate that reuses the window's partitioning; the final
+  stage counts are one scalar aggregate exploded to rows.
 - retention: one distinct-activity shuffle + one first-seen aggregate,
   joined on ``user_id`` (both sides already partitioned by it), then a
   low-cardinality (cohort, offset) count.
@@ -35,36 +35,43 @@ def funnel(events: DataFrame, stages: list[str] | None = None) -> DataFrame:
     an event of type ``stages[k]`` strictly AFTER their stage *k-1*
     entry time. Returns one row per stage with the surviving user count.
 
-    Each stage is a per-user conditional ``min(ts)`` joined back on
-    ``user_id``; Spark co-partitions every stage on the same key so only
-    the first aggregate pays a full shuffle of the events table.
+    One scan, one shuffle (by ``user_id``), chained per-user window
+    minima with constant per-row state — no per-user lists, so a bot
+    with millions of events cannot blow an aggregation buffer.
     """
     stages = stages or FUNNEL_STAGES
-    # r13 (guide §2.4/§2.3): ONE scan + ONE per-user aggregation
-    # instead of a per-stage filter→join→aggregate chain (the before-
-    # plan scanned `events` per stage and re-aggregated per round).
-    # Stage-1 entry is a plain conditional min; each later stage keeps
-    # its per-user sorted timestamp list and enters at the first
-    # element strictly after the previous stage's entry (array filter +
-    # array_min — nulls propagate exactly like the join chain: no
-    # prior entry, or no later event, means no entry).
-    aggs = [
-        F.min(F.when(F.col("event_type") == stages[0], F.col("ts"))).alias("e1")
-    ]
+    # r13 (guide §2.4/§2.3): ONE scan + ONE per-user pass instead of a
+    # per-stage filter→join→aggregate chain. r14 (guide §2.5 skew +
+    # §2.3): the r13 form collected every stage-k timestamp into a
+    # per-user sorted list inside the aggregation buffer — unbounded
+    # state under a hot user/bot (millions of events in ONE buffer).
+    # Now stage entries chain through per-user window minima with
+    # CONSTANT per-row state: e1 = min ts of stage-1 events; e_k =
+    # min(ts where type = stage_k AND ts > e_{k-1}) over the same
+    # user partition (consecutive windows share one exchange + sort;
+    # nulls propagate exactly like the join chain: no prior entry, or
+    # no later event, means no entry — sf-equality and the edge-case
+    # test pin it). Rows of non-stage types contribute to no e_k, so
+    # they are filtered BEFORE the shuffle (40% fewer bytes at sf0.1,
+    # and an In(event_type) predicate reaches the scan); the final
+    # groupBy(user_id) rides the window's partitioning unexchanged.
+    w = Window.partitionBy("user_id")
+    df = events.filter(F.col("event_type").isin(stages)).withColumn(
+        "e1", F.min(F.when(F.col("event_type") == stages[0], F.col("ts"))).over(w)
+    )
     for i, stage in enumerate(stages[1:], start=2):
-        aggs.append(
-            F.sort_array(
-                F.collect_list(F.when(F.col("event_type") == stage, F.col("ts")))
-            ).alias(f"_l{i}")
-        )
-    per_user = events.groupBy("user_id").agg(*aggs)
-    for i in range(2, len(stages) + 1):
-        per_user = per_user.withColumn(
+        df = df.withColumn(
             f"e{i}",
-            F.array_min(
-                F.filter(F.col(f"_l{i}"), lambda x: x > F.col(f"e{i-1}"))
-            ),
+            F.min(
+                F.when(
+                    (F.col("event_type") == stage) & (F.col("ts") > F.col(f"e{i-1}")),
+                    F.col("ts"),
+                )
+            ).over(w),
         )
+    per_user = df.groupBy("user_id").agg(
+        *[F.min(f"e{i}").alias(f"e{i}") for i in range(1, len(stages) + 1)]
+    )
     counts = per_user.agg(
         *[
             F.count(f"e{i}").alias(f"c{i}")
