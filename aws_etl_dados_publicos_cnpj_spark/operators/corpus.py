@@ -592,11 +592,21 @@ def bloom_decontaminate(
     False positives only cost extra verification work; they never
     appear in the output."""
     k, m = 3, 400_000
-    # compute-once sharing: t_sh feeds the k-stage probe chain AND the
-    # exact-verify join; b_sh feeds k position sets AND the exact side.
-    # Lazy localCheckpoint (same rationale as minhash_lsh_dedup) —
-    # without it each consumer re-shingles its corpus from the scan.
-    t_sh = shingles(train, text_col, id_col, n).localCheckpoint(eager=False)
+    # b_sh (pinned, benchmark-sized) feeds the k position sets AND the
+    # exact-verify side; t_sh feeds the k-stage probe chain AND the
+    # exact-verify join.
+    # t_sh is NOT pinned (r14, VERDICT r13 item 3): the exploded
+    # (id, shingle) string relation is the largest intermediate in the
+    # engine (~shingles-per-doc × corpus bytes), and its two consumers
+    # (probe chain, exact verify) are pure map passes off the scan —
+    # no exchange, so nothing for ReusedExchange to share either way.
+    # A 10-round fresh-JVM pin-vs-recompute grid at sf0.1 measured the
+    # two forms box-equal (mins 1.91–2.17 s both ways), so the r6
+    # doctrine decides: corpus-sized subtrees stay
+    # recompute-on-reference — two pruned scans beat materializing a
+    # 10×-corpus relation to non-fault-tolerant executor storage at
+    # 100 TB (SCALE.md "r14 — bloom pin grid").
+    t_sh = shingles(train, text_col, id_col, n)
     b_sh = (
         shingles(benchmark, text_col, id_col, n)
         .select("shingle")
@@ -625,6 +635,12 @@ def bloom_decontaminate(
         )
         .select(F.col("s.i").alias("i"), F.col("s.p").alias("p"))
         .distinct()
+        # pinned — and the pin is load-bearing: r14 ran the unpinned
+        # form and the EXECUTED plan got ZERO ReusedExchange (the k=3
+        # broadcast builds each recompute the explode+distinct: 4→10
+        # hash exchanges, 8→20 HashAggregates), so the r6 "don't pin
+        # what ReusedExchange shares" lesson does not apply; the
+        # pinned relation is ≤ k·m ints regardless of corpus size
         .localCheckpoint(eager=False)
     )
     probe = t_sh

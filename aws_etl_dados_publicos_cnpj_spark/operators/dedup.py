@@ -86,6 +86,28 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def _base_pin(df: DataFrame) -> DataFrame:
+    """Pin the per-doc (id, sh_set) base relation that feeds a
+    signature/ranking pass AND both verify sides (three consumers).
+
+    r14 measured the alternatives (VERDICT r13 item 2) with 4
+    alternating fresh-JVM rounds over the minhash/clusters/prefix/
+    containment family at sf0.1: recompute-per-consumer 11.75 s total,
+    persist(DISK_ONLY) 9.88 s, localCheckpoint 9.58 s — the r6
+    "corpus-sized subtrees stay recompute-on-reference" doctrine does
+    not apply because shingle_array itself (not the scan) is the
+    expensive part and three consumers pay it. DISK_ONLY is
+    speed-equal and lineage-recoverable, but CacheManager entries
+    outlive the query unless every caller unpersists (long driver
+    sessions leak); localCheckpoint blocks are dropped by the
+    ContextCleaner with the result DF. 100 TB note: an executor loss
+    mid-query kills a checkpointed run instead of recomputing lineage
+    — a deployment that cannot afford the retry flips this one
+    function to persist(StorageLevel.DISK_ONLY) at equal speed
+    (SCALE.md "r14 — base-pin A/B/C")."""
+    return df.localCheckpoint(eager=False)
+
+
 def dedup_exact(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
     """Exact dedup via hash-groupBy: one surviving (min id) row pointer
     per key group + the duplicate count."""
@@ -347,10 +369,8 @@ def minhash_lsh_dedup(
     # the sigs/sa/sb branches, but storage is released by the ContextCleaner
     # when the result DF is dropped — CacheManager entries would pin
     # per-call storage for the life of a long driver session (50+ queries)
-    base = (
-        spread(df)
-        .select(F.col(id_col), shingle_array(text_col).alias("sh_set"))
-        .localCheckpoint(eager=False)
+    base = _base_pin(
+        spread(df).select(F.col(id_col), shingle_array(text_col).alias("sh_set"))
     )
     sigs = minhash_signatures_from_sets(base, id_col)
     candidates = lsh_candidate_pairs(sigs, id_col)
@@ -1176,10 +1196,8 @@ def prefix_filter_jaccard_pairs(
     # branch re-shingles the corpus from the scan. Lazy localCheckpoint
     # (not cache) so the ContextCleaner releases the blocks when the
     # result is dropped (same rationale as minhash_lsh_dedup above).
-    base = (
-        spread(df)
-        .select(F.col(id_col), shingle_array(text_col, n).alias("sh_set"))
-        .localCheckpoint(eager=False)
+    base = _base_pin(
+        spread(df).select(F.col(id_col), shingle_array(text_col, n).alias("sh_set"))
     )
     # hashed shingle rows pinned too: referenced by the frequency agg
     # and the ranking join — and (id, long) rows are far smaller than
@@ -1266,10 +1284,8 @@ def containment_pairs(
     (exact recall for any fixed total order; collisions only add
     candidates), windowed per-doc count, and ``array_intersect``
     verification over the checkpointed string arrays."""
-    base = (
-        spread(df)
-        .select(F.col(id_col), shingle_array(text_col, n).alias("sh_set"))
-        .localCheckpoint(eager=False)
+    base = _base_pin(
+        spread(df).select(F.col(id_col), shingle_array(text_col, n).alias("sh_set"))
     )
     # pinned like the jaccard form: referenced by the frequency agg,
     # the ranking join, and the candidate probe side
